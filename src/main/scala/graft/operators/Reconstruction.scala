@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.model.Defaults
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Set-based version reconstruction (SURVEY §2 rows 19, 24-25, 41, 45;
+  * reference read path /root/reference/core/reconstruction_service.py:61-127,
+  * fold core/delta_computer.py:90-135).
+  *
+  * The reference reconstructs one version at a time: load the full timeline,
+  * probe downward for the nearest base at-or-before the target
+  * (core/data_structures.py:242-252), then fold the delta chain forward.
+  * `batch_reconstruct` loops that per target (:176-183) despite claiming
+  * reuse. Here ALL targets reconstruct in one job:
+  *
+  *   1. as-of join: targets × base seqs -> max(base_seq <= target) per
+  *      target (equi-join on content_id + range post-filter, then a groupBy —
+  *      both shuffle-partitioned by content, skew-free at scale);
+  *   2. range join: deltas with base_seq < seq <= target_seq;
+  *   3. fold: because delta application is pure element-wise addition, the
+  *      chain is order-insensitive — explode (idx,val), sum per
+  *      (content, target, idx), and scatter-add the summed map into the base
+  *      vector. One shuffle keyed by (content_id, target_seq).
+  *
+  * Error/quality provenance columns reproduce the reference's formulas
+  * (core/reconstruction_service.py:229-297).
+  */
+object Reconstruction {
+
+  /** Reconstruct every (content_id, seq) in `targets` from `versions`.
+    * Output: content_id, seq, embedding, base_seq_used, deltas_applied,
+    * reconstruction_cost, plus error/quality metrics. Targets that precede
+    * the earliest base produce no row (the reference raises there,
+    * core/delta_computer.py:116-119). */
+  def reconstruct(versions: DataFrame, targets: DataFrame): DataFrame = {
+    val bases = versions.where(col("kind") === "base")
+      .select(col("content_id"), col("seq").as("base_seq"),
+        col("embedding").as("base_embedding"))
+    val deltas = versions.where(col("kind") === "delta")
+      .select(col("content_id"), col("seq").as("delta_seq"),
+        col("delta_idx"), col("delta_val"), col("change_magnitude"))
+
+    // 1. nearest base at-or-before target (as-of join, SURVEY row 24).
+    val nearest = targets.select(col("content_id"), col("seq"))
+      .join(bases.select(col("content_id"), col("base_seq")),
+        Seq("content_id"))
+      .where(col("base_seq") <= col("seq"))
+      .groupBy("content_id", "seq")
+      .agg(max("base_seq").as("base_seq"))
+
+    val withBase = nearest.join(bases, Seq("content_id", "base_seq"))
+
+    // 2-3. delta chain contributions summed per dimension (SURVEY row 19).
+    val chain = nearest
+      .join(deltas, Seq("content_id"))
+      .where(col("delta_seq") > col("base_seq") &&
+        col("delta_seq") <= col("seq"))
+
+    val chainStats = chain.groupBy("content_id", "seq")
+      .agg(count(lit(1)).cast("int").as("deltas_applied"),
+        avg("change_magnitude").as("avg_chain_magnitude"))
+
+    val contribs = chain
+      .select(col("content_id"), col("seq"),
+        explode(arrays_zip(col("delta_idx"), col("delta_val"))).as("p"))
+      .groupBy(col("content_id"), col("seq"),
+        col("p.delta_idx").as("idx"))
+      .agg(sum(col("p.delta_val").cast("double")).as("add"))
+      .groupBy("content_id", "seq")
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("add"))))
+        .as("add_map"))
+
+    val folded = withBase
+      .join(contribs, Seq("content_id", "seq"), "left")
+      .join(chainStats, Seq("content_id", "seq"), "left")
+      .withColumn("embedding",
+        when(col("add_map").isNull, col("base_embedding"))
+          .otherwise(transform(col("base_embedding"), (x, i) =>
+            (x.cast("double") + coalesce(element_at(col("add_map"), i), lit(0.0)))
+              .cast("float"))))
+      .withColumn("deltas_applied", coalesce(col("deltas_applied"), lit(0)))
+      .withColumn("reconstruction_cost", col("seq") - col("base_seq"))
+
+    withMetrics(folded)
+      .select("content_id", "seq", "embedding", "base_seq",
+        "deltas_applied", "reconstruction_cost", "estimated_error",
+        "quality_score")
+      .withColumnRenamed("base_seq", "base_seq_used")
+  }
+
+  /** Error-bound estimate and quality score, reproducing the reference's
+    * deterministic formulas (core/reconstruction_service.py:229-297,
+    * constants :57-59). Pure column expressions — codegen-friendly. */
+  private def withMetrics(df: DataFrame): DataFrame = {
+    val cost = col("reconstruction_cost").cast("double")
+    val avgMag = coalesce(col("avg_chain_magnitude"), lit(0.0))
+    val baseError = cost * Defaults.ErrorAccumulationRate
+    val magFactor = lit(1.0) + lit(0.05) * avgMag
+    val shortBonus = when(cost < 5, lit(0.9)).otherwise(lit(1.0))
+    val estError = baseError * magFactor * shortBonus
+
+    val chainPenalty =
+      lit(1.0) - least(cost / Defaults.MaxChainLength, lit(1.0)) * lit(0.3)
+    val errorPenalty = greatest(lit(0.5), lit(1.0) - estError * lit(10.0))
+    val lowCostBonus = when(cost < 8, lit(1.1)).otherwise(lit(1.0))
+    val quality = least(lit(1.0),
+      greatest(lit(0.0), chainPenalty * errorPenalty * lowCostBonus))
+
+    df.withColumn("estimated_error", estError)
+      .withColumn("quality_score", quality)
+  }
+
+  /** Reconstruction-cost audit without materializing embeddings: for every
+    * version, the chain length from its nearest base (SURVEY row 41/59;
+    * reference storage/temporal_database.py:443-494). */
+  def costs(versions: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("content_id").orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versions
+      .withColumn("nearest_base_seq",
+        max(when(col("kind") === "base", col("seq"))).over(w))
+      .withColumn("reconstruction_cost", col("seq") - col("nearest_base_seq"))
+      .select("content_id", "seq", "kind", "nearest_base_seq",
+        "reconstruction_cost")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Text-analysis operators for large-scale training-data pipelines (builder
+  * north star; SURVEY §2.10 Q18 family): token counting, quality scoring,
+  * n-gram-heuristic language ID, document fingerprinting.
+  *
+  * Everything is built from codegen'd string/array expressions — no UDFs —
+  * so a 100 TB `documents` scan stays a single embarrassingly-parallel
+  * map stage with full column pruning (only `text` and the id column are
+  * read when that is all the query needs).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Ratio of [a-z] chars (inputs are lowercase corpora). */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^a-z]", "")).cast("double") /
+      length(text).cast("double")
+
+  /** Count of tokens from a fixed marker set. */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(m => m: Any): _*))).cast("long")
+
+  val EnMarkers = Seq("the", "and", "of", "to")
+  val DeMarkers = Seq("der", "und", "die", "das")
+  val FrMarkers = Seq("le", "la", "et", "les")
+  val EsMarkers = Seq("el", "los", "que", "y")
+
+  /** Stopword set for quality scoring. */
+  val Stopwords = Seq("the", "a", "and", "of", "to", "in")
+
+  /** doc_id, n_tokens, text_len, alpha_ratio — basic per-doc stats. */
+  def textStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      length(col("text")).cast("long").as("text_len"),
+      round(alphaRatio(col("text")), 4).as("alpha_ratio"))
+
+  /** Quality score in [0,1]:
+    * 0.3·min(1, chars/500) + 0.4·alpha_ratio + 0.3·stopword_ratio.
+    * A deterministic heuristic in the spirit of C4/Gopher-style filters. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stop = markerCount(toks, Stopwords).cast("double")
+    val lenScore = least(lit(1.0), length(col("text")).cast("double") / 500.0)
+    docs.select(col("doc_id"),
+      round(lit(0.3) * lenScore + lit(0.4) * alphaRatio(col("text"))
+        + lit(0.3) * (stop / nTok), 4).as("quality"))
+  }
+
+  /** n-gram/marker-heuristic language ID. Ties resolve in a fixed order
+    * (zh > en > de > fr > es) so the prediction is deterministic. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val en = markerCount(toks, EnMarkers)
+    val de = markerCount(toks, DeMarkers)
+    val fr = markerCount(toks, FrMarkers)
+    val es = markerCount(toks, EsMarkers)
+    val nonAscii = length(regexp_replace(col("text"), "[\\x00-\\x7f]", ""))
+    docs.select(col("doc_id"), en.as("en_cnt"), de.as("de_cnt"),
+      fr.as("fr_cnt"), es.as("es_cnt"), nonAscii.as("_non_ascii"))
+      .withColumn("pred_lang",
+        when(col("_non_ascii") > 0, "zh")
+          .when(col("en_cnt") >= col("de_cnt") &&
+            col("en_cnt") >= col("fr_cnt") &&
+            col("en_cnt") >= col("es_cnt"), "en")
+          .when(col("de_cnt") >= col("fr_cnt") &&
+            col("de_cnt") >= col("es_cnt"), "de")
+          .when(col("fr_cnt") >= col("es_cnt"), "fr")
+          .otherwise("es"))
+      .drop("_non_ascii")
+  }
+
+  /** Position-weighted rolling fingerprint of the token stream: an
+    * order-sensitive document hash, Σ_i (md5hash(tok_i) mod P)·(i+1) mod P
+    * with P = 1e9+7. md5-derived token hashes make the value reproducible in
+    * any engine; the mod-first/multiply-later shape keeps every intermediate
+    * below 2^63 (hash ≤ 1e9, weight ≤ #tokens). */
+  def fingerprint(text: Column): Column = {
+    val P = 1000000007L
+    val weighted = transform(tokens(text), (t, i) =>
+      pmod(conv(substring(md5(t.cast("binary")), 1, 14), 16, 10).cast("long"),
+        lit(P)) * (i.cast("long") + 1))
+    pmod(aggregate(weighted, lit(0L), (a, x) => a + x), lit(P))
+  }
+}

@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned-store + temporal oracle queries Q12-Q17 (SURVEY §2.10).
+  *
+  * Event timestamps are parquet TIMESTAMP(NANOS), which Spark 4 cannot read
+  * natively; `Tables.events` reads them as epoch-nano BIGINT
+  * (`spark.sql.legacy.parquet.nanosAsLong`) and queries work in epoch
+  * MICROseconds (`ts div 1000`) because DuckDB truncates the same parquet
+  * column to microsecond TIMESTAMP — int64 microseconds compare identically
+  * in both engines, sidestepping sub-microsecond ordering divergence.
+  */
+object Temporal {
+
+  private def eventsUs(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+  }
+
+  private val targetSeqs = Seq(4, 9, 12)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q12: per-user lag/as-of delta (SURVEY row 39 analogue on events).
+    "q12_lag" -> ((s, d) => eventsUs(s, d)
+      .withColumn("value_diff",
+        r4(col("value") - lag(col("value"), 1).over(
+          Window.partitionBy("user_id").orderBy("ts_us", "event_id"))))
+      .select("event_id", "user_id", "value_diff")
+      .orderBy("event_id")),
+
+    // Q13: the versioned-store ingest pipeline (SURVEY rows 16, 38, 40) —
+    // seq assignment, base/delta promotion, sparse delta arrays.
+    "q13_version_ingest" -> ((s, d) => SyntheticVersions.versions(s, d)
+      .select(col("content_id"), col("seq"), col("kind"),
+        size(col("delta_idx")).as("n_stored"),
+        r4(col("change_magnitude")).as("magnitude"))
+      .orderBy("content_id", "seq")),
+
+    // Q14: batch reconstruction via as-of join + range join + fold
+    // (SURVEY rows 19, 24, 25, 41, 45) with provenance + quality metrics.
+    "q14_reconstruct" -> ((s, d) => {
+      val versions = SyntheticVersions.versions(s, d)
+      val targets = versions.select("content_id").distinct()
+        .select(col("content_id"), explode(lit(targetSeqs.toArray)).as("seq"))
+      val recon = Reconstruction.reconstruct(versions, targets)
+      val dims = (0 until 8).map(j =>
+        r4(element_at(col("embedding"), j + 1).cast("double"))
+          .as(s"d$j"))
+      recon.select(Seq(col("content_id"), col("seq"), col("base_seq_used"),
+        col("deltas_applied"), col("reconstruction_cost"),
+        r4(col("estimated_error")).as("est_error"),
+        r4(col("quality_score")).as("quality")) ++ dims: _*)
+        .orderBy("content_id", "seq")
+    }),
+
+    // Q15: exact cosine top-k similarity join (SURVEY rows 21, 27, 43).
+    "q15_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      SimilaritySearch.topK(queries, corpus, 5)
+        .select(col("query_id"), col("rank"), col("id"),
+          r4(col("sim")).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Q16: integrity audit — missing seqs + dangling from_seq
+    // (SURVEY rows 29, 48) over a sample with injected gaps.
+    "q16_integrity" -> ((s, d) => {
+      val versions = SyntheticVersions.versions(s, d)
+      val cnum = substring(col("content_id"), 2, 10).cast("int")
+      val sample = versions.where(
+        !(pmod(cnum, lit(7)) === 0 && col("seq").isin(3, 7)))
+      Integrity.audit(sample).orderBy("content_id", "seq", "issue")
+    }),
+
+    // Q17: interval/range join (SURVEY row 25 analogue): events within
+    // [ts, ts+1h) of each anchor event, equi on user + range on time.
+    "q17_range_join" -> ((s, d) => {
+      val ev = eventsUs(s, d)
+      val anchors = ev.where(pmod(col("event_id"), lit(97)) === 0)
+        .select(col("event_id").as("anchor_id"), col("user_id"),
+          col("ts_us").as("a_ts"))
+      anchors.join(ev.select("user_id", "ts_us"), Seq("user_id"))
+        .where(col("ts_us") >= col("a_ts") &&
+          col("ts_us") < col("a_ts") + lit(3600000000L))
+        .groupBy("anchor_id")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("anchor_id")
+    })
+  )
+
+  private val cte = SyntheticVersions.oracleCte
+
+  val oracle: Map[String, String] = Map(
+    "q12_lag" ->
+      s"""SELECT event_id, user_id,
+        |  ${r4sql("value - lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)")} AS value_diff
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q13_version_ingest" -> (cte +
+      s"""SELECT content_id, seq, kind,
+        |  CAST(CASE WHEN kind = 'delta' THEN n_changed END AS INTEGER) AS n_stored,
+        |  CASE WHEN seq > 1 THEN ${r4sql("mag")} END AS magnitude
+        |FROM vk ORDER BY content_id, seq""".stripMargin),
+
+    "q14_reconstruct" -> (cte + {
+      val dims = (0 until 8).map(j =>
+        s"  ${r4sql(s"CAST(CAST(CAST(emb[${j + 1}] AS DOUBLE) + coalesce(a$j, 0.0) AS REAL) AS DOUBLE)")} AS d$j"
+      ).mkString(",\n")
+      val sums = (0 until 8).map(j =>
+        s"    sum(CAST(kd.dstored[${j + 1}] AS DOUBLE)) AS a$j").mkString(",\n")
+      s""", t AS (
+        |  SELECT DISTINCT content_id FROM vk),
+        |tg AS (
+        |  SELECT content_id, CAST(u.s AS INTEGER) AS seq
+        |  FROM t, (SELECT unnest([${targetSeqs.mkString(", ")}]) AS s) u),
+        |b AS (
+        |  SELECT tg.content_id, tg.seq, max(vk.seq) AS base_seq
+        |  FROM tg JOIN vk ON vk.content_id = tg.content_id
+        |    AND vk.kind = 'base' AND vk.seq <= tg.seq
+        |  GROUP BY tg.content_id, tg.seq),
+        |ag AS (
+        |  SELECT b.content_id, b.seq, b.base_seq,
+        |    CAST(count(kd.seq) AS INTEGER) AS n_deltas,
+        |    avg(kd.mag) AS avg_mag,
+        |$sums
+        |  FROM b LEFT JOIN vk kd ON kd.content_id = b.content_id
+        |    AND kd.kind = 'delta' AND kd.seq > b.base_seq AND kd.seq <= b.seq
+        |  GROUP BY b.content_id, b.seq, b.base_seq),
+        |m AS (
+        |  SELECT ag.*, bv.emb,
+        |    CAST(ag.seq - ag.base_seq AS INTEGER) AS cost,
+        |    (ag.seq - ag.base_seq) * 0.0005
+        |      * (1.0 + 0.05 * coalesce(ag.avg_mag, 0.0))
+        |      * (CASE WHEN ag.seq - ag.base_seq < 5 THEN 0.9 ELSE 1.0 END) AS est
+        |  FROM ag JOIN vk bv ON bv.content_id = ag.content_id AND bv.seq = ag.base_seq)
+        |SELECT content_id, seq, base_seq AS base_seq_used,
+        |  n_deltas AS deltas_applied, cost AS reconstruction_cost,
+        |  ${r4sql("est")} AS est_error,
+        |  ${r4sql("least(1.0, greatest(0.0, (1.0 - least(cost / 15.0, 1.0) * 0.3) * greatest(0.5, 1.0 - est * 10.0) * (CASE WHEN cost < 8 THEN 1.1 ELSE 1.0 END)))")} AS quality,
+        |$dims
+        |FROM m ORDER BY content_id, seq""".stripMargin
+    }),
+
+    "q15_knn" ->
+      s"""WITH n AS (
+        |  SELECT vec_id, list_transform(range(0, 64), i ->
+        |    CAST(CAST(embedding[i+1] AS DOUBLE)
+        |      / sqrt(list_sum(list_transform(range(0, 64), j ->
+        |          CAST(embedding[j+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE))))
+        |      AS REAL)) AS v
+        |  FROM embeddings
+        |  WHERE sqrt(list_sum(list_transform(range(0, 64), j ->
+        |    CAST(embedding[j+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE)))) > 0),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |    list_sum(list_transform(range(0, 64), i ->
+        |      CAST(q.v[i+1] AS DOUBLE) * CAST(c.v[i+1] AS DOUBLE))) AS sim
+        |  FROM n q, n c WHERE q.vec_id < 10),
+        |r AS (
+        |  SELECT query_id, id, sim, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sim DESC, id) AS INTEGER) AS rank
+        |  FROM s)
+        |SELECT query_id, rank, id, ${r4sql("sim")} AS sim
+        |FROM r WHERE rank <= 5 AND sim > 0
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q16_integrity" -> (cte +
+      """, smp AS (
+        |  SELECT * FROM vk
+        |  WHERE NOT (CAST(substr(content_id, 2) AS INTEGER) % 7 = 0
+        |             AND seq IN (3, 7))),
+        |mx AS (SELECT content_id, max(seq) AS m FROM smp GROUP BY content_id),
+        |expd AS (
+        |  SELECT content_id, CAST(unnest(range(1, m + 1)) AS INTEGER) AS seq
+        |  FROM mx),
+        |missing AS (
+        |  SELECT e.content_id, e.seq, 'missing_seq' AS issue FROM expd e
+        |  WHERE NOT EXISTS (SELECT 1 FROM smp
+        |    WHERE smp.content_id = e.content_id AND smp.seq = e.seq)),
+        |dangling AS (
+        |  SELECT d2.content_id, d2.seq, 'dangling_from_seq' AS issue
+        |  FROM smp d2 WHERE d2.kind = 'delta' AND NOT EXISTS (
+        |    SELECT 1 FROM smp p2 WHERE p2.content_id = d2.content_id
+        |      AND p2.seq = d2.seq - 1))
+        |SELECT * FROM (
+        |  SELECT * FROM missing UNION ALL SELECT * FROM dangling) u
+        |ORDER BY content_id, seq, issue""".stripMargin),
+
+    "q17_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT a.event_id AS anchor_id, count(*) AS n_events
+        |FROM ev a JOIN ev e ON e.user_id = a.user_id
+        |  AND e.ts_us >= a.ts_us AND e.ts_us < a.ts_us + 3600000000
+        |WHERE a.event_id % 97 = 0
+        |GROUP BY a.event_id ORDER BY anchor_id""".stripMargin
+  )
+}

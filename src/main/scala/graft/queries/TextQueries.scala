@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.operators.TextAnalysis
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Text-analysis + dedup oracle queries over `documents` (SURVEY §2.10 Q18
+  * + builder north-star extensions). */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q18: exact-dup groups by content hash + per-language length stats.
+    "q18_dedup_exact" -> ((s, d) => Tables.documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(count(lit(1)).as("dup_cnt"), min("doc_id").as("first_doc"))
+      .where(col("dup_cnt") > 1)
+      .orderBy("text_hash")),
+
+    "q18b_lang_stats" -> ((s, d) => Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        r4(avg(col("n_chars"))).as("avg_chars"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("lang")),
+
+    // Q19: token counting + character-class stats.
+    "q19_text_stats" -> ((s, d) =>
+      TextAnalysis.textStats(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // Q20: quality scoring (length/alpha/stopword-ratio heuristic).
+    "q20_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // Q21: marker-heuristic language ID.
+    "q21_langid" -> ((s, d) =>
+      TextAnalysis.langId(Tables.documents(s, d))
+        .select("doc_id", "en_cnt", "de_cnt", "fr_cnt", "es_cnt", "pred_lang")
+        .orderBy("doc_id")),
+
+    // Q22: rolling-hash document fingerprint (order-sensitive, md5-derived
+    // so the oracle can reproduce it bit-for-bit).
+    "q22_fingerprint" -> ((s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id"))
+  )
+
+  private val toks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  val oracle: Map[String, String] = Map(
+    "q18_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS dup_cnt,
+        |  min(doc_id) AS first_doc
+        |FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        |ORDER BY text_hash""".stripMargin,
+
+    "q18b_lang_stats" ->
+      s"""SELECT lang, count(*) AS n_docs, ${r4sql("avg(n_chars)")} AS avg_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q19_text_stats" ->
+      s"""SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS text_len,
+        |  ${r4sql("CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)")} AS alpha_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q20_quality" ->
+      s"""SELECT doc_id, ${r4sql(s"""0.3 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0) + 0.4 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) + 0.3 * (CAST(len(list_filter($toks, t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE) / CAST(len($toks) AS DOUBLE))""")} AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q21_langid" ->
+      s"""WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter($toks, t -> t IN ('the','and','of','to'))) AS BIGINT) AS en_cnt,
+        |    CAST(len(list_filter($toks, t -> t IN ('der','und','die','das'))) AS BIGINT) AS de_cnt,
+        |    CAST(len(list_filter($toks, t -> t IN ('le','la','et','les'))) AS BIGINT) AS fr_cnt,
+        |    CAST(len(list_filter($toks, t -> t IN ('el','los','que','y'))) AS BIGINT) AS es_cnt,
+        |    length(regexp_replace(text, '[\\x00-\\x7f]', '', 'g')) AS non_ascii
+        |  FROM documents)
+        |SELECT doc_id, en_cnt, de_cnt, fr_cnt, es_cnt,
+        |  CASE WHEN non_ascii > 0 THEN 'zh'
+        |       WHEN en_cnt >= de_cnt AND en_cnt >= fr_cnt AND en_cnt >= es_cnt THEN 'en'
+        |       WHEN de_cnt >= fr_cnt AND de_cnt >= es_cnt THEN 'de'
+        |       WHEN fr_cnt >= es_cnt THEN 'fr'
+        |       ELSE 'es' END AS pred_lang
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q22_fingerprint" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(1, len(toks) + 1), i ->
+        |    (CAST(concat('0x', substr(md5(toks[i]), 1, 14)) AS BIGINT)
+        |      % 1000000007) * i)) AS BIGINT) % 1000000007 AS fingerprint
+        |FROM tk ORDER BY doc_id""".stripMargin
+  )
+}
