@@ -1,0 +1,152 @@
+package graft.api
+
+import graft.model.Defaults
+import graft.operators._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Public facade mirroring the reference's `TemporalVectorDatabase` surface
+  * (/root/reference/storage/temporal_database.py:20-553; inventory SURVEY
+  * §2.11), re-expressed as DataFrame programs over a parquet `versions`
+  * table.
+  *
+  * Design differences vs the reference (deliberate, SURVEY §4.2):
+  *  - no per-write full-timeline reload: ingest is one windowed batch job;
+  *  - no secondary metadata store: max-seq / base lists are derived
+  *    aggregations (cheap after partition pruning);
+  *  - no in-memory FAISS index: the search corpus is a pruned projection of
+  *    `kind='base'` rows, cacheable via [[cacheBases]];
+  *  - batch APIs are genuinely set-based (the reference's batch_reconstruct
+  *    loops one-at-a-time, reconstruction_service.py:176-183).
+  *
+  * Single-item convenience methods (`getVersion` etc.) run the same set-based
+  * jobs with a 1-row target; results come back as DataFrames so callers
+  * compose further without leaving the engine.
+  */
+class TemporalVectorDB(
+    val spark: SparkSession,
+    val path: String,
+    val cfg: VersionStore.Config = VersionStore.Config()) {
+
+  def versions: DataFrame = spark.read.parquet(path)
+
+  private var basesCache: Option[DataFrame] = None
+
+  /** Cached normalized base snapshots — the engine's "vector index"
+    * (reference storage_engine.py:89-110 rebuilds FAISS from a full scan;
+    * here it is a cached pruned projection). */
+  def cacheBases(): DataFrame = synchronized {
+    basesCache.getOrElse {
+      val b = versions.where(col("kind") === "base")
+        .select(col("content_id"), col("seq"),
+          col("embedding").as("vec"))
+        .withColumn("_nrm", l2Norm(col("vec")))
+        .where(col("_nrm") > 0)
+        .withColumn("vec", l2NormalizeWith(col("vec"), col("_nrm")))
+        .drop("_nrm")
+        .cache()
+      basesCache = Some(b)
+      b
+    }
+  }
+
+  private def invalidate(): Unit = synchronized {
+    basesCache.foreach(_.unpersist())
+    basesCache = None
+  }
+
+  /** Batch ingest of (content_id, ts, embedding[, metadata]) rows; assigns
+    * sequence numbers after any existing versions and appends to the store
+    * (reference add_content_version, temporal_database.py:86-178 — but one
+    * job for the whole batch instead of per-row timeline reloads). */
+  def addVersions(df: DataFrame): Unit = {
+    val existing =
+      if (versionsExists) Some(versions.select("content_id", "seq")) else None
+    val ingested = VersionStore.ingest(df, existing, cfg)
+    ingested.write.mode("append").parquet(path)
+    invalidate()
+  }
+
+  private def versionsExists: Boolean =
+    new java.io.File(path).exists()
+
+  /** Reconstruct one version; empty result if the target precedes the
+    * earliest base (the reference raises there, delta_computer.py:116-119). */
+  def getVersion(contentId: String, seq: Int): DataFrame =
+    batchReconstruct(spark.createDataFrame(
+      Seq((contentId, seq))).toDF("content_id", "seq"))
+
+  /** Parse "{content}_v{seq}" ids (reference temporal_database.py:197-220). */
+  def getVersionById(versionId: String): DataFrame = {
+    val idx = versionId.lastIndexOf("_v")
+    require(idx > 0, s"malformed version_id: $versionId")
+    getVersion(versionId.substring(0, idx),
+      versionId.substring(idx + 2).toInt)
+  }
+
+  /** Latest version per requested content (reference :222-236). */
+  def getLatestVersion(contentId: String): DataFrame = {
+    val target = versions.where(col("content_id") === contentId)
+      .groupBy("content_id").agg(max("seq").as("seq"))
+    Reconstruction.reconstruct(versions, target)
+  }
+
+  /** As-of read: greatest seq with ts <= t (reference :238-253; `<=`
+    * semantics core/data_structures.py:213-227). */
+  def getVersionAtTime(contentId: String, t: java.sql.Timestamp): DataFrame = {
+    val target = versions
+      .where(col("content_id") === contentId && col("ts") <= lit(t))
+      .groupBy("content_id").agg(max("seq").as("seq"))
+    Reconstruction.reconstruct(versions, target)
+  }
+
+  /** All versions in [fromSeq, toSeq] reconstructed in ONE set-based job
+    * (reference get_version_range loops, :255-272). */
+  def getVersionRange(contentId: String, fromSeq: Int, toSeq: Int): DataFrame =
+    batchReconstruct(spark.range(fromSeq, toSeq + 1)
+      .select(lit(contentId).as("content_id"), col("id").cast("int").as("seq")))
+
+  /** Set-based batch reconstruction of (content_id, seq) targets. */
+  def batchReconstruct(targets: DataFrame): DataFrame =
+    Reconstruction.reconstruct(versions, targets)
+
+  /** Cosine kNN over base snapshots only — exactly the reference's search
+    * corpus semantics (storage_engine.py:89-110, 439-469). */
+  def searchSimilarContent(query: Array[Float], k: Int = Defaults.DefaultK)
+      : DataFrame = {
+    import spark.implicits._
+    val q = Seq((1L, query)).toDF("query_id", "qvec")
+    SimilaritySearch.topK(q, cacheBases()
+        .select(concat_ws("#", col("content_id"), col("seq")).as("id"),
+          col("vec")), k)
+      .select(col("rank"), col("id"), col("sim"))
+  }
+
+  /** All versions of one content, seq-ordered (reference :289-299) —
+    * a pruned scan, no materialized timeline object. */
+  def getContentTimeline(contentId: String): DataFrame =
+    versions.where(col("content_id") === contentId).orderBy("seq")
+
+  /** Sorted distinct content ids (reference :332-352). */
+  def listContentIds(): DataFrame =
+    versions.select("content_id").distinct().orderBy("content_id")
+
+  /** Per-content stats bundle (reference :301-330). */
+  def getContentStatistics(contentId: String): DataFrame =
+    Statistics.perContent(versions.where(col("content_id") === contentId))
+
+  /** Fleet-wide statistics over ALL contents (the reference samples the
+    * first 5 because each costs a timeline reload, :496-542). */
+  def getDatabaseStatistics(): DataFrame = Statistics.database(versions)
+
+  /** Versions whose chain length exceeds maxCost — promotion candidates
+    * (reference optimize_content_bases, :443-494). */
+  def optimizeContentBases(maxCost: Int = 10): DataFrame =
+    Reconstruction.costs(versions)
+      .where(col("reconstruction_cost") > maxCost)
+
+  /** Store-wide integrity audit (reference reconstruction_service
+    * :299-358). */
+  def validateTimelineIntegrity(): DataFrame = Integrity.audit(versions)
+}

@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Deduplication operators for large-scale training-data pipelines (builder
+  * north star): exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * Scale shape: every stage is a per-row expression (shingling, signatures,
+  * band hashes) followed by ONE shuffle keyed on (band, band_hash) — the
+  * classic shingle→minhash→band→bucket-join pipeline. No cross joins over
+  * the corpus: candidate generation touches only rows sharing a bucket, so
+  * cost is Σ bucket² not N². All hashes derive from md5 (portable, stable
+  * across engines/restarts — no JVM hashCode anywhere).
+  */
+object Dedup {
+
+  /** 2^31-1, Mersenne prime; all minhash arithmetic stays below 2^62. */
+  val P: Long = 2147483647L
+  def hashA(j: Int): Long = (637543L + 104729L * j) % P
+  def hashB(j: Int): Long = (389287L + 982451L * j) % P
+
+  /** 56-bit integer hash of a string via md5 — the portable base hash. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 14), 16, 10).cast("long")
+
+  /** Word n-gram shingles (space-joined), e.g. n=3 → "a b c","b c d",... */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    filter(
+      transform(toks, (_, i) =>
+        when(i <= size(toks) - n,
+          concat_ws(" ", slice(toks, i + 1, lit(n))))),
+      s => s.isNotNull)
+  }
+
+  /** Per-shingle base hashes reduced mod P (computed once per doc). */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(shingles(text, n), s => pmod(md5Long(s), lit(P)))
+
+  /** MinHash signature as a scalar expression (array of `numHashes` minima
+    * of (a_j·x + b_j) mod P over the shingle hash set). NOTE: higher-order
+    * functions are interpreted, not codegen'd — for bulk corpora use
+    * [[minhashSignatures]] (explode + codegen'd min aggregates), which is
+    * ~50× faster; this scalar form is for small/ad-hoc use. */
+  def minhashSignature(shingleHashCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), j => {
+      val a = element_at(lit((0 until numHashes).map(hashA).toArray), j + 1)
+      val b = element_at(lit((0 until numHashes).map(hashB).toArray), j + 1)
+      array_min(transform(shingleHashCol, x => pmod(a * x + b, lit(P))))
+    })
+
+  /** Bulk MinHash: explode shingle hashes to rows and compute the
+    * `numHashes` minima as whole-stage-codegen'd hash aggregates with
+    * map-side partial aggregation — ONE shuffle keyed by doc id, linear in
+    * corpus size. Output: (_id, _m0.._m{k-1}). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, numHashes: Int): DataFrame = {
+    val exploded = docs.select(col(idCol).as("_id"),
+      explode(shingleHashes(col(textCol), n)).as("_x"))
+    val aggs = (0 until numHashes).map(j =>
+      min(pmod(lit(hashA(j)) * col("_x") + lit(hashB(j)), lit(P)))
+        .as(s"_m$j"))
+    exploded.groupBy("_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: split the signature into `bands` bands, hash each
+    * band, and join docs sharing any (band, band_hash) bucket. Output:
+    * (id1, id2) with id1 < id2, distinct. Cost: signature agg (one shuffle)
+    * + bucket self-join (one shuffle) — Σ bucket², never N². */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 16,
+                        bands: Int = 4): DataFrame = {
+    val r = numHashes / bands
+    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
+    val banded = sig.select(col("_id"),
+      posexplode(array((0 until bands).map { b =>
+        md5(concat_ws(",",
+          (b * r until (b + 1) * r).map(j => col(s"_m$j").cast("string")): _*)
+          .cast("binary"))
+      }: _*)).as(Seq("_band", "_bhash")))
+    banded.as("l").join(banded.as("r"),
+        col("l._band") === col("r._band") &&
+          col("l._bhash") === col("r._bhash") &&
+          col("l._id") < col("r._id"))
+      .select(col("l._id").as("id1"), col("r._id").as("id2"))
+      .distinct()
+  }
+
+  /** n-gram Jaccard similarity on ALREADY-DISTINCT shingle-hash sets.
+    * `array_intersect` is hash-based O(|A|+|B|) — do NOT pass raw arrays;
+    * distinct them once per document, not once per candidate pair. */
+  def jaccard(aDistinct: Column, bDistinct: Column): Column = {
+    val inter = size(array_intersect(aDistinct, bDistinct)).cast("double")
+    inter / (size(aDistinct) + size(bDistinct) - inter).cast("double")
+  }
+
+  /** MinHash-LSH near-dup pairs verified by true n-gram Jaccard >= tau. */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   tau: Double, n: Int = 3, numHashes: Int = 16,
+                   bands: Int = 4): DataFrame = {
+    // Distinct shingle sets materialized ONCE per doc (jaccard is then
+    // O(|A|+|B|) per candidate, not O(|A|·|B|) re-distincting per pair).
+    val hashed = docs.select(col(idCol).as("_hid"),
+      array_distinct(shingleHashes(col(textCol), n)).as("_h"))
+    minhashCandidates(docs, idCol, textCol, n, numHashes, bands)
+      .join(hashed.withColumnRenamed("_hid", "id1")
+        .withColumnRenamed("_h", "_h1"), "id1")
+      .join(hashed.withColumnRenamed("_hid", "id2")
+        .withColumnRenamed("_h", "_h2"), "id2")
+      .withColumn("jaccard", jaccard(col("_h1"), col("_h2")))
+      .where(col("jaccard") >= tau)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, via LSH
+    * banding on the 32-bit hash: split into `maxHamming+1` bit-bands — by
+    * pigeonhole, any pair within maxHamming shares at least one identical
+    * band, so the banded equi-join is EXACT (same result as the N² brute
+    * join) while shuffling only bucket-mates. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String = "text",
+                   maxHamming: Int = 6): DataFrame = {
+    val nBands = maxHamming + 1
+    val base = 32 / nBands
+    val extra = 32 % nBands // first `extra` bands get an extra bit
+    val offsets = (0 until nBands).scanLeft(0) { (off, b) =>
+      off + base + (if (b < extra) 1 else 0)
+    }
+    val sh = simhashes(docs, idCol, textCol)
+      .withColumnRenamed("simhash", "_sh")
+    val banded = sh.select(col("_id"), col("_sh"),
+      posexplode(array((0 until nBands).map { b =>
+        val width = base + (if (b < extra) 1 else 0)
+        shiftright(col("_sh"), offsets(b)).bitwiseAND(lit((1L << width) - 1))
+      }: _*)).as(Seq("_band", "_bval")))
+    banded.as("l").join(banded.as("r"),
+        col("l._band") === col("r._band") &&
+          col("l._bval") === col("r._bval") &&
+          col("l._id") < col("r._id"))
+      .select(col("l._id").as("id1"), col("r._id").as("id2"),
+        hamming(col("l._sh"), col("r._sh")).cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** 32-bit SimHash over word tokens: bit j is set iff the majority of
+    * token hashes have bit j set (sum of ±1 votes > 0). 32 bits keep every
+    * intermediate in BIGINT range for SQL portability. */
+  def simhash32(text: Column): Column = {
+    val toks = transform(split(trim(text), "\\s+"), t => md5Long(t))
+    (0 until 32).map { j =>
+      val votes = aggregate(toks, lit(0L), (a, h) =>
+        a + when(pmod(shiftright(h, j), lit(2)) === 1, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Bulk SimHash: explode token hashes and compute the 32 bit-votes as
+    * codegen'd sum aggregates (same rationale as [[minhashSignatures]]).
+    * Output: (_id, simhash). Identical values to [[simhash32]]. */
+  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = docs.select(col(idCol).as("_id"),
+      explode(transform(split(trim(col(textCol)), "\\s+"), t => md5Long(t)))
+        .as("_h"))
+    val aggs = (0 until 32).map(j =>
+      sum(when(pmod(shiftright(col("_h"), j), lit(2)) === 1, 1L)
+        .otherwise(-1L)).as(s"_v$j"))
+    exploded.groupBy("_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("_id"),
+        (0 until 32).map(j =>
+          when(col(s"_v$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Deterministic random-hyperplane LSH bucket for an embedding:
+    * `nBits` sign bits of dot(v, r_j), with closed-form pseudo-random
+    * planes r_j[i] = ((73·i + 179·j + 11) mod 97)/97 − 0.5 — reproducible
+    * in any engine, no stored model. */
+  def hyperplaneBucket(vec: Column, nBits: Int = 8): Column =
+    (0 until nBits).map { j =>
+      val dotj = aggregate(
+        transform(vec, (x, i) =>
+          x.cast("double") *
+            ((pmod(lit(73) * i + lit(179 * j + 11), lit(97))
+              .cast("double") / 97.0) - 0.5)),
+        lit(0.0), (a, v) => a + v)
+      when(dotj > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Embedding-cosine near-dup pairs, brute force (exact baseline):
+    * all pairs with cosine >= tau. Quadratic — for oracle-scale corpora
+    * and ground truth only; the scale path is [[nearDupPairsLsh]]. */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       tau: Double): DataFrame = {
+    val n = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .withColumn("_nrm", l2Norm(col("_v")))
+      .where(col("_nrm") > 0)
+      .withColumn("_nv", l2NormalizeWith(col("_v"), col("_nrm")))
+      .select("_id", "_nv")
+    n.as("a").join(n.as("b"), col("a._id") < col("b._id"))
+      .withColumn("cosine", dot(col("a._nv"), col("b._nv")))
+      .where(col("cosine") >= tau)
+      .select(col("a._id").as("id1"), col("b._id").as("id2"), col("cosine"))
+  }
+
+  /** Embedding near-dup via hyperplane-LSH buckets: pairs only within a
+    * bucket, then exact cosine filter. One shuffle on the bucket key —
+    * the 100 TB path (cost Σ bucket², not N²). */
+  def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                      tau: Double, nBits: Int = 8): DataFrame = {
+    val b = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .withColumn("_nrm", l2Norm(col("_v")))
+      .where(col("_nrm") > 0)
+      .withColumn("_nv", l2NormalizeWith(col("_v"), col("_nrm")))
+      .withColumn("_bucket", hyperplaneBucket(col("_v"), nBits))
+      .select("_id", "_nv", "_bucket")
+    b.as("a").join(b.as("b"),
+        col("a._bucket") === col("b._bucket") && col("a._id") < col("b._id"))
+      .withColumn("cosine", dot(col("a._nv"), col("b._nv")))
+      .where(col("cosine") >= tau)
+      .select(col("a._id").as("id1"), col("b._id").as("id2"), col("cosine"))
+  }
+}

@@ -1,0 +1,218 @@
+package graft.queries
+
+import graft.operators.Dedup
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Dedup oracle queries (builder north star): exact groups, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup (brute + LSH).
+  *
+  * The raw `documents`/`embeddings` tables contain no duplicates, so each
+  * query runs over a deterministically AUGMENTED corpus: near-dup copies
+  * (first token dropped / tiny vector perturbation) for id % 25 == 0 and
+  * exact copies for id % 50 == 0 — reproduced identically in the DuckDB
+  * oracle CTEs.
+  */
+object DedupQueries {
+
+  /** documents + near-dup copies (+10000) + exact copies (+20000). */
+  def augDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    docs
+      .unionByName(docs.where(pmod(col("doc_id"), lit(25)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+      .unionByName(docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+  }
+
+  /** embeddings + perturbed copies (+10000): +0.01 on dims i%16==0. */
+  def augEmb(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    emb.unionByName(emb.where(pmod(col("vec_id"), lit(25)) === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") + when(pmod(i, lit(16)) === 0, lit(0.01))
+            .otherwise(lit(0.0))).cast("float")).as("embedding")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact-dup groups over the augmented corpus (non-empty by design).
+    "q23_dedup_exact_groups" -> ((s, d) => augDocs(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(count(lit(1)).as("dup_cnt"), min("doc_id").as("keep_doc"),
+        max("doc_id").as("drop_doc"))
+      .where(col("dup_cnt") > 1)
+      .orderBy("text_hash")),
+
+    // MinHash + LSH banding + true-Jaccard verification.
+    "q23b_dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.nearDupPairs(augDocs(s, d), "doc_id", "text", tau = 0.5)
+        .select(col("id1"), col("id2"), r4(col("jaccard")).as("jaccard"))
+        .orderBy("id1", "id2")),
+
+    // SimHash per doc (bulk explode+agg form — codegen'd).
+    "q24_simhash" -> ((s, d) =>
+      Dedup.simhashes(augDocs(s, d), "doc_id", "text")
+        .withColumnRenamed("_id", "doc_id")
+        .orderBy("doc_id")),
+
+    // SimHash near-dup pairs by Hamming distance — banded LSH join,
+    // pigeonhole-exact vs the oracle's brute-force formulation.
+    "q24b_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(augDocs(s, d), "doc_id", "text", maxHamming = 6)
+        .orderBy("id1", "id2")),
+
+    // Embedding-cosine near-dup, exact brute-force baseline.
+    "q25_neardup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDup(augEmb(s, d), "vec_id", "embedding", 0.95)
+        .select(col("id1"), col("id2"), r4(col("cosine")).as("cosine"))
+        .orderBy("id1", "id2")),
+
+    // Embedding near-dup via hyperplane-LSH buckets (the scale path).
+    "q26_neardup_lsh" -> ((s, d) =>
+      Dedup.nearDupPairsLsh(augEmb(s, d), "vec_id", "embedding", 0.95)
+        .select(col("id1"), col("id2"), r4(col("cosine")).as("cosine"))
+        .orderBy("id1", "id2"))
+  )
+
+  // ---- oracle SQL ----
+
+  private val augDocsSql =
+    """aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, regexp_replace(text, '^\S+\s+', '')
+      |  FROM documents WHERE doc_id % 25 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 50 = 0)""".stripMargin
+
+  private val augEmbSql =
+    """aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000, list_transform(range(0, 64), i ->
+      |    CAST(CAST(embedding[i+1] AS DOUBLE)
+      |      + (CASE WHEN i % 16 = 0 THEN CAST(0.01 AS DOUBLE)
+      |              ELSE CAST(0.0 AS DOUBLE) END) AS REAL)) AS embedding
+      |  FROM embeddings WHERE vec_id % 25 = 0)""".stripMargin
+
+  private val tokHash =
+    "CAST(concat('0x', substr(md5(t), 1, 14)) AS BIGINT)"
+
+  /** Normalized (float-cast) vectors CTE over `aug`, as in q15. */
+  private val normEmbSql =
+    """nv AS (
+      |  SELECT vec_id, list_transform(range(0, 64), i ->
+      |    CAST(CAST(embedding[i+1] AS DOUBLE)
+      |      / sqrt(list_sum(list_transform(range(0, 64), j ->
+      |          CAST(embedding[j+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE))))
+      |      AS REAL)) AS v
+      |  FROM aug
+      |  WHERE sqrt(list_sum(list_transform(range(0, 64), j ->
+      |    CAST(embedding[j+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE)))) > 0)""".stripMargin
+
+  private val cosSql =
+    """list_sum(list_transform(range(0, 64), i ->
+      |      CAST(a.v[i+1] AS DOUBLE) * CAST(b.v[i+1] AS DOUBLE)))""".stripMargin
+
+  private def simhashBitsSql: String = (0 until 32).map { j =>
+    s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+  }.mkString(" + ")
+
+  private def bucketBitsSql(v: String): String = (0 until 8).map { j =>
+    s"""(CASE WHEN list_sum(list_transform(range(0, 64), i ->
+       |      CAST($v[i+1] AS DOUBLE)
+       |      * (CAST((73 * i + ${179 * j + 11}) % 97 AS DOUBLE) / 97.0 - 0.5)))
+       |    > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+  }.mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "q23_dedup_exact_groups" ->
+      s"""WITH $augDocsSql
+        |SELECT md5(text) AS text_hash, count(*) AS dup_cnt,
+        |  min(doc_id) AS keep_doc, max(doc_id) AS drop_doc
+        |FROM aug GROUP BY md5(text) HAVING count(*) > 1
+        |ORDER BY text_hash""".stripMargin,
+
+    "q23b_dedup_minhash_lsh" ->
+      s"""WITH $augDocsSql,
+        |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        |       FROM aug),
+        |sh AS (SELECT doc_id, list_transform(range(1, len(toks) - 1), i ->
+        |         CAST(concat('0x', substr(md5(
+        |           concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])), 1, 14))
+        |           AS BIGINT) % 2147483647) AS h
+        |       FROM tk WHERE len(toks) >= 3),
+        |sg AS (SELECT doc_id, h, list_transform(range(0, 16), j ->
+        |         list_min(list_transform(h, x ->
+        |           (((637543 + 104729 * j) % 2147483647) * x
+        |            + ((389287 + 982451 * j) % 2147483647)) % 2147483647)))
+        |         AS sig
+        |       FROM sh),
+        |bd AS (SELECT doc_id, bb.band,
+        |         md5(array_to_string(list_transform(
+        |           list_slice(sig, bb.band * 4 + 1, bb.band * 4 + 4),
+        |           v -> CAST(v AS VARCHAR)), ',')) AS bh
+        |       FROM sg, (SELECT unnest(range(0, 4)) AS band) bb),
+        |cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+        |         FROM bd l JOIN bd r ON l.band = r.band AND l.bh = r.bh
+        |           AND l.doc_id < r.doc_id),
+        |jac AS (SELECT c.id1, c.id2,
+        |    CAST(len(list_filter(list_distinct(h1.h),
+        |      x -> list_contains(list_distinct(h2.h), x))) AS DOUBLE)
+        |    / CAST(len(list_distinct(h1.h)) + len(list_distinct(h2.h))
+        |      - len(list_filter(list_distinct(h1.h),
+        |          x -> list_contains(list_distinct(h2.h), x))) AS DOUBLE)
+        |      AS jaccard
+        |  FROM cand c JOIN sh h1 ON h1.doc_id = c.id1
+        |  JOIN sh h2 ON h2.doc_id = c.id2)
+        |SELECT id1, id2, ${r4sql("jaccard")} AS jaccard FROM jac
+        |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+
+    "q24_simhash" ->
+      s"""WITH $augDocsSql,
+        |tk AS (SELECT doc_id,
+        |  list_transform(regexp_split_to_array(trim(text), '\\s+'),
+        |    t -> $tokHash) AS th FROM aug)
+        |SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash
+        |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "q24b_simhash_pairs" ->
+      s"""WITH $augDocsSql,
+        |tk AS (SELECT doc_id,
+        |  list_transform(regexp_split_to_array(trim(text), '\\s+'),
+        |    t -> $tokHash) AS th FROM aug),
+        |sh AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash
+        |       FROM tk)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q25_neardup_embedding" ->
+      s"""WITH $augEmbSql,
+        |$normEmbSql
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  ${r4sql(cosSql)} AS cosine
+        |FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+        |WHERE $cosSql >= 0.95
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q26_neardup_lsh" ->
+      s"""WITH $augEmbSql,
+        |$normEmbSql,
+        |bk AS (
+        |  SELECT vec_id, ${bucketBitsSql("embedding")} AS bucket
+        |  FROM aug),
+        |nb AS (SELECT nv.vec_id, nv.v, bk.bucket FROM nv
+        |       JOIN bk ON bk.vec_id = nv.vec_id)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  ${r4sql(cosSql)} AS cosine
+        |FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE $cosSql >= 0.95
+        |ORDER BY id1, id2""".stripMargin
+  )
+}

@@ -1,0 +1,114 @@
+package graft
+
+import graft.api.TemporalVectorDB
+import graft.operators.VersionStore
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import java.nio.file.Files
+
+/** Facade-level access patterns, porting test_week2.py:551-623 (all access
+  * patterns incl. temporal and range) and :711-787 (persistence + seq
+  * continuity across sessions). */
+class ApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 50
+  private def ts(day: Int, hour: Int = 0) =
+    Timestamp.valueOf(f"2025-02-$day%02d $hour%02d:00:00")
+
+  private def freshDb(): TemporalVectorDB = {
+    val dir = Files.createTempDirectory("tvdb").toFile
+    dir.delete()
+    new TemporalVectorDB(spark, dir.getAbsolutePath,
+      VersionStore.Config(baseInterval = 5))
+  }
+
+  private def mkHistory(n: Int): Seq[(String, Timestamp, Array[Float])] = {
+    var cur = Array.fill(dim)(0.5f)
+    (1 to n).map { k =>
+      if (k > 1) cur = cur.zipWithIndex.map { case (x, i) =>
+        if (i % 10 == k % 10) x + 0.1f else x }
+      ("art", ts(k), cur.clone())
+    }
+  }
+
+  test("ingest + getVersion + getLatestVersion + range (test_week2 access patterns)") {
+    val db = freshDb()
+    db.addVersions(mkHistory(6).toDF("content_id", "ts", "embedding"))
+
+    assert(db.versions.count() == 6)
+    assert(db.listContentIds().as[String].collect().toSeq == Seq("art"))
+
+    val v2 = db.getVersion("art", 2).select("seq", "base_seq_used")
+      .as[(Int, Int)].collect()
+    assert(v2.toSeq == Seq((2, 1)))
+
+    val latest = db.getLatestVersion("art").select("seq").as[Int].collect()
+    assert(latest.toSeq == Seq(6))
+
+    // range 2..4 returns exactly 3 rows (test_week2.py:828-860)
+    assert(db.getVersionRange("art", 2, 4).count() == 3)
+  }
+
+  test("temporal as-of query between v3 and v4 resolves to v3 " +
+    "(test_week2.py:551-623, <= semantics data_structures.py:213-227)") {
+    val db = freshDb()
+    db.addVersions(mkHistory(6).toDF("content_id", "ts", "embedding"))
+    val got = db.getVersionAtTime("art", ts(3, hour = 12))
+      .select("seq").as[Int].collect()
+    assert(got.toSeq == Seq(3))
+    // before the first version: no row (reference errors on 0)
+    assert(db.getVersionAtTime("art", ts(1, hour = 0)).count() == 1) // exactly v1
+  }
+
+  test("incremental append continues sequence numbers " +
+    "(persistence suite, test_week2.py:711-787)") {
+    val db = freshDb()
+    db.addVersions(mkHistory(3).toDF("content_id", "ts", "embedding"))
+    val more = Seq(("art", ts(10), Array.fill(dim)(0.9f)),
+      ("new", ts(10), Array.fill(dim)(0.2f)))
+      .toDF("content_id", "ts", "embedding")
+    db.addVersions(more)
+    val seqs = db.versions.where(col("content_id") === "art")
+      .select("seq").as[Int].collect().sorted.toSeq
+    assert(seqs == Seq(1, 2, 3, 4))
+    val newSeqs = db.versions.where(col("content_id") === "new")
+      .select("seq").as[Int].collect().toSeq
+    assert(newSeqs == Seq(1))
+    assert(db.validateTimelineIntegrity().count() == 0)
+  }
+
+  test("searchSimilarContent returns bases only, self-similar first") {
+    val db = freshDb()
+    db.addVersions(mkHistory(6).toDF("content_id", "ts", "embedding"))
+    val q = mkHistory(1).head._3
+    val hits = db.searchSimilarContent(q, k = 3)
+      .select("rank", "id", "sim").as[(Int, String, Double)].collect()
+    assert(hits.nonEmpty)
+    assert(hits.head._1 == 1 && hits.head._2.startsWith("art#"))
+    assert(hits.forall(_._3 > 0))
+    // corpus = bases only: with interval 5 over 6 versions, bases = {1, 6}
+    assert(hits.length == 2)
+  }
+
+  test("getVersionById parses and malformed ids are rejected") {
+    val db = freshDb()
+    db.addVersions(mkHistory(2).toDF("content_id", "ts", "embedding"))
+    assert(db.getVersionById("art_v2").select("seq").as[Int]
+      .collect().toSeq == Seq(2))
+    intercept[IllegalArgumentException](db.getVersionById("nounderscore"))
+  }
+
+  test("statistics + optimizeContentBases") {
+    val db = freshDb()
+    db.addVersions(mkHistory(12).toDF("content_id", "ts", "embedding"))
+    val stats = db.getDatabaseStatistics()
+      .select("n_contents", "total_versions", "total_bases")
+      .as[(Int, Long, Long)].collect()(0)
+    assert(stats._1 == 1 && stats._2 == 12)
+    assert(stats._3 >= 3) // interval bases at 1, 6, 11
+    // with interval 5, max chain is 4 -> nothing above cost 10
+    assert(db.optimizeContentBases(maxCost = 10).count() == 0)
+    assert(db.optimizeContentBases(maxCost = 2).count() > 0)
+  }
+}

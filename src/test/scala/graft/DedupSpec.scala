@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "quick brown fox jumps over the lazy dog again and again"), // near-dup of 1
+    (3L, "completely different words about spark engines and columnar io"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (5L, "tiny")
+  ).toDF("doc_id", "text")
+
+  test("shingles produces n-grams; short docs produce none") {
+    val sh = docs.select(col("doc_id"),
+      size(Dedup.shingles(col("text"), 3)).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(sh(1L) == 10) // 12 tokens -> 10 trigrams
+    assert(sh(5L) == 0)
+  }
+
+  test("minhash LSH finds the near-dup and exact-dup pairs, not the unrelated") {
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", tau = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact
+    assert(pairs.contains((1L, 2L))) // near
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccard of exact dup is 1.0") {
+    val h = docs.where(col("doc_id").isin(1, 4))
+      .select(array_distinct(Dedup.shingleHashes(col("text"), 3)).as("h"))
+      .collect().map(_.getAs[collection.Seq[Long]]("h").toSeq)
+    val j = Seq((h(0), h(1))).toDF("a", "b")
+      .select(Dedup.jaccard(col("a"), col("b")).as("j"))
+      .as[Double].collect()(0)
+    assert(j == 1.0)
+  }
+
+  test("simhash: exact dups identical, near-dups close, unrelated far") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash32(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(4L))
+    val nearDist = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
+    val farDist = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(nearDist < farDist)
+  }
+
+  test("banded simhashPairs equals brute-force within maxHamming (pigeonhole)") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash32(col("text")).as("s"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (i1, s1) <- sh; (i2, s2) <- sh if i1 < i2
+      h = java.lang.Long.bitCount(s1 ^ s2) if h <= 6
+    } yield (i1, i2, h)).toSet
+    val banded = Dedup.simhashPairs(docs, "doc_id", maxHamming = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == brute)
+  }
+
+  test("embedding near-dup: LSH pairs are a subset of brute-force pairs") {
+    val emb = (0 until 40).map { i =>
+      val base = Array.tabulate(16)(j => math.sin(i * 17 + j).toFloat)
+      (i.toLong, base)
+    } ++ Seq((100L, Array.tabulate(16)(j => math.sin(0 * 17 + j).toFloat + 0.001f)))
+    val df = emb.toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingNearDup(df, "vec_id", "embedding", 0.99)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.nearDupPairsLsh(df, "vec_id", "embedding", 0.99)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(brute.contains((0L, 100L)))
+    assert(lsh.subsetOf(brute))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    Seq(1).toDF("x").select(c.as("r")).collect()(0).getAs[T]("r")
+
+  test("l2Norm of 3-4-5 triangle") {
+    val v = lit(Array(3.0f, 4.0f))
+    assert(math.abs(one[Double](l2Norm(v)) - 5.0) < 1e-9)
+  }
+
+  test("dot product") {
+    val a = lit(Array(1.0f, 2.0f, 3.0f))
+    val b = lit(Array(4.0f, -5.0f, 6.0f))
+    assert(math.abs(one[Double](dot(a, b)) - 12.0) < 1e-9)
+  }
+
+  test("cosine of identical vectors is 1") {
+    val a = lit(Array(0.6f, 0.8f))
+    assert(math.abs(one[Double](cosine(a, a)) - 1.0) < 1e-9)
+  }
+
+  test("l2Dist") {
+    val a = lit(Array(1.0f, 1.0f))
+    val b = lit(Array(4.0f, 5.0f))
+    assert(math.abs(one[Double](l2Dist(a, b)) - 5.0) < 1e-9)
+  }
+
+  test("l2Normalize produces unit norm") {
+    val v = lit(Array(3.0f, 4.0f))
+    val n = one[Double](l2Norm(l2Normalize(v)))
+    assert(math.abs(n - 1.0) < 1e-6)
+  }
+
+  test("sparseDiff keeps only dims above threshold, with indices") {
+    // reference semantics: |diff| >= 0.01 kept (delta_computer.py:63-66)
+    val cur = lit(Array(1.0f, 2.0f, 3.0f, 4.0f))
+    val prev = lit(Array(1.005f, 2.0f, 2.5f, 5.0f))
+    val pairs = sparseDiff(cur, prev, 0.01)
+    val idx = one[collection.Seq[Int]](pairsIdx(pairs))
+    val vs = one[collection.Seq[Float]](pairsVal(pairs))
+    assert(idx.toSeq == Seq(2, 3))
+    assert(math.abs(vs(0) - 0.5f) < 1e-5 && math.abs(vs(1) + 1.0f) < 1e-5)
+  }
+
+  test("applyDelta scatter-adds and silently ignores out-of-range indices") {
+    // reference core/data_structures.py:118
+    val base = lit(Array(1.0f, 2.0f, 3.0f))
+    val di = lit(Array(1, 99)) // 99 out of range
+    val dv = lit(Array(0.5f, 7.0f))
+    val out = one[collection.Seq[Float]](applyDelta(base, di, dv))
+    assert(out.toSeq == Seq(1.0f, 2.5f, 3.0f))
+  }
+
+  test("sparseMagnitude") {
+    val dv = lit(Array(3.0f, 4.0f))
+    assert(math.abs(one[Double](sparseMagnitude(dv)) - 5.0) < 1e-9)
+  }
+}
