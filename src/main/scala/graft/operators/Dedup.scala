@@ -204,7 +204,7 @@ object Dedup {
       .withColumn("_nv", l2NormalizeWith(col("_v"), col("_nrm")))
       .select("_id", "_nv")
     n.as("a").join(n.as("b"), col("a._id") < col("b._id"))
-      .withColumn("cosine", dot(col("a._nv"), col("b._nv")))
+      .withColumn("cosine", dotNative(col("a._nv"), col("b._nv")))
       .where(col("cosine") >= tau)
       .select(col("a._id").as("id1"), col("b._id").as("id2"), col("cosine"))
   }
@@ -222,7 +222,7 @@ object Dedup {
       .select("_id", "_nv", "_bucket")
     b.as("a").join(b.as("b"),
         col("a._bucket") === col("b._bucket") && col("a._id") < col("b._id"))
-      .withColumn("cosine", dot(col("a._nv"), col("b._nv")))
+      .withColumn("cosine", dotNative(col("a._nv"), col("b._nv")))
       .where(col("cosine") >= tau)
       .select(col("a._id").as("id1"), col("b._id").as("id2"), col("cosine"))
   }

@@ -38,7 +38,7 @@ object SimilaritySearch {
       .drop("_cnorm")
 
     val scored = cn.crossJoin(broadcast(qn))
-      .withColumn("sim", dot(col("qvec"), col("vec")))
+      .withColumn("sim", dotNative(col("qvec"), col("vec")))
 
     val ranked = scored.withColumn("rank",
       row_number().over(
