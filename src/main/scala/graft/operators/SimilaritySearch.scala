@@ -49,6 +49,35 @@ object SimilaritySearch {
       .drop("qvec", "vec")
   }
 
+  /** Approximate top-k via hyperplane-LSH buckets (the 100 TB path): both
+    * sides get a deterministic [[Dedup.hyperplaneBucket]] from the RAW
+    * vector, and scoring joins only bucket-mates — an equi-join replaces
+    * the cross join, trading recall (no multi-probe) for corpus-scan cost
+    * proportional to matching buckets only. Exact [[topK]] is the recall
+    * baseline. */
+  def topKLsh(queries: DataFrame, corpus: DataFrame, k: Int,
+              nBits: Int = 8): DataFrame = {
+    val qn = queries
+      .withColumn("_bucket", Dedup.hyperplaneBucket(col("qvec"), nBits))
+      .withColumn("_qnorm", l2Norm(col("qvec")))
+      .where(col("_qnorm") > 0)
+      .withColumn("qvec", l2NormalizeWith(col("qvec"), col("_qnorm")))
+      .drop("_qnorm")
+    val cn = corpus
+      .withColumn("_bucket", Dedup.hyperplaneBucket(col("vec"), nBits))
+      .withColumn("_cnorm", l2Norm(col("vec")))
+      .where(col("_cnorm") > 0)
+      .withColumn("vec", l2NormalizeWith(col("vec"), col("_cnorm")))
+      .drop("_cnorm")
+    val scored = cn.join(broadcast(qn), Seq("_bucket"))
+      .withColumn("sim", dotNative(col("qvec"), col("vec")))
+    scored.withColumn("rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("sim"), col("id"))))
+      .where(col("rank") <= k && col("sim") > 0)
+      .drop("qvec", "vec", "_bucket")
+  }
+
   /** Search the versioned store the way the reference does: corpus = base
     * snapshots only (storage_engine.py:89-110), identity = (content_id, seq). */
   def searchBases(versions: DataFrame, queries: DataFrame, k: Int): DataFrame =

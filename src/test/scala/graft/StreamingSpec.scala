@@ -1,0 +1,68 @@
+package graft
+
+import graft.api.TemporalVectorDB
+import graft.operators.VersionStore
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import java.nio.file.Files
+
+/** Structured Streaming ingest: micro-batches run the batch ingest job via
+  * foreachBatch; seqs continue across batches. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(i: Int) = Timestamp.valueOf(f"2025-03-${i}%02d 00:00:00")
+
+  test("foreachBatch streaming ingest assigns continuing seqs per content") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Timestamp, Array[Float])]
+    val dir = Files.createTempDirectory("tvdb-stream").toFile
+    dir.delete()
+    val ckpt = Files.createTempDirectory("tvdb-ckpt").toFile.getAbsolutePath
+    val db = new TemporalVectorDB(spark, dir.getAbsolutePath,
+      VersionStore.Config(baseInterval = 5))
+
+    val q = StreamingIngest.start(
+      stream.toDF().toDF("content_id", "ts", "embedding"), db, ckpt)
+    try {
+      stream.addData(("s1", ts(1), Array.fill(8)(0.5f)),
+        ("s1", ts(2), Array.fill(8)(0.6f)))
+      q.processAllAvailable()
+      stream.addData(("s1", ts(3), Array.fill(8)(0.7f)),
+        ("s2", ts(1), Array.fill(8)(0.1f)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = db.versions.select("content_id", "seq", "kind")
+      .as[(String, Int, String)].collect().sorted.toSeq
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq(("s1", 1), ("s1", 2), ("s1", 3), ("s2", 1)))
+    assert(got.filter(_._2 == 1).forall(_._3 == "base"))
+    assert(db.validateTimelineIntegrity().count() == 0)
+  }
+
+  test("watermarked hourly event stats compute on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[(Timestamp, String, Double)]
+    val out = StreamingIngest.eventStats(
+      events.toDF().toDF("ts", "event_type", "value"))
+    val q = out.writeStream.format("memory")
+      .queryName("evstats").outputMode("append").start()
+    try {
+      events.addData(
+        (Timestamp.valueOf("2025-03-01 10:05:00"), "click", 1.0),
+        (Timestamp.valueOf("2025-03-01 10:45:00"), "click", 3.0),
+        (Timestamp.valueOf("2025-03-01 11:05:00"), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark past the 10:00 window
+      events.addData((Timestamp.valueOf("2025-03-01 13:00:00"), "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql(
+      "SELECT event_type, n_events, avg_value FROM evstats")
+      .as[(String, Long, Double)].collect().toSet
+    assert(rows.contains(("click", 2L, 2.0)))
+  }
+}
