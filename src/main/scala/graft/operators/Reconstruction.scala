@@ -111,6 +111,50 @@ object Reconstruction {
       .withColumn("quality_score", quality)
   }
 
+  /** Alternative reconstruction using the typed [[graft.functions.DeltaFoldAggregator]]
+    * (SURVEY §7.3): one UDAF row per DELTA in the shuffle instead of one row
+    * per changed dimension — ~n_changed× less shuffle volume on wide
+    * chains. Values agree with [[reconstruct]] to float precision
+    * (cross-checked in ReconstructionSpec); the posexplode formulation
+    * remains the oracle-parity path. */
+  def reconstructTyped(versions: DataFrame, targets: DataFrame,
+                       dim: Int): DataFrame = {
+    val bases = versions.where(col("kind") === "base")
+      .select(col("content_id"), col("seq").as("base_seq"),
+        col("embedding").as("base_embedding"))
+    val deltas = versions.where(col("kind") === "delta")
+      .select(col("content_id"), col("seq").as("delta_seq"),
+        col("delta_idx"), col("delta_val"))
+
+    val nearest = targets.select(col("content_id"), col("seq"))
+      .join(bases.select(col("content_id"), col("base_seq")),
+        Seq("content_id"))
+      .where(col("base_seq") <= col("seq"))
+      .groupBy("content_id", "seq")
+      .agg(max("base_seq").as("base_seq"))
+
+    val fold = graft.functions.DeltaFold(dim)
+    val adds = nearest
+      .join(deltas, Seq("content_id"))
+      .where(col("delta_seq") > col("base_seq") &&
+        col("delta_seq") <= col("seq"))
+      .groupBy("content_id", "seq")
+      .agg(fold(col("delta_idx"), col("delta_val")).as("add_arr"),
+        count(lit(1)).cast("int").as("deltas_applied"))
+
+    nearest.join(bases, Seq("content_id", "base_seq"))
+      .join(adds, Seq("content_id", "seq"), "left")
+      .withColumn("embedding",
+        when(col("add_arr").isNull, col("base_embedding"))
+          .otherwise(zip_with(col("base_embedding"), col("add_arr"),
+            (b, a) => (b.cast("double") + a.cast("double")).cast("float"))))
+      .withColumn("deltas_applied", coalesce(col("deltas_applied"), lit(0)))
+      .withColumn("reconstruction_cost", col("seq") - col("base_seq"))
+      .select("content_id", "seq", "embedding", "base_seq",
+        "deltas_applied", "reconstruction_cost")
+      .withColumnRenamed("base_seq", "base_seq_used")
+  }
+
   /** Reconstruction-cost audit without materializing embeddings: for every
     * version, the chain length from its nearest base (SURVEY row 41/59;
     * reference storage/temporal_database.py:443-494). */

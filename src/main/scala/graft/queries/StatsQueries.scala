@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.operators.{Statistics, SyntheticVersions}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Statistics / storage-efficiency oracle queries (SURVEY §2.5 rows 30-37)
+  * over the synthetic versions table. */
+object StatsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-content counts + delta-magnitude statistics (rows 30-31, 33).
+    "q29_content_stats" -> ((s, d) =>
+      Statistics.perContent(SyntheticVersions.versions(s, d))
+        .select(col("content_id"), col("max_seq"), col("n_versions"),
+          col("n_bases"), col("n_deltas"),
+          r4(col("avg_delta_magnitude")).as("avg_mag"),
+          r4(col("max_delta_magnitude")).as("max_mag"),
+          r4(col("min_delta_magnitude")).as("min_mag"))
+        .orderBy("content_id")),
+
+    // storage efficiency vs dense full storage (test_week1.py:205-216).
+    "q29b_storage_efficiency" -> ((s, d) =>
+      Statistics.storageEfficiency(SyntheticVersions.versions(s, d),
+        SyntheticVersions.Dim)
+        .select(col("dense_cells"), col("stored_cells"),
+          r4(col("efficiency")).as("efficiency"))),
+
+    // reconstruction-cost stats per content (rows 34, 41).
+    "q29c_recon_stats" -> ((s, d) =>
+      Statistics.reconstructionStats(SyntheticVersions.versions(s, d))
+        .select(col("content_id"), r4(col("avg_cost")).as("avg_cost"),
+          col("max_cost"), col("n_sampled"), col("recommend_promotion"))
+        .orderBy("content_id"))
+  )
+
+  private val cte = SyntheticVersions.oracleCte
+
+  val oracle: Map[String, String] = Map(
+    "q29_content_stats" -> (cte +
+      s"""SELECT content_id,
+        |  CAST(max(seq) AS INTEGER) AS max_seq,
+        |  CAST(count(*) AS INTEGER) AS n_versions,
+        |  CAST(count(*) FILTER (WHERE kind = 'base') AS INTEGER) AS n_bases,
+        |  CAST(count(*) FILTER (WHERE kind = 'delta') AS INTEGER) AS n_deltas,
+        |  ${r4sql("avg(mag) FILTER (WHERE kind = 'delta')")} AS avg_mag,
+        |  ${r4sql("max(mag) FILTER (WHERE kind = 'delta')")} AS max_mag,
+        |  ${r4sql("min(mag) FILTER (WHERE kind = 'delta')")} AS min_mag
+        |FROM vk GROUP BY content_id ORDER BY content_id""".stripMargin),
+
+    "q29b_storage_efficiency" -> (cte +
+      s"""SELECT CAST(count(*) * 64 AS DOUBLE) AS dense_cells,
+        |  CAST(sum(CASE WHEN kind = 'base' THEN 64
+        |               ELSE n_changed * 2 END) AS DOUBLE) AS stored_cells,
+        |  ${r4sql("CAST(count(*) * 64 AS DOUBLE) / CAST(sum(CASE WHEN kind = 'base' THEN 64 ELSE n_changed * 2 END) AS DOUBLE)")} AS efficiency
+        |FROM vk""".stripMargin),
+
+    "q29c_recon_stats" -> (cte +
+      s""", costs AS (
+        |  SELECT v1.content_id, v1.seq,
+        |    v1.seq - max(v2.seq) AS cost
+        |  FROM vk v1 JOIN vk v2 ON v2.content_id = v1.content_id
+        |    AND v2.kind = 'base' AND v2.seq <= v1.seq
+        |  GROUP BY v1.content_id, v1.seq)
+        |SELECT content_id, ${r4sql("avg(cost)")} AS avg_cost,
+        |  CAST(max(cost) AS INTEGER) AS max_cost,
+        |  CAST(count(*) AS INTEGER) AS n_sampled,
+        |  max(cost) > 15 AS recommend_promotion
+        |FROM costs GROUP BY content_id ORDER BY content_id""".stripMargin)
+  )
+}

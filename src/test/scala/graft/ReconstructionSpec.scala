@@ -83,6 +83,19 @@ class ReconstructionSpec extends SparkSpec {
     assert(got == ((0, 0, 1.0)))
   }
 
+  test("reconstructTyped (Aggregator fold) agrees with the posexplode fold") {
+    val targets = (1 to 12).map(("doc", _)).toDF("content_id", "seq")
+    val a = Reconstruction.reconstruct(versions, targets)
+      .select("seq", "embedding").as[(Int, Array[Float])].collect().toMap
+    val b = Reconstruction.reconstructTyped(versions, targets, dim)
+      .select("seq", "embedding").as[(Int, Array[Float])].collect().toMap
+    assert(a.keySet == b.keySet)
+    for (k <- a.keySet) {
+      val diff = a(k).zip(b(k)).map { case (x, y) => math.abs(x - y) }.max
+      assert(diff < 1e-4, s"seq $k max elementwise diff $diff")
+    }
+  }
+
   test("costs() audit matches reconstruct() provenance") {
     val audit = Reconstruction.costs(versions)
       .select("seq", "reconstruction_cost").as[(Int, Int)].collect().toMap
