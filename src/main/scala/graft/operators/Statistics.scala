@@ -57,12 +57,16 @@ object Statistics {
   }
 
   /** Storage-efficiency estimate vs dense full storage (reference
-    * tests/test_week1.py:205-216): dense cells / stored cells. */
-  def storageEfficiency(versions: DataFrame, dim: Int): DataFrame =
+    * tests/test_week1.py:205-216): dense cells / stored cells.
+    * `cellsPerEntry` = 2 counts the parallel idx+val arrays (honest storage
+    * cost, the default); the reference's own estimate counts
+    * `len(sparse_delta)` dict entries, i.e. cellsPerEntry = 1. */
+  def storageEfficiency(versions: DataFrame, dim: Int,
+                        cellsPerEntry: Int = 2): DataFrame =
     versions.agg(
       (count(lit(1)) * dim).cast("double").as("dense_cells"),
       sum(when(col("kind") === "base", lit(dim))
-        .otherwise(size(col("delta_idx")) * 2)).cast("double")
+        .otherwise(size(col("delta_idx")) * cellsPerEntry)).cast("double")
         .as("stored_cells"))
       .withColumn("efficiency", col("dense_cells") / col("stored_cells"))
 }
