@@ -31,7 +31,21 @@ object StatsQueries {
       Statistics.reconstructionStats(SyntheticVersions.versions(s, d))
         .select(col("content_id"), r4(col("avg_cost")).as("avg_cost"),
           col("max_cost"), col("n_sampled"), col("recommend_promotion"))
-        .orderBy("content_id"))
+        .orderBy("content_id")),
+
+    // version-id synthesis + parse round trip (SURVEY §2.9 rows 50-51;
+    // reference data_structures.py:103-104, temporal_database.py:197-220).
+    "q30_version_ids" -> ((s, d) =>
+      SyntheticVersions.versions(s, d)
+        .where(col("seq") <= 3)
+        .select(col("content_id"), col("seq"),
+          format_string("%s_v%d", col("content_id"), col("seq"))
+            .as("version_id"))
+        .withColumn("parsed_content",
+          substring_index(col("version_id"), "_v", 1))
+        .withColumn("parsed_seq",
+          substring_index(col("version_id"), "_v", -1).cast("int"))
+        .orderBy("content_id", "seq"))
   )
 
   private val cte = SyntheticVersions.oracleCte
@@ -54,6 +68,15 @@ object StatsQueries {
         |               ELSE n_changed * 2 END) AS DOUBLE) AS stored_cells,
         |  ${r4sql("CAST(count(*) * 64 AS DOUBLE) / CAST(sum(CASE WHEN kind = 'base' THEN 64 ELSE n_changed * 2 END) AS DOUBLE)")} AS efficiency
         |FROM vk""".stripMargin),
+
+    "q30_version_ids" -> (cte +
+      """SELECT content_id, seq,
+        |  printf('%s_v%d', content_id, seq) AS version_id,
+        |  str_split(printf('%s_v%d', content_id, seq), '_v')[1]
+        |    AS parsed_content,
+        |  CAST(str_split(printf('%s_v%d', content_id, seq), '_v')[-1]
+        |    AS INTEGER) AS parsed_seq
+        |FROM vk WHERE seq <= 3 ORDER BY content_id, seq""".stripMargin),
 
     "q29c_recon_stats" -> (cte +
       s""", costs AS (

@@ -68,6 +68,18 @@ class VersionStoreSpec extends SparkSpec {
       - math.sqrt(5 * 0.25)) < 1e-5)
   }
 
+  test("threshold sweep: sparsity {0.2,0.4,0.6,0.8} x promotion threshold " +
+    "{0.3,0.5,0.7,0.9} (test_week2.py:244-321)") {
+    for (sparsity <- Seq(0.2, 0.4, 0.6, 0.8);
+         threshold <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val ks = kinds(Seq(0.0, sparsity),
+        VersionStore.Config(baseInterval = 100, promotionRatio = threshold))
+      val expected = if (sparsity > threshold) "base" else "delta"
+      assert(ks == Seq((1, "base"), (2, expected)),
+        s"sparsity=$sparsity threshold=$threshold")
+    }
+  }
+
   test("ingest without seqs assigns chronological 1-based seqs with offset") {
     val first = Seq(("a", ts(0), Array.fill(4)(1.0f)))
       .toDF("content_id", "ts", "embedding")
