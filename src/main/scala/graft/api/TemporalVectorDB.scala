@@ -149,4 +149,16 @@ class TemporalVectorDB(
   /** Store-wide integrity audit (reference reconstruction_service
     * :299-358). */
   def validateTimelineIntegrity(): DataFrame = Integrity.audit(versions)
+
+  /** Cost-estimate heuristic without reconstructing (reference
+    * delta_computer.py:218-271). */
+  def estimateReconstructionCost(contentId: String, seq: Int): DataFrame =
+    Reconstruction.costEstimate(versions, spark.createDataFrame(
+      Seq((contentId, seq))).toDF("content_id", "seq"))
+
+  /** Candidate bases for a target, cheapest first (reference
+    * reconstruction_service.py:186-227). */
+  def findOptimalBase(contentId: String, seq: Int): DataFrame =
+    Reconstruction.baseCandidates(versions, spark.createDataFrame(
+      Seq((contentId, seq))).toDF("content_id", "seq"))
 }

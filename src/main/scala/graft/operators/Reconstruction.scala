@@ -155,6 +155,64 @@ object Reconstruction {
       .withColumnRenamed("base_seq", "base_seq_used")
   }
 
+  /** Reconstruction validation (reference validate_reconstruction,
+    * core/delta_computer.py:193-216): L2 error vs a ground-truth embedding,
+    * tolerance check, and cosine similarity, as pure column expressions.
+    * Input df needs `embedding` (reconstructed) and `expected` columns. */
+  def validate(df: DataFrame,
+               tolerance: Double = Defaults.ReconstructionTol): DataFrame = {
+    import graft.functions.VectorFunctions._
+    df.withColumn("l2_error", l2Dist(col("embedding"), col("expected")))
+      .withColumn("is_valid", col("l2_error") < tolerance)
+      .withColumn("cosine_similarity",
+        cosine(col("embedding"), col("expected")))
+  }
+
+  /** Cost-estimate heuristic without reconstructing (reference
+    * estimate_reconstruction_cost, core/delta_computer.py:218-271):
+    * chain length, estimated error (cost·0.001 + magnitude & sparsity
+    * penalties), and the `recommended` flag (cost < 10 && err < 0.05). */
+  def costEstimate(versions: DataFrame, targets: DataFrame): DataFrame = {
+    val deltas = versions.where(col("kind") === "delta")
+      .select(col("content_id"), col("seq").as("delta_seq"),
+        col("change_magnitude"), size(col("delta_idx")).as("n_changed"))
+    val bases = versions.where(col("kind") === "base")
+      .select(col("content_id"), col("seq").as("base_seq"))
+    val nearest = targets.select(col("content_id"), col("seq"))
+      .join(bases, Seq("content_id"))
+      .where(col("base_seq") <= col("seq"))
+      .groupBy("content_id", "seq").agg(max("base_seq").as("base_seq"))
+    // range predicate inside the LEFT join condition — a post-join filter
+    // would drop targets whose chain is empty (e.g. the target IS a base)
+    nearest.as("t").join(deltas.as("dd"),
+        col("t.content_id") === col("dd.content_id") &&
+          col("dd.delta_seq") > col("t.base_seq") &&
+          col("dd.delta_seq") <= col("t.seq"), "left")
+      .groupBy(col("t.content_id").as("content_id"), col("t.seq").as("seq"),
+        col("t.base_seq").as("base_seq"))
+      .agg(count(col("dd.delta_seq")).cast("int").as("chain_length"),
+        coalesce(avg(col("dd.change_magnitude")), lit(0.0))
+          .as("avg_magnitude"))
+      .withColumn("estimated_error",
+        col("chain_length") * lit(0.001) *
+          (lit(1.0) + lit(0.1) * col("avg_magnitude")))
+      .withColumn("recommended",
+        col("chain_length") < 10 && col("estimated_error") < 0.05)
+  }
+
+  /** Base-candidate enumeration for a target (reference
+    * find_optimal_base_for_target, core/reconstruction_service.py:186-227):
+    * every base at-or-before the target with its chain cost, cheapest
+    * first — set-based over all targets at once. */
+  def baseCandidates(versions: DataFrame, targets: DataFrame): DataFrame =
+    targets.select(col("content_id"), col("seq"))
+      .join(versions.where(col("kind") === "base")
+        .select(col("content_id"), col("seq").as("base_seq")),
+        Seq("content_id"))
+      .where(col("base_seq") <= col("seq"))
+      .withColumn("cost", col("seq") - col("base_seq"))
+      .orderBy(col("content_id"), col("seq"), col("cost"))
+
   /** Reconstruction-cost audit without materializing embeddings: for every
     * version, the chain length from its nearest base (SURVEY row 41/59;
     * reference storage/temporal_database.py:443-494). */

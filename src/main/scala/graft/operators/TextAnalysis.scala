@@ -38,12 +38,22 @@ object TextAnalysis {
   /** Stopword set for quality scoring. */
   val Stopwords = Seq("the", "a", "and", "of", "to", "in")
 
-  /** doc_id, n_tokens, text_len, alpha_ratio — basic per-doc stats. */
+  /** BPE-ish subword-unit pattern: letter runs, digit runs, or single
+    * non-space symbols — a portable approximation of byte-pair pretoken
+    * splitting (identical semantics in Java regex and RE2). */
+  val SubtokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** Approximate "BPE token" count via [[SubtokenPattern]]. */
+  def subtokenCount(text: Column): Column =
+    regexp_count(text, lit(SubtokenPattern)).cast("long")
+
+  /** doc_id, n_tokens, n_subtokens, text_len, alpha_ratio. */
   def textStats(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       tokenCount(col("text")).as("n_tokens"),
+      subtokenCount(col("text")).as("n_subtokens"),
       length(col("text")).cast("long").as("text_len"),
-      round(alphaRatio(col("text")), 4).as("alpha_ratio"))
+      alphaRatio(col("text")).as("alpha_ratio"))
 
   /** Quality score in [0,1]:
     * 0.3·min(1, chars/500) + 0.4·alpha_ratio + 0.3·stopword_ratio.

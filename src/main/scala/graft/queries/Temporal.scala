@@ -81,6 +81,25 @@ object Temporal {
       Integrity.audit(sample).orderBy("content_id", "seq", "issue")
     }),
 
+    // Q31: generic as-of join (SURVEY rows 24/26): for sampled anchor
+    // events, the latest strictly-earlier event of the same user.
+    "q31_asof_join" -> ((s, d) => {
+      val ev = eventsUs(s, d)
+      val anchors = ev.where(pmod(col("event_id"), lit(101)) === 0)
+        .select(col("event_id").as("anchor_id"), col("user_id"),
+          col("ts_us"))
+      AsOfJoin.lastBefore(anchors,
+        ev.select(col("event_id"), col("user_id"), col("ts_us"),
+          col("value")),
+        key = "user_id", leftId = "anchor_id",
+        leftOrd = "ts_us", rightOrd = "ts_us",
+        payload = Seq("event_id", "value"))
+        .select(col("anchor_id"),
+          col("asof_event_id").as("prev_event_id"),
+          r4(col("asof_value")).as("prev_value"))
+        .orderBy("anchor_id")
+    }),
+
     // Q17: interval/range join (SURVEY row 25 analogue): events within
     // [ts, ts+1h) of each anchor event, equi on user + range on time.
     "q17_range_join" -> ((s, d) => {
@@ -194,6 +213,22 @@ object Temporal {
         |SELECT * FROM (
         |  SELECT * FROM missing UNION ALL SELECT * FROM dangling) u
         |ORDER BY content_id, seq, issue""".stripMargin),
+
+    "q31_asof_join" ->
+      s"""WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |a AS (SELECT event_id AS anchor_id, user_id, ts_us FROM ev
+        |      WHERE event_id % 101 = 0),
+        |j AS (SELECT a.anchor_id, e.event_id, e.value,
+        |        row_number() OVER (PARTITION BY a.anchor_id
+        |          ORDER BY e.ts_us DESC, e.event_id DESC, e.value DESC) AS rn
+        |      FROM a JOIN ev e ON e.user_id = a.user_id
+        |        AND e.ts_us < a.ts_us)
+        |SELECT a2.anchor_id,
+        |  j.event_id AS prev_event_id,
+        |  ${r4sql("j.value")} AS prev_value
+        |FROM a a2 LEFT JOIN j ON j.anchor_id = a2.anchor_id AND j.rn = 1
+        |ORDER BY a2.anchor_id""".stripMargin,
 
     "q17_range_join" ->
       """WITH ev AS (

@@ -26,7 +26,9 @@ object TextQueries {
 
     // Q19: token counting + character-class stats.
     "q19_text_stats" -> ((s, d) =>
-      TextAnalysis.textStats(Tables.documents(s, d)).orderBy("doc_id")),
+      TextAnalysis.textStats(Tables.documents(s, d))
+        .withColumn("alpha_ratio", r4(col("alpha_ratio")))
+        .orderBy("doc_id")),
 
     // Q20: quality scoring (length/alpha/stopword-ratio heuristic).
     "q20_quality" -> ((s, d) =>
@@ -62,6 +64,7 @@ object TextQueries {
 
     "q19_text_stats" ->
       s"""SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_subtokens,
         |  CAST(length(text) AS BIGINT) AS text_len,
         |  ${r4sql("CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)")} AS alpha_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -96,6 +96,35 @@ class ReconstructionSpec extends SparkSpec {
     }
   }
 
+  test("validate() flags reconstructions within/outside tolerance") {
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f)),         // exact
+      (Array(1.0f, 2.0f), Array(1.0f, 2.005f)),       // within 0.01
+      (Array(1.0f, 2.0f), Array(1.0f, 2.5f))          // outside
+    ).toDF("embedding", "expected")
+    val got = Reconstruction.validate(df)
+      .select("is_valid", "cosine_similarity")
+      .as[(Boolean, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(true, true, false))
+    assert(got.forall(_._2 > 0.9))
+  }
+
+  test("costEstimate: chain length + recommended flag without reconstructing") {
+    val targets = Seq(("doc", 6), ("doc", 10)).toDF("content_id", "seq")
+    val got = Reconstruction.costEstimate(versions, targets)
+      .select("seq", "chain_length", "recommended")
+      .as[(Int, Int, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(6) == (0, true))  // base itself
+    assert(got(10) == (4, true)) // 4-delta chain, cheap
+  }
+
+  test("baseCandidates lists all bases at-or-before, cheapest first") {
+    val got = Reconstruction.baseCandidates(versions,
+      Seq(("doc", 10)).toDF("content_id", "seq"))
+      .select("base_seq", "cost").as[(Int, Int)].collect().toSeq
+    assert(got == Seq((6, 4), (1, 9))) // bases {1,6}; 11 is after target
+  }
+
   test("costs() audit matches reconstruct() provenance") {
     val audit = Reconstruction.costs(versions)
       .select("seq", "reconstruction_cost").as[(Int, Int)].collect().toMap
