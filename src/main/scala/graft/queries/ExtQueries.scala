@@ -14,7 +14,8 @@ object ExtQueries {
       col("doc_id").as("media_id"), lit("image").as("kind"),
       encode(col("text"), "UTF-8").as("payload"))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // Q27: approximate top-k via hyperplane-LSH buckets (vs exact q15).
     "q27_ann_lsh_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -44,9 +45,31 @@ object ExtQueries {
         .groupBy("media_id")
         .agg(count(lit(1)).as("n_frames"))
         .orderBy("media_id"))
-  )
+  ) ++ sqlSurface
+
+  private lazy val sqlSurface: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      // Q32: the SQL text surface — temp views + the graft_dot custom
+      // expression invoked from spark.sql (codegen'd inside SQL too).
+      "q32_sql_surface" -> ((s, d) => {
+        graft.api.GraftSql.registerFunctions(s)
+        graft.api.GraftSql.registerTables(s, d)
+        s.sql(
+          """SELECT a.vec_id AS id1, b.vec_id AS id2,
+            |  CAST(floor(graft_dot(a.embedding, b.embedding) * 10000D + 0.5D)
+            |    AS DOUBLE) / 10000D AS dot
+            |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            |WHERE a.vec_id < 5 AND b.vec_id < 5
+            |ORDER BY id1, id2""".stripMargin)
+      }))
 
   val oracle: Map[String, String] = Map(
+    "q32_sql_surface" ->
+      s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  ${r4sql("list_sum(list_transform(range(0, 64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))")} AS dot
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 5 AND b.vec_id < 5
+        |ORDER BY id1, id2""".stripMargin,
     "q27_ann_lsh_topk" -> {
       val bucket = (0 until 8).map { j =>
         s"""(CASE WHEN list_sum(list_transform(range(0, 64), i ->

@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a custom expression under `name` in the session's function
+    * registry so it is callable from Spark SQL text. */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        builder.getClass.getCanonicalName, name),
+      builder)
 }
