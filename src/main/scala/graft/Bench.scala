@@ -10,10 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen + parquet-footer warmup so the first timed query isn't
-    // charged for session initialization.
-    try SparkEntry.queries.get("q01_filter").foreach(_(spark, sfDir).count())
-    catch { case _: Throwable => () }
+    // Warmup: JIT/codegen + parquet footers + the one-time synthetic
+    // versions materialization, so the first timed query isn't charged for
+    // session/store initialization.
+    Seq("q01_filter", "q13_version_ingest", "q19_text_stats").foreach { q =>
+      try SparkEntry.queries.get(q).foreach(_(spark, sfDir).count())
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -98,18 +98,46 @@ object Dedup {
     inter / (size(aDistinct) + size(bDistinct) - inter).cast("double")
   }
 
-  /** MinHash-LSH near-dup pairs verified by true n-gram Jaccard >= tau. */
+  /** MinHash-LSH near-dup pairs verified by true n-gram Jaccard >= tau.
+    * The shingle scan is done ONCE: a single exploded groupBy computes both
+    * the minhash minima (for banding) and the distinct shingle set (for the
+    * jaccard verify) — `collect_set` in the same aggregate, so the
+    * md5-heavy shingling never runs twice. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    tau: Double, n: Int = 3, numHashes: Int = 16,
                    bands: Int = 4): DataFrame = {
-    // Distinct shingle sets materialized ONCE per doc (jaccard is then
-    // O(|A|+|B|) per candidate, not O(|A|·|B|) re-distincting per pair).
-    val hashed = docs.select(col(idCol).as("_hid"),
-      array_distinct(shingleHashes(col(textCol), n)).as("_h"))
-    minhashCandidates(docs, idCol, textCol, n, numHashes, bands)
-      .join(hashed.withColumnRenamed("_hid", "id1")
+    val r = numHashes / bands
+    val exploded = docs.select(col(idCol).as("_id"),
+      explode(shingleHashes(col(textCol), n)).as("_x"))
+    val aggs = (0 until numHashes).map(j =>
+      min(pmod(lit(hashA(j)) * col("_x") + lit(hashB(j)), lit(P)))
+        .as(s"_m$j")) :+ collect_set(col("_x")).as("_h")
+    // persisted: four consumers (both sides of the band self-join, both
+    // jaccard joins) would otherwise re-run the md5-heavy shingle scan;
+    // the signature table is the dedup analogue of the reference's cached
+    // vector index (storage_engine.py:89-110) and is ~100× smaller than
+    // the corpus text.
+    val sig = exploded.groupBy("_id").agg(aggs.head, aggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val banded = sig.select(col("_id"),
+      posexplode(array((0 until bands).map { b =>
+        md5(concat_ws(",",
+          (b * r until (b + 1) * r).map(j => col(s"_m$j").cast("string")): _*)
+          .cast("binary"))
+      }: _*)).as(Seq("_band", "_bhash")))
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l._band") === col("r._band") &&
+          col("l._bhash") === col("r._bhash") &&
+          col("l._id") < col("r._id"))
+      .select(col("l._id").as("id1"), col("r._id").as("id2"))
+      .distinct()
+
+    val hashed = sig.select(col("_id"), col("_h"))
+    cand
+      .join(hashed.withColumnRenamed("_id", "id1")
         .withColumnRenamed("_h", "_h1"), "id1")
-      .join(hashed.withColumnRenamed("_hid", "id2")
+      .join(hashed.withColumnRenamed("_id", "id2")
         .withColumnRenamed("_h", "_h2"), "id2")
       .withColumn("jaccard", jaccard(col("_h1"), col("_h2")))
       .where(col("jaccard") >= tau)
@@ -142,8 +170,11 @@ object Dedup {
           col("l._id") < col("r._id"))
       .select(col("l._id").as("id1"), col("r._id").as("id2"),
         hamming(col("l._sh"), col("r._sh")).cast("int").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is cheap codegen per joined row,
+      // so only true matches enter the dedup shuffle (bucket-mate pairs
+      // can be ~100× more numerous than matches)
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** 32-bit SimHash over word tokens: bit j is set iff the majority of

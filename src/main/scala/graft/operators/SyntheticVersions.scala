@@ -51,9 +51,24 @@ object SyntheticVersions {
             .otherwise(lit(0.0))).cast("float")).as("embedding"))
   }
 
-  /** The ingested versions table for the synthetic history. */
-  def versions(spark: SparkSession, dir: String): DataFrame =
-    VersionStore.ingestWithSeq(build(spark, dir), cfg)
+  /** The ingested versions table for the synthetic history, materialized to
+    * parquet once per JVM+source-dir — the production shape (queries scan a
+    * stored versions table with column pruning / predicate pushdown instead
+    * of re-deriving it from `embeddings` per query). */
+  def versions(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_synth_versions_$key"
+    synchronized {
+      if (!materialized.contains(path)) {
+        VersionStore.write(VersionStore.ingestWithSeq(build(spark, dir), cfg),
+          path, numPartitions = 8)
+        materialized += path
+      }
+    }
+    spark.read.parquet(path)
+  }
+
+  private val materialized = scala.collection.mutable.Set[String]()
 
   /** Shared DuckDB CTE prefix reproducing [[build]] + the ingest kind
     * decision — prepended to the oracle SQL of every versioned-store query.

@@ -25,6 +25,7 @@ object DedupQueries {
           regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
       .unionByName(docs.where(pmod(col("doc_id"), lit(50)) === 0)
         .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      .transform(par)
   }
 
   /** embeddings + perturbed copies (+10000): +0.01 on dims i%16==0. */
@@ -35,6 +36,7 @@ object DedupQueries {
         transform(col("embedding"), (x, i) =>
           (x.cast("double") + when(pmod(i, lit(16)) === 0, lit(0.01))
             .otherwise(lit(0.0))).cast("float")).as("embedding")))
+      .transform(par)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

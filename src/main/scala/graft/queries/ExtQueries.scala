@@ -10,7 +10,7 @@ object ExtQueries {
 
   /** documents as a synthetic media table: payload = utf-8 text bytes. */
   private def media(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
+    par(Tables.documents(s, d)).select(
       col("doc_id").as("media_id"), lit("image").as("kind"),
       encode(col("text"), "UTF-8").as("payload"))
 

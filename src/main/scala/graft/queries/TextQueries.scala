@@ -11,13 +11,13 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q18: exact-dup groups by content hash + per-language length stats.
-    "q18_dedup_exact" -> ((s, d) => Tables.documents(s, d)
+    "q18_dedup_exact" -> ((s, d) => par(Tables.documents(s, d))
       .groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(count(lit(1)).as("dup_cnt"), min("doc_id").as("first_doc"))
       .where(col("dup_cnt") > 1)
       .orderBy("text_hash")),
 
-    "q18b_lang_stats" -> ((s, d) => Tables.documents(s, d)
+    "q18b_lang_stats" -> ((s, d) => par(Tables.documents(s, d))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         r4(avg(col("n_chars"))).as("avg_chars"),
@@ -26,23 +26,23 @@ object TextQueries {
 
     // Q19: token counting + character-class stats.
     "q19_text_stats" -> ((s, d) =>
-      TextAnalysis.textStats(Tables.documents(s, d))
+      TextAnalysis.textStats(par(Tables.documents(s, d)))
         .withColumn("alpha_ratio", r4(col("alpha_ratio")))
         .orderBy("doc_id")),
 
     // Q20: quality scoring (length/alpha/stopword-ratio heuristic).
     "q20_quality" -> ((s, d) =>
-      TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy("doc_id")),
+      TextAnalysis.qualityScore(par(Tables.documents(s, d))).orderBy("doc_id")),
 
     // Q21: marker-heuristic language ID.
     "q21_langid" -> ((s, d) =>
-      TextAnalysis.langId(Tables.documents(s, d))
+      TextAnalysis.langId(par(Tables.documents(s, d)))
         .select("doc_id", "en_cnt", "de_cnt", "fr_cnt", "es_cnt", "pred_lang")
         .orderBy("doc_id")),
 
     // Q22: rolling-hash document fingerprint (order-sensitive, md5-derived
     // so the oracle can reproduce it bit-for-bit).
-    "q22_fingerprint" -> ((s, d) => Tables.documents(s, d)
+    "q22_fingerprint" -> ((s, d) => par(Tables.documents(s, d))
       .select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id"))

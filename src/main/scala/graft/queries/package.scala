@@ -16,4 +16,13 @@ package object queries {
 
   /** The DuckDB-side spelling of [[r4]]. */
   def r4sql(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
+
+  /** Spread a small single-split source across the cluster before a
+    * compute-heavy map stage. The driver's parquet files are one row group
+    * each, so Spark gives them ONE partition — at production scale the
+    * source has thousands of splits and this is a no-op-shaped concern, but
+    * locally a 5 MB shuffle buys full-core parallelism for md5/regex-heavy
+    * stages. */
+  def par(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }
