@@ -78,6 +78,59 @@ object SimilaritySearch {
       .drop("qvec", "vec", "_bucket")
   }
 
+  /** Approximate top-k via IVF (inverted-file) partitioning: KMeans
+    * centroids over a corpus sample, each corpus vector assigned to its
+    * nearest centroid, and each query probing only the `nProbe` nearest
+    * cells — the classic coarse-quantizer ANN shape. Centroid count
+    * ~sqrt(N) caps cell size; probing is a broadcast join of (query, cell)
+    * pairs against the cell-partitioned corpus. KMeans is seeded but not
+    * bit-reproducible across engines, so this operator is checked
+    * rows-only (recall vs [[topK]] in tests), not against the SQL oracle. */
+  def topKIvf(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val cn = corpus
+      .withColumn("_cnorm", l2Norm(col("vec")))
+      .where(col("_cnorm") > 0)
+      .withColumn("vec", l2NormalizeWith(col("vec"), col("_cnorm")))
+      .drop("_cnorm")
+      .withColumn("_fv", array_to_vector(col("vec")))
+    val km = new KMeans().setK(nCells).setSeed(42L).setFeaturesCol("_fv")
+    val model = km.fit(cn.select("_fv"))
+    val assigned = model.transform(cn)
+      .withColumnRenamed("prediction", "_cell").drop("_fv")
+
+    val centroids = model.clusterCenters.zipWithIndex.map {
+      case (c: Vector, i) => (i, c.toArray.map(_.toFloat))
+    }.toSeq
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toDF("_cell", "_centroid")
+
+    val qn = queries
+      .withColumn("_qnorm", l2Norm(col("qvec")))
+      .where(col("_qnorm") > 0)
+      .withColumn("qvec", l2NormalizeWith(col("qvec"), col("_qnorm")))
+      .drop("_qnorm")
+    // nProbe nearest cells per query (broadcast: centroids are tiny)
+    val probes = qn.crossJoin(broadcast(centDf))
+      .withColumn("_csim", dotNative(col("qvec"), col("_centroid")))
+      .withColumn("_crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("_csim"), col("_cell"))))
+      .where(col("_crank") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("_cell"))
+
+    assigned.join(broadcast(probes), Seq("_cell"))
+      .withColumn("sim", dotNative(col("qvec"), col("vec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), col("id"))))
+      .where(col("rank") <= k && col("sim") > 0)
+      .select("query_id", "rank", "id", "sim")
+  }
+
   /** Search the versioned store the way the reference does: corpus = base
     * snapshots only (storage_engine.py:89-110), identity = (content_id, seq). */
   def searchBases(versions: DataFrame, queries: DataFrame, k: Int): DataFrame =

@@ -29,6 +29,21 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Q35: approximate top-k via IVF coarse quantization (KMeans cells).
+    // KMeans isn't bit-reproducible in SQL, so this entry has no oracle —
+    // the driver records a rows-only check; recall is gated in tests.
+    "q35_ann_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      SimilaritySearch.topKIvf(queries, corpus, 5)
+        .select(col("query_id"), col("rank"), col("id"),
+          r4(col("sim")).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Q28: multimodal decode plumbing — binary payloads through the
     // partition-parallel featurize stub (md5-derived, oracle-replicable).
     "q28_multimodal_features" -> ((s, d) => {

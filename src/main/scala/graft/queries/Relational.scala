@@ -137,7 +137,34 @@ object Relational {
         upper(substring(col("p_name"), 1, 10)).as("name10"),
         concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
         length(col("p_name")).cast("long").as("name_len"))
-      .orderBy("p_partkey"))
+      .orderBy("p_partkey")),
+
+    // Q10b: CUBE grouping sets.
+    "q10b_cube" -> ((s, d) => Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"))
+      .orderBy("rf", "ls")),
+
+    // Q33: left outer join — nations with zero suppliers keep a 0 count.
+    "q33_outer_join" -> ((s, d) => Tables.nation(s, d)
+      .join(Tables.supplier(s, d),
+        col("n_nationkey") === col("s_nationkey"), "left")
+      .groupBy("n_name")
+      .agg(count(col("s_suppkey")).as("n_suppliers"))
+      .orderBy("n_name")),
+
+    // Q34: JSON extraction from the events props column.
+    "q34_json" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .where(col("event_id") < 200)
+        .orderBy("event_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -228,6 +255,23 @@ object Relational {
       """SELECT p_partkey, upper(substr(p_name, 1, 10)) AS name10,
         |  concat(p_brand, '#', p_type) AS brand_type,
         |  CAST(length(p_name) AS BIGINT) AS name_len
-        |FROM part ORDER BY p_partkey""".stripMargin
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q10b_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q33_outer_join" ->
+      """SELECT n_name, count(s_suppkey) AS n_suppliers
+        |FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q34_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin
   )
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.SimilaritySearch
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 well-separated clusters of 10 vectors each + the queries = cluster reps
+  private val dim = 16
+  private lazy val corpus = (0 until 40).map { i =>
+    val c = i / 10
+    val v = Array.tabulate(dim)(j =>
+      (math.sin(c * 31 + j) + 0.01 * math.sin(i * 7 + j)).toFloat)
+    (i.toLong, v)
+  }
+  private lazy val corpusDf = corpus.toDF("id", "vec")
+  private lazy val queryDf = corpus.filter(_._1 % 10 == 0)
+    .map { case (i, v) => (i, v) }.toDF("query_id", "qvec")
+
+  test("exact topK: self is rank 1, all sims positive and descending") {
+    val got = SimilaritySearch.topK(queryDf, corpusDf, 5)
+      .select("query_id", "rank", "id", "sim")
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    for ((q, rows) <- got) {
+      assert(rows.head._3 == q, s"query $q self-match")
+      assert(math.abs(rows.head._4 - 1.0) < 1e-6)
+      assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted.reverse)
+    }
+  }
+
+  test("IVF topK achieves high recall vs exact on clustered data") {
+    val exact = SimilaritySearch.topK(queryDf, corpusDf, 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val ivf = SimilaritySearch.topKIvf(queryDf, corpusDf, 5,
+      nCells = 4, nProbe = 2)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+    // self-matches always survive (query's own cell is always probed)
+    assert((0 until 4).forall(c => ivf.contains((c * 10L, c * 10L))))
+  }
+
+  test("LSH topK returns a subset of scored pairs with correct ranking") {
+    val lsh = SimilaritySearch.topKLsh(queryDf, corpusDf, 5, nBits = 4)
+      .select("query_id", "rank", "id", "sim")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._3 == q) // same bucket as itself, sim 1.0
+    }
+  }
+}
