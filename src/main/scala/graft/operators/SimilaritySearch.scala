@@ -98,7 +98,10 @@ object SimilaritySearch {
       .withColumn("vec", l2NormalizeWith(col("vec"), col("_cnorm")))
       .drop("_cnorm")
       .withColumn("_fv", array_to_vector(col("vec")))
-    val km = new KMeans().setK(nCells).setSeed(42L).setFeaturesCol("_fv")
+    // a coarse quantizer doesn't need convergence — 5 iterations is the
+    // standard IVF training budget
+    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("_fv")
     val model = km.fit(cn.select("_fv"))
     val assigned = model.transform(cn)
       .withColumnRenamed("prediction", "_cell").drop("_fv")

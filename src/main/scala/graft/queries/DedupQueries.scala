@@ -63,7 +63,7 @@ object DedupQueries {
     // SimHash near-dup pairs by Hamming distance — banded LSH join,
     // pigeonhole-exact vs the oracle's brute-force formulation.
     "q24b_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(augDocs(s, d), "doc_id", "text", maxHamming = 6)
+      Dedup.simhashPairs(augDocs(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy("id1", "id2")),
 
     // Embedding-cosine near-dup, exact brute-force baseline.
@@ -191,7 +191,7 @@ object DedupQueries {
         |SELECT a.doc_id AS id1, b.doc_id AS id2,
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY id1, id2""".stripMargin,
 
     "q25_neardup_embedding" ->
