@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{DedupQueries, ExtQueries, Relational, StatsQueries, Temporal, TextQueries}
+import graft.queries.{DedupQueries, ExtQueries, Relational, ScaleQueries, StatsQueries, Temporal, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Temporal.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ ExtQueries.queries ++ StatsQueries.queries
+      DedupQueries.queries ++ ExtQueries.queries ++ StatsQueries.queries ++
+      ScaleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Temporal.oracle ++ TextQueries.oracle ++
-      DedupQueries.oracle ++ ExtQueries.oracle ++ StatsQueries.oracle
+      DedupQueries.oracle ++ ExtQueries.oracle ++ StatsQueries.oracle ++
+      ScaleQueries.oracle
 }

@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.operators.{Reconstruction, VersionStore}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scale-demonstration queries: a closed-form synthetic store of
+  * [[Contents]] contents × 12 versions (dim 64) built entirely from
+  * `spark.range` — no source table, so the workload is IDENTICAL at every
+  * scale factor and stresses the ingest window + reconstruction joins at
+  * ~[[Contents]]×12 row scale. Outputs are small aggregate summaries, so
+  * the DuckDB oracle can replay the same closed-form pipeline and compare
+  * exactly.
+  *
+  * Vector closed form (engine and oracle cast to float at the same point):
+  *   e_c[i]  = ((c·31 + i·17) mod 97)/97 − 0.5
+  *   v_ck[i] = float(e_c[i] + 0.3·[i%12 == k%12] + 0.25·[k==9 && i%4 != 0])
+  */
+object ScaleQueries {
+
+  val Contents = 20000
+  val Versions = 12
+  val Dim = 64
+
+  private def store(s: SparkSession): DataFrame = {
+    val rows = s.range(Contents.toLong * Versions).select(
+      (col("id") / Versions).cast("long").as("c"),
+      (pmod(col("id"), lit(Versions)) + 1).cast("int").as("seq"))
+    val built = rows.select(
+      format_string("s%05d", col("c")).as("content_id"),
+      col("seq"),
+      expr("timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,seq-1,0,0,0)")
+        .as("ts"),
+      transform(sequence(lit(0), lit(Dim - 1)), i =>
+        ((pmod(col("c") * 31 + i.cast("long") * 17, lit(97)).cast("double")
+          / 97.0 - 0.5)
+          + when(pmod(i, lit(12)) === pmod(col("seq"), lit(12)), lit(0.3))
+            .otherwise(lit(0.0))
+          + when(col("seq") === 9 && pmod(i, lit(4)) =!= 0, lit(0.25))
+            .otherwise(lit(0.0))).cast("float")).as("embedding"))
+    VersionStore.ingestWithSeq(built,
+      VersionStore.Config(baseInterval = 5))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q36: ingest 240k versions through the full window+promotion+delta
+    // pipeline; summarize per kind.
+    "q36_scale_ingest" -> ((s, _) => store(s)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(size(col("delta_idx"))).as("total_stored"),
+        r4(avg(col("change_magnitude"))).as("avg_mag"))
+      .orderBy("kind")),
+
+    // Q37: reconstruct 2 targets per content (40k reconstructions) in one
+    // set-based job; summarize cost/provenance.
+    "q37_scale_reconstruct" -> ((s, _) => {
+      val st = store(s)
+      val targets = st.select("content_id").distinct()
+        .select(col("content_id"), explode(lit(Array(7, 12))).as("seq"))
+      Reconstruction.reconstruct(st, targets)
+        .groupBy("seq")
+        .agg(count(lit(1)).as("n_targets"),
+          sum("reconstruction_cost").as("total_cost"),
+          sum("base_seq_used").as("total_base_seq"),
+          sum("deltas_applied").as("total_deltas"))
+        .orderBy("seq")
+    })
+  )
+
+  /** Shared closed-form CTE for the oracle (mirrors [[store]]). */
+  private val cte: String =
+    s"""WITH rows_ AS (
+      |  SELECT CAST(r.range // $Versions AS BIGINT) AS c,
+      |         CAST(r.range % $Versions + 1 AS INTEGER) AS seq
+      |  FROM range(0, ${Contents.toLong * Versions}) r),
+      |v AS (
+      |  SELECT printf('s%05d', c) AS content_id, seq,
+      |    list_transform(range(0, $Dim), i -> CAST(
+      |      (CAST((c * 31 + i * 17) % 97 AS DOUBLE) / 97.0 - 0.5)
+      |      + (CASE WHEN (i % 12) = (seq % 12) THEN CAST(0.3 AS DOUBLE)
+      |              ELSE CAST(0.0 AS DOUBLE) END)
+      |      + (CASE WHEN seq = 9 AND (i % 4) <> 0 THEN CAST(0.25 AS DOUBLE)
+      |              ELSE CAST(0.0 AS DOUBLE) END) AS REAL)) AS emb
+      |  FROM rows_),
+      |p AS (
+      |  SELECT content_id, seq, emb,
+      |         lag(emb) OVER (PARTITION BY content_id ORDER BY seq) AS prev
+      |  FROM v),
+      |d AS (
+      |  SELECT content_id, seq,
+      |    CASE WHEN prev IS NULL THEN NULL ELSE
+      |      len(list_filter(list_transform(range(0,$Dim),
+      |        i -> CAST(emb[i+1] AS DOUBLE) - CAST(prev[i+1] AS DOUBLE)),
+      |        x -> abs(x) >= 0.01)) END AS n_changed,
+      |    CASE WHEN prev IS NULL THEN NULL ELSE
+      |      sqrt(list_sum(list_transform(range(0,$Dim),
+      |        i -> (CAST(emb[i+1] AS DOUBLE) - CAST(prev[i+1] AS DOUBLE))
+      |           * (CAST(emb[i+1] AS DOUBLE) - CAST(prev[i+1] AS DOUBLE)))))
+      |      END AS mag
+      |  FROM p),
+      |vk AS (
+      |  SELECT content_id, seq, n_changed, mag,
+      |    CASE WHEN seq = 1 THEN 'base'
+      |         WHEN (seq - 1) % 5 = 0 THEN 'base'
+      |         WHEN n_changed / ${Dim}.0 > 0.7 THEN 'base'
+      |         ELSE 'delta' END AS kind
+      |  FROM d)
+      |""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q36_scale_ingest" -> (cte +
+      s"""SELECT kind, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN kind = 'delta' THEN n_changed END) AS BIGINT) AS total_stored,
+        |  ${r4sql("avg(CASE WHEN seq > 1 THEN mag END)")} AS avg_mag
+        |FROM vk GROUP BY kind ORDER BY kind""".stripMargin),
+
+    "q37_scale_reconstruct" -> (cte +
+      s""", tg AS (
+        |  SELECT DISTINCT content_id FROM vk),
+        |t2 AS (
+        |  SELECT content_id, CAST(u.s AS INTEGER) AS seq
+        |  FROM tg, (SELECT unnest([7, 12]) AS s) u),
+        |b AS (
+        |  SELECT t2.content_id, t2.seq, max(vk.seq) AS base_seq
+        |  FROM t2 JOIN vk ON vk.content_id = t2.content_id
+        |    AND vk.kind = 'base' AND vk.seq <= t2.seq
+        |  GROUP BY t2.content_id, t2.seq),
+        |ag AS (
+        |  SELECT b.content_id, b.seq, b.base_seq,
+        |    count(kd.seq) AS n_deltas
+        |  FROM b LEFT JOIN vk kd ON kd.content_id = b.content_id
+        |    AND kd.kind = 'delta' AND kd.seq > b.base_seq
+        |    AND kd.seq <= b.seq
+        |  GROUP BY b.content_id, b.seq, b.base_seq)
+        |SELECT seq, count(*) AS n_targets,
+        |  CAST(sum(seq - base_seq) AS BIGINT) AS total_cost,
+        |  CAST(sum(base_seq) AS BIGINT) AS total_base_seq,
+        |  CAST(sum(n_deltas) AS BIGINT) AS total_deltas
+        |FROM ag GROUP BY seq ORDER BY seq""".stripMargin)
+  )
+}
