@@ -40,10 +40,10 @@ object SimilaritySearch {
     val scored = cn.crossJoin(broadcast(qn))
       .withColumn("sim", dotNative(col("qvec"), col("vec")))
 
-    val ranked = scored.withColumn("rank",
-      row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("sim"), col("id"))))
-      .where(col("rank") <= k)
+    // salted two-phase ranking: a handful of query ids would otherwise
+    // each rank the whole corpus on a single task (hot-key skew)
+    val ranked = TopK.perKeySalted(scored, "query_id",
+      Seq(desc("sim"), col("id")), k)
 
     (if (positiveOnly) ranked.where(col("sim") > 0) else ranked)
       .drop("qvec", "vec")

@@ -42,6 +42,22 @@ class SimilaritySpec extends SparkSpec {
     assert((0 until 4).forall(c => ivf.contains((c * 10L, c * 10L))))
   }
 
+  test("salted per-key top-k equals the naive single-window ranking") {
+    import graft.operators.TopK
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 2000).map(i =>
+      (i % 3L, rnd.nextDouble(), i.toLong)).toDF("key", "score", "id")
+    val naive = rows.withColumn("rank", row_number().over(
+        Window.partitionBy("key").orderBy(desc("score"), col("id"))))
+      .where(col("rank") <= 7)
+      .select("key", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    val salted = TopK.perKeySalted(rows, "key",
+        Seq(desc("score"), col("id")), 7)
+      .select("key", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(salted == naive && naive.size == 21)
+  }
+
   test("LSH topK returns a subset of scored pairs with correct ranking") {
     val lsh = SimilaritySearch.topKLsh(queryDf, corpusDf, 5, nBits = 4)
       .select("query_id", "rank", "id", "sim")
