@@ -144,6 +144,18 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Materialize a deduplicated corpus: drop every doc that appears as the
+    * RIGHT side of a near-dup pair whose left partner survives — the
+    * standard keep-lowest-id policy. `pairs` must have (id1, id2) with
+    * id1 < id2; docs named in id2 with a surviving id1 are dropped.
+    * One anti-join — no iteration (transitive chains resolve to "keep the
+    * minimum of each connected component's reachable-from set" under the
+    * id1<id2 convention: every non-minimal member is some pair's id2). */
+  def dedupedCorpus(docs: DataFrame, idCol: String,
+                    pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("id2").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, via LSH
     * banding on the 32-bit hash: split into `maxHamming+1` bit-bands — by
     * pigeonhole, any pair within maxHamming shares at least one identical

@@ -30,6 +30,15 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming exact deduplication: drop rows whose dedup key was already
+    * seen within the watermark horizon — the streaming counterpart of the
+    * batch exact-dedup operator, with bounded state (keys expire with the
+    * watermark). `df` must carry a TimestampType `ts` column. */
+  def streamingDedup(df: DataFrame, keyCols: Seq[String],
+                     watermarkDelay: String = "1 hour"): DataFrame =
+    df.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Watermarked per-hour event statistics — the canonical streaming agg
     * shape (readStream → watermark → windowed groupBy → writeStream).
     * `events` must carry a TimestampType `ts` column. */

@@ -61,6 +61,14 @@ class DedupSpec extends SparkSpec {
     assert(banded == brute)
   }
 
+  test("dedupedCorpus keeps the lowest id of each duplicate group") {
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", tau = 0.5)
+    val survivors = Dedup.dedupedCorpus(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 2 and 4 are near/exact dups of 1 -> dropped; 1, 3, 5 survive
+    assert(survivors == Seq(1L, 3L, 5L))
+  }
+
   test("embedding near-dup: LSH pairs are a subset of brute-force pairs") {
     val emb = (0 until 40).map { i =>
       val base = Array.tabulate(16)(j => math.sin(i * 17 + j).toFloat)

@@ -43,6 +43,25 @@ class StreamingSpec extends SparkSpec {
     assert(db.validateTimelineIntegrity().count() == 0)
   }
 
+  test("streaming dedup drops duplicate keys within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingIngest.streamingDedup(
+      docs.toDF().toDF("ts", "doc_id", "text"), Seq("doc_id"))
+    val q = out.writeStream.format("memory")
+      .queryName("dedupstream").outputMode("append").start()
+    try {
+      docs.addData(
+        (Timestamp.valueOf("2025-03-01 10:00:00"), 1L, "a"),
+        (Timestamp.valueOf("2025-03-01 10:01:00"), 1L, "a dup"),
+        (Timestamp.valueOf("2025-03-01 10:02:00"), 2L, "b"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.sql("SELECT doc_id FROM dedupstream")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L))
+  }
+
   test("watermarked hourly event stats compute on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val events = MemoryStream[(Timestamp, String, Double)]
