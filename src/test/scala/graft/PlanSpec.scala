@@ -1,0 +1,43 @@
+package graft
+
+/** Plan-quality regression guard over the ENTIRE declared query surface:
+  * no accidental cartesian products or nested-loop joins may appear in any
+  * query plan — except where a cross join is the algorithm (exact brute
+  * kNN / brute near-dup baselines, which are documented as oracle-scale
+  * paths with LSH/IVF as the scale alternatives). */
+class PlanSpec extends SparkSpec {
+
+  /** Queries whose cross join is intentional. */
+  private val intentionalCross = Set(
+    "q15_knn",              // exact kNN baseline: corpus × broadcast queries
+    "q25_neardup_embedding", // exact brute near-dup baseline
+    "q24b_simhash_pairs",   // banded join uses an additional id< condition
+    "q23b_dedup_minhash_lsh",
+    "q32_sql_surface",      // 5×5 pair demo
+    "q35_ann_ivf_topk"      // centroid probe: queries × 16 centroids
+  )
+
+  test("no unintentional cartesian/nested-loop joins in any declared query") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, dir).queryExecution.executedPlan.toString
+          catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        val bad = plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")
+        if (bad && !intentionalCross(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unintentional cross joins in: $offenders")
+  }
+
+  test("parquet-scan queries push filters and prune columns (q01 witness)") {
+    val plan = SparkEntry.queries("q01_filter")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThan(l_quantity,45.0)]"), plan)
+    assert(plan.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      plan)
+  }
+}
