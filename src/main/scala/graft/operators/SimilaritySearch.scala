@@ -87,31 +87,35 @@ object SimilaritySearch {
     * bit-reproducible across engines, so this operator is checked
     * rows-only (recall vs [[topK]] in tests), not against the SQL oracle. */
   def topKIvf(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
-
+              nCells: Int = 16, nProbe: Int = 4,
+              trainSample: Int = 4096): DataFrame = {
     val cn = corpus
       .withColumn("_cnorm", l2Norm(col("vec")))
       .where(col("_cnorm") > 0)
       .withColumn("vec", l2NormalizeWith(col("vec"), col("_cnorm")))
       .drop("_cnorm")
-      .withColumn("_fv", array_to_vector(col("vec")))
-    // a coarse quantizer doesn't need convergence — 5 iterations is the
-    // standard IVF training budget
-    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("_fv")
-    val model = km.fit(cn.select("_fv"))
-    val assigned = model.transform(cn)
-      .withColumnRenamed("prediction", "_cell").drop("_fv")
 
-    val centroids = model.clusterCenters.zipWithIndex.map {
-      case (c: Vector, i) => (i, c.toArray.map(_.toFloat))
-    }.toSeq
+    // IVF coarse quantizers always train on a bounded SAMPLE — a few
+    // thousand vectors suffice for nCells centroids regardless of corpus
+    // size, so training is a driver-side Lloyd's over a limit() sample
+    // (deterministic: sample ordered by id; no ML pipeline overhead).
+    val sample = cn.select(col("id"), col("vec")).orderBy("id")
+      .limit(trainSample).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("vec").toArray)
+    val centroids = lloyd(sample, nCells, iters = 5)
+
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centDf = centroids.toDF("_cell", "_centroid")
+    val centDf = centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toSeq.toDF("_cell", "_centroid")
+
+    // nearest-centroid assignment: broadcast argmax over nCells
+    val assigned = cn.crossJoin(broadcast(centDf))
+      .withColumn("_csim", dotNative(col("vec"), col("_centroid")))
+      .withColumn("_cr", row_number().over(
+        Window.partitionBy("id").orderBy(desc("_csim"), col("_cell"))))
+      .where(col("_cr") === 1)
+      .drop("_csim", "_cr", "_centroid")
 
     val qn = queries
       .withColumn("_qnorm", l2Norm(col("qvec")))
@@ -132,6 +136,43 @@ object SimilaritySearch {
         Window.partitionBy("query_id").orderBy(desc("sim"), col("id"))))
       .where(col("rank") <= k && col("sim") > 0)
       .select("query_id", "rank", "id", "sim")
+  }
+
+  /** Driver-side Lloyd's iterations for IVF training. Deterministic:
+    * centroids init from evenly-strided sample rows; empty cells keep their
+    * previous centroid. */
+  private def lloyd(sample: Array[Array[Float]], nCells: Int,
+                    iters: Int): Array[Array[Float]] = {
+    require(sample.nonEmpty, "IVF training sample is empty")
+    val dim = sample.head.length
+    val k = math.min(nCells, sample.length)
+    var cents = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestSim = Double.MinValue
+        var c = 0
+        while (c < k) {
+          var s = 0.0; var i = 0
+          while (i < dim) { s += v(i).toDouble * cents(c)(i); i += 1 }
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          val m = sums(c).map(x => (x / counts(c)).toFloat)
+          val n = math.sqrt(m.map(x => x.toDouble * x).sum)
+          if (n == 0) cents(c) else m.map(x => (x / n).toFloat)
+        }
+      }
+    }
+    cents
   }
 
   /** Search the versioned store the way the reference does: corpus = base
