@@ -101,5 +101,7 @@ object VersionStore {
     * local filesystem layout simple while exercising the same exchange. */
   def write(versions: DataFrame, path: String, numPartitions: Int = 32): Unit =
     versions.repartition(numPartitions, col("content_id"))
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite")
+      .option("compression", "zstd") // better ratio than snappy on float arrays
+      .parquet(path)
 }

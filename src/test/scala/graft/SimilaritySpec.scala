@@ -58,6 +58,23 @@ class SimilaritySpec extends SparkSpec {
     assert(salted == naive && naive.size == 21)
   }
 
+  test("bounded-heap per-key top-k equals the naive window ranking") {
+    import graft.operators.TopK
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 3000).map(i =>
+      (i % 5L, rnd.nextDouble(), i.toLong)).toDF("key", "score", "id")
+    val naive = rows.withColumn("rank", row_number().over(
+        Window.partitionBy("key").orderBy(desc("score"), col("id"))))
+      .where(col("rank") <= 9)
+      .select("key", "rank", "id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val heap = TopK.perKeyHeap(rows, "key", "score", "id", 9)
+      .select("key", "rank", "id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(heap == naive && naive.size == 45)
+  }
+
   test("LSH topK returns a subset of scored pairs with correct ranking") {
     val lsh = SimilaritySearch.topKLsh(queryDf, corpusDf, 5, nBits = 4)
       .select("query_id", "rank", "id", "sim")
