@@ -56,13 +56,21 @@ object SimilaritySearch {
     * proportional to matching buckets only. Exact [[topK]] is the recall
     * baseline. */
   def topKLsh(queries: DataFrame, corpus: DataFrame, k: Int,
-              nBits: Int = 8): DataFrame = {
-    val qn = queries
-      .withColumn("_bucket", Dedup.hyperplaneBucket(col("qvec"), nBits))
+              nBits: Int = 8, multiProbe: Boolean = true): DataFrame = {
+    val qb = queries
+      .withColumn("_qb", Dedup.hyperplaneBucket(col("qvec"), nBits))
       .withColumn("_qnorm", l2Norm(col("qvec")))
       .where(col("_qnorm") > 0)
       .withColumn("qvec", l2NormalizeWith(col("qvec"), col("_qnorm")))
       .drop("_qnorm")
+    // multi-probe: each query also probes every hamming-1 neighbor bucket,
+    // recovering candidates whose single sign bit flipped — the standard
+    // recall lever that costs nBits extra probes instead of more tables
+    val qn =
+      if (!multiProbe) qb.withColumnRenamed("_qb", "_bucket")
+      else qb.select(col("query_id"), col("qvec"),
+        explode(array((col("_qb") +: (0 until nBits).map(j =>
+          col("_qb").bitwiseXOR(lit(1L << j)))): _*)).as("_bucket"))
     val cn = corpus
       .withColumn("_bucket", Dedup.hyperplaneBucket(col("vec"), nBits))
       .withColumn("_cnorm", l2Norm(col("vec")))

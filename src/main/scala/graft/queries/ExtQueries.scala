@@ -103,12 +103,17 @@ object ExtQueries {
         |  FROM embeddings e JOIN bk ON bk.vec_id = e.vec_id
         |  WHERE sqrt(list_sum(list_transform(range(0, 64), j ->
         |    CAST(embedding[j+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE)))) > 0),
+        |qp AS (
+        |  SELECT vec_id, v, unnest([bucket,
+        |    xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8),
+        |    xor(bucket, 16), xor(bucket, 32), xor(bucket, 64),
+        |    xor(bucket, 128)]) AS probe
+        |  FROM n WHERE vec_id < 10),
         |sc AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS id,
         |    list_sum(list_transform(range(0, 64), i ->
         |      CAST(q.v[i+1] AS DOUBLE) * CAST(c.v[i+1] AS DOUBLE))) AS sim
-        |  FROM n q JOIN n c ON q.bucket = c.bucket
-        |  WHERE q.vec_id < 10),
+        |  FROM qp q JOIN n c ON q.probe = c.bucket),
         |r AS (
         |  SELECT query_id, id, sim, CAST(row_number() OVER (
         |    PARTITION BY query_id ORDER BY sim DESC, id) AS INTEGER) AS rank
