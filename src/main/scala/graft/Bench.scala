@@ -17,15 +17,20 @@ object Bench {
     // noop sink, not count(): count() lets the optimizer prune away every
     // computed column of map-only queries, so the measured work would be a
     // bare scan; noop materializes the full output rows.
+    // failed queries record NEGATIVE elapsed (sentinel) and are excluded
+    // from the total, so a crash is never mistaken for a fast success
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e"); false }
+      val secs = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) secs else -secs)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ > 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -68,8 +68,13 @@ class TemporalVectorDB(
     invalidate()
   }
 
-  private def versionsExists: Boolean =
-    new java.io.File(path).exists()
+  // Hadoop FS resolution, not java.io.File: the store path may live on
+  // HDFS/S3 at deployment scale, where a local-file check silently returns
+  // false and seq assignment would restart at 1, colliding with stored keys.
+  private def versionsExists: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** Reconstruct one version; empty result if the target precedes the
     * earliest base (the reference raises there, delta_computer.py:116-119). */

@@ -94,13 +94,16 @@ object TextAnalysis {
   /** Position-weighted rolling fingerprint of the token stream: an
     * order-sensitive document hash, Σ_i (md5hash(tok_i) mod P)·(i+1) mod P
     * with P = 1e9+7. md5-derived token hashes make the value reproducible in
-    * any engine; the mod-first/multiply-later shape keeps every intermediate
-    * below 2^63 (hash ≤ 1e9, weight ≤ #tokens). */
+    * any engine; reducing mod P inside the fold keeps the accumulator below
+    * 2·P regardless of document length (a raw running sum would wrap 2^63
+    * around 4300 tokens while DuckDB's list_sum promotes to HUGEINT —
+    * engine/oracle divergence on long docs). Each term h·(i+1) stays below
+    * 2^63 for any realistic token count (h < 2^30). */
   def fingerprint(text: Column): Column = {
     val P = 1000000007L
     val weighted = transform(tokens(text), (t, i) =>
       pmod(conv(substring(md5(t.cast("binary")), 1, 14), 16, 10).cast("long"),
         lit(P)) * (i.cast("long") + 1))
-    pmod(aggregate(weighted, lit(0L), (a, x) => a + x), lit(P))
+    aggregate(weighted, lit(0L), (a, x) => pmod(a + x, lit(P)))
   }
 }

@@ -42,7 +42,10 @@ object TopK {
 
     private def insert(buf: Seq[(Double, Long)],
                        row: (Double, Long)): Seq[(Double, Long)] = {
-      if (buf.length >= k && better(buf.last, row)) buf
+      // at capacity, only a STRICTLY better row displaces — a tie with
+      // buf.last must drop, else the append path below grows the buffer
+      // to k+1 entries
+      if (buf.length >= k && !better(row, buf.last)) buf
       else {
         val i = buf.indexWhere(e => better(row, e)) match {
           case -1 => buf.length

@@ -95,7 +95,7 @@ object TextQueries {
         |SELECT doc_id,
         |  CAST(list_sum(list_transform(range(1, len(toks) + 1), i ->
         |    (CAST(concat('0x', substr(md5(toks[i]), 1, 14)) AS BIGINT)
-        |      % 1000000007) * i)) AS BIGINT) % 1000000007 AS fingerprint
+        |      % 1000000007) * i)) % 1000000007 AS BIGINT) AS fingerprint
         |FROM tk ORDER BY doc_id""".stripMargin
   )
 }

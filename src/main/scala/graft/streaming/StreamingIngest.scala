@@ -12,23 +12,48 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * The stream reuses the BATCH ingest job via `foreachBatch`: every
   * micro-batch runs the same windowed seq-assignment + promotion + delta
   * pipeline against the current store state, so streaming and batch ingest
-  * have identical semantics by construction. Checkpointing gives
-  * exactly-once appends into the parquet store.
+  * have identical semantics by construction.
+  *
+  * Delivery semantics: foreachBatch is at-least-once; `addVersions` is an
+  * append, so a naively retried micro-batch would duplicate (content_id,
+  * seq) rows. [[start]] therefore records a per-batch commit marker under
+  * `<store>/_streaming_commits/<batchId>` (underscore-prefixed — invisible
+  * to parquet readers) and skips any batch whose marker already exists,
+  * making recovery-replay idempotent. The remaining window is a crash
+  * BETWEEN the data append and the marker write (that one batch can
+  * duplicate on restart) — closing it fully requires a transactional table
+  * format; plain parquet has no atomic multi-file commit.
   */
 object StreamingIngest {
 
   /** Start ingesting a stream of (content_id, ts, embedding) rows.
     * Micro-batches are applied through [[TemporalVectorDB.addVersions]]
-    * (seq offsets continue from the stored max per content). */
+    * (seq offsets continue from the stored max per content); replayed
+    * batch ids whose commit marker exists are skipped (see class doc). */
   def start(stream: DataFrame, db: TemporalVectorDB,
             checkpoint: String): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) db.addVersions(batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(db, batch, batchId)
       }
       .start()
+
+  /** One micro-batch: append unless this batchId's commit marker already
+    * exists (idempotent replay). Exposed for direct testing. */
+  def processBatch(db: TemporalVectorDB, batch: DataFrame,
+                   batchId: Long): Unit = {
+    val commits = new org.apache.hadoop.fs.Path(db.path, "_streaming_commits")
+    val fs = commits.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(commits, batchId.toString)
+    if (!fs.exists(marker) && !batch.isEmpty) {
+      db.addVersions(batch)
+      fs.mkdirs(commits)
+      fs.create(marker, true).close()
+    }
+  }
 
   /** Streaming exact deduplication: drop rows whose dedup key was already
     * seen within the watermark horizon — the streaming counterpart of the

@@ -75,6 +75,16 @@ class SimilaritySpec extends SparkSpec {
     assert(heap == naive && naive.size == 45)
   }
 
+  test("bounded heap never exceeds k on exact (score, id) ties at capacity") {
+    import graft.operators.TopK
+    // identical (score, id) duplicates: insert's displacement predicate must
+    // treat a tie with buf.last at capacity as a drop, not an append
+    val rows = (1 to 50).map(_ => (1L, 0.5, 7L)).toDF("key", "score", "id")
+    val out = TopK.perKeyHeap(rows, "key", "score", "id", 3)
+      .select("rank").as[Int].collect().sorted.toSeq
+    assert(out == Seq(1, 2, 3))
+  }
+
   test("LSH topK returns a subset of scored pairs with correct ranking") {
     val lsh = SimilaritySearch.topKLsh(queryDf, corpusDf, 5, nBits = 4)
       .select("query_id", "rank", "id", "sim")

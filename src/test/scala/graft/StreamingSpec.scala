@@ -43,6 +43,26 @@ class StreamingSpec extends SparkSpec {
     assert(db.validateTimelineIntegrity().count() == 0)
   }
 
+  test("replayed micro-batch is skipped via its commit marker (idempotent)") {
+    val dir = Files.createTempDirectory("tvdb-replay").toFile
+    dir.delete()
+    val db = new TemporalVectorDB(spark, dir.getAbsolutePath)
+    val batch = Seq(("r1", ts(1), Array.fill(8)(0.5f)),
+      ("r1", ts(2), Array.fill(8)(0.6f)))
+      .toDF("content_id", "ts", "embedding")
+    StreamingIngest.processBatch(db, batch, batchId = 0L)
+    assert(db.versions.count() == 2)
+    // at-least-once replay of the SAME batch id: must be a no-op
+    StreamingIngest.processBatch(db, batch, batchId = 0L)
+    assert(db.versions.count() == 2)
+    // a NEW batch id still appends
+    StreamingIngest.processBatch(db,
+      Seq(("r1", ts(3), Array.fill(8)(0.7f)))
+        .toDF("content_id", "ts", "embedding"), batchId = 1L)
+    assert(db.versions.count() == 3)
+    assert(db.validateTimelineIntegrity().count() == 0)
+  }
+
   test("streaming dedup drops duplicate keys within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val docs = MemoryStream[(Timestamp, Long, String)]
