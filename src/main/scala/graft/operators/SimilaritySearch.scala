@@ -86,14 +86,24 @@ object SimilaritySearch {
       .drop("qvec", "vec", "_bucket")
   }
 
-  /** Approximate top-k via IVF (inverted-file) partitioning: KMeans
+  /** Approximate top-k via IVF (inverted-file) partitioning: Lloyd's
     * centroids over a corpus sample, each corpus vector assigned to its
     * nearest centroid, and each query probing only the `nProbe` nearest
-    * cells — the classic coarse-quantizer ANN shape. Centroid count
-    * ~sqrt(N) caps cell size; probing is a broadcast join of (query, cell)
-    * pairs against the cell-partitioned corpus. KMeans is seeded but not
-    * bit-reproducible across engines, so this operator is checked
-    * rows-only (recall vs [[topK]] in tests), not against the SQL oracle. */
+    * cells — the classic coarse-quantizer ANN shape.
+    *
+    * Scale shape: training is the one justified driver-side collect (IVF
+    * quantizers always train on a bounded sample); centroids then become
+    * ARRAY<FLOAT> LITERALS, so cell assignment is a map-only projection —
+    * nCells codegen'd dots + argmax per row, zero shuffle, no join — and
+    * query probing is the same projection with a top-nProbe `array_sort`.
+    * The only exchange in the whole operator is the final rank-by-query
+    * window over the probed candidates.
+    *
+    * Training ([[lloydQuantized]]) is bit-deterministic AND engine-portable:
+    * sample vectors quantize to integers, so all cross-row arithmetic is
+    * exact and order-independent — a DuckDB oracle replays the identical
+    * centroids (5 unrolled iterations in SQL), making this operator fully
+    * hash-checkable. */
   def topKIvf(queries: DataFrame, corpus: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
               trainSample: Int = 4096): DataFrame = {
@@ -103,40 +113,37 @@ object SimilaritySearch {
       .withColumn("vec", l2NormalizeWith(col("vec"), col("_cnorm")))
       .drop("_cnorm")
 
-    // IVF coarse quantizers always train on a bounded SAMPLE — a few
-    // thousand vectors suffice for nCells centroids regardless of corpus
-    // size, so training is a driver-side Lloyd's over a limit() sample
-    // (deterministic: sample ordered by id; no ML pipeline overhead).
     val sample = cn.select(col("id"), col("vec")).orderBy("id")
       .limit(trainSample).collect()
       .map(_.getAs[scala.collection.Seq[Float]]("vec").toArray)
-    val centroids = lloyd(sample, nCells, iters = 5)
+    val centroids = lloydQuantized(sample, nCells, iters = 5)
 
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centDf = centroids.zipWithIndex.map { case (c, i) => (i, c) }
-      .toSeq.toDF("_cell", "_centroid")
-
-    // nearest-centroid assignment: broadcast argmax over nCells
-    val assigned = cn.crossJoin(broadcast(centDf))
-      .withColumn("_csim", dotNative(col("vec"), col("_centroid")))
-      .withColumn("_cr", row_number().over(
-        Window.partitionBy("id").orderBy(desc("_csim"), col("_cell"))))
-      .where(col("_cr") === 1)
-      .drop("_csim", "_cr", "_centroid")
+    // map-only nearest-centroid assignment: argmax over centroid literals;
+    // array_position picks the FIRST max, i.e. ties resolve to the lowest
+    // cell (same as ORDER BY sim DESC, cell ASC LIMIT 1)
+    val simsC = centroids.map(c => dotNative(col("vec"), typedLit(c.toSeq)))
+    val assigned = cn
+      .withColumn("_sims", array(simsC: _*))
+      .withColumn("_cell",
+        (array_position(col("_sims"), array_max(col("_sims"))) - 1)
+          .cast("int"))
+      .drop("_sims")
 
     val qn = queries
       .withColumn("_qnorm", l2Norm(col("qvec")))
       .where(col("_qnorm") > 0)
       .withColumn("qvec", l2NormalizeWith(col("qvec"), col("_qnorm")))
       .drop("_qnorm")
-    // nProbe nearest cells per query (broadcast: centroids are tiny)
-    val probes = qn.crossJoin(broadcast(centDf))
-      .withColumn("_csim", dotNative(col("qvec"), col("_centroid")))
-      .withColumn("_crank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("_csim"), col("_cell"))))
-      .where(col("_crank") <= nProbe)
-      .select(col("query_id"), col("qvec"), col("_cell"))
+    // map-only top-nProbe cells per query: sort (−sim, cell) structs
+    // ascending = sim DESC with cell ASC tiebreak, slice, explode
+    val qsims = centroids.zipWithIndex.map { case (c, i) =>
+      struct((-dotNative(col("qvec"), typedLit(c.toSeq))).as("ns"),
+        lit(i).as("c"))
+    }
+    val probes = qn
+      .withColumn("_probes", slice(array_sort(array(qsims: _*)), 1, nProbe))
+      .select(col("query_id"), col("qvec"),
+        explode(transform(col("_probes"), x => x("c"))).as("_cell"))
 
     assigned.join(broadcast(probes), Seq("_cell"))
       .withColumn("sim", dotNative(col("qvec"), col("vec")))
@@ -146,41 +153,62 @@ object SimilaritySearch {
       .select("query_id", "rank", "id", "sim")
   }
 
-  /** Driver-side Lloyd's iterations for IVF training. Deterministic:
-    * centroids init from evenly-strided sample rows; empty cells keep their
-    * previous centroid. */
-  private def lloyd(sample: Array[Array[Float]], nCells: Int,
-                    iters: Int): Array[Array[Float]] = {
+  /** Driver-side Lloyd's for IVF training, designed for bit-exact replay in
+    * any engine:
+    *  - sample vectors quantize to integer grids (floor(v·1024 + 0.5)), so
+    *    per-cell sums are EXACT integers — summation order cannot change
+    *    the result (the one place float addition order would diverge
+    *    between engines);
+    *  - everything per-dimension is double arithmetic in fixed index order
+    *    (deterministic IEEE ops);
+    *  - init = evenly-strided sample rows (index c·n/k of the id-ordered
+    *    sample); ties in assignment go to the lowest cell; empty cells and
+    *    zero-norm means keep their previous centroid.
+    * Returns centroids rounded to float (the literal type the codegen'd
+    * [[graft.functions.DotProduct]] consumes; the oracle casts to REAL). */
+  private[operators] def lloydQuantized(sample: Array[Array[Float]],
+                                        nCells: Int,
+                                        iters: Int): Array[Array[Float]] = {
     require(sample.nonEmpty, "IVF training sample is empty")
     val dim = sample.head.length
-    val k = math.min(nCells, sample.length)
-    var cents = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
+    val n = sample.length
+    val k = math.min(nCells, n)
+    val qs: Array[Array[Long]] =
+      sample.map(_.map(x => math.floor(x.toDouble * 1024.0 + 0.5).toLong))
+    val dv: Array[Array[Double]] = qs.map(_.map(_ / 1024.0))
+    var cents: Array[Array[Double]] =
+      Array.tabulate(k)(c => dv((c * n) / k).clone())
     for (_ <- 1 to iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
+      val sums = Array.fill(k)(new Array[Long](dim))
       val counts = new Array[Long](k)
-      sample.foreach { v =>
-        var best = 0; var bestSim = Double.MinValue
+      var r = 0
+      while (r < n) {
+        var best = 0; var bestSim = Double.NegativeInfinity
         var c = 0
         while (c < k) {
           var s = 0.0; var i = 0
-          while (i < dim) { s += v(i).toDouble * cents(c)(i); i += 1 }
+          while (i < dim) { s += dv(r)(i) * cents(c)(i); i += 1 }
           if (s > bestSim) { bestSim = s; best = c }
           c += 1
         }
         counts(best) += 1
         var i = 0
-        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        while (i < dim) { sums(best)(i) += qs(r)(i); i += 1 }
+        r += 1
       }
       cents = Array.tabulate(k) { c =>
         if (counts(c) == 0) cents(c)
         else {
-          val m = sums(c).map(x => (x / counts(c)).toFloat)
-          val n = math.sqrt(m.map(x => x.toDouble * x).sum)
-          if (n == 0) cents(c) else m.map(x => (x / n).toFloat)
+          val m = Array.tabulate(dim)(i =>
+            sums(c)(i).toDouble / counts(c).toDouble / 1024.0)
+          var ss = 0.0; var i = 0
+          while (i < dim) { ss += m(i) * m(i); i += 1 }
+          val nn = math.sqrt(ss)
+          if (nn == 0) cents(c) else m.map(_ / nn)
         }
       }
     }
-    cents
+    cents.map(_.map(_.toFloat))
   }
 
   /** Search the versioned store the way the reference does: corpus = base

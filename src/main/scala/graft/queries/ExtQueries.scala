@@ -29,9 +29,10 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // Q35: approximate top-k via IVF coarse quantization (KMeans cells).
-    // KMeans isn't bit-reproducible in SQL, so this entry has no oracle —
-    // the driver records a rows-only check; recall is gated in tests.
+    // Q35: approximate top-k via IVF coarse quantization. The quantized
+    // Lloyd's trainer is bit-deterministic and engine-portable (integer
+    // cross-row sums), so the DuckDB oracle replays the training loop
+    // exactly — 5 unrolled iterations in SQL — and the entry hash-checks.
     "q35_ann_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.where(col("vec_id") < 10)
@@ -78,7 +79,104 @@ object ExtQueries {
             |ORDER BY id1, id2""".stripMargin)
       }))
 
+  /** DuckDB replay of [[graft.operators.SimilaritySearch.topKIvf]]:
+    * identical normalization (q15-proven REAL cast), identical quantized
+    * Lloyd's training (integer sums are order-independent; all double ops
+    * in fixed index order), identical assignment/probe tie-breaks
+    * (sim DESC, cell ASC == Spark's first-max / (−sim, cell) sort). */
+  private def q35OracleSql: String = {
+    val dot64 = (a: String, b: String) =>
+      s"list_sum(list_transform(range(0, 64), i -> $a[i+1] * $b[i+1]))"
+    val dotReal = (a: String, b: String) =>
+      s"""list_sum(list_transform(range(0, 64), i ->
+         |        CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))""".stripMargin
+    val iter = (t: Int) =>
+      s"""a$t AS (
+        |  SELECT rn, qv, cell FROM (
+        |    SELECT rn, qv, cell,
+        |      row_number() OVER (PARTITION BY rn ORDER BY d DESC, cell) AS rnk
+        |    FROM (SELECT s.rn, s.qv, c.cell,
+        |        ${dot64("s.dv", "c.cv")} AS d
+        |      FROM sampd s CROSS JOIN c${t - 1} c) y) x
+        |  WHERE rnk = 1),
+        |s$t AS (
+        |  SELECT cell, ii.i, sum(qv[ii.i + 1]) AS sq, count(*) AS cnt
+        |  FROM a$t, (SELECT unnest(range(0, 64)) AS i) ii
+        |  GROUP BY cell, ii.i),
+        |m$t AS (
+        |  SELECT cell,
+        |    list(CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE) / 1024.0
+        |      ORDER BY i) AS mv
+        |  FROM s$t GROUP BY cell),
+        |c$t AS (
+        |  SELECT p.cell,
+        |    CASE WHEN m.cell IS NULL
+        |           OR sqrt(list_sum(list_transform(m.mv, x -> x * x))) = 0
+        |      THEN p.cv
+        |      ELSE list_transform(m.mv, x ->
+        |        x / sqrt(list_sum(list_transform(m.mv, y -> y * y))))
+        |    END AS cv
+        |  FROM c${t - 1} p LEFT JOIN m$t m ON m.cell = p.cell)""".stripMargin
+    s"""WITH nrm AS (
+      |  SELECT vec_id, list_transform(range(0, 64), i ->
+      |    CAST(CAST(embedding[i+1] AS DOUBLE)
+      |      / sqrt(list_sum(list_transform(range(0, 64), j ->
+      |          CAST(embedding[j+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE))))
+      |      AS REAL)) AS v
+      |  FROM embeddings
+      |  WHERE sqrt(list_sum(list_transform(range(0, 64), j ->
+      |    CAST(embedding[j+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE)))) > 0),
+      |sampq AS (SELECT vec_id, v FROM nrm ORDER BY vec_id LIMIT 4096),
+      |samp AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn,
+      |    list_transform(v, x ->
+      |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv
+      |  FROM sampq),
+      |sampd AS (
+      |  SELECT rn, qv,
+      |    list_transform(qv, q -> CAST(q AS DOUBLE) / 1024.0) AS dv
+      |  FROM samp),
+      |sz AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(least(16, count(*)) AS BIGINT) AS k FROM samp),
+      |c0 AS (
+      |  SELECT cl.cell, s.dv AS cv
+      |  FROM (SELECT unnest(range(16)) AS cell) cl, sz, sampd s
+      |  WHERE cl.cell < sz.k AND s.rn = (cl.cell * sz.n) // sz.k),
+      |${(1 to 5).map(iter).mkString(",\n")},
+      |cf AS (SELECT cell, list_transform(cv, x -> CAST(x AS REAL)) AS cvf
+      |  FROM c5),
+      |asgn AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT vec_id, v, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rnk
+      |    FROM (SELECT n.vec_id, n.v, c.cell,
+      |        ${dotReal("n.v", "c.cvf")} AS d
+      |      FROM nrm n CROSS JOIN cf c) y) x
+      |  WHERE rnk = 1),
+      |pr AS (
+      |  SELECT query_id, qv2, cell FROM (
+      |    SELECT vec_id AS query_id, v AS qv2, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rnk
+      |    FROM (SELECT n.vec_id, n.v, c.cell,
+      |        ${dotReal("n.v", "c.cvf")} AS d
+      |      FROM nrm n CROSS JOIN cf c
+      |      WHERE n.vec_id < 10) y) x
+      |  WHERE rnk <= 4),
+      |sc AS (
+      |  SELECT p.query_id, a.vec_id AS id,
+      |    ${dotReal("p.qv2", "a.v")} AS sim
+      |  FROM pr p JOIN asgn a ON a.cell = p.cell),
+      |r AS (
+      |  SELECT query_id, id, sim, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY sim DESC, id) AS INTEGER) AS rank
+      |  FROM sc)
+      |SELECT query_id, rank, id, ${r4sql("sim")} AS sim
+      |FROM r WHERE rank <= 5 AND sim > 0
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q35_ann_ivf_topk" -> q35OracleSql,
     "q32_sql_surface" ->
       s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
         |  ${r4sql("list_sum(list_transform(range(0, 64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))")} AS dot

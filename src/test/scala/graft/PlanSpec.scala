@@ -13,8 +13,7 @@ class PlanSpec extends SparkSpec {
     "q25_neardup_embedding", // exact brute near-dup baseline
     "q24b_simhash_pairs",   // banded join uses an additional id< condition
     "q23b_dedup_minhash_lsh",
-    "q32_sql_surface",      // 5×5 pair demo
-    "q35_ann_ivf_topk"      // centroid probe: queries × 16 centroids
+    "q32_sql_surface"       // 5×5 pair demo
   )
 
   test("no unintentional cartesian/nested-loop joins in any declared query") {
