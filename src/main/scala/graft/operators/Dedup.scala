@@ -226,15 +226,37 @@ object Dedup {
     * planes r_j[i] = ((73·i + 179·j + 11) mod 97)/97 − 0.5 — reproducible
     * in any engine, no stored model. */
   def hyperplaneBucket(vec: Column, nBits: Int = 8): Column =
+    hyperplaneBucket(vec, nBits, 0)
+
+  /** Table `table` of a multi-table hyperplane LSH: an INDEPENDENT set of
+    * `nBits` planes (global plane index table·nBits + j), so each table
+    * partitions the space differently and a near pair split by one table's
+    * boundary usually shares a bucket in another — the standard recall
+    * lever (mirrors [[minhashCandidates]]' band structure). Table 0 is
+    * identical to the single-table [[hyperplaneBucket]]. */
+  def hyperplaneBucket(vec: Column, nBits: Int, table: Int): Column =
     (0 until nBits).map { j =>
+      val g = table * nBits + j
       val dotj = aggregate(
         transform(vec, (x, i) =>
           x.cast("double") *
-            ((pmod(lit(73) * i + lit(179 * j + 11), lit(97))
+            ((pmod(lit(73) * i + lit(179 * g + 11), lit(97))
               .cast("double") / 97.0) - 0.5)),
         lit(0.0), (a, v) => a + v)
       when(dotj > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
+
+  /** Bucket-count sizing for the hyperplane LSH at a given corpus size:
+    * the Σ bucket² candidate join stays linear only if bucket population is
+    * bounded, so bits must GROW with the corpus — nBits ≈
+    * log₂(N / targetBucketSize), clamped to [4, 24]. With the default 1k
+    * target: 1M rows → 10 bits (1k buckets), 1B rows → 20 bits (1M
+    * buckets); a fixed 8-bit default would make a 1B-row join ~N²/256. */
+  def autoBits(corpusSize: Long, targetBucketSize: Long = 1024L): Int = {
+    val buckets = math.max(1L, corpusSize / math.max(1L, targetBucketSize))
+    val bits = math.ceil(math.log(buckets.toDouble) / math.log(2.0)).toInt
+    math.max(4, math.min(24, bits))
+  }
 
   /** Embedding-cosine near-dup pairs, brute force (exact baseline):
     * all pairs with cosine >= tau. Quadratic — for oracle-scale corpora
@@ -254,19 +276,41 @@ object Dedup {
 
   /** Embedding near-dup via hyperplane-LSH buckets: pairs only within a
     * bucket, then exact cosine filter. One shuffle on the bucket key —
-    * the 100 TB path (cost Σ bucket², not N²). */
+    * the 100 TB path (cost Σ bucket², not N²). Size `nBits` with
+    * [[autoBits]] at scale; for recall-critical corpora use the
+    * multi-table [[nearDupPairsLshMulti]]. */
   def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
-                      tau: Double, nBits: Int = 8): DataFrame = {
+                      tau: Double, nBits: Int = 8): DataFrame =
+    nearDupPairsLshMulti(df, idCol, vecCol, tau, nBits, nTables = 1)
+
+  /** Multi-table embedding near-dup: each row enters `nTables` independent
+    * hyperplane-LSH tables; candidate pairs are the UNION of per-table
+    * bucket-mates (a pair is missed only if EVERY table splits it —
+    * miss probability decays exponentially in nTables), then the exact
+    * cosine filter verifies. The cosine is computed before the pair
+    * distinct — cheap codegen per joined row vs shuffling vectors — so
+    * cross-table duplicates dedup on the (id1, id2, cosine) triple. Cost:
+    * nTables × (Σ bucket²) candidate rows and ONE shuffle keyed by
+    * (table, bucket); still never N². */
+  def nearDupPairsLshMulti(df: DataFrame, idCol: String, vecCol: String,
+                           tau: Double, nBits: Int = 8,
+                           nTables: Int = 4): DataFrame = {
     val b = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .withColumn("_nrm", l2Norm(col("_v")))
       .where(col("_nrm") > 0)
       .withColumn("_nv", l2NormalizeWith(col("_v"), col("_nrm")))
-      .withColumn("_bucket", hyperplaneBucket(col("_v"), nBits))
-      .select("_id", "_nv", "_bucket")
-    b.as("a").join(b.as("b"),
-        col("a._bucket") === col("b._bucket") && col("a._id") < col("b._id"))
+      .select(col("_id"), col("_nv"),
+        posexplode(array((0 until nTables).map(t =>
+          hyperplaneBucket(col("_v"), nBits, t)): _*))
+          .as(Seq("_table", "_bucket")))
+    val pairs = b.as("a").join(b.as("b"),
+        col("a._table") === col("b._table") &&
+          col("a._bucket") === col("b._bucket") &&
+          col("a._id") < col("b._id"))
       .withColumn("cosine", dotNative(col("a._nv"), col("b._nv")))
       .where(col("cosine") >= tau)
       .select(col("a._id").as("id1"), col("b._id").as("id2"), col("cosine"))
+    // single table cannot produce cross-table duplicates — skip the shuffle
+    if (nTables == 1) pairs else pairs.distinct()
   }
 }

@@ -86,6 +86,53 @@ object SimilaritySearch {
       .drop("qvec", "vec", "_bucket")
   }
 
+  /** Multi-table hyperplane-LSH top-k: the corpus enters `nTables`
+    * independent bucket tables ([[Dedup.hyperplaneBucket]] with a table
+    * offset) and each query probes its bucket (plus hamming-1 neighbors
+    * when `multiProbe`) in EVERY table; candidates found by any table are
+    * unioned before ranking. Recall loss requires every table to split the
+    * pair — exponential decay in nTables — while cost stays Σ bucket² per
+    * table with ONE shuffle keyed by (table, bucket). Scores dedup on
+    * (query_id, id, sim) before ranking so cross-table hits rank once.
+    * Size `nBits` with [[Dedup.autoBits]] at scale. */
+  def topKLshMulti(queries: DataFrame, corpus: DataFrame, k: Int,
+                   nBits: Int = 8, nTables: Int = 4,
+                   multiProbe: Boolean = true): DataFrame = {
+    val probeStructs = (0 until nTables).flatMap { t =>
+      val base = Dedup.hyperplaneBucket(col("qvec"), nBits, t)
+      val buckets =
+        if (multiProbe) base +: (0 until nBits).map(j =>
+          base.bitwiseXOR(lit(1L << j)))
+        else Seq(base)
+      buckets.map(b => struct(lit(t).as("t"), b.as("b")))
+    }
+    // buckets derive from the RAW vector on both sides (same convention as
+    // topKLsh); probes computed before normalization overwrites qvec
+    val qp = queries
+      .withColumn("_probes", array(probeStructs: _*))
+      .withColumn("_qnorm", l2Norm(col("qvec")))
+      .where(col("_qnorm") > 0)
+      .withColumn("qvec", l2NormalizeWith(col("qvec"), col("_qnorm")))
+      .select(col("query_id"), col("qvec"), explode(col("_probes")).as("_p"))
+      .select(col("query_id"), col("qvec"),
+        col("_p.t").as("_table"), col("_p.b").as("_bucket"))
+    val cn = corpus
+      .withColumn("_buckets", array((0 until nTables).map(t =>
+        Dedup.hyperplaneBucket(col("vec"), nBits, t)): _*))
+      .withColumn("_cnorm", l2Norm(col("vec")))
+      .where(col("_cnorm") > 0)
+      .withColumn("vec", l2NormalizeWith(col("vec"), col("_cnorm")))
+      .select(col("id"), col("vec"),
+        posexplode(col("_buckets")).as(Seq("_table", "_bucket")))
+    val scored = cn.join(broadcast(qp), Seq("_table", "_bucket"))
+      .withColumn("sim", dotNative(col("qvec"), col("vec")))
+      .select("query_id", "id", "sim").distinct()
+    scored.withColumn("rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("sim"), col("id"))))
+      .where(col("rank") <= k && col("sim") > 0)
+  }
+
   /** Approximate top-k via IVF (inverted-file) partitioning: Lloyd's
     * centroids over a corpus sample, each corpus vector assigned to its
     * nearest centroid, and each query probing only the `nProbe` nearest

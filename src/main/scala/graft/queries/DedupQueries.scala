@@ -76,6 +76,15 @@ object DedupQueries {
     "q26_neardup_lsh" -> ((s, d) =>
       Dedup.nearDupPairsLsh(augEmb(s, d), "vec_id", "embedding", 0.95)
         .select(col("id1"), col("id2"), r4(col("cosine")).as("cosine"))
+        .orderBy("id1", "id2")),
+
+    // Multi-table variant: candidates unioned over 2 independent 6-bit
+    // tables — the recall configuration for large corpora (a near pair is
+    // missed only if BOTH tables split it).
+    "q26b_neardup_lsh_multi" -> ((s, d) =>
+      Dedup.nearDupPairsLshMulti(augEmb(s, d), "vec_id", "embedding", 0.95,
+          nBits = 6, nTables = 2)
+        .select(col("id1"), col("id2"), r4(col("cosine")).as("cosine"))
         .orderBy("id1", "id2"))
   )
 
@@ -123,10 +132,12 @@ object DedupQueries {
     s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
   }.mkString(" + ")
 
-  private def bucketBitsSql(v: String): String = (0 until 8).map { j =>
+  private def bucketBitsSql(v: String, nBits: Int = 8,
+                            table: Int = 0): String = (0 until nBits).map { j =>
+    val g = table * nBits + j
     s"""(CASE WHEN list_sum(list_transform(range(0, 64), i ->
        |      CAST($v[i+1] AS DOUBLE)
-       |      * (CAST((73 * i + ${179 * j + 11}) % 97 AS DOUBLE) / 97.0 - 0.5)))
+       |      * (CAST((73 * i + ${179 * g + 11}) % 97 AS DOUBLE) / 97.0 - 0.5)))
        |    > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
   }.mkString(" + ")
 
@@ -214,6 +225,24 @@ object DedupQueries {
         |SELECT a.vec_id AS id1, b.vec_id AS id2,
         |  ${r4sql(cosSql)} AS cosine
         |FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE $cosSql >= 0.95
+        |ORDER BY id1, id2""".stripMargin,
+
+    // two independent 6-bit tables; OR-join = union of per-table
+    // bucket-mates, each qualifying pair appearing exactly once
+    "q26b_neardup_lsh_multi" ->
+      s"""WITH $augEmbSql,
+        |$normEmbSql,
+        |bk AS (
+        |  SELECT vec_id, ${bucketBitsSql("embedding", 6, 0)} AS b0,
+        |    ${bucketBitsSql("embedding", 6, 1)} AS b1
+        |  FROM aug),
+        |nb AS (SELECT nv.vec_id, nv.v, bk.b0, bk.b1 FROM nv
+        |       JOIN bk ON bk.vec_id = nv.vec_id)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  ${r4sql(cosSql)} AS cosine
+        |FROM nb a JOIN nb b
+        |  ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.vec_id < b.vec_id
         |WHERE $cosSql >= 0.95
         |ORDER BY id1, id2""".stripMargin
   )

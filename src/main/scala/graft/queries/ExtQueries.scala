@@ -29,6 +29,22 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Q27b: multi-table LSH top-k — 2 independent 6-bit tables, each
+    // multi-probed; candidates unioned before ranking (the recall
+    // configuration for large corpora).
+    "q27b_ann_lsh_multi" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      SimilaritySearch.topKLshMulti(queries, corpus, 5,
+          nBits = 6, nTables = 2)
+        .select(col("query_id"), col("rank"), col("id"),
+          r4(col("sim")).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Q35: approximate top-k via IVF coarse quantization. The quantized
     // Lloyd's trainer is bit-deterministic and engine-portable (integer
     // cross-row sums), so the DuckDB oracle replays the training loop
@@ -175,8 +191,60 @@ object ExtQueries {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Multi-table LSH bucket bits for table `t` of a 6-bit scheme (global
+    * plane index g = t·6 + j, mirroring Dedup.hyperplaneBucket). */
+  private def bucket6(v: String, table: Int): String = (0 until 6).map { j =>
+    val g = table * 6 + j
+    s"""(CASE WHEN list_sum(list_transform(range(0, 64), i ->
+       |      CAST($v[i+1] AS DOUBLE)
+       |      * (CAST((73 * i + ${179 * g + 11}) % 97 AS DOUBLE) / 97.0 - 0.5)))
+       |    > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+  }.mkString(" + ")
+
+  private def q27bOracleSql: String = {
+    val probes = (b: String) =>
+      s"[$b, xor($b, 1), xor($b, 2), xor($b, 4), xor($b, 8), " +
+        s"xor($b, 16), xor($b, 32)]"
+    s"""WITH bk AS (
+      |  SELECT vec_id, ${bucket6("embedding", 0)} AS b0,
+      |    ${bucket6("embedding", 1)} AS b1
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT e.vec_id, bk.b0, bk.b1, list_transform(range(0, 64), i ->
+      |    CAST(CAST(embedding[i+1] AS DOUBLE)
+      |      / sqrt(list_sum(list_transform(range(0, 64), j ->
+      |          CAST(embedding[j+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE))))
+      |      AS REAL)) AS v
+      |  FROM embeddings e JOIN bk ON bk.vec_id = e.vec_id
+      |  WHERE sqrt(list_sum(list_transform(range(0, 64), j ->
+      |    CAST(embedding[j+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE)))) > 0),
+      |nbt AS (
+      |  SELECT vec_id, v, 0 AS tbl, b0 AS bucket FROM n
+      |  UNION ALL
+      |  SELECT vec_id, v, 1 AS tbl, b1 AS bucket FROM n),
+      |qpt AS (
+      |  SELECT vec_id, v, 0 AS tbl, unnest(${probes("b0")}) AS probe
+      |  FROM n WHERE vec_id < 10
+      |  UNION ALL
+      |  SELECT vec_id, v, 1 AS tbl, unnest(${probes("b1")}) AS probe
+      |  FROM n WHERE vec_id < 10),
+      |sc AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS id,
+      |    list_sum(list_transform(range(0, 64), i ->
+      |      CAST(q.v[i+1] AS DOUBLE) * CAST(c.v[i+1] AS DOUBLE))) AS sim
+      |  FROM qpt q JOIN nbt c ON c.tbl = q.tbl AND c.bucket = q.probe),
+      |r AS (
+      |  SELECT query_id, id, sim, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY sim DESC, id) AS INTEGER) AS rank
+      |  FROM sc)
+      |SELECT query_id, rank, id, ${r4sql("sim")} AS sim
+      |FROM r WHERE rank <= 5 AND sim > 0
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q35_ann_ivf_topk" -> q35OracleSql,
+    "q27b_ann_lsh_multi" -> q27bOracleSql,
     "q32_sql_surface" ->
       s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
         |  ${r4sql("list_sum(list_transform(range(0, 64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))")} AS dot

@@ -82,4 +82,30 @@ class DedupSpec extends SparkSpec {
     assert(brute.contains((0L, 100L)))
     assert(lsh.subsetOf(brute))
   }
+
+  test("multi-table embedding LSH: recall >= 0.9 vs brute on clustered dups") {
+    // 20 clusters × 3 jittered members: every intra-cluster pair is a true
+    // near-dup; multi-table candidates must recover >= 90% of them
+    val emb = (0 until 60).map { i =>
+      val c = i / 3
+      val v = Array.tabulate(16)(j =>
+        (math.sin(c * 17 + j) + 0.002 * math.sin(i * 7 + j)).toFloat)
+      (i.toLong, v)
+    }
+    val df = emb.toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingNearDup(df, "vec_id", "embedding", 0.999)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    val multi = Dedup.nearDupPairsLshMulti(df, "vec_id", "embedding", 0.999,
+        nBits = 6, nTables = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(multi.subsetOf(brute)) // exact cosine verify: no false positives
+    val recall = multi.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"multi-table near-dup recall $recall")
+    // union over tables: never below the single-table candidate set
+    val single = Dedup.nearDupPairsLsh(df, "vec_id", "embedding", 0.999,
+        nBits = 6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(multi))
+  }
 }

@@ -42,6 +42,29 @@ class SimilaritySpec extends SparkSpec {
     assert((0 until 4).forall(c => ivf.contains((c * 10L, c * 10L))))
   }
 
+  test("multi-table LSH topK: recall >= 0.9 vs exact on clustered data") {
+    val exact = SimilaritySearch.topK(queryDf, corpusDf, 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val multi = SimilaritySearch.topKLshMulti(queryDf, corpusDf, 5,
+      nBits = 6, nTables = 4)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = multi.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"multi-table recall $recall")
+    // and strictly at-least the single-table recall (candidates are a union)
+    val single = SimilaritySearch.topKLsh(queryDf, corpusDf, 5, nBits = 6)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val singleRecall = single.intersect(exact).size.toDouble / exact.size
+    assert(recall >= singleRecall)
+  }
+
+  test("autoBits grows with corpus size and clamps to [4, 24]") {
+    import graft.operators.Dedup
+    assert(Dedup.autoBits(1L << 20) == 10) // 1M rows / 1k target = 1k buckets
+    assert(Dedup.autoBits(1L << 30) == 20) // 1B rows -> 1M buckets
+    assert(Dedup.autoBits(100) == 4) // clamp low
+    assert(Dedup.autoBits(1L << 40, 1) == 24) // clamp high
+  }
+
   test("salted per-key top-k equals the naive single-window ranking") {
     import graft.operators.TopK
     import org.apache.spark.sql.expressions.Window
