@@ -137,9 +137,11 @@ class TemporalVectorDB(
   def listContentIds(): DataFrame =
     versions.select("content_id").distinct().orderBy("content_id")
 
-  /** Per-content stats bundle (reference :301-330). */
+  /** Per-content stats bundle — counts + change stats + reconstruction
+    * stats + integrity summary in one row, the reference's
+    * `get_content_statistics` shape (temporal_database.py:301-330). */
   def getContentStatistics(contentId: String): DataFrame =
-    Statistics.perContent(versions.where(col("content_id") === contentId))
+    Statistics.contentBundle(versions.where(col("content_id") === contentId))
 
   /** Fleet-wide statistics over ALL contents (the reference samples the
     * first 5 because each costs a timeline reload, :496-542). */

@@ -56,6 +56,26 @@ object Statistics {
       .withColumn("recommend_promotion", col("max_cost") > maxChain)
   }
 
+  /** Per-content statistics BUNDLE to the reference's
+    * `get_content_statistics` shape (storage/temporal_database.py:301-330,
+    * which merges change stats + reconstruction stats + an integrity
+    * summary): [[perContent]] ⋈ [[reconstructionStats]] ⋈ issue counts from
+    * [[Integrity.audit]], one row per content. Three aggregations over the
+    * same content-keyed partitioning plus two content-keyed joins — no
+    * per-content loops (the reference reloads the timeline three times per
+    * content here). */
+  def contentBundle(versions: DataFrame): DataFrame = {
+    val issues = Integrity.audit(versions)
+      .groupBy("content_id")
+      .agg(count(lit(1)).cast("int").as("n_integrity_issues"))
+    perContent(versions)
+      .join(reconstructionStats(versions), Seq("content_id"), "left")
+      .join(issues, Seq("content_id"), "left")
+      .withColumn("n_integrity_issues",
+        coalesce(col("n_integrity_issues"), lit(0)))
+      .withColumn("timeline_valid", col("n_integrity_issues") === 0)
+  }
+
   /** Storage-efficiency estimate vs dense full storage (reference
     * tests/test_week1.py:205-216): dense cells / stored cells.
     * `cellsPerEntry` = 2 counts the parallel idx+val arrays (honest storage

@@ -33,12 +33,13 @@ object SyntheticVersions {
 
   val cfg: VersionStore.Config = VersionStore.Config(baseInterval = Interval)
 
-  /** (content_id, seq, ts, embedding) rows, 12 versions per embedding. */
+  /** (content_id, seq, ts, embedding) rows, 12 versions per embedding.
+    * Seqs come from an explode (a generator, map-only) rather than a
+    * 12-row cross join, so no join node appears in any consumer's plan. */
   def build(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val seqs = spark.range(1, NumVersions + 1)
-      .select(col("id").cast("int").as("seq"))
-    emb.crossJoin(seqs).select(
+    emb.withColumn("seq",
+      explode(lit((1 to NumVersions).toArray))).select(
       format_string("c%04d", col("vec_id")).as("content_id"),
       col("seq"),
       expr("timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,seq-1,0,0,0)")

@@ -26,6 +26,15 @@ import org.apache.spark.sql.DataFrame
   *   base > 2×interval" rule (:404-411) is provably dead code when the
   *   interval rule is active (a delta run can never exceed interval-1 < 2×
   *   interval), so it is not replicated.
+  *
+  * Forced promotion (reference `force_base_snapshot` parameter,
+  * temporal_database.py:86-92 and the check at :378): rows carrying an
+  * optional BOOLEAN `force` column promote to base unconditionally — the
+  * set-based equivalent of the per-call flag. Like the reference, forcing
+  * changes only that version's storage kind; later versions' promotion
+  * decisions are unaffected (the interval rule counts versions, not
+  * distance-from-last-base), and the next delta chains from the forced
+  * base through the usual nearest-base-at-or-before reconstruction.
   */
 object VersionStore {
 
@@ -33,6 +42,12 @@ object VersionStore {
       sparsityThreshold: Double = Defaults.SparsityThreshold,
       baseInterval: Int = Defaults.BaseInterval,
       promotionRatio: Double = Defaults.PromotionRatio)
+
+  /** The optional per-row force_base_snapshot flag: absent column = never
+    * forced; null values = not forced. */
+  private def forced(df: DataFrame) =
+    if (df.columns.contains("force")) coalesce(col("force"), lit(false))
+    else lit(false)
 
   /** Ingest rows (content_id, seq, ts, embedding) with caller-assigned
     * contiguous seqs. Returns the full `versions` schema (FIXTURES A1). */
@@ -56,7 +71,8 @@ object VersionStore {
           sqrt(aggregate(vecDiff(col("embedding"), col("prev_embedding")),
             lit(0.0), (a, v) => a + v * v))))
       .withColumn("kind",
-        when(col("prev_embedding").isNull || col("seq") === 1, lit("base"))
+        when(forced(df), lit("base")) // reference checks force first (:378)
+          .when(col("prev_embedding").isNull || col("seq") === 1, lit("base"))
           .when(pmod(col("seq") - 1, lit(cfg.baseInterval)) === 0, lit("base"))
           .when(col("change_ratio") > cfg.promotionRatio, lit("base"))
           .otherwise(lit("delta")))

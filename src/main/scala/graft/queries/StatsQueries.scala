@@ -33,6 +33,24 @@ object StatsQueries {
           col("max_cost"), col("n_sampled"), col("recommend_promotion"))
         .orderBy("content_id")),
 
+    // the full content-statistics BUNDLE (reference get_content_statistics,
+    // temporal_database.py:301-330) over the q16 gapped sample, so the
+    // integrity component is exercised with real nonzero issue counts.
+    "q29d_content_bundle" -> ((s, d) => {
+      val versions = SyntheticVersions.versions(s, d)
+      val cnum = substring(col("content_id"), 2, 10).cast("int")
+      val sample = versions.where(
+        !(pmod(cnum, lit(7)) === 0 && col("seq").isin(3, 7)))
+      Statistics.contentBundle(sample)
+        .select(col("content_id"), col("max_seq"), col("n_versions"),
+          col("n_bases"), col("n_deltas"),
+          r4(col("avg_delta_magnitude")).as("avg_mag"),
+          r4(col("avg_cost")).as("avg_cost"), col("max_cost"),
+          col("n_sampled"), col("recommend_promotion"),
+          col("n_integrity_issues"), col("timeline_valid"))
+        .orderBy("content_id")
+    }),
+
     // version-id synthesis + parse round trip (SURVEY §2.9 rows 50-51;
     // reference data_structures.py:103-104, temporal_database.py:197-220).
     "q30_version_ids" -> ((s, d) =>
@@ -77,6 +95,54 @@ object StatsQueries {
         |  CAST(str_split(printf('%s_v%d', content_id, seq), '_v')[-1]
         |    AS INTEGER) AS parsed_seq
         |FROM vk WHERE seq <= 3 ORDER BY content_id, seq""".stripMargin),
+
+    "q29d_content_bundle" -> (cte +
+      s""", smp AS (
+        |  SELECT * FROM vk
+        |  WHERE NOT (CAST(substr(content_id, 2) AS INTEGER) % 7 = 0
+        |             AND seq IN (3, 7))),
+        |pc AS (
+        |  SELECT content_id,
+        |    CAST(max(seq) AS INTEGER) AS max_seq,
+        |    CAST(count(*) AS INTEGER) AS n_versions,
+        |    CAST(count(*) FILTER (WHERE kind = 'base') AS INTEGER) AS n_bases,
+        |    CAST(count(*) FILTER (WHERE kind = 'delta') AS INTEGER) AS n_deltas,
+        |    ${r4sql("avg(mag) FILTER (WHERE kind = 'delta')")} AS avg_mag
+        |  FROM smp GROUP BY content_id),
+        |costs AS (
+        |  SELECT v1.content_id, v1.seq, v1.seq - max(v2.seq) AS cost
+        |  FROM smp v1 JOIN smp v2 ON v2.content_id = v1.content_id
+        |    AND v2.kind = 'base' AND v2.seq <= v1.seq
+        |  GROUP BY v1.content_id, v1.seq),
+        |rc AS (
+        |  SELECT content_id, ${r4sql("avg(cost)")} AS avg_cost,
+        |    CAST(max(cost) AS INTEGER) AS max_cost,
+        |    CAST(count(*) AS INTEGER) AS n_sampled,
+        |    max(cost) > 15 AS recommend_promotion
+        |  FROM costs GROUP BY content_id),
+        |mx2 AS (SELECT content_id, max(seq) AS m FROM smp GROUP BY content_id),
+        |expd2 AS (
+        |  SELECT content_id, CAST(unnest(range(1, m + 1)) AS INTEGER) AS seq
+        |  FROM mx2),
+        |iss AS (
+        |  SELECT content_id, CAST(count(*) AS INTEGER) AS n_iss FROM (
+        |    SELECT e.content_id, e.seq FROM expd2 e
+        |    WHERE NOT EXISTS (SELECT 1 FROM smp
+        |      WHERE smp.content_id = e.content_id AND smp.seq = e.seq)
+        |    UNION ALL
+        |    SELECT d2.content_id, d2.seq
+        |    FROM smp d2 WHERE d2.kind = 'delta' AND NOT EXISTS (
+        |      SELECT 1 FROM smp p2 WHERE p2.content_id = d2.content_id
+        |        AND p2.seq = d2.seq - 1)) u
+        |  GROUP BY content_id)
+        |SELECT pc.content_id, pc.max_seq, pc.n_versions, pc.n_bases,
+        |  pc.n_deltas, pc.avg_mag, rc.avg_cost, rc.max_cost, rc.n_sampled,
+        |  rc.recommend_promotion,
+        |  coalesce(iss.n_iss, 0) AS n_integrity_issues,
+        |  coalesce(iss.n_iss, 0) = 0 AS timeline_valid
+        |FROM pc JOIN rc ON rc.content_id = pc.content_id
+        |LEFT JOIN iss ON iss.content_id = pc.content_id
+        |ORDER BY pc.content_id""".stripMargin),
 
     "q29c_recon_stats" -> (cte +
       s""", costs AS (

@@ -81,6 +81,45 @@ object Temporal {
       Integrity.audit(sample).orderBy("content_id", "seq", "issue")
     }),
 
+    // Q39: forced base promotion (reference force_base_snapshot,
+    // temporal_database.py:86-92, 378) — every 3rd content forces seq 4,
+    // which would otherwise be a delta (tiny edit, mid-interval).
+    "q39_force_base" -> ((s, d) => {
+      val forced = SyntheticVersions.build(s, d)
+        .withColumn("force", col("seq") === 4 &&
+          pmod(substring(col("content_id"), 2, 10).cast("int"), lit(3)) === 0)
+      VersionStore.ingestWithSeq(forced, SyntheticVersions.cfg)
+        .select(col("content_id"), col("seq"), col("kind"))
+        .orderBy("content_id", "seq")
+    }),
+
+    // Q38: versions.metadata JSON round-trip (reference JSON-serializes
+    // metadata on every store write/read, storage_engine.py:150-151,
+    // 222-223, 304, 358): ingest WITH metadata, serialize via to_json,
+    // parse back via from_json — the full codec path oracle-checked.
+    "q38_metadata_roundtrip" -> ((s, d) => {
+      val withMeta = SyntheticVersions.build(s, d)
+        .where(col("seq") <= 3)
+        .withColumn("metadata", map(
+          lit("author"), concat(lit("editor_"),
+            pmod(substring(col("content_id"), 2, 10).cast("int"), lit(5))),
+          lit("rev"), col("seq").cast("string")))
+      VersionStore.ingestWithSeq(withMeta, SyntheticVersions.cfg)
+        .select(col("content_id"), col("seq"), col("kind"),
+          to_json(col("metadata")).as("meta_json"),
+          from_json(to_json(col("metadata")),
+              org.apache.spark.sql.types.MapType(
+                org.apache.spark.sql.types.StringType,
+                org.apache.spark.sql.types.StringType))
+            .getItem("author").as("author"),
+          from_json(to_json(col("metadata")),
+              org.apache.spark.sql.types.MapType(
+                org.apache.spark.sql.types.StringType,
+                org.apache.spark.sql.types.StringType))
+            .getItem("rev").cast("int").as("rev_parsed"))
+        .orderBy("content_id", "seq")
+    }),
+
     // Q31: generic as-of join (SURVEY rows 24/26): for sampled anchor
     // events, the latest strictly-earlier event of the same user.
     "q31_asof_join" -> ((s, d) => {
@@ -213,6 +252,30 @@ object Temporal {
         |SELECT * FROM (
         |  SELECT * FROM missing UNION ALL SELECT * FROM dangling) u
         |ORDER BY content_id, seq, issue""".stripMargin),
+
+    // kinds for seq<=3 equal the full-history kinds (kind depends only on
+    // the previous version); the JSON text replicates Spark's to_json
+    // byte-for-byte (no whitespace, insertion key order)
+    "q38_metadata_roundtrip" -> (cte +
+      """SELECT content_id, seq, kind,
+        |  printf('{"author":"editor_%d","rev":"%d"}',
+        |    CAST(substr(content_id, 2) AS INTEGER) % 5, seq) AS meta_json,
+        |  printf('editor_%d',
+        |    CAST(substr(content_id, 2) AS INTEGER) % 5) AS author,
+        |  seq AS rev_parsed
+        |FROM vk WHERE seq <= 3 ORDER BY content_id, seq""".stripMargin),
+
+    // the force predicate wins the kind CASE first, exactly as the Spark
+    // ingest orders its `when` chain (reference checks force first, :378)
+    "q39_force_base" -> (cte +
+      """SELECT content_id, seq,
+        |  CASE WHEN seq = 4 AND CAST(substr(content_id, 2) AS INTEGER) % 3 = 0
+        |         THEN 'base'
+        |       WHEN seq = 1 THEN 'base'
+        |       WHEN (seq - 1) % 5 = 0 THEN 'base'
+        |       WHEN n_changed / 64.0 > 0.7 THEN 'base'
+        |       ELSE 'delta' END AS kind
+        |FROM d ORDER BY content_id, seq""".stripMargin),
 
     "q31_asof_join" ->
       s"""WITH ev AS (

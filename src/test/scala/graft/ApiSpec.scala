@@ -111,4 +111,23 @@ class ApiSpec extends SparkSpec {
     assert(db.optimizeContentBases(maxCost = 10).count() == 0)
     assert(db.optimizeContentBases(maxCost = 2).count() > 0)
   }
+
+  test("getContentStatistics bundles counts + recon stats + integrity " +
+    "(temporal_database.py:301-330 shape)") {
+    val db = freshDb()
+    db.addVersions(mkHistory(12).toDF("content_id", "ts", "embedding"))
+    val rows = db.getContentStatistics("art")
+    val expected = Seq("content_id", "max_seq", "n_versions", "n_bases",
+      "n_deltas", "avg_delta_magnitude", "max_delta_magnitude",
+      "min_delta_magnitude", "avg_cost", "max_cost", "n_sampled",
+      "recommend_promotion", "n_integrity_issues", "timeline_valid")
+    assert(expected.forall(rows.columns.contains),
+      s"missing: ${expected.filterNot(rows.columns.contains)}")
+    val r = rows.collect().head
+    assert(r.getAs[Int]("n_versions") == 12)
+    assert(r.getAs[Int]("n_sampled") == 12)
+    assert(r.getAs[Int]("max_cost") <= 4) // interval-5 chains
+    assert(r.getAs[Int]("n_integrity_issues") == 0)
+    assert(r.getAs[Boolean]("timeline_valid"))
+  }
 }

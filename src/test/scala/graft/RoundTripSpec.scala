@@ -49,6 +49,22 @@ class RoundTripSpec extends SparkSpec {
     }
   }
 
+  test("metadata survives the store write→read roundtrip " +
+    "(storage_engine.py:150-151, 222-223)") {
+    import org.apache.spark.sql.functions._
+    val df = randomHistory(16, 4, seed = 9L)
+      .toDF("content_id", "seq", "ts", "embedding")
+      .withColumn("metadata", map(lit("source"), lit("crawl"),
+        lit("rev"), col("seq").cast("string")))
+    val dir = java.nio.file.Files.createTempDirectory("meta-rt").toFile
+    VersionStore.write(VersionStore.ingestWithSeq(df), dir.getAbsolutePath)
+    val back = spark.read.parquet(dir.getAbsolutePath)
+      .select(col("seq"), col("metadata").getItem("source").as("src"),
+        col("metadata").getItem("rev").cast("int").as("rev"))
+      .as[(Int, String, Int)].collect().sorted.toSeq
+    assert(back == (1 to 4).map(k => (k, "crawl", k)))
+  }
+
   test("roundtrip at the reference default dim 384") {
     assertRoundTrip(384, VersionStore.Config(), seed = 1)
   }

@@ -52,6 +52,32 @@ class VersionStoreSpec extends SparkSpec {
     assert(bases == Seq(1, 6, 11)) // the reference's own test shape
   }
 
+  test("force column promotes mid-interval; next delta chains from the " +
+    "forced base (temporal_database.py:86-92, 378)") {
+    val df = history(Seq(0.0, 0.05, 0.05, 0.05))
+      .toDF("content_id", "seq", "ts", "embedding")
+      .withColumn("force", org.apache.spark.sql.functions.col("seq") === 3)
+    val cfg = VersionStore.Config(baseInterval = 100, promotionRatio = 0.99)
+    val stored = VersionStore.ingestWithSeq(df, cfg)
+    val ks = stored.select("seq", "kind").as[(Int, String)]
+      .collect().sorted.toSeq
+    // without force all of 2..4 would be deltas (tiny edits, huge interval)
+    assert(ks == Seq((1, "base"), (2, "delta"), (3, "base"), (4, "delta")))
+    // forced base stores a full embedding, no delta arrays
+    val f = stored.where("seq = 3").collect().head
+    assert(!f.isNullAt(f.fieldIndex("embedding")))
+    assert(f.isNullAt(f.fieldIndex("delta_idx")))
+    // seq 4 reconstructs FROM the forced base (cost 1, not 3)
+    val recon = graft.operators.Reconstruction.reconstruct(stored,
+      Seq(("doc", 4)).toDF("content_id", "seq"))
+    assert(recon.select("base_seq_used").as[Int].collect().head == 3)
+    // null / absent force behaves as never-forced
+    val nf = VersionStore.ingestWithSeq(df.withColumn("force",
+        org.apache.spark.sql.functions.lit(null).cast("boolean")), cfg)
+      .select("seq", "kind").as[(Int, String)].collect().sorted.toSeq
+    assert(nf == Seq((1, "base"), (2, "delta"), (3, "delta"), (4, "delta")))
+  }
+
   test("delta rows carry sparse arrays + from_seq; bases carry embedding") {
     val df = history(Seq(0.0, 0.05)).toDF("content_id", "seq", "ts", "embedding")
     val out = VersionStore.ingestWithSeq(df, VersionStore.Config()).collect()
