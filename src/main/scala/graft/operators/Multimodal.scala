@@ -11,47 +11,116 @@ case class MediaFeatures(
     n_bytes: Long,
     feature: Array[Float])
 
+/** A media decoder + feature extractor: payload bytes in, fixed-width
+  * feature vector out. Implementations MUST be Serializable (they ship to
+  * executors inside the mapPartitions closure) and deterministic.
+  * This is the codec boundary: a production deployment drops in a
+  * libjpeg/ffmpeg-backed implementation without touching the Spark plan. */
+trait Featurizer extends Serializable {
+  def featureDim: Int
+  def featurize(bytes: Array[Byte]): Array[Float]
+}
+
+/** Deterministic stand-in for payloads this sandbox cannot decode (no
+  * image/audio codecs installed): feature j derives from 6 hex digits of
+  * md5(payload) at offset 2j, scaled to [0, 1) — reproducible in any
+  * engine with md5, so the SQL oracle replays it exactly. */
+object Md5Featurizer extends Featurizer {
+  val featureDim = 8
+  def featurize(bytes: Array[Byte]): Array[Float] = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+    Array.tabulate(featureDim) { j =>
+      val v = java.lang.Long.parseLong(hex.substring(2 * j, 2 * j + 6), 16)
+      (v % 1000L).toFloat / 1000.0f
+    }
+  }
+}
+
+/** A REAL (if minimal) image decoder proving the codec boundary: binary
+  * PPM (P6) — ASCII header `P6 <w> <h> <maxval>` then w·h RGB byte
+  * triples. Features: width, height, maxval, mean R/G/B scaled by maxval,
+  * pixel count, aspect ratio. Malformed payloads featurize to zeros
+  * (corrupt media must not kill a 100 TB scan — same policy as the
+  * reference's silent index-skip, core/data_structures.py:118). */
+object PpmFeaturizer extends Featurizer {
+  val featureDim = 8
+  def featurize(bytes: Array[Byte]): Array[Float] = {
+    try {
+      require(bytes.length > 2 && bytes(0) == 'P' && bytes(1) == '6')
+      var pos = 2
+      def nextInt(): Int = {
+        while (pos < bytes.length &&
+          (bytes(pos).toChar.isWhitespace ||
+            bytes(pos) == '#' && { // comment line
+              while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+              true
+            })) pos += 1
+        var v = 0
+        while (pos < bytes.length && bytes(pos).toChar.isDigit) {
+          v = v * 10 + (bytes(pos) - '0'); pos += 1
+        }
+        v
+      }
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      pos += 1 // single whitespace after maxval, per spec
+      require(w > 0 && h > 0 && maxval > 0)
+      require(bytes.length >= pos + 3 * w * h)
+      val sums = new Array[Long](3)
+      var i = 0
+      val n = w * h
+      while (i < n) {
+        sums(0) += bytes(pos + 3 * i) & 0xff
+        sums(1) += bytes(pos + 3 * i + 1) & 0xff
+        sums(2) += bytes(pos + 3 * i + 2) & 0xff
+        i += 1
+      }
+      Array(w.toFloat, h.toFloat, maxval.toFloat,
+        (sums(0).toDouble / n / maxval).toFloat,
+        (sums(1).toDouble / n / maxval).toFloat,
+        (sums(2).toDouble / n / maxval).toFloat,
+        n.toFloat, w.toFloat / h.toFloat)
+    } catch {
+      case _: Throwable => new Array[Float](featureDim)
+    }
+  }
+}
+
 /** Multimodal-column plumbing for training-data pipelines (builder north
   * star): media payloads travel as opaque BINARY columns with typed
   * metadata; decode/feature-extract runs as per-partition imperative code —
   * the one place `mapPartitions` is the right tool (native codec calls
   * cannot be expressed as Catalyst expressions).
   *
-  * The DECODE STEP IS A STUB: this environment has no image/audio codecs,
-  * so `decodeAndFeaturize` derives deterministic pseudo-features from the
-  * payload's md5. Everything around it — binary schema, partition-parallel
-  * batched execution, typed output Encoder, downstream compatibility with
-  * the similarity/dedup operators — is real and tested. A production
-  * deployment replaces only the body of [[featurize]] with a codec call
-  * (e.g. libjpeg/ffmpeg via JNI), keeping the identical Spark plan.
+  * The decoder is PLUGGABLE via [[Featurizer]]: [[PpmFeaturizer]] is a
+  * real (header-parsing, pixel-scanning) decoder; [[Md5Featurizer]] is the
+  * deterministic stand-in for formats this sandbox has no codecs for, and
+  * stays the default so the oracle query remains SQL-replicable. The Spark
+  * side — binary schema, partition-parallel batched execution, typed
+  * output Encoder, downstream compatibility with similarity/dedup
+  * operators — is identical for every implementation.
   */
 object Multimodal {
 
-  val FeatureDim = 8
+  val FeatureDim: Int = Md5Featurizer.featureDim
 
-  /** Deterministic stand-in for a codec + feature extractor: feature j is
-    * derived from 6 hex digits of md5(payload) at offset 2j, scaled to
-    * [0, 1). Reproducible in any engine with md5 (the oracle replicates
-    * it in SQL). */
-  def featurize(bytes: Array[Byte]): Array[Float] = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(bytes).map("%02x".format(_)).mkString
-    Array.tabulate(FeatureDim) { j =>
-      val v = java.lang.Long.parseLong(hex.substring(2 * j, 2 * j + 6), 16)
-      (v % 1000L).toFloat / 1000.0f
-    }
-  }
+  /** Back-compat alias for the default stub featurizer. */
+  def featurize(bytes: Array[Byte]): Array[Float] =
+    Md5Featurizer.featurize(bytes)
 
   /** Decode + featurize a media table (media_id LONG, kind STRING,
-    * payload BINARY). Runs partition-parallel with no shuffle; only the
-    * two needed columns are scanned. */
-  def decodeAndFeaturize(media: DataFrame): Dataset[MediaFeatures] = {
+    * payload BINARY) with the given codec. Runs partition-parallel with no
+    * shuffle; only the needed columns are scanned. */
+  def decodeAndFeaturize(media: DataFrame,
+                         codec: Featurizer = Md5Featurizer)
+      : Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, kind, payload) =>
-        MediaFeatures(id, kind, payload.length.toLong, featurize(payload))
+        MediaFeatures(id, kind, payload.length.toLong,
+          codec.featurize(payload))
       })
   }
 

@@ -140,15 +140,28 @@ object Temporal {
     }),
 
     // Q17: interval/range join (SURVEY row 25 analogue): events within
-    // [ts, ts+1h) of each anchor event, equi on user + range on time.
+    // [ts, ts+1h) of each anchor event. TIME-BUCKETED join key: events key
+    // on their hour bucket; each anchor probes its two covering buckets
+    // (b, b+1 — a 1h window starting mid-bucket always spans exactly two).
+    // Joining on (user_id, bucket) instead of user_id alone bounds per-key
+    // expansion to 2×(events per user-HOUR) instead of all events per
+    // user — the range post-filter then only discards within-bucket
+    // stragglers. Values identical to the plain equi-on-user form: events
+    // outside buckets {b, b+1} cannot satisfy the range predicate.
     "q17_range_join" -> ((s, d) => {
+      val h = 3600000000L // 1h in micros; buckets via integer div
       val ev = eventsUs(s, d)
-      val anchors = ev.where(pmod(col("event_id"), lit(97)) === 0)
+        .select(col("user_id"), col("ts_us"),
+          expr(s"ts_us div $h").as("_b"))
+      val anchors = eventsUs(s, d)
+        .where(pmod(col("event_id"), lit(97)) === 0)
         .select(col("event_id").as("anchor_id"), col("user_id"),
-          col("ts_us").as("a_ts"))
-      anchors.join(ev.select("user_id", "ts_us"), Seq("user_id"))
+          col("ts_us").as("a_ts"),
+          explode(array(expr(s"ts_us div $h"),
+            expr(s"ts_us div $h") + 1)).as("_b"))
+      anchors.join(ev, Seq("user_id", "_b"))
         .where(col("ts_us") >= col("a_ts") &&
-          col("ts_us") < col("a_ts") + lit(3600000000L))
+          col("ts_us") < col("a_ts") + lit(h))
         .groupBy("anchor_id")
         .agg(count(lit(1)).as("n_events"))
         .orderBy("anchor_id")

@@ -36,6 +36,40 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.featurize(bytes)(0) == f0)
   }
 
+  test("PpmFeaturizer decodes a real P6 image: dims, maxval, channel means") {
+    import graft.operators.PpmFeaturizer
+    // 2x2 image: pure red, pure green, pure blue, mid gray
+    val pixels = Array[Int](255, 0, 0, 0, 255, 0, 0, 0, 255, 128, 128, 128)
+      .map(_.toByte)
+    val ppm = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ pixels
+    val f = PpmFeaturizer.featurize(ppm)
+    assert(f(0) == 2.0f && f(1) == 2.0f && f(2) == 255.0f)
+    // mean R = (255+0+0+128)/4/255
+    assert(math.abs(f(3) - 383.0 / 4 / 255) < 1e-6)
+    assert(math.abs(f(4) - 383.0 / 4 / 255) < 1e-6)
+    assert(math.abs(f(5) - 383.0 / 4 / 255) < 1e-6)
+    assert(f(6) == 4.0f && f(7) == 1.0f)
+    // comment lines in the header parse too
+    val withComment = "P6\n# made by graft\n2 2\n255\n".getBytes("US-ASCII") ++ pixels
+    assert(PpmFeaturizer.featurize(withComment).toSeq == f.toSeq)
+    // corrupt payloads featurize to zeros, never throw
+    assert(PpmFeaturizer.featurize("P6\n9 9\n255\n".getBytes("US-ASCII"))
+      .forall(_ == 0.0f))
+    assert(PpmFeaturizer.featurize(Array[Byte](1, 2, 3)).forall(_ == 0.0f))
+  }
+
+  test("decodeAndFeaturize accepts a pluggable codec (same Spark plan)") {
+    import graft.operators.PpmFeaturizer
+    val pixels = Array.fill[Byte](3 * 6)(100.toByte)
+    val ppm = "P6\n3 2\n255\n".getBytes("US-ASCII") ++ pixels
+    val df = Seq((10L, "image", ppm)).toDF("media_id", "kind", "payload")
+    val out = Multimodal.decodeAndFeaturize(df, PpmFeaturizer)
+      .collect().head
+    assert(out.media_id == 10L && out.n_bytes == ppm.length)
+    assert(out.feature(0) == 3.0f && out.feature(1) == 2.0f)
+    assert(math.abs(out.feature(3) - 100.0 / 255) < 1e-6)
+  }
+
   test("sampleFrames emits one row per stride chunk") {
     val got = Multimodal.sampleFrames(media, stride = 64)
       .groupBy("media_id").agg(count(lit(1)).as("n"))
