@@ -117,7 +117,8 @@ class TemporalVectorDB(
     Reconstruction.reconstruct(versions, targets)
 
   /** Cosine kNN over base snapshots only — exactly the reference's search
-    * corpus semantics (storage_engine.py:89-110, 439-469). */
+    * corpus semantics (storage_engine.py:89-110, 439-469: delta-only
+    * versions are never indexed). */
   def searchSimilarContent(query: Array[Float], k: Int = Defaults.DefaultK)
       : DataFrame = {
     import spark.implicits._
@@ -125,6 +126,23 @@ class TemporalVectorDB(
     SimilaritySearch.topK(q, cacheBases()
         .select(concat_ws("#", col("content_id"), col("seq")).as("id"),
           col("vec")), k)
+      .select(col("rank"), col("id"), col("sim"))
+  }
+
+  /** Cosine kNN over each content's RECONSTRUCTED LATEST version (SURVEY
+    * §3.3's optional extension beyond the reference's bases-only corpus):
+    * the freshest state of every content is searchable even when the
+    * latest version is a delta. One reconstruction job builds the corpus —
+    * at scale, reconstruct once and cache/persist rather than per query. */
+  def searchLatestVersions(query: Array[Float], k: Int = Defaults.DefaultK)
+      : DataFrame = {
+    import spark.implicits._
+    val latest = versions.groupBy("content_id").agg(max("seq").as("seq"))
+    val corpus = Reconstruction.reconstruct(versions, latest)
+      .select(concat_ws("#", col("content_id"), col("seq")).as("id"),
+        col("embedding").as("vec"))
+    val q = Seq((1L, query)).toDF("query_id", "qvec")
+    SimilaritySearch.topK(q, corpus, k)
       .select(col("rank"), col("id"), col("sim"))
   }
 

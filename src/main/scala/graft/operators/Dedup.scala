@@ -233,8 +233,22 @@ object Dedup {
     * partitions the space differently and a near pair split by one table's
     * boundary usually shares a bucket in another — the standard recall
     * lever (mirrors [[minhashCandidates]]' band structure). Table 0 is
-    * identical to the single-table [[hyperplaneBucket]]. */
-  def hyperplaneBucket(vec: Column, nBits: Int, table: Int): Column =
+    * identical to the single-table [[hyperplaneBucket]].
+    *
+    * Evaluates via the codegen'd [[graft.functions.HyperplaneBucketExpr]]
+    * (bulk bucketing dominates the LSH scans; the HOF formulation below is
+    * kept for the bit-identity cross-check in DedupSpec). */
+  def hyperplaneBucket(vec: Column, nBits: Int, table: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.HyperplaneBucketExpr(
+      Bridge.expression(vec), nBits, table))
+  }
+
+  /** The interpreted higher-order-function formulation of
+    * [[hyperplaneBucket]] — same plane family, same double fold order;
+    * retained as the cross-check reference for the codegen expression. */
+  private[graft] def hyperplaneBucketHof(vec: Column, nBits: Int,
+                                         table: Int): Column =
     (0 until nBits).map { j =>
       val g = table * nBits + j
       val dotj = aggregate(

@@ -112,6 +112,23 @@ class ApiSpec extends SparkSpec {
     assert(db.optimizeContentBases(maxCost = 2).count() > 0)
   }
 
+  test("searchLatestVersions searches reconstructed latest state " +
+    "(deltas included, unlike the bases-only corpus)") {
+    val db = freshDb()
+    db.addVersions(mkHistory(7).toDF("content_id", "ts", "embedding"))
+    // latest version (seq 7) is a delta: bases-only search can never
+    // return seq 7, the latest-version search must return exactly it
+    val latestKind = db.versions.where(col("seq") === 7)
+      .select("kind").as[String].collect().head
+    assert(latestKind == "delta")
+    val latestVec = db.getLatestVersion("art")
+      .select("embedding").as[Seq[Float]].collect().head.toArray
+    val hit = db.searchLatestVersions(latestVec, k = 1)
+      .select("id", "sim").as[(String, Double)].collect().head
+    assert(hit._1 == "art#7")
+    assert(math.abs(hit._2 - 1.0) < 1e-6)
+  }
+
   test("getContentStatistics bundles counts + recon stats + integrity " +
     "(temporal_database.py:301-330 shape)") {
     val db = freshDb()

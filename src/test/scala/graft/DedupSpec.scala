@@ -83,6 +83,19 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(brute))
   }
 
+  test("codegen HyperplaneBucketExpr is bit-identical to the HOF form") {
+    val emb = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(64)(j => math.sin(i * 13 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    for (t <- 0 to 2; bits <- Seq(6, 8)) {
+      val mismatch = emb.select(
+        Dedup.hyperplaneBucket(col("embedding"), bits, t).as("fast"),
+        Dedup.hyperplaneBucketHof(col("embedding"), bits, t).as("ref"))
+        .where(col("fast") =!= col("ref")).count()
+      assert(mismatch == 0, s"table=$t bits=$bits: $mismatch mismatches")
+    }
+  }
+
   test("multi-table embedding LSH: recall >= 0.9 vs brute on clustered dups") {
     // 20 clusters × 3 jittered members: every intra-cluster pair is a true
     // near-dup; multi-table candidates must recover >= 90% of them

@@ -30,6 +30,18 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unintentional cross joins in: $offenders")
   }
 
+  test("IVF q35: map-only assignment — only exchange is the rank window") {
+    val plan = SparkEntry.queries("q35_ann_ivf_topk")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // corpus cell assignment must be a projection over centroid literals:
+    // no shuffle reaches the corpus before the broadcast probe join, so
+    // the whole plan carries exactly ONE hash exchange (rank-by-query)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n" +
+      plan.take(4000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("parquet-scan queries push filters and prune columns (q01 witness)") {
     val plan = SparkEntry.queries("q01_filter")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
