@@ -1,7 +1,8 @@
 package graft.api
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, HyperplaneBucketExpr}
 import graft.sources.Tables
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.graftbridge.Bridge
 
@@ -13,10 +14,22 @@ object GraftSql {
   val TableNames = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Register graft's custom expressions (currently `graft_dot`). */
-  def registerFunctions(spark: SparkSession): Unit =
+  /** Register graft's custom expressions: `graft_dot(a, b)` and
+    * `graft_hyperplane_bucket(vec, nBits, table)` (the latter two args must
+    * be integer literals — they size the generated code). */
+  def registerFunctions(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "graft_dot",
       exprs => DotProduct(exprs(0), exprs(1)))
+    Bridge.registerFunction(spark, "graft_hyperplane_bucket", exprs => {
+      def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        e match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_hyperplane_bucket expects integer literals, got $other")
+        }
+      HyperplaneBucketExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))
+    })
+  }
 
   /** Create temp views for the driver's parquet tables. */
   def registerTables(spark: SparkSession, dir: String): Unit = {

@@ -1,0 +1,37 @@
+package graft
+
+import graft.api.GraftSql
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** SQL-text surface: custom expressions callable from spark.sql match the
+  * Column API exactly. */
+class GraftSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_hyperplane_bucket from SQL matches the Column API") {
+    GraftSql.registerFunctions(spark)
+    val emb = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(32)(j => math.cos(i * 7 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    emb.createOrReplaceTempView("gsql_emb")
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_hyperplane_bucket(embedding, 8, 1) AS b " +
+        "FROM gsql_emb")
+    val viaApi = emb.select(col("vec_id"),
+      Dedup.hyperplaneBucket(col("embedding"), 8, 1).as("b"))
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+  }
+
+  test("graft_hyperplane_bucket rejects non-literal size args") {
+    GraftSql.registerFunctions(spark)
+    Seq((1L, Array(1.0f))).toDF("vec_id", "embedding")
+      .createOrReplaceTempView("gsql_emb2")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_hyperplane_bucket(embedding, vec_id + 1, 0) " +
+        "FROM gsql_emb2").collect()
+    }
+    assert(e.getMessage.contains("integer literals")
+      || e.getCause != null)
+  }
+}
