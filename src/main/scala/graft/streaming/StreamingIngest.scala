@@ -1,9 +1,17 @@
 package graft.streaming
 
 import graft.api.TemporalVectorDB
-import org.apache.spark.sql.DataFrame
+import graft.model.VersionRecord
+import graft.operators.VersionStore
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Per-content ingest state for [[StreamingIngest.statefulIngest]]: the
+  * last assigned seq and last seen embedding — everything the promotion
+  * policy and sparse-delta computation need, so no store read happens on
+  * the hot path. */
+case class IngestState(lastSeq: Int, lastEmbedding: Array[Float])
 
 /** Structured Streaming ingest for the versioned store (SURVEY §2.10
   * "streaming" extension — the reference has no streaming surface; its
@@ -53,6 +61,67 @@ object StreamingIngest {
       fs.mkdirs(commits)
       fs.create(marker, true).close()
     }
+  }
+
+  /** Fully streaming-native versioned ingest via `flatMapGroupsWithState`:
+    * per-content state carries (lastSeq, lastEmbedding), so every
+    * micro-batch emits base/delta rows WITHOUT re-reading the store — the
+    * low-latency alternative to the [[start]] foreachBatch path (which
+    * reruns the batch window job per micro-batch). Promotion semantics are
+    * identical to [[VersionStore.ingestWithSeq]] (cross-checked row-for-row
+    * in StreamingSpec); rows within a batch apply in ts order.
+    *
+    * State is one embedding per content — bounded by the content universe,
+    * not the stream length; at scale add a `GroupStateTimeout` eviction and
+    * re-seed evicted contents from the store's max-seq (cold-start path).
+    * The emitted Dataset appends to the versions table via any sink. */
+  def statefulIngest(
+      stream: Dataset[(String, java.sql.Timestamp, Array[Float])],
+      cfg: VersionStore.Config = VersionStore.Config())
+      : Dataset[VersionRecord] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_._1)
+      .flatMapGroupsWithState[IngestState, VersionRecord](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (contentId: String,
+         rows: Iterator[(String, java.sql.Timestamp, Array[Float])],
+         state: GroupState[IngestState]) =>
+          var seq = state.getOption.map(_.lastSeq).getOrElse(0)
+          var prev = state.getOption.map(_.lastEmbedding).orNull
+          val out = rows.toSeq.sortBy(_._2.getTime).map { case (_, ts, emb) =>
+            seq += 1
+            val rec =
+              if (prev == null) {
+                VersionRecord(contentId, seq, ts, "base", Some(emb),
+                  None, None, None, None, Map.empty)
+              } else {
+                // identical arithmetic to the batch expressions: dense diff
+                // in double, sparse indices at |diff| >= threshold, raw-L2
+                // magnitude over the WHOLE diff (delta_computer.py:74)
+                val diff = Array.tabulate(emb.length)(i =>
+                  emb(i).toDouble - prev(i).toDouble)
+                val idx = diff.indices
+                  .filter(i => math.abs(diff(i)) >= cfg.sparsityThreshold)
+                val ratio = idx.length.toDouble / emb.length.toDouble
+                val mag = math.sqrt(diff.map(d => d * d).sum)
+                val isBase = seq == 1 ||
+                  (seq - 1) % cfg.baseInterval == 0 ||
+                  ratio > cfg.promotionRatio
+                if (isBase)
+                  VersionRecord(contentId, seq, ts, "base", Some(emb),
+                    None, None, None, Some(mag), Map.empty)
+                else
+                  VersionRecord(contentId, seq, ts, "delta", None,
+                    Some(idx.toArray),
+                    Some(idx.map(i => diff(i).toFloat).toArray),
+                    Some(seq - 1), Some(mag), Map.empty)
+              }
+            prev = emb
+            rec
+          }
+          state.update(IngestState(seq, prev))
+          out.iterator
+      }
   }
 
   /** Streaming exact deduplication: drop rows whose dedup key was already

@@ -63,6 +63,56 @@ class StreamingSpec extends SparkSpec {
     assert(db.validateTimelineIntegrity().count() == 0)
   }
 
+  test("statefulIngest (flatMapGroupsWithState) matches batch ingest " +
+    "row-for-row across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 16
+    // per-content walks with small edits, one 80% edit (sparsity
+    // promotion) and enough versions for an interval promotion
+    def history(c: String, bigAt: Int): Seq[(String, Timestamp, Array[Float])] = {
+      var cur = Array.tabulate(dim)(j => 0.05f * j)
+      (1 to 8).map { k =>
+        if (k > 1) {
+          val n = if (k == bigAt) (dim * 0.8).toInt else 2
+          cur = cur.zipWithIndex.map { case (x, i) =>
+            if (i < n) x + 0.5f else x }
+        }
+        (c, ts(k), cur.clone())
+      }
+    }
+    val rows = history("sa", 4) ++ history("sb", 6)
+    val cfg = VersionStore.Config(baseInterval = 5)
+
+    val stream = MemoryStream[(String, Timestamp, Array[Float])]
+    val q = StreamingIngest.statefulIngest(stream.toDS(), cfg)
+      .writeStream.format("memory").queryName("sf_ingest")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows.filter(_._2.getTime <= ts(3).getTime))
+      q.processAllAvailable()
+      stream.addData(rows.filter(_._2.getTime > ts(3).getTime))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val cols = Seq("content_id", "seq", "kind", "delta_idx", "delta_val",
+      "from_seq")
+    val got = spark.table("sf_ingest").select(cols.map(col): _*)
+    val want = VersionStore.ingest(
+      rows.toDF("content_id", "ts", "embedding"), cfg = cfg)
+      .select(cols.map(col): _*)
+    assert(got.count() == 16)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // magnitudes match too (double arithmetic replicated exactly)
+    val gm = spark.table("sf_ingest")
+      .select(col("content_id"), col("seq"),
+        graft.queries.r4(col("change_magnitude")).as("m"))
+    val wm = VersionStore.ingest(
+      rows.toDF("content_id", "ts", "embedding"), cfg = cfg)
+      .select(col("content_id"), col("seq"),
+        graft.queries.r4(col("change_magnitude")).as("m"))
+    assert(gm.exceptAll(wm).isEmpty && wm.exceptAll(gm).isEmpty)
+  }
+
   test("streaming dedup drops duplicate keys within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val docs = MemoryStream[(Timestamp, Long, String)]
