@@ -77,15 +77,15 @@ object StreamingIngest {
     * The emitted Dataset appends to the versions table via any sink. */
   def statefulIngest(
       stream: Dataset[(String, java.sql.Timestamp, Array[Float])],
-      cfg: VersionStore.Config = VersionStore.Config())
+      cfg: VersionStore.Config = VersionStore.Config(),
+      initial: Option[Dataset[(String, IngestState)]] = None)
       : Dataset[VersionRecord] = {
     import stream.sparkSession.implicits._
-    stream.groupByKey(_._1)
-      .flatMapGroupsWithState[IngestState, VersionRecord](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+    val grouped = stream.groupByKey(_._1)
+    val func =
         (contentId: String,
          rows: Iterator[(String, java.sql.Timestamp, Array[Float])],
-         state: GroupState[IngestState]) =>
+         state: GroupState[IngestState]) => {
           var seq = state.getOption.map(_.lastSeq).getOrElse(0)
           var prev = state.getOption.map(_.lastEmbedding).orNull
           val out = rows.toSeq.sortBy(_._2.getTime).map { case (_, ts, emb) =>
@@ -121,7 +121,38 @@ object StreamingIngest {
           }
           state.update(IngestState(seq, prev))
           out.iterator
-      }
+        }
+
+    initial match {
+      case None => grouped.flatMapGroupsWithState[IngestState, VersionRecord](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(func)
+      case Some(init) =>
+        grouped.flatMapGroupsWithState[IngestState, VersionRecord](
+          OutputMode.Append, GroupStateTimeout.NoTimeout,
+          init.groupByKey(_._1).mapValues(_._2))(func)
+    }
+  }
+
+  /** [[statefulIngest]] seeded from an existing versions store: initial
+    * per-content state is (max seq, reconstructed latest embedding), so
+    * streamed versions CONTINUE existing timelines — seqs don't restart and
+    * the first streamed delta diffs against the stored latest state (the
+    * reference's add-to-existing-timeline semantics,
+    * temporal_database.py:107-135, in streaming form). One reconstruction
+    * job at stream start; no store reads afterwards. */
+  def statefulIngestFrom(
+      stream: Dataset[(String, java.sql.Timestamp, Array[Float])],
+      db: TemporalVectorDB): Dataset[VersionRecord] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val latest = db.versions.groupBy("content_id")
+      .agg(max("seq").as("seq"))
+    val seed = graft.operators.Reconstruction
+      .reconstruct(db.versions, latest)
+      .select(col("content_id"), col("seq"), col("embedding"))
+      .as[(String, Int, Array[Float])]
+      .map { case (c, s, e) => (c, IngestState(s, e)) }
+    statefulIngest(stream, db.cfg, Some(seed))
   }
 
   /** Streaming exact deduplication: drop rows whose dedup key was already

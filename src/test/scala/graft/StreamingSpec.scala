@@ -113,6 +113,42 @@ class StreamingSpec extends SparkSpec {
     assert(gm.exceptAll(wm).isEmpty && wm.exceptAll(gm).isEmpty)
   }
 
+  test("statefulIngestFrom continues seqs and diffs against the stored " +
+    "latest state (seeded initial state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("tvdb-seed").toFile
+    dir.delete()
+    val db = new TemporalVectorDB(spark, dir.getAbsolutePath,
+      VersionStore.Config(baseInterval = 5))
+    db.addVersions(Seq(
+      ("sc", ts(1), Array.fill(8)(0.5f)),
+      ("sc", ts(2), Array.fill(8)(0.52f)))
+      .toDF("content_id", "ts", "embedding"))
+
+    val stream = MemoryStream[(String, Timestamp, Array[Float])]
+    val q = StreamingIngest.statefulIngestFrom(stream.toDS(), db)
+      .writeStream.format("memory").queryName("sf_seeded")
+      .outputMode("append").start()
+    try {
+      // edit ONE dim by +0.02 (above sparsity threshold, ratio 1/8 < 0.7)
+      stream.addData(("sc", ts(3),
+        Array.tabulate(8)(i => if (i == 0) 0.54f else 0.52f)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val r = spark.table("sf_seeded")
+      .select("content_id", "seq", "kind", "from_seq", "delta_idx",
+        "delta_val")
+      .as[(String, Int, String, Option[Int], Option[Seq[Int]],
+        Option[Seq[Float]])]
+      .collect().toSeq
+    assert(r.map(x => (x._1, x._2, x._3, x._4, x._5)) ==
+      Seq(("sc", 3, "delta", Some(2), Some(Seq(0)))))
+    // diffed against the STORED latest (0.52), not a fresh base: +0.02
+    assert(r.head._6.get.size == 1 &&
+      math.abs(r.head._6.get.head - 0.02f) < 1e-6)
+  }
+
   test("streaming dedup drops duplicate keys within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val docs = MemoryStream[(Timestamp, Long, String)]
