@@ -40,6 +40,11 @@ object AsOfJoin {
     // strict (<): anchors sort BEFORE events at equal ord, so the running
     // max at an anchor has seen only strictly-earlier events; non-strict
     // (<=): anchors sort after.
+    val lt = left.schema(leftOrd).dataType
+    val rt = right.schema(rightOrd).dataType
+    require(lt == rt,
+      s"as-of ordering columns must share a type (union'd): $leftOrd is " +
+        s"$lt, $rightOrd is $rt — cast one side first")
     val aTag = if (strict) 0 else 1
     val eTag = 1 - aTag
     val wStruct = struct((rightOrd +: payload).map(col): _*)

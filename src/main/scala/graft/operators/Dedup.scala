@@ -327,4 +327,14 @@ object Dedup {
     // single table cannot produce cross-table duplicates — skip the shuffle
     if (nTables == 1) pairs else pairs.distinct()
   }
+
+  /** [[nearDupPairsLshMulti]] with `nBits` sized from the actual corpus
+    * count via [[autoBits]] — the production entry point (one count job,
+    * then the bucketed pipeline). Explicit-bits overloads remain for
+    * deterministic oracle queries. */
+  def nearDupPairsLshAuto(df: DataFrame, idCol: String, vecCol: String,
+                          tau: Double, nTables: Int = 4,
+                          targetBucketSize: Long = 1024L): DataFrame =
+    nearDupPairsLshMulti(df, idCol, vecCol, tau,
+      autoBits(df.count(), targetBucketSize), nTables)
 }

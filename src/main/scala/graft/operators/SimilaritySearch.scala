@@ -133,6 +133,15 @@ object SimilaritySearch {
       .where(col("rank") <= k && col("sim") > 0)
   }
 
+  /** [[topKLshMulti]] with `nBits` sized from the actual corpus count via
+    * [[Dedup.autoBits]] — the production entry point (one count job, then
+    * the bucketed pipeline). */
+  def topKLshAuto(queries: DataFrame, corpus: DataFrame, k: Int,
+                  nTables: Int = 4, targetBucketSize: Long = 1024L,
+                  multiProbe: Boolean = true): DataFrame =
+    topKLshMulti(queries, corpus, k,
+      Dedup.autoBits(corpus.count(), targetBucketSize), nTables, multiProbe)
+
   /** Approximate top-k via IVF (inverted-file) partitioning: Lloyd's
     * centroids over a corpus sample, each corpus vector assigned to its
     * nearest centroid, and each query probing only the `nProbe` nearest

@@ -83,6 +83,28 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(brute))
   }
 
+  test("auto-sized LSH entry points run and verify-filter correctly") {
+    val emb = (0 until 30).map { i =>
+      val c = i / 3
+      (i.toLong, Array.tabulate(16)(j =>
+        (math.sin(c * 17 + j) + 0.002 * math.sin(i * 7 + j)).toFloat))
+    }.toDF("vec_id", "embedding")
+    // tiny corpus -> autoBits clamps to 4 bits; pairs still a subset of brute
+    val brute = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.999)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val auto = Dedup.nearDupPairsLshAuto(emb, "vec_id", "embedding", 0.999)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(auto.nonEmpty && auto.subsetOf(brute))
+    val q = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cor = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val hits = graft.operators.SimilaritySearch.topKLshAuto(q, cor, 3)
+      .select("query_id", "id", "rank").as[(Long, Long, Int)].collect()
+    assert(hits.nonEmpty)
+    // self-match always survives (a query probes its own bucket per table)
+    assert((0 until 3).forall(i => hits.exists(h => h._1 == i && h._2 == i)))
+  }
+
   test("codegen HyperplaneBucketExpr is bit-identical to the HOF form") {
     val emb = (0 until 200).map { i =>
       (i.toLong, Array.tabulate(64)(j => math.sin(i * 13 + j).toFloat))
