@@ -42,6 +42,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("q31 as-of: union+window shape — one hash exchange, no join") {
+    val plan = SparkEntry.queries("q31_asof_join")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(2000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges")
+  }
+
   test("parquet-scan queries push filters and prune columns (q01 witness)") {
     val plan = SparkEntry.queries("q01_filter")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
