@@ -41,7 +41,7 @@ class TemporalVectorDB(
       val b = versions.where(col("kind") === "base")
         .select(col("content_id"), col("seq"),
           col("embedding").as("vec"))
-        .withColumn("_nrm", l2Norm(col("vec")))
+        .withColumn("_nrm", l2NormNative(col("vec")))
         .where(col("_nrm") > 0)
         .withColumn("vec", l2NormalizeWith(col("vec"), col("_nrm")))
         .drop("_nrm")

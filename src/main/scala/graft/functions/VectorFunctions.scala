@@ -30,8 +30,14 @@ object VectorFunctions {
   def sumSq(v: Column): Column =
     aggregate(v, lit(0.0), (acc, x) => acc + x.cast(D) * x.cast(D))
 
-  /** L2 norm. */
+  /** L2 norm (generic: any numeric element type, interpreted HOF). */
   def l2Norm(v: Column): Column = sqrt(sumSq(v))
+
+  /** L2 norm of an ARRAY<FLOAT> column via the codegen'd [[DotProduct]]
+    * (dot(v, v) is exactly [[sumSq]]: same left-to-right double fold from
+    * 0.0, so values are bit-identical) — compiled, for the bulk
+    * normalization passes in the similarity/dedup scans. */
+  def l2NormNative(v: Column): Column = sqrt(dotNative(v, v))
 
   /** Element-wise `cur - prev` as ARRAY<DOUBLE>. */
   def vecDiff(cur: Column, prev: Column): Column =

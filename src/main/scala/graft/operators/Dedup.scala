@@ -278,7 +278,7 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        tau: Double): DataFrame = {
     val n = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
-      .withColumn("_nrm", l2Norm(col("_v")))
+      .withColumn("_nrm", l2NormNative(col("_v")))
       .where(col("_nrm") > 0)
       .withColumn("_nv", l2NormalizeWith(col("_v"), col("_nrm")))
       .select("_id", "_nv")
@@ -310,7 +310,7 @@ object Dedup {
                            tau: Double, nBits: Int = 8,
                            nTables: Int = 4): DataFrame = {
     val b = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
-      .withColumn("_nrm", l2Norm(col("_v")))
+      .withColumn("_nrm", l2NormNative(col("_v")))
       .where(col("_nrm") > 0)
       .withColumn("_nv", l2NormalizeWith(col("_v"), col("_nrm")))
       .select(col("_id"), col("_nv"),

@@ -27,12 +27,12 @@ object SimilaritySearch {
   def topK(queries: DataFrame, corpus: DataFrame, k: Int,
            positiveOnly: Boolean = true): DataFrame = {
     val qn = queries
-      .withColumn("_qnorm", l2Norm(col("qvec")))
+      .withColumn("_qnorm", l2NormNative(col("qvec")))
       .where(col("_qnorm") > 0)
       .withColumn("qvec", l2NormalizeWith(col("qvec"), col("_qnorm")))
       .drop("_qnorm")
     val cn = corpus
-      .withColumn("_cnorm", l2Norm(col("vec")))
+      .withColumn("_cnorm", l2NormNative(col("vec")))
       .where(col("_cnorm") > 0)
       .withColumn("vec", l2NormalizeWith(col("vec"), col("_cnorm")))
       .drop("_cnorm")
@@ -59,7 +59,7 @@ object SimilaritySearch {
               nBits: Int = 8, multiProbe: Boolean = true): DataFrame = {
     val qb = queries
       .withColumn("_qb", Dedup.hyperplaneBucket(col("qvec"), nBits))
-      .withColumn("_qnorm", l2Norm(col("qvec")))
+      .withColumn("_qnorm", l2NormNative(col("qvec")))
       .where(col("_qnorm") > 0)
       .withColumn("qvec", l2NormalizeWith(col("qvec"), col("_qnorm")))
       .drop("_qnorm")
@@ -73,7 +73,7 @@ object SimilaritySearch {
           col("_qb").bitwiseXOR(lit(1L << j)))): _*)).as("_bucket"))
     val cn = corpus
       .withColumn("_bucket", Dedup.hyperplaneBucket(col("vec"), nBits))
-      .withColumn("_cnorm", l2Norm(col("vec")))
+      .withColumn("_cnorm", l2NormNative(col("vec")))
       .where(col("_cnorm") > 0)
       .withColumn("vec", l2NormalizeWith(col("vec"), col("_cnorm")))
       .drop("_cnorm")
@@ -110,7 +110,7 @@ object SimilaritySearch {
     // topKLsh); probes computed before normalization overwrites qvec
     val qp = queries
       .withColumn("_probes", array(probeStructs: _*))
-      .withColumn("_qnorm", l2Norm(col("qvec")))
+      .withColumn("_qnorm", l2NormNative(col("qvec")))
       .where(col("_qnorm") > 0)
       .withColumn("qvec", l2NormalizeWith(col("qvec"), col("_qnorm")))
       .select(col("query_id"), col("qvec"), explode(col("_probes")).as("_p"))
@@ -119,7 +119,7 @@ object SimilaritySearch {
     val cn = corpus
       .withColumn("_buckets", array((0 until nTables).map(t =>
         Dedup.hyperplaneBucket(col("vec"), nBits, t)): _*))
-      .withColumn("_cnorm", l2Norm(col("vec")))
+      .withColumn("_cnorm", l2NormNative(col("vec")))
       .where(col("_cnorm") > 0)
       .withColumn("vec", l2NormalizeWith(col("vec"), col("_cnorm")))
       .select(col("id"), col("vec"),
@@ -164,7 +164,7 @@ object SimilaritySearch {
               nCells: Int = 16, nProbe: Int = 4,
               trainSample: Int = 4096): DataFrame = {
     val cn = corpus
-      .withColumn("_cnorm", l2Norm(col("vec")))
+      .withColumn("_cnorm", l2NormNative(col("vec")))
       .where(col("_cnorm") > 0)
       .withColumn("vec", l2NormalizeWith(col("vec"), col("_cnorm")))
       .drop("_cnorm")
@@ -186,7 +186,7 @@ object SimilaritySearch {
       .drop("_sims")
 
     val qn = queries
-      .withColumn("_qnorm", l2Norm(col("qvec")))
+      .withColumn("_qnorm", l2NormNative(col("qvec")))
       .where(col("_qnorm") > 0)
       .withColumn("qvec", l2NormalizeWith(col("qvec"), col("_qnorm")))
       .drop("_qnorm")
