@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Multimodal, SimilaritySearch}
+import graft.operators.{Multimodal, SimilaritySearch, SyntheticVersions}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -40,6 +40,27 @@ object ExtQueries {
         col("embedding").as("vec"))
       SimilaritySearch.topKLshMulti(queries, corpus, 5,
           nBits = 6, nTables = 2)
+        .select(col("query_id"), col("rank"), col("id"),
+          r4(col("sim")).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Q40: the engine's flagship composite — search over RECONSTRUCTED
+    // LATEST versions (facade searchLatestVersions): one set-based
+    // reconstruction of every content's max-seq state (base as-of + delta
+    // fold), then exact cosine top-k over the reconstructed corpus. The
+    // whole pipeline — promotion, sparse deltas, fold, normalize, rank —
+    // is replayed by the DuckDB oracle.
+    "q40_search_latest" -> ((s, d) => {
+      val versions = SyntheticVersions.versions(s, d)
+      val latest = versions.groupBy("content_id").agg(max("seq").as("seq"))
+      val corpus = graft.operators.Reconstruction
+        .reconstruct(versions, latest)
+        .select(substring(col("content_id"), 2, 10).cast("int").as("id"),
+          col("embedding").as("vec"))
+      val queries = corpus.where(col("id") < 3)
+        .select(col("id").as("query_id"), col("vec").as("qvec"))
+      SimilaritySearch.topK(queries, corpus, 5)
         .select(col("query_id"), col("rank"), col("id"),
           r4(col("sim")).as("sim"))
         .orderBy("query_id", "rank")
@@ -242,9 +263,61 @@ object ExtQueries {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB replay of q40: reconstruct each content's latest version
+    * (nearest base + per-dim delta sums, q14's proven arithmetic extended
+    * to all 64 dims), then the q15-proven normalize + cosine + rank. */
+  private def q40OracleSql: String = {
+    val sums = (0 until 64).map(i =>
+      s"    sum(CAST(kd.dstored[${i + 1}] AS DOUBLE)) AS a$i").mkString(",\n")
+    val dims = (0 until 64).map(i =>
+      s"CAST(CAST(bv.emb[${i + 1}] AS DOUBLE) + coalesce(ag.a$i, 0.0) AS REAL)")
+      .mkString(",\n      ")
+    graft.operators.SyntheticVersions.oracleCte +
+      s""", tg AS (SELECT content_id, max(seq) AS seq FROM vk GROUP BY content_id),
+      |b AS (
+      |  SELECT tg.content_id, tg.seq, max(vk.seq) AS base_seq
+      |  FROM tg JOIN vk ON vk.content_id = tg.content_id
+      |    AND vk.kind = 'base' AND vk.seq <= tg.seq
+      |  GROUP BY tg.content_id, tg.seq),
+      |ag AS (
+      |  SELECT b.content_id, b.seq, b.base_seq,
+      |$sums
+      |  FROM b LEFT JOIN vk kd ON kd.content_id = b.content_id
+      |    AND kd.kind = 'delta' AND kd.seq > b.base_seq AND kd.seq <= b.seq
+      |  GROUP BY b.content_id, b.seq, b.base_seq),
+      |rec AS (
+      |  SELECT CAST(substr(ag.content_id, 2) AS INTEGER) AS id,
+      |    list_value(
+      |      $dims) AS emb
+      |  FROM ag JOIN vk bv ON bv.content_id = ag.content_id
+      |    AND bv.seq = ag.base_seq),
+      |n AS (
+      |  SELECT id, list_transform(range(0, 64), i ->
+      |    CAST(CAST(emb[i+1] AS DOUBLE)
+      |      / sqrt(list_sum(list_transform(range(0, 64), j ->
+      |          CAST(emb[j+1] AS DOUBLE) * CAST(emb[j+1] AS DOUBLE))))
+      |      AS REAL)) AS v
+      |  FROM rec
+      |  WHERE sqrt(list_sum(list_transform(range(0, 64), j ->
+      |    CAST(emb[j+1] AS DOUBLE) * CAST(emb[j+1] AS DOUBLE)))) > 0),
+      |sc AS (
+      |  SELECT q.id AS query_id, c.id AS id,
+      |    list_sum(list_transform(range(0, 64), i ->
+      |      CAST(q.v[i+1] AS DOUBLE) * CAST(c.v[i+1] AS DOUBLE))) AS sim
+      |  FROM n q, n c WHERE q.id < 3),
+      |r AS (
+      |  SELECT query_id, id, sim, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY sim DESC, id) AS INTEGER) AS rank
+      |  FROM sc)
+      |SELECT query_id, rank, id, ${r4sql("sim")} AS sim
+      |FROM r WHERE rank <= 5 AND sim > 0
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q35_ann_ivf_topk" -> q35OracleSql,
     "q27b_ann_lsh_multi" -> q27bOracleSql,
+    "q40_search_latest" -> q40OracleSql,
     "q32_sql_surface" ->
       s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
         |  ${r4sql("list_sum(list_transform(range(0, 64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))")} AS dot

@@ -10,6 +10,7 @@ class PlanSpec extends SparkSpec {
   /** Queries whose cross join is intentional. */
   private val intentionalCross = Set(
     "q15_knn",              // exact kNN baseline: corpus × broadcast queries
+    "q40_search_latest",    // same exact-kNN shape over reconstructed corpus
     "q25_neardup_embedding", // exact brute near-dup baseline
     "q24b_simhash_pairs",   // banded join uses an additional id< condition
     "q23b_dedup_minhash_lsh",
