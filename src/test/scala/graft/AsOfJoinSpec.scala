@@ -74,6 +74,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(fast.count() == 300)
   }
 
+  test("randomized equivalence across seeds, strict AND non-strict") {
+    for (seed <- Seq(7, 21, 99); strict <- Seq(true, false)) {
+      val rnd = new scala.util.Random(seed)
+      val ev = (0 until 500).map(i =>
+        (i.toLong, s"u${rnd.nextInt(5)}", rnd.nextInt(100).toLong,
+          rnd.nextInt(50).toDouble))
+        .toDF("event_id", "user_id", "ts", "value")
+      val an = (0 until 80).map(i =>
+        (i.toLong, s"u${rnd.nextInt(7)}", rnd.nextInt(100).toLong))
+        .toDF("anchor_id", "user_id", "ts")
+      val fast = AsOfJoin.lastBefore(an, ev, "user_id", "anchor_id",
+          "ts", "ts", Seq("event_id", "value"), strict)
+        .select("anchor_id", "asof_event_id", "asof_value")
+      val cond = if (strict) col("e.ts") < col("a.ts")
+                 else col("e.ts") <= col("a.ts")
+      val brute = an.as("a").join(ev.as("e"),
+          col("e.user_id") === col("a.user_id") && cond, "left")
+        .groupBy(col("a.anchor_id").as("anchor_id"))
+        .agg(max(when(col("e.ts").isNotNull,
+          struct(col("e.ts"), col("e.event_id"), col("e.value")))).as("w"))
+        .select(col("anchor_id"), col("w.event_id").as("asof_event_id"),
+          col("w.value").as("asof_value"))
+      assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty,
+        s"seed=$seed strict=$strict")
+    }
+  }
+
   test("plan is one exchange + window, no join") {
     val plan = AsOfJoin.lastBefore(anchors, events, "user_id", "anchor_id",
         "ts", "ts", Seq("value"))
