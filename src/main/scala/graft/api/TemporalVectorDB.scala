@@ -43,7 +43,7 @@ class TemporalVectorDB(
           col("embedding").as("vec"))
         .withColumn("_nrm", l2NormNative(col("vec")))
         .where(col("_nrm") > 0)
-        .withColumn("vec", l2NormalizeWith(col("vec"), col("_nrm")))
+        .withColumn("vec", l2NormalizeWithNative(col("vec"), col("_nrm")))
         .drop("_nrm")
         .cache()
       basesCache = Some(b)

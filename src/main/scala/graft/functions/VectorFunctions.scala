@@ -66,9 +66,20 @@ object VectorFunctions {
       zip_with(a, b, (x, y) => (x.cast(D) - y.cast(D)) * (x.cast(D) - y.cast(D))),
       lit(0.0), (acc, v) => acc + v))
 
-  /** v / norm with the norm supplied separately (materialize it once). */
+  /** v / norm with the norm supplied separately (materialize it once).
+    * Generic HOF form — see [[l2NormalizeWithNative]] for the compiled
+    * ARRAY<FLOAT> fast path. */
   def l2NormalizeWith(v: Column, norm: Column): Column =
     transform(v, x => (x.cast(D) / norm).cast("float"))
+
+  /** [[l2NormalizeWith]] via the codegen'd [[L2NormalizeExpr]] —
+    * bit-identical values for ARRAY<FLOAT> inputs, compiled (no
+    * per-element lambda dispatch in the bulk normalization scans). */
+  def l2NormalizeWithNative(v: Column, norm: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(L2NormalizeExpr(
+      Bridge.expression(v), Bridge.expression(norm.cast(D))))
+  }
 
   def l2Normalize(v: Column): Column = l2NormalizeWith(v, l2Norm(v))
 

@@ -280,7 +280,7 @@ object Dedup {
     val n = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .withColumn("_nrm", l2NormNative(col("_v")))
       .where(col("_nrm") > 0)
-      .withColumn("_nv", l2NormalizeWith(col("_v"), col("_nrm")))
+      .withColumn("_nv", l2NormalizeWithNative(col("_v"), col("_nrm")))
       .select("_id", "_nv")
     n.as("a").join(n.as("b"), col("a._id") < col("b._id"))
       .withColumn("cosine", dotNative(col("a._nv"), col("b._nv")))
@@ -312,7 +312,7 @@ object Dedup {
     val b = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .withColumn("_nrm", l2NormNative(col("_v")))
       .where(col("_nrm") > 0)
-      .withColumn("_nv", l2NormalizeWith(col("_v"), col("_nrm")))
+      .withColumn("_nv", l2NormalizeWithNative(col("_v"), col("_nrm")))
       .select(col("_id"), col("_nv"),
         posexplode(array((0 until nTables).map(t =>
           hyperplaneBucket(col("_v"), nBits, t)): _*))

@@ -29,12 +29,12 @@ object SimilaritySearch {
     val qn = queries
       .withColumn("_qnorm", l2NormNative(col("qvec")))
       .where(col("_qnorm") > 0)
-      .withColumn("qvec", l2NormalizeWith(col("qvec"), col("_qnorm")))
+      .withColumn("qvec", l2NormalizeWithNative(col("qvec"), col("_qnorm")))
       .drop("_qnorm")
     val cn = corpus
       .withColumn("_cnorm", l2NormNative(col("vec")))
       .where(col("_cnorm") > 0)
-      .withColumn("vec", l2NormalizeWith(col("vec"), col("_cnorm")))
+      .withColumn("vec", l2NormalizeWithNative(col("vec"), col("_cnorm")))
       .drop("_cnorm")
 
     val scored = cn.crossJoin(broadcast(qn))
@@ -61,7 +61,7 @@ object SimilaritySearch {
       .withColumn("_qb", Dedup.hyperplaneBucket(col("qvec"), nBits))
       .withColumn("_qnorm", l2NormNative(col("qvec")))
       .where(col("_qnorm") > 0)
-      .withColumn("qvec", l2NormalizeWith(col("qvec"), col("_qnorm")))
+      .withColumn("qvec", l2NormalizeWithNative(col("qvec"), col("_qnorm")))
       .drop("_qnorm")
     // multi-probe: each query also probes every hamming-1 neighbor bucket,
     // recovering candidates whose single sign bit flipped — the standard
@@ -75,7 +75,7 @@ object SimilaritySearch {
       .withColumn("_bucket", Dedup.hyperplaneBucket(col("vec"), nBits))
       .withColumn("_cnorm", l2NormNative(col("vec")))
       .where(col("_cnorm") > 0)
-      .withColumn("vec", l2NormalizeWith(col("vec"), col("_cnorm")))
+      .withColumn("vec", l2NormalizeWithNative(col("vec"), col("_cnorm")))
       .drop("_cnorm")
     val scored = cn.join(broadcast(qn), Seq("_bucket"))
       .withColumn("sim", dotNative(col("qvec"), col("vec")))
@@ -112,7 +112,7 @@ object SimilaritySearch {
       .withColumn("_probes", array(probeStructs: _*))
       .withColumn("_qnorm", l2NormNative(col("qvec")))
       .where(col("_qnorm") > 0)
-      .withColumn("qvec", l2NormalizeWith(col("qvec"), col("_qnorm")))
+      .withColumn("qvec", l2NormalizeWithNative(col("qvec"), col("_qnorm")))
       .select(col("query_id"), col("qvec"), explode(col("_probes")).as("_p"))
       .select(col("query_id"), col("qvec"),
         col("_p.t").as("_table"), col("_p.b").as("_bucket"))
@@ -121,7 +121,7 @@ object SimilaritySearch {
         Dedup.hyperplaneBucket(col("vec"), nBits, t)): _*))
       .withColumn("_cnorm", l2NormNative(col("vec")))
       .where(col("_cnorm") > 0)
-      .withColumn("vec", l2NormalizeWith(col("vec"), col("_cnorm")))
+      .withColumn("vec", l2NormalizeWithNative(col("vec"), col("_cnorm")))
       .select(col("id"), col("vec"),
         posexplode(col("_buckets")).as(Seq("_table", "_bucket")))
     val scored = cn.join(broadcast(qp), Seq("_table", "_bucket"))
@@ -166,7 +166,7 @@ object SimilaritySearch {
     val cn = corpus
       .withColumn("_cnorm", l2NormNative(col("vec")))
       .where(col("_cnorm") > 0)
-      .withColumn("vec", l2NormalizeWith(col("vec"), col("_cnorm")))
+      .withColumn("vec", l2NormalizeWithNative(col("vec"), col("_cnorm")))
       .drop("_cnorm")
 
     val sample = cn.select(col("id"), col("vec")).orderBy("id")
@@ -188,7 +188,7 @@ object SimilaritySearch {
     val qn = queries
       .withColumn("_qnorm", l2NormNative(col("qvec")))
       .where(col("_qnorm") > 0)
-      .withColumn("qvec", l2NormalizeWith(col("qvec"), col("_qnorm")))
+      .withColumn("qvec", l2NormalizeWithNative(col("qvec"), col("_qnorm")))
       .drop("_qnorm")
     // map-only top-nProbe cells per query: sort (−sim, cell) structs
     // ascending = sim DESC with cell ASC tiebreak, slice, explode

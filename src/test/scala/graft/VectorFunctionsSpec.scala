@@ -37,6 +37,24 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(math.abs(n - 1.0) < 1e-6)
   }
 
+  test("codegen l2NormNative / l2NormalizeWithNative are bit-identical " +
+    "to the HOF forms over random vectors") {
+    val rnd = new scala.util.Random(31)
+    val vecs = (0 until 300).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 4 - 2))).toDF("id", "v")
+    val normMismatch = vecs.select(
+        l2Norm(col("v")).as("a"), l2NormNative(col("v")).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(normMismatch == 0)
+    val scaleMismatch = vecs
+      .withColumn("_n", l2NormNative(col("v")))
+      .where(col("_n") > 0)
+      .select(l2NormalizeWith(col("v"), col("_n")).as("a"),
+        l2NormalizeWithNative(col("v"), col("_n")).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(scaleMismatch == 0)
+  }
+
   test("sparseDiff keeps only dims above threshold, with indices") {
     // reference semantics: |diff| >= 0.01 kept (delta_computer.py:63-66)
     val cur = lit(Array(1.0f, 2.0f, 3.0f, 4.0f))
