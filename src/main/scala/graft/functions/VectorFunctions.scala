@@ -92,6 +92,16 @@ object VectorFunctions {
       },
       s => abs(s("val")) >= lit(threshold))
 
+  /** One-pass compiled sparse diff via [[SparseDiffExpr]]: returns
+    * struct(idx, val, n_changed, raw_magnitude) — bit-identical to
+    * composing [[sparseDiff]] + size + the raw-dense magnitude aggregate,
+    * in a single codegen'd loop (the ingest write path's hot kernel). */
+  def sparseDiffNative(cur: Column, prev: Column, threshold: Double): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(SparseDiffExpr(
+      Bridge.expression(cur), Bridge.expression(prev), threshold))
+  }
+
   /** Projections of [[sparseDiff]] output to the storage layout's parallel
     * arrays (reference storage/storage_engine.py:204-211). */
   def pairsIdx(pairs: Column): Column = transform(pairs, s => s("idx"))

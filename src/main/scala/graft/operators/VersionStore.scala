@@ -58,18 +58,15 @@ object VersionStore {
 
     val staged = df
       .withColumn("prev_embedding", prev)
-      // Sparse diff once; idx/val arrays + counts are cheap projections of it.
-      .withColumn("pairs",
+      // ONE compiled pass computes the sparse diff arrays, changed-dim
+      // count, and raw-dense L2 magnitude (SparseDiffExpr) — the write
+      // path's hot kernel stays inside whole-stage codegen end to end.
+      .withColumn("_sd",
         when(col("prev_embedding").isNotNull,
-          sparseDiff(col("embedding"), col("prev_embedding"), cfg.sparsityThreshold)))
-      .withColumn("n_changed", size(col("pairs")))
+          sparseDiffNative(col("embedding"), col("prev_embedding"),
+            cfg.sparsityThreshold)))
+      .withColumn("n_changed", col("_sd.n_changed"))
       .withColumn("change_ratio", col("n_changed").cast("double") / dim.cast("double"))
-      // L2 of the RAW dense diff, not just the sparsified dims
-      // (reference core/delta_computer.py:74).
-      .withColumn("raw_magnitude",
-        when(col("prev_embedding").isNotNull,
-          sqrt(aggregate(vecDiff(col("embedding"), col("prev_embedding")),
-            lit(0.0), (a, v) => a + v * v))))
       .withColumn("kind",
         when(forced(df), lit("base")) // reference checks force first (:378)
           .when(col("prev_embedding").isNull || col("seq") === 1, lit("base"))
@@ -83,10 +80,12 @@ object VersionStore {
       col("ts"),
       col("kind"),
       when(col("kind") === "base", col("embedding")).as("embedding"),
-      when(col("kind") === "delta", pairsIdx(col("pairs"))).as("delta_idx"),
-      when(col("kind") === "delta", pairsVal(col("pairs"))).as("delta_val"),
+      when(col("kind") === "delta", col("_sd.idx")).as("delta_idx"),
+      when(col("kind") === "delta", col("_sd.val")).as("delta_val"),
       when(col("kind") === "delta", col("seq") - 1).as("from_seq"),
-      when(col("prev_embedding").isNotNull, col("raw_magnitude"))
+      // L2 of the RAW dense diff, not just the sparsified dims
+      // (reference core/delta_computer.py:74)
+      when(col("prev_embedding").isNotNull, col("_sd.raw_magnitude"))
         .as("change_magnitude"),
       (if (df.columns.contains("metadata")) col("metadata")
        else lit(null).cast("map<string,string>")).as("metadata"))

@@ -55,6 +55,31 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(scaleMismatch == 0)
   }
 
+  test("codegen sparseDiffNative is bit-identical to the HOF pipeline " +
+    "(idx, val, count, raw magnitude) over random vectors") {
+    val rnd = new scala.util.Random(73)
+    val pairs = (0 until 300).map { i =>
+      val cur = Array.fill(32)(rnd.nextFloat() * 2 - 1)
+      // half the dims barely move (sub-threshold), half jump
+      val prev = cur.map(x =>
+        if (rnd.nextBoolean()) x + (rnd.nextFloat() - 0.5f) * 0.005f
+        else x + (rnd.nextFloat() - 0.5f))
+      (i.toLong, cur, prev)
+    }.toDF("id", "cur", "prev")
+    val thr = 0.01
+    val hof = pairs.select(col("id"),
+      pairsIdx(sparseDiff(col("cur"), col("prev"), thr)).as("idx"),
+      pairsVal(sparseDiff(col("cur"), col("prev"), thr)).as("v"),
+      size(sparseDiff(col("cur"), col("prev"), thr)).as("n"),
+      sqrt(aggregate(vecDiff(col("cur"), col("prev")),
+        lit(0.0), (a, x) => a + x * x)).as("mag"))
+    val native = pairs.select(col("id"),
+      sparseDiffNative(col("cur"), col("prev"), thr).as("s"))
+      .select(col("id"), col("s.idx").as("idx"), col("s.val").as("v"),
+        col("s.n_changed").as("n"), col("s.raw_magnitude").as("mag"))
+    assert(hof.exceptAll(native).isEmpty && native.exceptAll(hof).isEmpty)
+  }
+
   test("sparseDiff keeps only dims above threshold, with indices") {
     // reference semantics: |diff| >= 0.01 kept (delta_computer.py:63-66)
     val cur = lit(Array(1.0f, 2.0f, 3.0f, 4.0f))
