@@ -116,6 +116,16 @@ object VectorFunctions {
       (x.cast(D) + coalesce(element_at(m, i).cast(D), lit(0.0))).cast("float"))
   }
 
+  /** Compiled scatter+add of a MAP<INT,DOUBLE> delta onto an ARRAY<FLOAT>
+    * base via [[ApplyMapDeltaExpr]] — bit-identical to the HOF
+    * `transform(base, (x,i) => (x + coalesce(element_at(m,i),0)).cast(f))`
+    * but O(d + |map|) instead of O(d·|map|) interpreted lookups. */
+  def applyMapDeltaNative(base: Column, adds: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(ApplyMapDeltaExpr(
+      Bridge.expression(base), Bridge.expression(adds)))
+  }
+
   /** Change magnitude from sparse values only (used when the dense diff is
     * unavailable; reference core/data_structures.py:92-95). */
   def sparseMagnitude(deltaVal: Column): Column =

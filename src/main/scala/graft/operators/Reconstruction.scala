@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.VectorFunctions.applyMapDeltaNative
 import graft.model.Defaults
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
@@ -74,11 +75,12 @@ object Reconstruction {
     val folded = withBase
       .join(contribs, Seq("content_id", "seq"), "left")
       .join(chainStats, Seq("content_id", "seq"), "left")
+      // compiled scatter+add (O(d + |map|) per row vs the HOF transform's
+      // O(d·|map|) interpreted element_at scans) — bit-identical values
       .withColumn("embedding",
         when(col("add_map").isNull, col("base_embedding"))
-          .otherwise(transform(col("base_embedding"), (x, i) =>
-            (x.cast("double") + coalesce(element_at(col("add_map"), i), lit(0.0)))
-              .cast("float"))))
+          .otherwise(applyMapDeltaNative(col("base_embedding"),
+            col("add_map"))))
       .withColumn("deltas_applied", coalesce(col("deltas_applied"), lit(0)))
       .withColumn("reconstruction_cost", col("seq") - col("base_seq"))
 

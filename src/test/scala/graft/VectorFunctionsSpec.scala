@@ -80,6 +80,26 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(hof.exceptAll(native).isEmpty && native.exceptAll(hof).isEmpty)
   }
 
+  test("codegen applyMapDeltaNative is bit-identical to the HOF " +
+    "element_at fold, incl. out-of-range keys") {
+    val rnd = new scala.util.Random(99)
+    val rows = (0 until 200).map { i =>
+      val base = Array.fill(32)(rnd.nextFloat() * 2 - 1)
+      val n = rnd.nextInt(8)
+      // keys include out-of-range values (ignored by both forms)
+      val ks = Seq.fill(n)(rnd.nextInt(40) - 4).distinct
+      val m = ks.map(k => k -> (rnd.nextDouble() - 0.5)).toMap
+      (i.toLong, base, m)
+    }.toDF("id", "base", "m")
+    val hof = rows.select(col("id"),
+      transform(col("base"), (x, i) =>
+        (x.cast("double") + coalesce(element_at(col("m"), i.cast("int")),
+          lit(0.0))).cast("float")).as("v"))
+    val native = rows.select(col("id"),
+      applyMapDeltaNative(col("base"), col("m")).as("v"))
+    assert(hof.exceptAll(native).isEmpty && native.exceptAll(hof).isEmpty)
+  }
+
   test("sparseDiff keeps only dims above threshold, with indices") {
     // reference semantics: |diff| >= 0.01 kept (delta_computer.py:63-66)
     val cur = lit(Array(1.0f, 2.0f, 3.0f, 4.0f))
