@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.functions.{DotProduct, HyperplaneBucketExpr}
+import graft.functions.{ApplyMapDeltaExpr, DotProduct, HyperplaneBucketExpr, L2NormalizeExpr, SparseDiffExpr}
 import graft.sources.Tables
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSession
@@ -28,6 +28,20 @@ object GraftSql {
             s"graft_hyperplane_bucket expects integer literals, got $other")
         }
       HyperplaneBucketExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))
+    })
+    Bridge.registerFunction(spark, "graft_l2_scale",
+      exprs => L2NormalizeExpr(exprs(0), exprs(1)))
+    Bridge.registerFunction(spark, "graft_apply_delta",
+      exprs => ApplyMapDeltaExpr(exprs(0), exprs(1)))
+    Bridge.registerFunction(spark, "graft_sparse_diff", exprs => {
+      val thr = exprs(2) match {
+        case Literal(v: Double, _) => v
+        case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+        case Literal(v: Float, _) => v.toDouble
+        case other => throw new IllegalArgumentException(
+          s"graft_sparse_diff expects a numeric literal threshold, got $other")
+      }
+      SparseDiffExpr(exprs(0), exprs(1), thr)
     })
   }
 

@@ -23,6 +23,21 @@ class GraftSqlSpec extends SparkSpec {
     assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
   }
 
+  test("graft_sparse_diff + graft_apply_delta round-trip from SQL") {
+    GraftSql.registerFunctions(spark)
+    Seq((1L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.5f, 2.0f)))
+      .toDF("id", "cur", "prev").createOrReplaceTempView("gsql_sd")
+    val r = spark.sql(
+      """SELECT s.n_changed AS n,
+        |  graft_apply_delta(prev, map_from_arrays(s.idx,
+        |    transform(s.val, x -> CAST(x AS DOUBLE)))) AS rebuilt
+        |FROM (SELECT *, graft_sparse_diff(cur, prev, 0.01) AS s
+        |      FROM gsql_sd)""".stripMargin)
+      .as[(Int, Seq[Float])].collect().head
+    assert(r._1 == 2) // dims 1 and 2 changed beyond threshold
+    assert(r._2 == Seq(1.0f, 2.0f, 3.0f)) // delta applied to prev == cur
+  }
+
   test("graft_hyperplane_bucket rejects non-literal size args") {
     GraftSql.registerFunctions(spark)
     Seq((1L, Array(1.0f))).toDF("vec_id", "embedding")
