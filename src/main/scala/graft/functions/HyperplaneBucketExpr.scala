@@ -72,6 +72,7 @@ case class HyperplaneBucketExpr(child: Expression, nBits: Int, table: Int)
       val j = ctx.freshName("j")
       val s = ctx.freshName("s")
       val b = ctx.freshName("b")
+      val c = ctx.freshName("c")
       val consts = ctx.addReferenceObj("planeConst", planeConst, "int[]")
       val get = if (isFloat) s"(double) $v.getFloat($i)"
                 else s"$v.getDouble($i)"
@@ -79,10 +80,10 @@ case class HyperplaneBucketExpr(child: Expression, nBits: Int, table: Int)
          |int $n = $v.numElements();
          |long $b = 0L;
          |for (int $j = 0; $j < $nBits; $j++) {
-         |  int c = $consts[$j];
+         |  int $c = $consts[$j];
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $s += ($get) * (((73 * $i + c) % 97) / 97.0 - 0.5);
+         |    $s += ($get) * (((73 * $i + $c) % 97) / 97.0 - 0.5);
          |  }
          |  if ($s > 0) $b |= (1L << $j);
          |}

@@ -53,8 +53,16 @@ object AsOfJoin {
     val lType = left.select(lStruct.as("_l")).schema("_l").dataType
     val anchors = left.select(col(key).as("_k"), col(leftOrd).as("_ord"),
       lit(aTag).as("_tag"), lStruct.as("_l"), lit(null).cast(wType).as("_w"))
-    val events = right.select(col(key).as("_k"), col(rightOrd).as("_ord"),
-      lit(eTag).as("_tag"), lit(null).cast(lType).as("_l"), wStruct.as("_w"))
+    // SQL join-null semantics: a null key or null ordering value on the
+    // right can never satisfy the join condition, so such event rows are
+    // dropped — otherwise Window.partitionBy would group null keys
+    // together and a null-ord event (sorted nulls-first) could become a
+    // non-null running-max winner. Null-key/ord ANCHORS still pass
+    // through with asof_* = null (left-join semantics).
+    val events = right
+      .where(col(key).isNotNull && col(rightOrd).isNotNull)
+      .select(col(key).as("_k"), col(rightOrd).as("_ord"),
+        lit(eTag).as("_tag"), lit(null).cast(lType).as("_l"), wStruct.as("_w"))
     val w = Window.partitionBy("_k")
       .orderBy(col("_ord"), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -65,7 +65,10 @@ object PpmFeaturizer extends Featurizer {
       val w = nextInt(); val h = nextInt(); val maxval = nextInt()
       pos += 1 // single whitespace after maxval, per spec
       require(w > 0 && h > 0 && maxval > 0)
-      require(bytes.length >= pos + 3 * w * h)
+      // size math in Long: a malformed header like "P6 50000 50000" would
+      // overflow 3*w*h in Int, slip past the bound check, and emit garbage
+      // instead of the documented zeros
+      require(3L * w * h <= bytes.length.toLong - pos)
       val sums = new Array[Long](3)
       var i = 0
       val n = w * h

@@ -88,7 +88,12 @@ object StreamingIngest {
          state: GroupState[IngestState]) => {
           var seq = state.getOption.map(_.lastSeq).getOrElse(0)
           var prev = state.getOption.map(_.lastEmbedding).orNull
-          val out = rows.toSeq.sortBy(_._2.getTime).map { case (_, ts, emb) =>
+          // full-precision ts order: getTime alone is millisecond-truncated
+          // and would apply same-millisecond rows arbitrarily, diverging
+          // from the batch path's full-ts window ordering
+          val out = rows.toSeq
+            .sortBy(r => (r._2.getTime, r._2.getNanos))
+            .map { case (_, ts, emb) =>
             seq += 1
             val rec =
               if (prev == null) {

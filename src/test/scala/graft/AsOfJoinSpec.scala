@@ -74,6 +74,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(fast.count() == 300)
   }
 
+  test("SQL null semantics: null keys never match; null-ord events never win") {
+    val an = Seq(("a1", Some("u1"), Some(10L)), ("a2", None, Some(10L)),
+      ("a3", Some("u1"), None))
+      .toDF("anchor_id", "user_id", "ts")
+    val ev = Seq((1L, Some("u1"), Some(5L), 1.0), (2L, None, Some(5L), 2.0),
+      (3L, Some("u1"), None, 3.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = AsOfJoin.lastBefore(an, ev, "user_id", "anchor_id",
+        "ts", "ts", Seq("event_id"))
+      .select("anchor_id", "asof_event_id")
+      .as[(String, Option[Long])].collect().toMap
+    assert(out("a1") == Some(1L)) // real match; null-ord event 3 ignored
+    assert(out("a2") == None) // null key matches nothing (not event 2)
+    assert(out("a3") == None) // null anchor ord: no event is 'earlier'
+    assert(out.size == 3) // null-key/ord anchors still pass through
+  }
+
   test("randomized equivalence across seeds, strict AND non-strict") {
     for (seed <- Seq(7, 21, 99); strict <- Seq(true, false)) {
       val rnd = new scala.util.Random(seed)

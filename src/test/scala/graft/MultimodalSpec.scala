@@ -55,6 +55,9 @@ class MultimodalSpec extends SparkSpec {
     // corrupt payloads featurize to zeros, never throw
     assert(PpmFeaturizer.featurize("P6\n9 9\n255\n".getBytes("US-ASCII"))
       .forall(_ == 0.0f))
+    // 3*w*h would overflow Int: the Long-math bound must still reject
+    assert(PpmFeaturizer.featurize(
+      "P6\n50000 50000\n255\n".getBytes("US-ASCII")).forall(_ == 0.0f))
     assert(PpmFeaturizer.featurize(Array[Byte](1, 2, 3)).forall(_ == 0.0f))
   }
 

@@ -113,6 +113,27 @@ class StreamingSpec extends SparkSpec {
     assert(gm.exceptAll(wm).isEmpty && wm.exceptAll(gm).isEmpty)
   }
 
+  test("statefulIngest orders same-millisecond rows by full ts precision") {
+    implicit val sqlCtx = spark.sqlContext
+    val t1 = Timestamp.valueOf("2025-03-01 00:00:00"); t1.setNanos(100000)
+    val t2 = Timestamp.valueOf("2025-03-01 00:00:00"); t2.setNanos(900000)
+    // later-ts row listed FIRST: a millisecond-truncated sort would keep
+    // this order (stable sort, equal keys) and assign seqs backwards
+    val stream = MemoryStream[(String, Timestamp, Array[Float])]
+    val q = StreamingIngest.statefulIngest(stream.toDS())
+      .writeStream.format("memory").queryName("sf_micro")
+      .outputMode("append").start()
+    try {
+      stream.addData(("m1", t2, Array.fill(8)(0.9f)),
+        ("m1", t1, Array.fill(8)(0.1f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sf_micro").select("seq", "ts")
+      .as[(Int, Timestamp)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._2.getNanos) == Seq(100000, 900000),
+      s"seq order must follow microsecond ts: $got")
+  }
+
   test("statefulIngestFrom continues seqs and diffs against the stored " +
     "latest state (seeded initial state)") {
     implicit val sqlCtx = spark.sqlContext
