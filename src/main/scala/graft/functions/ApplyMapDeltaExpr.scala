@@ -17,9 +17,25 @@ import org.apache.spark.sql.types._
   * once into a dense double buffer and adds in one pass: O(d + |map|),
   * compiled. Values are bit-identical (same double add, same float cast;
   * out-of-range map keys ignored exactly as element_at never finds them;
-  * reference out-of-range semantics core/data_structures.py:118). */
+  * reference out-of-range semantics core/data_structures.py:118).
+  *
+  * Null elements: a null base element or null map value poisons the whole
+  * result to NULL (the HOF's coalesce covers only ABSENT keys, not null
+  * values). Non-null schemas skip the check in both eval and codegen. */
 case class ApplyMapDeltaExpr(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  private def baseNullable: Boolean = left.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  private def valuesNullable: Boolean = right.dataType match {
+    case MapType(_, _, vn) => vn
+    case _ => true
+  }
+
+  override def nullable: Boolean =
+    super.nullable || baseNullable || valuesNullable
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -41,6 +57,7 @@ case class ApplyMapDeltaExpr(left: Expression, right: Expression)
     val ks = m.keyArray(); val vs = m.valueArray()
     var j = 0
     while (j < m.numElements()) {
+      if (valuesNullable && vs.isNullAt(j)) return null
       val k = ks.getInt(j)
       if (k >= 0 && k < n) buf(k) = vs.getDouble(j)
       j += 1
@@ -48,6 +65,7 @@ case class ApplyMapDeltaExpr(left: Expression, right: Expression)
     val out = new Array[Float](n)
     var i = 0
     while (i < n) {
+      if (baseNullable && v.isNullAt(i)) return null
       out(i) = (v.getFloat(i).toDouble + buf(i)).toFloat
       i += 1
     }
@@ -65,21 +83,35 @@ case class ApplyMapDeltaExpr(left: Expression, right: Expression)
       val out = ctx.freshName("out")
       val ks = ctx.freshName("ks")
       val vs = ctx.freshName("vs")
+      val mapNullCheck =
+        if (valuesNullable)
+          s"if ($vs.isNullAt($j)) { ${ev.isNull} = true; break; }"
+        else ""
+      val baseNullCheck =
+        if (baseNullable)
+          s"if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $v.numElements();
          |double[] $buf = new double[$n];
          |org.apache.spark.sql.catalyst.util.ArrayData $ks = $m.keyArray();
          |org.apache.spark.sql.catalyst.util.ArrayData $vs = $m.valueArray();
          |for (int $j = 0; $j < $m.numElements(); $j++) {
+         |  $mapNullCheck
          |  int $k = $ks.getInt($j);
          |  if ($k >= 0 && $k < $n) $buf[$k] = $vs.getDouble($j);
          |}
          |float[] $out = new float[$n];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = (float) (((double) $v.getFloat($i)) + $buf[$i]);
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $baseNullCheck
+         |    $out[$i] = (float) (((double) $v.getFloat($i)) + $buf[$i]);
+         |  }
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions
-         |  .UnsafeArrayData.fromPrimitiveArray($out);
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |    .UnsafeArrayData.fromPrimitiveArray($out);
+         |}
        """.stripMargin
     })
 

@@ -14,9 +14,20 @@ import org.apache.spark.sql.types._
   * values are bit-identical; cross-checked in VectorFunctionsSpec). The
   * output array is built with `UnsafeArrayData.fromPrimitiveArray` — no
   * per-element boxing or lambda dispatch, keeping the full normalize stage
-  * of every similarity/dedup corpus scan inside compiled code. */
+  * of every similarity/dedup corpus scan inside compiled code.
+  *
+  * Null elements: a null vector element poisons the whole result to NULL
+  * (matching the HOF twin, whose null element poisons downstream dots).
+  * Arrays with containsNull = false skip the check entirely. */
 case class L2NormalizeExpr(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  private def elemsNullable: Boolean = left.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  override def nullable: Boolean = super.nullable || elemsNullable
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -37,6 +48,7 @@ case class L2NormalizeExpr(left: Expression, right: Expression)
     val out = new Array[Float](n)
     var i = 0
     while (i < n) {
+      if (elemsNullable && v.isNullAt(i)) return null
       out(i) = (v.getFloat(i).toDouble / d).toFloat
       i += 1
     }
@@ -49,14 +61,21 @@ case class L2NormalizeExpr(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val arr = ctx.freshName("arr")
+      val nullCheck =
+        if (elemsNullable)
+          s"if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $v.numElements();
          |float[] $arr = new float[$n];
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $arr[$i] = (float) (((double) $v.getFloat($i)) / $d);
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions
-         |  .UnsafeArrayData.fromPrimitiveArray($arr);
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |    .UnsafeArrayData.fromPrimitiveArray($arr);
+         |}
        """.stripMargin
     })
 

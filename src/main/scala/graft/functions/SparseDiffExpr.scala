@@ -23,9 +23,21 @@ import org.apache.spark.sql.types._
   * d² left-to-right from 0.0 (reference semantics:
   * core/delta_computer.py:63-66 for the threshold, :74 for the raw-dense
   * magnitude). Inputs must be equal-length ARRAY<FLOAT> (the versions
-  * table contract); the shorter length is used if they ever differ. */
+  * table contract); the shorter length is used if they ever differ.
+  *
+  * Null elements: a null at any compared position poisons the whole
+  * result to NULL (the HOF pipeline's null likewise poisons its filter
+  * and magnitude). Arrays with containsNull = false skip the check
+  * entirely in both eval and codegen. */
 case class SparseDiffExpr(left: Expression, right: Expression,
                           threshold: Double) extends BinaryExpression {
+
+  private def elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
+
+  override def nullable: Boolean = super.nullable || elemsNullable
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -53,6 +65,7 @@ case class SparseDiffExpr(left: Expression, right: Expression,
     var mag = 0.0
     var i = 0
     while (i < n) {
+      if (elemsNullable && (cur.isNullAt(i) || prev.isNullAt(i))) return null
       val d = cur.getFloat(i).toDouble - prev.getFloat(i).toDouble
       mag += d * d
       if (math.abs(d) >= threshold) {
@@ -77,6 +90,10 @@ case class SparseDiffExpr(left: Expression, right: Expression,
       val idx = ctx.freshName("idx")
       val vs = ctx.freshName("vs")
       val fields = ctx.freshName("fields")
+      val nullCheck =
+        if (elemsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |int[] $idx = new int[$n];
@@ -84,21 +101,24 @@ case class SparseDiffExpr(left: Expression, right: Expression,
          |int $cnt = 0;
          |double $mag = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
          |  $mag += $d * $d;
          |  if (java.lang.Math.abs($d) >= $threshold) {
          |    $idx[$cnt] = $i; $vs[$cnt] = (float) $d; $cnt++;
          |  }
          |}
-         |Object[] $fields = new Object[4];
-         |$fields[0] = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |  .fromPrimitiveArray(java.util.Arrays.copyOf($idx, $cnt));
-         |$fields[1] = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |  .fromPrimitiveArray(java.util.Arrays.copyOf($vs, $cnt));
-         |$fields[2] = (Integer) $cnt;
-         |$fields[3] = (Double) java.lang.Math.sqrt($mag);
-         |${ev.value} = new org.apache.spark.sql.catalyst.expressions
-         |  .GenericInternalRow($fields);
+         |if (!${ev.isNull}) {
+         |  Object[] $fields = new Object[4];
+         |  $fields[0] = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray(java.util.Arrays.copyOf($idx, $cnt));
+         |  $fields[1] = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray(java.util.Arrays.copyOf($vs, $cnt));
+         |  $fields[2] = (Integer) $cnt;
+         |  $fields[3] = (Double) java.lang.Math.sqrt($mag);
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions
+         |    .GenericInternalRow($fields);
+         |}
        """.stripMargin
     })
 

@@ -33,7 +33,10 @@ object AsOfJoin {
     * Output: all left columns + `asof_<payloadCol>` for each payload
     * column (null when no earlier right row exists). `leftId` is kept for
     * API stability but no longer needed: the window formulation never
-    * regroups left rows, so duplicates pass through unchanged. */
+    * regroups left rows, so duplicate `leftId` rows pass through unchanged
+    * — each gets its own as-of match (the pre-round-2 groupBy form
+    * collapsed them to one row per id; callers with non-unique ids now see
+    * one output row per input row). */
   def lastBefore(left: DataFrame, right: DataFrame, key: String,
                  leftId: String, leftOrd: String, rightOrd: String,
                  payload: Seq[String], strict: Boolean = true): DataFrame = {
@@ -45,6 +48,14 @@ object AsOfJoin {
     require(lt == rt,
       s"as-of ordering columns must share a type (union'd): $leftOrd is " +
         s"$lt, $rightOrd is $rt — cast one side first")
+    // both sides' key columns are union'd into one relation too — a type
+    // mismatch would otherwise surface as an opaque unionByName error (or
+    // silently widen)
+    val lk = left.schema(key).dataType
+    val rk = right.schema(key).dataType
+    require(lk == rk,
+      s"as-of key columns must share a type (union'd): left `$key` is " +
+        s"$lk, right `$key` is $rk — cast one side first")
     val aTag = if (strict) 0 else 1
     val eTag = 1 - aTag
     val wStruct = struct((rightOrd +: payload).map(col): _*)

@@ -156,16 +156,27 @@ object Dedup {
     docs.join(pairs.select(col("id2").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Fingerprint width for [[simhash56]]/[[simhashes]]: 56 bits — the full
+    * range of [[md5Long]], and the widest fingerprint whose bit-masks and
+    * vote-weighted sums stay BIGINT-safe for SQL portability. Width drives
+    * band selectivity: with the default maxHamming=3 the pigeonhole join
+    * uses 4 bands × 14 bits → 2^14 values per band, so per-band bucket
+    * population is ~N/16384 and the banded self-join stays near-linear at
+    * corpus scale (a 32-bit hash with 7 bands of 4-5 bits degenerates
+    * toward N²/32). */
+  val SimhashBits = 56
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, via LSH
-    * banding on the 32-bit hash: split into `maxHamming+1` bit-bands — by
+    * banding on the 56-bit hash: split into `maxHamming+1` bit-bands — by
     * pigeonhole, any pair within maxHamming shares at least one identical
     * band, so the banded equi-join is EXACT (same result as the N² brute
-    * join) while shuffling only bucket-mates. */
+    * join) while shuffling only bucket-mates. Keep maxHamming <= 3 at scale
+    * so bands stay >= 14 bits wide (see [[SimhashBits]]). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String = "text",
-                   maxHamming: Int = 6): DataFrame = {
+                   maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
-    val base = 32 / nBands
-    val extra = 32 % nBands // first `extra` bands get an extra bit
+    val base = SimhashBits / nBands
+    val extra = SimhashBits % nBands // first `extra` bands get an extra bit
     val offsets = (0 until nBands).scanLeft(0) { (off, b) =>
       off + base + (if (b < extra) 1 else 0)
     }
@@ -189,31 +200,32 @@ object Dedup {
       .distinct()
   }
 
-  /** 32-bit SimHash over word tokens: bit j is set iff the majority of
-    * token hashes have bit j set (sum of ±1 votes > 0). 32 bits keep every
-    * intermediate in BIGINT range for SQL portability. */
-  def simhash32(text: Column): Column = {
+  /** 56-bit SimHash over word tokens: bit j is set iff the majority of
+    * token hashes have bit j set (sum of ±1 votes > 0). [[SimhashBits]]=56
+    * uses md5Long's full range while keeping every intermediate in BIGINT
+    * range for SQL portability. */
+  def simhash56(text: Column): Column = {
     val toks = transform(split(trim(text), "\\s+"), t => md5Long(t))
-    (0 until 32).map { j =>
+    (0 until SimhashBits).map { j =>
       val votes = aggregate(toks, lit(0L), (a, h) =>
         a + when(pmod(shiftright(h, j), lit(2)) === 1, 1L).otherwise(-1L))
       when(votes > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
   }
 
-  /** Bulk SimHash: explode token hashes and compute the 32 bit-votes as
+  /** Bulk SimHash: explode token hashes and compute the 56 bit-votes as
     * codegen'd sum aggregates (same rationale as [[minhashSignatures]]).
-    * Output: (_id, simhash). Identical values to [[simhash32]]. */
+    * Output: (_id, simhash). Identical values to [[simhash56]]. */
   def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = docs.select(col(idCol).as("_id"),
       explode(transform(split(trim(col(textCol)), "\\s+"), t => md5Long(t)))
         .as("_h"))
-    val aggs = (0 until 32).map(j =>
+    val aggs = (0 until SimhashBits).map(j =>
       sum(when(pmod(shiftright(col("_h"), j), lit(2)) === 1, 1L)
         .otherwise(-1L)).as(s"_v$j"))
     exploded.groupBy("_id").agg(aggs.head, aggs.tail: _*)
       .select(col("_id"),
-        (0 until 32).map(j =>
+        (0 until SimhashBits).map(j =>
           when(col(s"_v$j") > 0, lit(1L << j)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
   }

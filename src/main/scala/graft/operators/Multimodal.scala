@@ -64,7 +64,10 @@ object PpmFeaturizer extends Featurizer {
       }
       val w = nextInt(); val h = nextInt(); val maxval = nextInt()
       pos += 1 // single whitespace after maxval, per spec
-      require(w > 0 && h > 0 && maxval > 0)
+      // maxval > 255 means 2-byte samples (legal P6, up to 65535) — this
+      // scanner reads 1-byte samples only, so route such files to the
+      // zeros path rather than emit wrong features
+      require(w > 0 && h > 0 && maxval > 0 && maxval <= 255)
       // size math in Long: a malformed header like "P6 50000 50000" would
       // overflow 3*w*h in Int, slip past the bound check, and emit garbage
       // instead of the documented zeros

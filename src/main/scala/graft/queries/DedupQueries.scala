@@ -128,7 +128,7 @@ object DedupQueries {
     """list_sum(list_transform(range(0, 64), i ->
       |      CAST(a.v[i+1] AS DOUBLE) * CAST(b.v[i+1] AS DOUBLE)))""".stripMargin
 
-  private def simhashBitsSql: String = (0 until 32).map { j =>
+  private def simhashBitsSql: String = (0 until Dedup.SimhashBits).map { j =>
     s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
   }.mkString(" + ")
 

@@ -41,24 +41,40 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: exact dups identical, near-dups close, unrelated far") {
-    val sh = docs.select(col("doc_id"), Dedup.simhash32(col("text")).as("s"))
+    val sh = docs.select(col("doc_id"), Dedup.simhash56(col("text")).as("s"))
       .as[(Long, Long)].collect().toMap
     assert(sh(1L) == sh(4L))
     val nearDist = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
     val farDist = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
     assert(nearDist < farDist)
+    // every fingerprint stays within the declared 56-bit range
+    assert(sh.values.forall(s => s >= 0 && s < (1L << Dedup.SimhashBits)))
   }
 
   test("banded simhashPairs equals brute-force within maxHamming (pigeonhole)") {
-    val sh = docs.select(col("doc_id"), Dedup.simhash32(col("text")).as("s"))
+    val sh = docs.select(col("doc_id"), Dedup.simhash56(col("text")).as("s"))
       .as[(Long, Long)].collect()
-    val brute = (for {
-      (i1, s1) <- sh; (i2, s2) <- sh if i1 < i2
-      h = java.lang.Long.bitCount(s1 ^ s2) if h <= 6
-    } yield (i1, i2, h)).toSet
-    val banded = Dedup.simhashPairs(docs, "doc_id", maxHamming = 6)
-      .as[(Long, Long, Int)].collect().toSet
-    assert(banded == brute)
+    for (maxH <- Seq(3, 6)) {
+      val brute = (for {
+        (i1, s1) <- sh; (i2, s2) <- sh if i1 < i2
+        h = java.lang.Long.bitCount(s1 ^ s2) if h <= maxH
+      } yield (i1, i2, h)).toSet
+      val banded = Dedup.simhashPairs(docs, "doc_id", maxHamming = maxH)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(banded == brute, s"maxHamming=$maxH")
+    }
+  }
+
+  test("simhash band value-space >= 2^14 at the default maxHamming (scale gate)") {
+    // the banded self-join stays near-linear only if each band has enough
+    // distinct values to keep bucket population ~N/2^width; the default
+    // configuration (maxHamming=3 -> 4 bands over 56 bits) must never
+    // regress below 14-bit bands
+    val defaultMaxHamming = 3
+    val minBandWidth = Dedup.SimhashBits / (defaultMaxHamming + 1)
+    assert(minBandWidth >= 14,
+      s"narrowest band is $minBandWidth bits; need >= 14 (2^14 values)")
+    assert(Dedup.SimhashBits <= 62) // BIGINT-safe bit masks on both engines
   }
 
   test("dedupedCorpus keeps the lowest id of each duplicate group") {

@@ -38,7 +38,7 @@ class GraftSqlSpec extends SparkSpec {
     assert(r._2 == Seq(1.0f, 2.0f, 3.0f)) // delta applied to prev == cur
   }
 
-  test("graft_hyperplane_bucket rejects non-literal size args") {
+  test("graft_hyperplane_bucket rejects non-constant size args") {
     GraftSql.registerFunctions(spark)
     Seq((1L, Array(1.0f))).toDF("vec_id", "embedding")
       .createOrReplaceTempView("gsql_emb2")
@@ -46,7 +46,24 @@ class GraftSqlSpec extends SparkSpec {
       spark.sql("SELECT graft_hyperplane_bucket(embedding, vec_id + 1, 0) " +
         "FROM gsql_emb2").collect()
     }
-    assert(e.getMessage.contains("integer literals")
+    assert(e.getMessage.contains("compile-time constant")
       || e.getCause != null)
+  }
+
+  test("graft_hyperplane_bucket accepts foldable constant size args") {
+    GraftSql.registerFunctions(spark)
+    val emb = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(32)(j => math.cos(i * 7 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    emb.createOrReplaceTempView("gsql_emb3")
+    // CAST(6 AS BIGINT) and 3+3 are constants after folding — both must
+    // resolve to the same generated code as the plain literal 6
+    val viaFold = spark.sql(
+      "SELECT vec_id, graft_hyperplane_bucket(embedding, CAST(6 AS BIGINT), " +
+        "1+1) AS b FROM gsql_emb3")
+    val viaApi = emb.select(col("vec_id"),
+      Dedup.hyperplaneBucket(col("embedding"), 6, 2).as("b"))
+    assert(viaFold.exceptAll(viaApi).isEmpty
+      && viaApi.exceptAll(viaFold).isEmpty)
   }
 }

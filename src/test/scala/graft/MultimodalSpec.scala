@@ -59,6 +59,11 @@ class MultimodalSpec extends SparkSpec {
     assert(PpmFeaturizer.featurize(
       "P6\n50000 50000\n255\n".getBytes("US-ASCII")).forall(_ == 0.0f))
     assert(PpmFeaturizer.featurize(Array[Byte](1, 2, 3)).forall(_ == 0.0f))
+    // maxval > 255 means 2-byte samples, which this scanner does not read
+    // — must take the zeros path, not parse as 1-byte and emit garbage
+    val wide = "P6\n2 2\n65535\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](2 * 3 * 4)(77.toByte)
+    assert(PpmFeaturizer.featurize(wide).forall(_ == 0.0f))
   }
 
   test("decodeAndFeaturize accepts a pluggable codec (same Spark plan)") {

@@ -124,4 +124,30 @@ class VectorFunctionsSpec extends SparkSpec {
     val dv = lit(Array(3.0f, 4.0f))
     assert(math.abs(one[Double](sparseMagnitude(dv)) - 5.0) < 1e-9)
   }
+
+  test("kernels poison result to NULL on null array elements " +
+    "(never misread them as zeros)") {
+    // nullable-element schema: Option[Float] elements
+    val df = Seq(
+      (1L, Seq[Option[Float]](Some(1.0f), None, Some(3.0f)),
+        Seq[Option[Float]](Some(1.0f), Some(2.0f), Some(3.0f))),
+      (2L, Seq[Option[Float]](Some(1.0f), Some(2.0f), Some(3.0f)),
+        Seq[Option[Float]](Some(0.5f), Some(2.0f), Some(3.5f)))
+    ).toDF("id", "cur", "prev")
+    val sd = df.select(col("id"),
+      sparseDiffNative(col("cur"), col("prev"), 0.01).as("s"),
+      l2NormalizeWithNative(col("cur"), lit(2.0)).as("nv"),
+      applyMapDeltaNative(col("prev"),
+        map_from_arrays(array(lit(0)), array(lit(1.0)))).as("ap"))
+    val rows = sd.collect().map(r => r.getLong(0) ->
+      (r.isNullAt(1), r.isNullAt(2), r.isNullAt(3))).toMap
+    assert(rows(1L) == ((true, true, false))) // cur has a null element
+    assert(rows(2L) == ((false, false, false))) // clean row unaffected
+    // null map VALUE poisons apply_delta too
+    val nm = df.where(col("id") === 2)
+      .select(applyMapDeltaNative(col("prev"),
+        map_from_arrays(array(lit(0)), array(lit(null).cast("double"))))
+        .as("ap")).collect()(0)
+    assert(nm.isNullAt(0))
+  }
 }
