@@ -32,40 +32,95 @@ class TemporalVectorDB(
   def versions: DataFrame = spark.read.parquet(path)
 
   private var basesCache: Option[DataFrame] = None
+  private var latestCache: Option[DataFrame] = None
+
+  private def normalizedBases(rows: DataFrame): DataFrame =
+    rows.where(col("kind") === "base")
+      .select(col("content_id"), col("seq"), col("embedding").as("vec"))
+      .withColumn("_nrm", l2NormNative(col("vec")))
+      .where(col("_nrm") > 0)
+      .withColumn("vec", l2NormalizeWithNative(col("vec"), col("_nrm")))
+      .drop("_nrm")
+
+  /** Pin a maintained corpus as an eager, LINEAGE-FREE materialization.
+    * `localCheckpoint` (not `cache`) on purpose: every parquet append to
+    * `path` triggers Spark's `recacheByPath`, which drops and lazily
+    * RE-EXECUTES any cached plan that reads the store path — with a fresh
+    * file listing, so a "cached" index would silently rebuild itself from
+    * post-append state (wrong seq offsets, duplicated latest rows). A
+    * checkpoint has no file relation in its plan, so appends cannot touch
+    * it; refreshes replace it explicitly. On a cluster with an unreliable
+    * executor fleet, swap for `checkpoint()` against a durable dir. */
+  private def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
   /** Cached normalized base snapshots — the engine's "vector index"
     * (reference storage_engine.py:89-110 rebuilds FAISS from a full scan;
-    * here it is a cached pruned projection). */
+    * here it is a materialized pruned projection, maintained INCREMENTALLY
+    * on append like the reference's FAISS `index.add`, :153-164). */
   def cacheBases(): DataFrame = synchronized {
     basesCache.getOrElse {
-      val b = versions.where(col("kind") === "base")
-        .select(col("content_id"), col("seq"),
-          col("embedding").as("vec"))
-        .withColumn("_nrm", l2NormNative(col("vec")))
-        .where(col("_nrm") > 0)
-        .withColumn("vec", l2NormalizeWithNative(col("vec"), col("_nrm")))
-        .drop("_nrm")
-        .cache()
+      val b = pin(normalizedBases(versions))
       basesCache = Some(b)
       b
     }
   }
 
-  private def invalidate(): Unit = synchronized {
-    basesCache.foreach(_.unpersist())
-    basesCache = None
+  /** Materialized latest-state corpus: every content's RECONSTRUCTED
+    * latest version — (content_id, seq, embedding). Built once from the
+    * store, then maintained incrementally per [[addVersions]] batch
+    * (reconstruct only touched contents, carry the rest), so repeated
+    * latest-state searches never re-run the full reconstruction. */
+  def cacheLatest(): DataFrame = synchronized {
+    latestCache.getOrElse {
+      val latest = versions.groupBy("content_id").agg(max("seq").as("seq"))
+      val l = pin(Reconstruction.reconstruct(versions, latest)
+        .select("content_id", "seq", "embedding"))
+      latestCache = Some(l)
+      l
+    }
+  }
+
+  /** Incremental index maintenance after an append. Both corpora merge
+    * carried state with ONLY the touched contents' rows — never a full
+    * store re-scan:
+    *  - bases: rows of touched contents not already indexed (append-only
+    *    set, so an anti-join on (content_id, seq) is exact);
+    *  - latest: reconstruct touched contents at their new max seq, carry
+    *    every untouched content's row unchanged.
+    * `touched` derives from the CALLER's frame, and the merged result is
+    * re-pinned lineage-free, so no plan here can be invalidated or
+    * re-executed by this (or any later) append. */
+  private def refreshCaches(touched: DataFrame): Unit = synchronized {
+    basesCache = basesCache.map { old =>
+      val fresh = normalizedBases(
+        versions.join(touched, Seq("content_id"), "left_semi"))
+      val additions = fresh.join(old.select("content_id", "seq"),
+        Seq("content_id", "seq"), "left_anti")
+      // the replaced checkpoint's blocks are reclaimed by the
+      // ContextCleaner once the old frame is unreferenced
+      pin(old.unionByName(additions))
+    }
+    latestCache = latestCache.map { old =>
+      val targets = versions.join(touched, Seq("content_id"), "left_semi")
+        .groupBy("content_id").agg(max("seq").as("seq"))
+      val rebuilt = Reconstruction.reconstruct(versions, targets)
+        .select("content_id", "seq", "embedding")
+      val carried = old.join(touched, Seq("content_id"), "left_anti")
+      pin(carried.unionByName(rebuilt))
+    }
   }
 
   /** Batch ingest of (content_id, ts, embedding[, metadata]) rows; assigns
     * sequence numbers after any existing versions and appends to the store
     * (reference add_content_version, temporal_database.py:86-178 — but one
-    * job for the whole batch instead of per-row timeline reloads). */
+    * job for the whole batch instead of per-row timeline reloads). Live
+    * indexes are maintained incrementally from the batch's content ids,
+    * never rebuilt from a full scan. */
   def addVersions(df: DataFrame): Unit = {
     val existing =
       if (versionsExists) Some(versions.select("content_id", "seq")) else None
-    val ingested = VersionStore.ingest(df, existing, cfg)
-    ingested.write.mode("append").parquet(path)
-    invalidate()
+    VersionStore.ingest(df, existing, cfg).write.mode("append").parquet(path)
+    refreshCaches(df.select("content_id").distinct())
   }
 
   // Hadoop FS resolution, not java.io.File: the store path may live on
@@ -132,17 +187,37 @@ class TemporalVectorDB(
   /** Cosine kNN over each content's RECONSTRUCTED LATEST version (SURVEY
     * §3.3's optional extension beyond the reference's bases-only corpus):
     * the freshest state of every content is searchable even when the
-    * latest version is a delta. One reconstruction job builds the corpus —
-    * at scale, reconstruct once and cache/persist rather than per query. */
+    * latest version is a delta. The corpus is the MATERIALIZED
+    * [[cacheLatest]] projection — reconstruction runs once (plus
+    * incremental per-batch refresh), not per query. */
   def searchLatestVersions(query: Array[Float], k: Int = Defaults.DefaultK)
       : DataFrame = {
     import spark.implicits._
-    val latest = versions.groupBy("content_id").agg(max("seq").as("seq"))
-    val corpus = Reconstruction.reconstruct(versions, latest)
-      .select(concat_ws("#", col("content_id"), col("seq")).as("id"),
-        col("embedding").as("vec"))
     val q = Seq((1L, query)).toDF("query_id", "qvec")
-    SimilaritySearch.topK(q, corpus, k)
+    SimilaritySearch.topK(q, latestCorpus(), k)
+      .select(col("rank"), col("id"), col("sim"))
+  }
+
+  private def latestCorpus(): DataFrame =
+    cacheLatest().select(
+      concat_ws("#", col("content_id"), col("seq")).as("id"),
+      col("embedding").as("vec"))
+
+  /** Approximate latest-state search — the repeat-query path at corpus
+    * scale: multi-table hyperplane-LSH over the materialized latest
+    * corpus ([[SimilaritySearch.topKLshMulti]]; `nBits <= 0` sizes buckets
+    * from the corpus count via [[Dedup.autoBits]]). Same contract as
+    * [[searchLatestVersions]] minus recall (bounded by the table/probe
+    * configuration), at Σ bucket² cost instead of an exact corpus scan. */
+  def searchLatestVersionsApprox(query: Array[Float],
+                                 k: Int = Defaults.DefaultK,
+                                 nBits: Int = 0,
+                                 nTables: Int = 2): DataFrame = {
+    import spark.implicits._
+    val corpus = latestCorpus()
+    val bits = if (nBits > 0) nBits else Dedup.autoBits(corpus.count())
+    val q = Seq((1L, query)).toDF("query_id", "qvec")
+    SimilaritySearch.topKLshMulti(q, corpus, k, bits, nTables)
       .select(col("rank"), col("id"), col("sim"))
   }
 

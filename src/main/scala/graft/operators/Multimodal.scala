@@ -21,10 +21,12 @@ trait Featurizer extends Serializable {
   def featurize(bytes: Array[Byte]): Array[Float]
 }
 
-/** Deterministic stand-in for payloads this sandbox cannot decode (no
-  * image/audio codecs installed): feature j derives from 6 hex digits of
-  * md5(payload) at offset 2j, scaled to [0, 1) — reproducible in any
-  * engine with md5, so the SQL oracle replays it exactly. */
+/** Deterministic stand-in featurizer and the ORACLE DEFAULT: feature j
+  * derives from 6 hex digits of md5(payload) at offset 2j, scaled to
+  * [0, 1) — reproducible in any engine with md5, so the SQL oracle replays
+  * it exactly. Real decoders ([[PpmFeaturizer]], [[ImageIoFeaturizer]])
+  * plug in for formats with actual codecs; this one covers everything
+  * else (audio/video containers) and keeps q28 hash-checked. */
 object Md5Featurizer extends Featurizer {
   val featureDim = 8
   def featurize(bytes: Array[Byte]): Array[Float] = {
@@ -92,19 +94,69 @@ object PpmFeaturizer extends Featurizer {
   }
 }
 
+/** Full image decode via the JDK's own `javax.imageio` — PNG, JPEG, BMP,
+  * GIF and WBMP with zero added dependencies. Features (same 8-wide layout
+  * as [[PpmFeaturizer]]): width, height, color-component count, mean
+  * R/G/B in [0, 1], pixel count, aspect ratio. Undecodable or malformed
+  * payloads featurize to zeros (`ImageIO.read` returns null on unknown
+  * formats; corrupt media must not kill a 100 TB scan).
+  *
+  * Decode cost dominates the row, so the mapPartitions plan is identical
+  * to the other codecs — partition-parallel, no shuffle, no driver
+  * involvement. `ImageIO` caches to disk by default for large streams;
+  * disabled here (pure in-memory decode) so executors never touch local
+  * tmp for scratch files. */
+object ImageIoFeaturizer extends Featurizer {
+  javax.imageio.ImageIO.setUseCache(false)
+  val featureDim = 8
+  def featurize(bytes: Array[Byte]): Array[Float] = {
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null && img.getWidth > 0 && img.getHeight > 0)
+      val w = img.getWidth; val h = img.getHeight
+      val channels = img.getColorModel.getNumComponents
+      val sums = new Array[Long](3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y) // sRGB regardless of source model
+          sums(0) += (rgb >> 16) & 0xff
+          sums(1) += (rgb >> 8) & 0xff
+          sums(2) += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Array(w.toFloat, h.toFloat, channels.toFloat,
+        (sums(0).toDouble / n / 255.0).toFloat,
+        (sums(1).toDouble / n / 255.0).toFloat,
+        (sums(2).toDouble / n / 255.0).toFloat,
+        n.toFloat, w.toFloat / h.toFloat)
+    } catch {
+      case _: Throwable => new Array[Float](featureDim)
+    }
+  }
+}
+
 /** Multimodal-column plumbing for training-data pipelines (builder north
   * star): media payloads travel as opaque BINARY columns with typed
   * metadata; decode/feature-extract runs as per-partition imperative code —
   * the one place `mapPartitions` is the right tool (native codec calls
   * cannot be expressed as Catalyst expressions).
   *
-  * The decoder is PLUGGABLE via [[Featurizer]]: [[PpmFeaturizer]] is a
-  * real (header-parsing, pixel-scanning) decoder; [[Md5Featurizer]] is the
-  * deterministic stand-in for formats this sandbox has no codecs for, and
-  * stays the default so the oracle query remains SQL-replicable. The Spark
-  * side — binary schema, partition-parallel batched execution, typed
-  * output Encoder, downstream compatibility with similarity/dedup
-  * operators — is identical for every implementation.
+  * The decoder is PLUGGABLE via [[Featurizer]]: [[ImageIoFeaturizer]]
+  * decodes the formats a training pipeline actually sees (PNG/JPEG/BMP/
+  * GIF, via the JDK's javax.imageio — no external codecs needed);
+  * [[PpmFeaturizer]] is a self-contained header-parsing decoder;
+  * [[Md5Featurizer]] is the deterministic stand-in for container formats
+  * without JDK codecs (audio/video) and stays the DEFAULT so the oracle
+  * query remains SQL-replicable. The Spark side — binary schema,
+  * partition-parallel batched execution, typed output Encoder, downstream
+  * compatibility with similarity/dedup operators — is identical for every
+  * implementation.
   */
 object Multimodal {
 

@@ -66,6 +66,25 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Q40b: the approx twin of q40 — same reconstructed-latest corpus,
+    // but candidates come from single-table 6-bit hyperplane-LSH buckets
+    // (with hamming-1 multi-probe) instead of the exact cross join: the
+    // repeat-query path the facade exposes as searchLatestVersionsApprox.
+    "q40b_search_latest_lsh" -> ((s, d) => {
+      val versions = SyntheticVersions.versions(s, d)
+      val latest = versions.groupBy("content_id").agg(max("seq").as("seq"))
+      val corpus = graft.operators.Reconstruction
+        .reconstruct(versions, latest)
+        .select(substring(col("content_id"), 2, 10).cast("int").as("id"),
+          col("embedding").as("vec"))
+      val queries = corpus.where(col("id") < 3)
+        .select(col("id").as("query_id"), col("vec").as("qvec"))
+      SimilaritySearch.topKLsh(queries, corpus, 5, nBits = 6)
+        .select(col("query_id"), col("rank"), col("id"),
+          r4(col("sim")).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Q35: approximate top-k via IVF coarse quantization. The quantized
     // Lloyd's trainer is bit-deterministic and engine-portable (integer
     // cross-row sums), so the DuckDB oracle replays the training loop
@@ -263,10 +282,11 @@ object ExtQueries {
       |ORDER BY query_id, rank""".stripMargin
   }
 
-  /** DuckDB replay of q40: reconstruct each content's latest version
-    * (nearest base + per-dim delta sums, q14's proven arithmetic extended
-    * to all 64 dims), then the q15-proven normalize + cosine + rank. */
-  private def q40OracleSql: String = {
+  /** Shared q40/q40b reconstruction prefix: each content's latest version
+    * rebuilt in SQL (nearest base + per-dim delta sums, q14's proven
+    * arithmetic extended to all 64 dims), ending with `rec` (id, raw emb)
+    * and `n` (id, normalized v). */
+  private def q40ReconCte: String = {
     val sums = (0 until 64).map(i =>
       s"    sum(CAST(kd.dstored[${i + 1}] AS DOUBLE)) AS a$i").mkString(",\n")
     val dims = (0 until 64).map(i =>
@@ -299,7 +319,14 @@ object ExtQueries {
       |      AS REAL)) AS v
       |  FROM rec
       |  WHERE sqrt(list_sum(list_transform(range(0, 64), j ->
-      |    CAST(emb[j+1] AS DOUBLE) * CAST(emb[j+1] AS DOUBLE)))) > 0),
+      |    CAST(emb[j+1] AS DOUBLE) * CAST(emb[j+1] AS DOUBLE)))) > 0)""".stripMargin
+  }
+
+  /** DuckDB replay of q40: the shared reconstruction prefix, then the
+    * q15-proven exact cosine + rank. */
+  private def q40OracleSql: String =
+    q40ReconCte +
+      s""",
       |sc AS (
       |  SELECT q.id AS query_id, c.id AS id,
       |    list_sum(list_transform(range(0, 64), i ->
@@ -312,12 +339,39 @@ object ExtQueries {
       |SELECT query_id, rank, id, ${r4sql("sim")} AS sim
       |FROM r WHERE rank <= 5 AND sim > 0
       |ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** DuckDB replay of q40b: same reconstruction prefix, but candidates
+    * from single-table 6-bit hyperplane-LSH buckets over the RAW
+    * reconstructed vectors, queries probing their bucket plus every
+    * hamming-1 neighbor (exactly SimilaritySearch.topKLsh nBits=6). */
+  private def q40bOracleSql: String =
+    q40ReconCte +
+      s""",
+      |bk AS (SELECT id, ${bucket6("emb", 0)} AS bucket FROM rec),
+      |nb AS (SELECT n.id, n.v, bk.bucket FROM n JOIN bk ON bk.id = n.id),
+      |qp AS (
+      |  SELECT id, v, unnest([bucket,
+      |    xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8),
+      |    xor(bucket, 16), xor(bucket, 32)]) AS probe
+      |  FROM nb WHERE id < 3),
+      |sc AS (
+      |  SELECT q.id AS query_id, c.id AS id,
+      |    list_sum(list_transform(range(0, 64), i ->
+      |      CAST(q.v[i+1] AS DOUBLE) * CAST(c.v[i+1] AS DOUBLE))) AS sim
+      |  FROM qp q JOIN nb c ON c.bucket = q.probe),
+      |r AS (
+      |  SELECT query_id, id, sim, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY sim DESC, id) AS INTEGER) AS rank
+      |  FROM sc)
+      |SELECT query_id, rank, id, ${r4sql("sim")} AS sim
+      |FROM r WHERE rank <= 5 AND sim > 0
+      |ORDER BY query_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q35_ann_ivf_topk" -> q35OracleSql,
     "q27b_ann_lsh_multi" -> q27bOracleSql,
     "q40_search_latest" -> q40OracleSql,
+    "q40b_search_latest_lsh" -> q40bOracleSql,
     "q32_sql_surface" ->
       s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
         |  ${r4sql("list_sum(list_transform(range(0, 64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))")} AS dot

@@ -129,6 +129,77 @@ class ApiSpec extends SparkSpec {
     assert(math.abs(hit._2 - 1.0) < 1e-6)
   }
 
+  test("materialized latest corpus: repeated searches hit the cache, " +
+    "appends refresh it incrementally") {
+    val db = freshDb()
+    db.addVersions(mkHistory(7).toDF("content_id", "ts", "embedding"))
+    val latestVec = db.getLatestVersion("art")
+      .select("embedding").as[Seq[Float]].collect().head.toArray
+    // first search builds the materialized corpus...
+    assert(db.searchLatestVersions(latestVec, k = 1)
+      .select("id").as[String].collect().head == "art#7")
+    // ...every later latest-state search reads the in-memory projection,
+    // never the reconstruction pipeline (no delta-fold explode/aggregate)
+    val plan = db.searchLatestVersions(latestVec, k = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan)
+    // append a new content: only the touched contents reconstruct; the
+    // refreshed corpus serves both old and new latest states
+    db.addVersions(Seq(("new", ts(10), Array.fill(dim)(0.9f)))
+      .toDF("content_id", "ts", "embedding"))
+    val ids = db.cacheLatest().select("content_id", "seq")
+      .as[(String, Int)].collect().toSet
+    assert(ids == Set(("art", 7), ("new", 1)))
+    val hit = db.searchLatestVersions(Array.fill(dim)(0.9f), k = 1)
+      .select("id").as[String].collect().head
+    assert(hit == "new#1")
+    // appending MORE versions of an existing content moves its latest
+    db.addVersions(Seq(("art", ts(11), Array.fill(dim)(0.1f)))
+      .toDF("content_id", "ts", "embedding"))
+    val ids2 = db.cacheLatest().select("content_id", "seq")
+      .as[(String, Int)].collect().toSet
+    assert(ids2 == Set(("art", 8), ("new", 1)))
+  }
+
+  test("searchLatestVersionsApprox agrees with the exact search on the " +
+    "self-query and reads the cached corpus") {
+    val db = freshDb()
+    db.addVersions(mkHistory(7).toDF("content_id", "ts", "embedding"))
+    val latestVec = db.getLatestVersion("art")
+      .select("embedding").as[Seq[Float]].collect().head.toArray
+    // a query equal to a corpus vector always shares its own bucket, so
+    // the approx path must find the exact self-match
+    val hit = db.searchLatestVersionsApprox(latestVec, k = 1, nBits = 6)
+      .select("id", "sim").as[(String, Double)].collect().head
+    assert(hit._1 == "art#7" && math.abs(hit._2 - 1.0) < 1e-6)
+    val plan = db.searchLatestVersionsApprox(latestVec, k = 1, nBits = 6)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan)
+    // auto-sized bits path runs too (tiny corpus clamps to 4 bits)
+    assert(db.searchLatestVersionsApprox(latestVec, k = 1)
+      .count() >= 1)
+  }
+
+  test("incremental cacheBases: append unions the batch into the cached " +
+    "index instead of rebuilding from a full re-scan") {
+    val db = freshDb()
+    db.addVersions(mkHistory(6).toDF("content_id", "ts", "embedding"))
+    assert(db.cacheBases().count() == 2) // interval-5 bases at seq 1, 6
+    // this append creates base seq 1 for "new" and base seq 7 for "art"
+    // (the 0.9-fill changes nearly every dim -> promotion-ratio rule)
+    db.addVersions(Seq(
+      ("new", ts(10), Array.fill(dim)(0.2f)),
+      ("art", ts(10), Array.fill(dim)(0.9f)))
+      .toDF("content_id", "ts", "embedding"))
+    val bases = db.cacheBases().select("content_id", "seq")
+      .as[(String, Int)].collect().toSet
+    assert(bases == Set(("art", 1), ("art", 6), ("art", 7), ("new", 1)))
+    // the refreshed index is still served from memory
+    val plan = db.searchSimilarContent(Array.fill(dim)(0.5f), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan)
+  }
+
   test("getContentStatistics bundles counts + recon stats + integrity " +
     "(temporal_database.py:301-330 shape)") {
     val db = freshDb()

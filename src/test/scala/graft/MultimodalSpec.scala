@@ -66,6 +66,51 @@ class MultimodalSpec extends SparkSpec {
     assert(PpmFeaturizer.featurize(wide).forall(_ == 0.0f))
   }
 
+  test("ImageIoFeaturizer decodes generated PNG/BMP/GIF fixtures") {
+    import graft.operators.ImageIoFeaturizer
+    def encode(fmt: String, w: Int, h: Int,
+               rgb: (Int, Int, Int)): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = (rgb._1 << 16) | (rgb._2 << 8) | rgb._3
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    for (fmt <- Seq("png", "bmp", "gif")) {
+      val f = ImageIoFeaturizer.featurize(encode(fmt, 6, 4, (255, 128, 0)))
+      assert(f(0) == 6.0f && f(1) == 4.0f, s"$fmt dims")
+      assert(f(2) >= 3.0f) // RGB (gif palette still exposes >= 3 components)
+      assert(math.abs(f(3) - 1.0) < 0.02, s"$fmt mean R ${f(3)}")
+      assert(math.abs(f(4) - 128.0 / 255) < 0.02, s"$fmt mean G ${f(4)}")
+      assert(math.abs(f(5) - 0.0) < 0.02, s"$fmt mean B ${f(5)}")
+      assert(f(6) == 24.0f && f(7) == 1.5f, s"$fmt count/aspect")
+    }
+    // undecodable payloads take the zeros path, never throw
+    assert(ImageIoFeaturizer.featurize("not an image".getBytes)
+      .forall(_ == 0.0f))
+    assert(ImageIoFeaturizer.featurize(Array.emptyByteArray)
+      .forall(_ == 0.0f))
+  }
+
+  test("ImageIoFeaturizer runs through the same mapPartitions plan") {
+    import graft.operators.{ImageIoFeaturizer, Multimodal}
+    val img = new java.awt.image.BufferedImage(5, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 5) img.setRGB(x, y, 0x4080C0)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val df = Seq((1L, "image", png), (2L, "image", "garbage".getBytes))
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.decodeAndFeaturize(df, ImageIoFeaturizer)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(out(1L).feature(0) == 5.0f && out(1L).feature(1) == 2.0f)
+    assert(out(1L).n_bytes == png.length.toLong)
+    assert(out(2L).feature.forall(_ == 0.0f)) // corrupt row survives
+  }
+
   test("decodeAndFeaturize accepts a pluggable codec (same Spark plan)") {
     import graft.operators.PpmFeaturizer
     val pixels = Array.fill[Byte](3 * 6)(100.toByte)
