@@ -90,6 +90,12 @@ class TemporalVectorDB(
     * `touched` derives from the CALLER's frame, and the merged result is
     * re-pinned lineage-free, so no plan here can be invalidated or
     * re-executed by this (or any later) append. */
+  /** Hook for writers that append to the store OUTSIDE [[addVersions]]
+    * (the streaming staged-commit path): refresh the maintained indexes
+    * incrementally for the given touched content ids. */
+  private[graft] def refreshAfterAppend(touched: DataFrame): Unit =
+    refreshCaches(touched)
+
   private def refreshCaches(touched: DataFrame): Unit = synchronized {
     basesCache = basesCache.map { old =>
       val fresh = normalizedBases(

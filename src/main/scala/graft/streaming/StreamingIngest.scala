@@ -22,15 +22,22 @@ case class IngestState(lastSeq: Int, lastEmbedding: Array[Float])
   * pipeline against the current store state, so streaming and batch ingest
   * have identical semantics by construction.
   *
-  * Delivery semantics: foreachBatch is at-least-once; `addVersions` is an
-  * append, so a naively retried micro-batch would duplicate (content_id,
-  * seq) rows. [[start]] therefore records a per-batch commit marker under
-  * `<store>/_streaming_commits/<batchId>` (underscore-prefixed — invisible
-  * to parquet readers) and skips any batch whose marker already exists,
-  * making recovery-replay idempotent. The remaining window is a crash
-  * BETWEEN the data append and the marker write (that one batch can
-  * duplicate on restart) — closing it fully requires a transactional table
-  * format; plain parquet has no atomic multi-file commit.
+  * Delivery semantics: foreachBatch is at-least-once; a naive append would
+  * duplicate a retried micro-batch's (content_id, seq) rows. [[start]] is
+  * EXACTLY-ONCE on plain parquet via a staged commit:
+  *   1. skip if `<store>/_streaming_commits/<batchId>` exists (committed);
+  *   2. ROLL BACK any root files carrying this batch's `b<id>-` prefix
+  *      (uncommitted leftovers of a crashed attempt — the marker is the
+  *      only commit point, so they are invisible to the protocol);
+  *   3. write the ingested batch under `_staging/<batchId>` (underscore-
+  *      prefixed: parquet readers never see it), computed against the
+  *      rolled-back store;
+  *   4. rename each staged file into the table root under the batch
+  *      prefix, then write the commit marker and drop the staging dir.
+  * A crash ANYWHERE before the marker replays from step 2 with the same
+  * inputs; a crash after the marker replays as a no-op. No crash point
+  * loses or duplicates rows (fault-injection test in StreamingSpec).
+  * Single-writer assumption: one streaming query owns the store path.
   */
 object StreamingIngest {
 
@@ -48,19 +55,50 @@ object StreamingIngest {
       }
       .start()
 
-  /** One micro-batch: append unless this batchId's commit marker already
-    * exists (idempotent replay). Exposed for direct testing. */
-  def processBatch(db: TemporalVectorDB, batch: DataFrame,
-                   batchId: Long): Unit = {
-    val commits = new org.apache.hadoop.fs.Path(db.path, "_streaming_commits")
-    val fs = commits.getFileSystem(
+  /** One micro-batch through the staged exactly-once commit (class doc).
+    * Exposed for direct testing; `crashBeforeMarker` is a fault-injection
+    * point that dies after the data renames but before the commit marker —
+    * the worst-case crash the protocol must absorb. */
+  def processBatch(db: TemporalVectorDB, batch: DataFrame, batchId: Long,
+                   crashBeforeMarker: Boolean = false): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(db.path)
+    val fs = root.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(commits, batchId.toString)
-    if (!fs.exists(marker) && !batch.isEmpty) {
-      db.addVersions(batch)
-      fs.mkdirs(commits)
-      fs.create(marker, true).close()
+    val commits = new Path(root, "_streaming_commits")
+    val marker = new Path(commits, batchId.toString)
+    val staging = new Path(new Path(root, "_staging"), batchId.toString)
+    if (fs.exists(marker)) { // committed: replay is a no-op
+      if (fs.exists(staging)) fs.delete(staging, true) // lazy cleanup
+      return
     }
+    if (batch.isEmpty) return
+    val prefix = s"b$batchId-"
+    // roll back uncommitted leftovers of a crashed earlier attempt, so the
+    // seq-offset read below never sees this batch's own partial files
+    if (fs.exists(root))
+      fs.listStatus(root).iterator
+        .filter(s => s.isFile && s.getPath.getName.startsWith(prefix))
+        .foreach(s => fs.delete(s.getPath, false))
+    val hasData = fs.exists(root) && fs.listStatus(root).exists { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val existing =
+      if (hasData) Some(db.versions.select("content_id", "seq")) else None
+    VersionStore.ingest(batch, existing, db.cfg)
+      .write.mode("overwrite").parquet(staging.toString)
+    // per-file renames (atomic on HDFS-like filesystems); the batch prefix
+    // marks them uncommitted until the marker lands
+    fs.listStatus(staging).map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+      .foreach(p => fs.rename(p, new Path(root, prefix + p.getName)))
+    if (crashBeforeMarker)
+      throw new IllegalStateException("failpoint: crash before marker")
+    fs.mkdirs(commits)
+    fs.create(marker, true).close()
+    fs.delete(staging, true)
+    db.refreshAfterAppend(batch.select("content_id").distinct())
   }
 
   /** Fully streaming-native versioned ingest via `flatMapGroupsWithState`:
@@ -72,20 +110,44 @@ object StreamingIngest {
     * in StreamingSpec); rows within a batch apply in ts order.
     *
     * State is one embedding per content — bounded by the content universe,
-    * not the stream length; at scale add a `GroupStateTimeout` eviction and
-    * re-seed evicted contents from the store's max-seq (cold-start path).
+    * not the stream length. For UNBOUNDED content universes pass
+    * `evictAfter`: contents idle past that event-time horizon have their
+    * state SHRUNK on timeout — the embedding (the memory hog, d floats)
+    * is dropped, the lastSeq counter (a few bytes) is kept. A re-appearing
+    * evicted content therefore CONTINUES its seq timeline, and its next
+    * version is promoted to a base (no previous embedding to diff against
+    * — the same re-base a cold start performs; reconstruction semantics
+    * are unaffected since a base is always a valid chain head). Eviction
+    * requires an event-time watermark, applied here on the ts field; rows
+    * arriving later than `lateness` behind the max seen ts may be dropped
+    * by the watermark, so size it to the source's disorder.
     * The emitted Dataset appends to the versions table via any sink. */
   def statefulIngest(
       stream: Dataset[(String, java.sql.Timestamp, Array[Float])],
       cfg: VersionStore.Config = VersionStore.Config(),
-      initial: Option[Dataset[(String, IngestState)]] = None)
+      initial: Option[Dataset[(String, IngestState)]] = None,
+      evictAfter: Option[java.time.Duration] = None,
+      lateness: String = "1 hour")
       : Dataset[VersionRecord] = {
     import stream.sparkSession.implicits._
-    val grouped = stream.groupByKey(_._1)
+    val watermarked = evictAfter match {
+      case None => stream
+      case Some(_) => stream.withWatermark("_2", lateness)
+    }
+    val grouped = watermarked.groupByKey(_._1)
+    val evictMs = evictAfter.map(_.toMillis)
     val func =
         (contentId: String,
          rows: Iterator[(String, java.sql.Timestamp, Array[Float])],
          state: GroupState[IngestState]) => {
+          if (state.hasTimedOut) {
+            // shrink, don't remove: the seq counter must survive so a
+            // re-appearing content continues its timeline instead of
+            // colliding with stored (content_id, seq) keys
+            state.getOption.foreach(s =>
+              state.update(IngestState(s.lastSeq, null)))
+            Iterator.empty
+          } else {
           var seq = state.getOption.map(_.lastSeq).getOrElse(0)
           var prev = state.getOption.map(_.lastEmbedding).orNull
           // full-precision ts order: getTime alone is millisecond-truncated
@@ -125,15 +187,27 @@ object StreamingIngest {
             rec
           }
           state.update(IngestState(seq, prev))
+          evictMs.foreach { ms =>
+            // fire once the watermark passes this batch's newest row + ms;
+            // must stay strictly ahead of the current watermark
+            if (out.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1,
+                out.map(_.ts.getTime).max + ms))
+          }
           out.iterator
+          }
         }
 
+    val timeout =
+      if (evictAfter.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     initial match {
       case None => grouped.flatMapGroupsWithState[IngestState, VersionRecord](
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(func)
+        OutputMode.Append, timeout)(func)
       case Some(init) =>
         grouped.flatMapGroupsWithState[IngestState, VersionRecord](
-          OutputMode.Append, GroupStateTimeout.NoTimeout,
+          OutputMode.Append, timeout,
           init.groupByKey(_._1).mapValues(_._2))(func)
     }
   }

@@ -63,6 +63,86 @@ class StreamingSpec extends SparkSpec {
     assert(db.validateTimelineIntegrity().count() == 0)
   }
 
+  test("exactly-once: a crash between data rename and commit marker " +
+    "neither loses nor duplicates rows on replay (fault injection)") {
+    val dir = Files.createTempDirectory("tvdb-crash").toFile
+    dir.delete()
+    val db = new TemporalVectorDB(spark, dir.getAbsolutePath)
+    StreamingIngest.processBatch(db,
+      Seq(("c1", ts(1), Array.fill(8)(0.5f)))
+        .toDF("content_id", "ts", "embedding"), batchId = 0L)
+    assert(db.versions.count() == 1)
+    val batch1 = Seq(("c1", ts(2), Array.fill(8)(0.6f)),
+      ("c2", ts(1), Array.fill(8)(0.1f)))
+      .toDF("content_id", "ts", "embedding")
+    // worst-case crash: data files already renamed into the root, marker
+    // never written — the batch's rows are visible but uncommitted
+    intercept[IllegalStateException] {
+      StreamingIngest.processBatch(db, batch1, batchId = 1L,
+        crashBeforeMarker = true)
+    }
+    assert(db.versions.count() == 3) // uncommitted rows visible (expected)
+    // replay of the same batch id: rollback + re-stage + commit
+    StreamingIngest.processBatch(db, batch1, batchId = 1L)
+    assert(db.versions.count() == 3) // no duplicates
+    val got = db.versions.select("content_id", "seq")
+      .as[(String, Int)].collect().sorted.toSeq
+    assert(got == Seq(("c1", 1), ("c1", 2), ("c2", 1))) // no losses either
+    assert(db.validateTimelineIntegrity().count() == 0)
+    // a second replay after commit is a no-op
+    StreamingIngest.processBatch(db, batch1, batchId = 1L)
+    assert(db.versions.count() == 3)
+    // and the next batch continues normally
+    StreamingIngest.processBatch(db,
+      Seq(("c2", ts(2), Array.fill(8)(0.2f)))
+        .toDF("content_id", "ts", "embedding"), batchId = 2L)
+    assert(db.versions.count() == 4)
+    assert(db.validateTimelineIntegrity().count() == 0)
+  }
+
+  test("evicted content resumes its timeline: state shrinks on timeout, " +
+    "the next version re-bases at the continued seq") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Timestamp, Array[Float])]
+    val q = StreamingIngest.statefulIngest(stream.toDS(),
+        VersionStore.Config(baseInterval = 50),
+        evictAfter = Some(java.time.Duration.ofSeconds(30)),
+        lateness = "0 seconds")
+      .writeStream.format("memory").queryName("sf_evict")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      // ea: two versions, then idle; eb keeps the stream moving
+      stream.addData(("ea", t("2025-03-01 00:00:00"), Array.fill(8)(0.5f)),
+        ("ea", t("2025-03-01 00:00:01"),
+          Array.tabulate(8)(i => if (i == 0) 0.52f else 0.5f)),
+        ("eb", t("2025-03-01 00:00:00"), Array.fill(8)(0.1f)))
+      q.processAllAvailable()
+      // advance the watermark far past ea's timeout (00:00:01 + 30s); the
+      // timeout fires while processing this batch or the next
+      stream.addData(("eb", t("2025-03-01 01:00:00"),
+        Array.tabulate(8)(i => if (i == 0) 0.12f else 0.1f)))
+      q.processAllAvailable()
+      stream.addData(("eb", t("2025-03-01 01:00:01"),
+        Array.tabulate(8)(i => if (i == 0) 0.13f else 0.1f)))
+      q.processAllAvailable()
+      // ea re-appears after eviction
+      stream.addData(("ea", t("2025-03-01 02:00:00"), Array.fill(8)(0.6f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ea = spark.table("sf_evict")
+      .where(col("content_id") === "ea")
+      .select("seq", "kind").as[(Int, String)].collect().sortBy(_._1).toSeq
+    // seq CONTINUES at 3 (no restart, no collision) and re-bases because
+    // the evicted state kept the counter but dropped the embedding
+    assert(ea == Seq((1, "base"), (2, "delta"), (3, "base")), ea.toString)
+    val eb = spark.table("sf_evict")
+      .where(col("content_id") === "eb")
+      .select("seq", "kind").as[(Int, String)].collect().sortBy(_._1).toSeq
+    assert(eb.map(_._1) == Seq(1, 2, 3)) // untouched content unaffected
+    assert(eb.count(_._2 == "delta") == 2)
+  }
+
   test("statefulIngest (flatMapGroupsWithState) matches batch ingest " +
     "row-for-row across micro-batch boundaries") {
     implicit val sqlCtx = spark.sqlContext
