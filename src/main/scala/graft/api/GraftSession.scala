@@ -22,6 +22,11 @@ object GraftSession {
       // parquet scans: keep split sizes bounded so wide embedding columns
       // don't produce executor-memory-sized partitions
       .config("spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
+      // accept subset co-partitioning for joins: a store bucketed on
+      // content_id then serves (content_id, seq) joins — reconstruction's
+      // delta-fold — without reshuffling the big side (the parallelism
+      // trade is bounded by the bucket count, which we size to the fleet)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       // events table interop (TIMESTAMP(NANOS) parquet)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -124,15 +124,19 @@ class TemporalVectorDB(
     * never rebuilt from a full scan. */
   def addVersions(df: DataFrame): Unit = {
     val existing =
-      if (versionsExists) Some(versions.select("content_id", "seq")) else None
-    VersionStore.ingest(df, existing, cfg).write.mode("append").parquet(path)
+      if (storeExists) Some(versions.select("content_id", "seq")) else None
+    appendToStore(VersionStore.ingest(df, existing, cfg))
     refreshCaches(df.select("content_id").distinct())
   }
+
+  /** Storage seam (overridden by [[BucketedTemporalVectorDB]]). */
+  protected def appendToStore(ingested: DataFrame): Unit =
+    ingested.write.mode("append").parquet(path)
 
   // Hadoop FS resolution, not java.io.File: the store path may live on
   // HDFS/S3 at deployment scale, where a local-file check silently returns
   // false and seq assignment would restart at 1, colliding with stored keys.
-  private def versionsExists: Boolean = {
+  protected def storeExists: Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
@@ -267,4 +271,36 @@ class TemporalVectorDB(
   def findOptimalBase(contentId: String, seq: Int): DataFrame =
     Reconstruction.baseCandidates(versions, spark.createDataFrame(
       Seq((contentId, seq))).toDF("content_id", "seq"))
+}
+
+/** The cluster-scale storage layout behind the same facade: versions live
+  * in a `bucketBy(content_id)` + `sortBy(content_id, seq)` managed table
+  * ([[graft.operators.BucketedStore]]'s layout), so every per-content
+  * aggregation and content-keyed join — max-seq lookups, the nearest-base
+  * as-of, the delta-chain range join — reads pre-hashed data and SKIPS its
+  * shuffle exchange (the plan shape BucketedStoreSpec asserts, now on the
+  * facade path). On 100 TB this removes the read path's dominant data
+  * movement; appends land bucket-aligned via `saveAsTable(Append)`.
+  *
+  * `table` is a session-catalog table name, not a filesystem path; the
+  * streaming staged-commit path (file renames) applies only to the
+  * path-backed parent. */
+class BucketedTemporalVectorDB(
+    spark: SparkSession,
+    val table: String,
+    cfg: VersionStore.Config = VersionStore.Config(),
+    val buckets: Int = 32)
+    extends TemporalVectorDB(spark, table, cfg) {
+
+  override def versions: DataFrame = spark.table(table)
+
+  override protected def storeExists: Boolean =
+    spark.catalog.tableExists(table)
+
+  override protected def appendToStore(ingested: DataFrame): Unit =
+    ingested.write.mode("append")
+      .bucketBy(buckets, "content_id")
+      .sortBy("content_id", "seq")
+      .format("parquet")
+      .saveAsTable(table)
 }

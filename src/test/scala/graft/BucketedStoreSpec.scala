@@ -34,6 +34,53 @@ class BucketedStoreSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_bucketed_test")
   }
 
+  test("bucketed facade: per-content reads and nearest-base reconstruction " +
+    "run with ZERO hash exchanges, and results match the path-backed store") {
+    import graft.api.{BucketedTemporalVectorDB, TemporalVectorDB}
+    import java.nio.file.Files
+    val history = EvolutionSimulator.historyDf(spark, 4, 9, 16, seed = 11)
+      .select("content_id", "ts", "embedding")
+    val bdb = new BucketedTemporalVectorDB(spark, "graft_bucketed_facade",
+      VersionStore.Config(baseInterval = 5), buckets = 4)
+    val dir = Files.createTempDirectory("tvdb-plain").toFile
+    dir.delete()
+    val pdb = new TemporalVectorDB(spark, dir.getAbsolutePath,
+      VersionStore.Config(baseInterval = 5))
+    try {
+      bdb.addVersions(history)
+      pdb.addVersions(history)
+      // per-content max-seq aggregation: bucketing metadata must eliminate
+      // the hash exchange entirely (broadcast of the tiny target side ok)
+      val latest = bdb.versions.groupBy("content_id")
+        .agg(max("seq").as("seq"))
+      val aggPlan = latest.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange hashpartitioning"), aggPlan)
+      // the facade read path: reconstruction's nearest-base groupBy and
+      // delta-chain join both consume the bucketed distribution
+      val recon = bdb.getVersion("article_000", 7)
+      val reconPlan = recon.queryExecution.executedPlan.toString
+      assert(!reconPlan.contains("Exchange hashpartitioning"), reconPlan)
+      // identical results to the plain path-backed facade
+      val a = recon.select("content_id", "seq", "base_seq_used", "embedding")
+        .as[(String, Int, Int, Seq[Float])].collect().toSeq
+      val b = pdb.getVersion("article_000", 7)
+        .select("content_id", "seq", "base_seq_used", "embedding")
+        .as[(String, Int, Int, Seq[Float])].collect().toSeq
+      assert(a == b && a.size == 1)
+      // appends stay bucket-aligned: a second batch appends and the
+      // exchange-free plan shape survives
+      bdb.addVersions(Seq(("article_000",
+        java.sql.Timestamp.valueOf("2025-06-01 00:00:00"),
+        Array.fill(16)(0.9f))).toDF("content_id", "ts", "embedding"))
+      assert(bdb.versions.where(col("content_id") === "article_000")
+        .count() == 10)
+      val plan2 = bdb.versions.groupBy("content_id").agg(max("seq"))
+        .queryExecution.executedPlan.toString
+      assert(!plan2.contains("Exchange hashpartitioning"), plan2)
+      assert(bdb.validateTimelineIntegrity().count() == 0)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_bucketed_facade")
+  }
+
   test("reconstruction over the bucketed store matches the plain store") {
     BucketedStore.write(versions, "graft_bucketed_test2", buckets = 4)
     try {

@@ -12,10 +12,8 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // the production config factory, so plan shapes asserted in specs match
+  // what Verify/Bench (and a real deployment) run with
+  lazy val session: SparkSession =
+    graft.api.GraftSession.builder("local[4]", 4).getOrCreate()
 }
