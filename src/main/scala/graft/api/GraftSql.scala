@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.functions.{ApplyMapDeltaExpr, DotProduct, HyperplaneBucketExpr, L2NormalizeExpr, SparseDiffExpr}
+import graft.functions.{ApplyMapDeltaExpr, DotProduct, HyperplaneBucketExpr, L2NormalizeExpr, SimHashExpr, SparseDiffExpr}
 import graft.sources.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.graftbridge.Bridge
@@ -42,6 +42,10 @@ object GraftSql {
       HyperplaneBucketExpr(exprs(0),
         intConst("graft_hyperplane_bucket", exprs(1)),
         intConst("graft_hyperplane_bucket", exprs(2))))
+    Bridge.registerFunction(spark, "graft_simhash", exprs =>
+      SimHashExpr(exprs(0),
+        if (exprs.length > 1) intConst("graft_simhash", exprs(1))
+        else graft.operators.Dedup.SimhashBits))
     Bridge.registerFunction(spark, "graft_l2_scale",
       exprs => L2NormalizeExpr(exprs(0), exprs(1)))
     Bridge.registerFunction(spark, "graft_apply_delta",

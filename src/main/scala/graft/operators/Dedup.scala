@@ -203,8 +203,21 @@ object Dedup {
   /** 56-bit SimHash over word tokens: bit j is set iff the majority of
     * token hashes have bit j set (sum of ±1 votes > 0). [[SimhashBits]]=56
     * uses md5Long's full range while keeping every intermediate in BIGINT
-    * range for SQL portability. */
-  def simhash56(text: Column): Column = {
+    * range for SQL portability.
+    *
+    * Evaluates via the compiled one-pass [[graft.functions.SimHashExpr]]
+    * — bulk fingerprinting is MAP-ONLY (no explode, no shuffle). The
+    * declarative twins below ([[simhash56Hof]], [[simhashesAgg]]) are the
+    * bit-identity cross-check references (DedupSpec). */
+  def simhashNative(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.SimHashExpr(
+      Bridge.expression(text), SimhashBits))
+  }
+
+  /** Interpreted higher-order-function formulation of [[simhashNative]];
+    * retained as the cross-check reference for the codegen expression. */
+  private[graft] def simhash56Hof(text: Column): Column = {
     val toks = transform(split(trim(text), "\\s+"), t => md5Long(t))
     (0 until SimhashBits).map { j =>
       val votes = aggregate(toks, lit(0L), (a, h) =>
@@ -213,10 +226,18 @@ object Dedup {
     }.reduce(_ + _)
   }
 
-  /** Bulk SimHash: explode token hashes and compute the 56 bit-votes as
-    * codegen'd sum aggregates (same rationale as [[minhashSignatures]]).
-    * Output: (_id, simhash). Identical values to [[simhash56]]. */
-  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Bulk SimHash: one compiled pass per document via [[simhashNative]] —
+    * a map-only projection, no explode and no aggregate shuffle in the
+    * corpus scan. Output: (_id, simhash). */
+  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("_id"),
+      simhashNative(col(textCol)).as("simhash"))
+
+  /** The pre-kernel bulk formulation (explode token hashes + 56 codegen'd
+    * sum aggregates); retained as the shuffle-shaped cross-check reference
+    * for [[simhashNative]]. */
+  private[graft] def simhashesAgg(docs: DataFrame, idCol: String,
+                                  textCol: String): DataFrame = {
     val exploded = docs.select(col(idCol).as("_id"),
       explode(transform(split(trim(col(textCol)), "\\s+"), t => md5Long(t)))
         .as("_h"))

@@ -41,7 +41,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: exact dups identical, near-dups close, unrelated far") {
-    val sh = docs.select(col("doc_id"), Dedup.simhash56(col("text")).as("s"))
+    val sh = docs.select(col("doc_id"),
+      Dedup.simhashNative(col("text")).as("s"))
       .as[(Long, Long)].collect().toMap
     assert(sh(1L) == sh(4L))
     val nearDist = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
@@ -51,8 +52,30 @@ class DedupSpec extends SparkSpec {
     assert(sh.values.forall(s => s >= 0 && s < (1L << Dedup.SimhashBits)))
   }
 
+  test("compiled SimHashExpr is bit-identical to the HOF and explode+agg " +
+    "twins, including empty/whitespace/unicode edge docs") {
+    val edge = Seq((100L, ""), (101L, "   "), (102L, "one"),
+      (103L, "héllo wörld ünïcode"), (104L, "a  b\t c\nd"),
+      (105L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val all = docs.unionByName(edge)
+    val mismatchHof = all.select(
+        Dedup.simhashNative(col("text")).as("fast"),
+        Dedup.simhash56Hof(col("text")).as("ref"))
+      .where(col("fast") =!= col("ref")).count()
+    assert(mismatchHof == 0)
+    val viaAgg = Dedup.simhashesAgg(all, "doc_id", "text")
+    val viaNative = Dedup.simhashes(all, "doc_id", "text")
+    assert(viaNative.exceptAll(viaAgg).isEmpty
+      && viaAgg.exceptAll(viaNative).isEmpty)
+    // bulk fingerprinting is map-only: no exchange in the scan
+    val plan = viaNative.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("banded simhashPairs equals brute-force within maxHamming (pigeonhole)") {
-    val sh = docs.select(col("doc_id"), Dedup.simhash56(col("text")).as("s"))
+    val sh = docs.select(col("doc_id"),
+      Dedup.simhashNative(col("text")).as("s"))
       .as[(Long, Long)].collect()
     for (maxH <- Seq(3, 6)) {
       val brute = (for {
