@@ -42,6 +42,10 @@ object GraftSql {
       HyperplaneBucketExpr(exprs(0),
         intConst("graft_hyperplane_bucket", exprs(1)),
         intConst("graft_hyperplane_bucket", exprs(2))))
+    Bridge.registerFunction(spark, "graft_minhash", exprs =>
+      graft.functions.MinHashExpr(exprs(0),
+        intConst("graft_minhash", exprs(1)),
+        intConst("graft_minhash", exprs(2))))
     Bridge.registerFunction(spark, "graft_simhash", exprs =>
       SimHashExpr(exprs(0),
         if (exprs.length > 1) intConst("graft_simhash", exprs(1))

@@ -53,12 +53,33 @@ object Dedup {
       array_min(transform(shingleHashCol, x => pmod(a * x + b, lit(P))))
     })
 
-  /** Bulk MinHash: explode shingle hashes to rows and compute the
-    * `numHashes` minima as whole-stage-codegen'd hash aggregates with
-    * map-side partial aggregation — ONE shuffle keyed by doc id, linear in
-    * corpus size. Output: (_id, _m0.._m{k-1}). */
+  /** Compiled one-pass MinHash ([[graft.functions.MinHashExpr]]): per-row
+    * struct(sig ARRAY<LONG>, hashes ARRAY<LONG> distinct ascending) —
+    * empty arrays when the doc has fewer than n tokens. */
+  def minhashNative(text: Column, n: Int, numHashes: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.MinHashExpr(
+      Bridge.expression(text), n, numHashes))
+  }
+
+  /** Bulk MinHash via the compiled kernel — a MAP-ONLY projection (no
+    * explode, no aggregate shuffle); docs with no shingles are dropped,
+    * matching the aggregate twin's absent groups. Output:
+    * (_id, _m0.._m{k-1}). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, numHashes: Int): DataFrame = {
+                        n: Int, numHashes: Int): DataFrame =
+    docs.select(col(idCol).as("_id"),
+        minhashNative(col(textCol), n, numHashes).as("_mh"))
+      .where(size(col("_mh.hashes")) > 0)
+      .select(col("_id") +: (0 until numHashes).map(j =>
+        col("_mh.sig").getItem(j).as(s"_m$j")): _*)
+
+  /** The pre-kernel bulk formulation (explode shingle hashes + codegen'd
+    * min aggregates — ONE shuffle keyed by doc id); retained as the
+    * cross-check reference for [[minhashNative]]. */
+  private[graft] def minhashSignaturesAgg(docs: DataFrame, idCol: String,
+                                          textCol: String, n: Int,
+                                          numHashes: Int): DataFrame = {
     val exploded = docs.select(col(idCol).as("_id"),
       explode(shingleHashes(col(textCol), n)).as("_x"))
     val aggs = (0 until numHashes).map(j =>
@@ -99,25 +120,25 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup pairs verified by true n-gram Jaccard >= tau.
-    * The shingle scan is done ONCE: a single exploded groupBy computes both
-    * the minhash minima (for banding) and the distinct shingle set (for the
-    * jaccard verify) — `collect_set` in the same aggregate, so the
-    * md5-heavy shingling never runs twice. */
+    * The shingle scan is done ONCE, by the compiled one-pass kernel: each
+    * row yields both the minhash minima (for banding) and the distinct
+    * shingle-hash set (for the jaccard verify) with NO exploded aggregate
+    * — the LSH band join is the pipeline's only shuffle. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    tau: Double, n: Int = 3, numHashes: Int = 16,
                    bands: Int = 4): DataFrame = {
     val r = numHashes / bands
-    val exploded = docs.select(col(idCol).as("_id"),
-      explode(shingleHashes(col(textCol), n)).as("_x"))
-    val aggs = (0 until numHashes).map(j =>
-      min(pmod(lit(hashA(j)) * col("_x") + lit(hashB(j)), lit(P)))
-        .as(s"_m$j")) :+ collect_set(col("_x")).as("_h")
     // persisted: four consumers (both sides of the band self-join, both
     // jaccard joins) would otherwise re-run the md5-heavy shingle scan;
     // the signature table is the dedup analogue of the reference's cached
     // vector index (storage_engine.py:89-110) and is ~100× smaller than
     // the corpus text.
-    val sig = exploded.groupBy("_id").agg(aggs.head, aggs.tail: _*)
+    val sig = docs.select(col(idCol).as("_id"),
+        minhashNative(col(textCol), n, numHashes).as("_mh"))
+      .where(size(col("_mh.hashes")) > 0)
+      .select(col("_id") +: ((0 until numHashes).map(j =>
+        col("_mh.sig").getItem(j).as(s"_m$j")) :+
+        col("_mh.hashes").as("_h")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sig.select(col("_id"),

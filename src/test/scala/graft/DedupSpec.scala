@@ -73,6 +73,30 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("compiled MinHashExpr matches the explode+agg twin: signatures " +
+    "value-identical, hash sets set-identical, short docs dropped alike") {
+    val edge = Seq((100L, ""), (101L, "one two"), (102L, "a b c a b c a b c"))
+      .toDF("doc_id", "text")
+    val all = docs.unionByName(edge)
+    val fast = Dedup.minhashSignatures(all, "doc_id", "text", 3, 16)
+    val ref = Dedup.minhashSignaturesAgg(all, "doc_id", "text", 3, 16)
+    assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty)
+    // kernel's distinct-ascending hash set == collect_set's as a SET
+    val kernelSets = all
+      .select(col("doc_id"), Dedup.minhashNative(col("text"), 3, 16).as("m"))
+      .select(col("doc_id"), col("m.hashes").as("h"))
+      .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2.toSet).toMap
+    val aggSets = all
+      .select(col("doc_id"),
+        explode(Dedup.shingleHashes(col("text"), 3)).as("x"))
+      .groupBy("doc_id").agg(collect_set(col("x")).as("h"))
+      .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2.toSet).toMap
+    assert(kernelSets.filter(_._2.nonEmpty) == aggSets)
+    // the signature stage is map-only: no exchange before the band join
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("banded simhashPairs equals brute-force within maxHamming (pigeonhole)") {
     val sh = docs.select(col("doc_id"),
       Dedup.simhashNative(col("text")).as("s"))
