@@ -33,6 +33,7 @@ class TemporalVectorDB(
 
   private var basesCache: Option[DataFrame] = None
   private var latestCache: Option[DataFrame] = None
+  private var latestCount: Option[Long] = None
 
   private def normalizedBases(rows: DataFrame): DataFrame =
     rows.where(col("kind") === "base")
@@ -102,9 +103,12 @@ class TemporalVectorDB(
         versions.join(touched, Seq("content_id"), "left_semi"))
       val additions = fresh.join(old.select("content_id", "seq"),
         Seq("content_id", "seq"), "left_anti")
-      // the replaced checkpoint's blocks are reclaimed by the
-      // ContextCleaner once the old frame is unreferenced
-      pin(old.unionByName(additions))
+      val merged = pin(old.unionByName(additions))
+      // free the replaced checkpoint's blocks NOW — per-batch streaming
+      // refreshes would otherwise pile up full-corpus copies in executor
+      // storage until driver GC gets around to the old frame
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(old)
+      merged
     }
     latestCache = latestCache.map { old =>
       val targets = versions.join(touched, Seq("content_id"), "left_semi")
@@ -112,7 +116,10 @@ class TemporalVectorDB(
       val rebuilt = Reconstruction.reconstruct(versions, targets)
         .select("content_id", "seq", "embedding")
       val carried = old.join(touched, Seq("content_id"), "left_anti")
-      pin(carried.unionByName(rebuilt))
+      val merged = pin(carried.unionByName(rebuilt))
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(old)
+      latestCount = None // corpus size changed; re-derive lazily
+      merged
     }
   }
 
@@ -225,7 +232,17 @@ class TemporalVectorDB(
                                  nTables: Int = 2): DataFrame = {
     import spark.implicits._
     val corpus = latestCorpus()
-    val bits = if (nBits > 0) nBits else Dedup.autoBits(corpus.count())
+    // corpus size is invariant between refreshes — derive autoBits from a
+    // once-per-refresh cached count, not a count job per query
+    val bits =
+      if (nBits > 0) nBits
+      else Dedup.autoBits(synchronized {
+        latestCount.getOrElse {
+          val c = corpus.count()
+          latestCount = Some(c)
+          c
+        }
+      })
     val q = Seq((1L, query)).toDF("query_id", "qvec")
     SimilaritySearch.topKLshMulti(q, corpus, k, bits, nTables)
       .select(col("rank"), col("id"), col("sim"))

@@ -20,8 +20,14 @@ import org.apache.spark.sql.types._
   * reference out-of-range semantics core/data_structures.py:118).
   *
   * Null elements: a null base element or null map value poisons the whole
-  * result to NULL (the HOF's coalesce covers only ABSENT keys, not null
-  * values). Non-null schemas skip the check in both eval and codegen. */
+  * result to NULL. This is deliberately STRICTER than the HOF twin (whose
+  * `coalesce(element_at(m, i), 0.0)` silently treats a null map VALUE as
+  * a 0.0 contribution, and whose `transform` emits a null output element
+  * for a null base element): in the versions-table contract null cells
+  * are corruption, and a reconstruction must surface them rather than
+  * fabricate values. The bit-identity cross-check with the HOF holds on
+  * the contract's non-null data. Non-null schemas skip the check in both
+  * eval and codegen. */
 case class ApplyMapDeltaExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -66,16 +66,26 @@ object MinHashExpr {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  // permutation coefficients depend only on numHashes — computed once per
+  // JVM, not per row (the kernel's point is removing per-row overhead)
+  private val coeffs =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def coefficients(numHashes: Int): (Array[Long], Array[Long]) =
+    coeffs.computeIfAbsent(numHashes, k =>
+      (Array.tabulate(k)(j => (637543L + 104729L * j) % P),
+        Array.tabulate(k)(j => (389287L + 982451L * j) % P)))
+
   /** One-pass signature + distinct-set; static so generated code calls
-    * straight into compiled bytecode. */
+    * straight into compiled bytecode. SQL-trim (spaces only, see
+    * [[SimHashExpr.trimSpaces]]) keeps tokenization identical to the
+    * declarative twins. */
   def compute(text: UTF8String, n: Int, numHashes: Int): GenericInternalRow = {
-    val toks = text.toString.trim.split("\\s+", -1)
+    val toks = SimHashExpr.trimSpaces(text.toString).split("\\s+", -1)
     val md = digest.get()
     val set = new java.util.TreeSet[java.lang.Long]()
     val mins = Array.fill(numHashes)(Long.MaxValue)
     // hash coefficients identical to Dedup.hashA/hashB
-    val as = Array.tabulate(numHashes)(j => (637543L + 104729L * j) % P)
-    val bs = Array.tabulate(numHashes)(j => (389287L + 982451L * j) % P)
+    val (as, bs) = coefficients(numHashes)
     var i = 0
     val last = toks.length - n
     val sb = new java.lang.StringBuilder()

@@ -56,12 +56,24 @@ object SimHashExpr {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Spark SQL `trim` semantics: strip leading/trailing SPACE (U+0020)
+    * ONLY — Java's String.trim strips every char <= U+0020 (tabs,
+    * newlines), which would silently drop a trailing "\n" token that the
+    * declarative twins and the DuckDB oracle both keep. */
+  private[functions] def trimSpaces(s: String): String = {
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    s.substring(from, to)
+  }
+
   /** One-pass fingerprint; static so generated code calls straight into
     * compiled bytecode (no lambda dispatch, no boxing per token). */
   def compute(text: UTF8String, nBits: Int): Long = {
-    // same pipeline as the Column twins: trim, then regex-split keeping
-    // trailing empties (Spark's split semantics)
-    val toks = text.toString.trim.split("\\s+", -1)
+    // same pipeline as the Column twins: SQL trim (spaces only), then
+    // regex-split keeping trailing empties (Spark's split semantics)
+    val toks = trimSpaces(text.toString).split("\\s+", -1)
     val votes = new Array[Int](nBits)
     val md = digest.get()
     var t = 0

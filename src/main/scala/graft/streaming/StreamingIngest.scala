@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.api.TemporalVectorDB
+import graft.api.{BucketedTemporalVectorDB, TemporalVectorDB}
 import graft.model.VersionRecord
 import graft.operators.VersionStore
 import org.apache.spark.sql.{DataFrame, Dataset}
@@ -62,6 +62,13 @@ object StreamingIngest {
   def processBatch(db: TemporalVectorDB, batch: DataFrame, batchId: Long,
                    crashBeforeMarker: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
+    // the staged commit renames files under db.path — only valid for the
+    // path-backed store (a bucketed facade's `path` is a catalog table
+    // NAME; renaming into it would stray-write a relative directory the
+    // table never reads)
+    require(!db.isInstanceOf[BucketedTemporalVectorDB],
+      "streaming staged commit requires a path-backed TemporalVectorDB; " +
+        "BucketedTemporalVectorDB appends go through addVersions")
     val root = new Path(db.path)
     val fs = root.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
@@ -89,10 +96,20 @@ object StreamingIngest {
     VersionStore.ingest(batch, existing, db.cfg)
       .write.mode("overwrite").parquet(staging.toString)
     // per-file renames (atomic on HDFS-like filesystems); the batch prefix
-    // marks them uncommitted until the marker lands
+    // marks them uncommitted until the marker lands. Hadoop rename reports
+    // most failures by RETURNING FALSE, not throwing — an unchecked false
+    // here would let the marker commit a batch whose files never moved,
+    // then delete them with the staging dir: silent permanent loss. Abort
+    // instead; replay rolls back and retries.
     fs.listStatus(staging).map(_.getPath)
       .filter(_.getName.startsWith("part-"))
-      .foreach(p => fs.rename(p, new Path(root, prefix + p.getName)))
+      .foreach { p =>
+        val dest = new Path(root, prefix + p.getName)
+        if (!fs.rename(p, dest))
+          throw new java.io.IOException(
+            s"staged-commit rename failed: $p -> $dest (batch $batchId); " +
+              "aborting before marker — replay will roll back and retry")
+      }
     if (crashBeforeMarker)
       throw new IllegalStateException("failpoint: crash before marker")
     fs.mkdirs(commits)

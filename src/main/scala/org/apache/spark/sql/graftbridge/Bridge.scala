@@ -13,6 +13,18 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Free the storage behind a `localCheckpoint()`ed Dataset NOW instead
+    * of waiting for driver GC + ContextCleaner: a maintained index that
+    * re-pins per append would otherwise accumulate full-corpus checkpoint
+    * copies in executor storage between GCs. Safe no-op for any other
+    * plan shape. */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Register a custom expression under `name` in the session's function
     * registry so it is callable from Spark SQL text. */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,

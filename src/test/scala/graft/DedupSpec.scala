@@ -54,9 +54,13 @@ class DedupSpec extends SparkSpec {
 
   test("compiled SimHashExpr is bit-identical to the HOF and explode+agg " +
     "twins, including empty/whitespace/unicode edge docs") {
+    // 106-108: leading/trailing NON-SPACE whitespace — SQL trim strips
+    // spaces only, so "abc\n" must tokenize to ["abc", ""] on both paths
+    // (a Java String.trim in the kernel would silently drop the "" token)
     val edge = Seq((100L, ""), (101L, "   "), (102L, "one"),
       (103L, "héllo wörld ünïcode"), (104L, "a  b\t c\nd"),
-      (105L, "the quick brown fox jumps over the lazy dog"))
+      (105L, "the quick brown fox jumps over the lazy dog"),
+      (106L, "abc\n"), (107L, "\tabc def"), (108L, " abc \n "))
       .toDF("doc_id", "text")
     val all = docs.unionByName(edge)
     val mismatchHof = all.select(
@@ -75,7 +79,10 @@ class DedupSpec extends SparkSpec {
 
   test("compiled MinHashExpr matches the explode+agg twin: signatures " +
     "value-identical, hash sets set-identical, short docs dropped alike") {
-    val edge = Seq((100L, ""), (101L, "one two"), (102L, "a b c a b c a b c"))
+    // incl. trailing-newline doc: SQL trim keeps the "\n" so the empty
+    // trailing token participates in shingles on both paths
+    val edge = Seq((100L, ""), (101L, "one two"), (102L, "a b c a b c a b c"),
+      (103L, "alpha beta gamma delta\n"), (104L, "\t x y z w"))
       .toDF("doc_id", "text")
     val all = docs.unionByName(edge)
     val fast = Dedup.minhashSignatures(all, "doc_id", "text", 3, 16)
