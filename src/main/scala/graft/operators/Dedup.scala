@@ -177,6 +177,72 @@ object Dedup {
     docs.join(pairs.select(col("id2").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Connected components over an undirected pair list — the step that
+    * turns near-dup PAIRS into duplicate CLUSTERS (transitive closure:
+    * A~B, B~C puts all three in one group even when A~C was never a
+    * candidate). Input: (id1, id2) numeric pairs; output: (id, component)
+    * for every id appearing in any pair, component = the minimum id
+    * reachable from it.
+    *
+    * Algorithm: iterative min-label propagation. Each round is ONE
+    * edge⋈label join + ONE min aggregate (both shuffles keyed by id — at
+    * cluster scale they co-partition after the first round), labels only
+    * ever decrease, and the loop stops when a round changes nothing.
+    * Rounds needed = the largest component's min-label eccentricity;
+    * dedup clusters are shallow (near-clique), so 2-4 rounds is typical.
+    * Long chains would want the large-star/small-star variant (doubles
+    * reach per round) — maxIter guards against that shape rather than
+    * silently emitting partial components.
+    *
+    * Iterative-DataFrame hygiene (the part that bites at scale): every
+    * round's result is pinned with `localCheckpoint(true)` — truncating
+    * the lineage that would otherwise grow one join+agg DEEPER per round
+    * and re-execute the whole history each action — and the replaced
+    * round's storage is freed immediately (Bridge.unpersistCheckpoint).
+    * Convergence is checked with an exact DECIMAL sum of labels (labels
+    * decrease monotonically, so equal sums ⟺ fixpoint; a LONG sum could
+    * in principle wrap). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val half = pairs.select(col("id1").cast("long").as("s"),
+      col("id2").cast("long").as("t"))
+    val edges = half
+      .unionByName(half.select(col("t").as("s"), col("s").as("t")))
+      .distinct().localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).first()
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO) // empty input
+    var cur = edges.select(col("s").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var curSum = labelSum(cur)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val prop = edges.join(cur, edges("s") === cur("id"))
+        .select(edges("t").as("id"), col("comp"))
+      val next = cur.unionByName(prop)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      val nextSum = labelSum(next)
+      Bridge.unpersistCheckpoint(cur)
+      converged = nextSum.compareTo(curSum) == 0
+      cur = next; curSum = nextSum; it += 1
+    }
+    Bridge.unpersistCheckpoint(edges)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds the iteration budget")
+    cur.select(col("id"), col("comp").as("component"))
+  }
+
+  /** Cluster summary over [[connectedComponents]] output: one row per
+    * component with its size and representative (the component id is
+    * already the minimum member id — the member every keep-lowest-id
+    * dedup policy retains). */
+  def componentSummary(components: DataFrame): DataFrame =
+    components.groupBy("component")
+      .agg(count(lit(1)).as("n_members"), max("id").as("max_member"))
+
   /** Fingerprint width for [[simhash56]]/[[simhashes]]: 56 bits — the full
     * range of [[md5Long]], and the widest fingerprint whose bit-masks and
     * vote-weighted sums stay BIGINT-safe for SQL portability. Width drives

@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Batch cosine kNN (SURVEY §2 rows 21, 27, 43; reference FAISS path
   * /root/reference/storage/storage_engine.py:439-469).
@@ -262,6 +262,153 @@ object SimilaritySearch {
           val nn = math.sqrt(ss)
           if (nn == 0) cents(c) else m.map(_ / nn)
         }
+      }
+    }
+    cents.map(_.map(_.toFloat))
+  }
+
+  /** Approximate top-k via product quantization (ADC scan) — the memory
+    * path for 100 TB corpora: each corpus vector compresses to `m` byte
+    * codes (64-dim float → 8 bytes at the defaults, a 32× reduction), and
+    * scoring a candidate costs `m` table lookups instead of a d-dim dot.
+    *
+    * Pipeline (all map-only until the final rank):
+    *  1. train `m` per-subspace codebooks of `ks` centroids on a bounded
+    *     corpus sample (the same justified driver-side collect as
+    *     [[topKIvf]]; codebooks are per-subspace k-means, L2 objective);
+    *  2. ENCODE: each corpus vector's subvector s maps to its nearest
+    *     codebook entry — argmin over `ks` centroid LITERALS, a pure
+    *     projection with zero shuffle (the `vec` column is dropped here:
+    *     downstream only ships `m` small ints per row);
+    *  3. ADC scoring: each query precomputes a `m × ks` lookup table of
+    *     partial dots ON THE BROADCAST SIDE (once per query, not per
+    *     pair), and sim(q, x) ≈ Σ_s lut[s][code_s(x)];
+    *  4. rank: the salted per-key top-k (same as [[topK]]).
+    *
+    * Training ([[lloydQuantizedL2]]) follows the [[lloydQuantized]]
+    * playbook — sample quantized to integer grids so cross-row sums are
+    * exact, all per-dim ops double in fixed index order, strided init,
+    * ties to the lowest cell — which makes the whole operator bit-exactly
+    * replayable by a SQL oracle (q41). Returned `sim` is the ADC
+    * approximation, not the exact dot; compose with an exact re-rank of
+    * the survivors when exact scores matter. */
+  def topKPq(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, ks: Int = 16, trainSample: Int = 4096,
+             iters: Int = 5): DataFrame = {
+    val cn = corpus
+      .withColumn("_cnorm", l2NormNative(col("vec")))
+      .where(col("_cnorm") > 0)
+      .withColumn("vec", l2NormalizeWithNative(col("vec"), col("_cnorm")))
+      .drop("_cnorm")
+
+    val sample = cn.select(col("id"), col("vec")).orderBy("id")
+      .limit(trainSample).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("vec").toArray)
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val books = pqCodebooks(sample, m, ks, iters) // [m][<=ks][dsub]
+    // per-centroid squared norms, double sum in index order (the oracle
+    // derives the identical value from the float-cast centroid list)
+    val nsq = books.map(_.map { c =>
+      var s = 0.0; var i = 0
+      while (i < dsub) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+      s
+    })
+
+    // argmin_c ||v_s - c||² == argmin_c (||c||² - 2·<v_s, c>) — the ||v_s||²
+    // term is constant per row; the same formula runs in the oracle so
+    // float ties resolve identically (first minimum = lowest code)
+    def subDist(s: Int, c: Int, vcol: Column): Column =
+      lit(nsq(s)(c)) - lit(2.0) *
+        dotNative(slice(vcol, s * dsub + 1, dsub), typedLit(books(s)(c).toSeq))
+    val encoded = cn.withColumn("_codes", array((0 until m).map { s =>
+        val ds = array((0 until books(s).length).map(c =>
+          subDist(s, c, col("vec"))): _*)
+        (array_position(ds, array_min(ds)) - 1).cast("int")
+      }: _*))
+      .drop("vec") // the compression: only (id, m codes) flow downstream
+
+    val qn = queries
+      .withColumn("_qnorm", l2NormNative(col("qvec")))
+      .where(col("_qnorm") > 0)
+      .withColumn("qvec", l2NormalizeWithNative(col("qvec"), col("_qnorm")))
+      .drop("_qnorm")
+    // LUT computed below the broadcast exchange: once per QUERY row
+    val qlut = qn.withColumn("_lut", array((0 until m).map { s =>
+        array((0 until books(s).length).map(c =>
+          dotNative(slice(col("qvec"), s * dsub + 1, dsub),
+            typedLit(books(s)(c).toSeq))): _*)
+      }: _*))
+      .drop("qvec")
+
+    val scored = encoded.crossJoin(broadcast(qlut))
+      .withColumn("sim", (0 until m).map(s =>
+        element_at(element_at(col("_lut"), s + 1),
+          element_at(col("_codes"), s + 1) + 1)).reduce(_ + _))
+      .drop("_codes", "_lut")
+    TopK.perKeySalted(scored, "query_id", Seq(desc("sim"), col("id")), k)
+      .where(col("sim") > 0)
+  }
+
+  /** Per-subspace PQ codebooks: [[lloydQuantizedL2]] on each dsub-wide
+    * slice of the (normalized) training sample. */
+  private[graft] def pqCodebooks(sample: Array[Array[Float]], m: Int,
+                                 ks: Int,
+                                 iters: Int): Array[Array[Array[Float]]] = {
+    val dim = sample.head.length
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      lloydQuantizedL2(sub, ks, iters)
+    }
+  }
+
+  /** L2-objective Lloyd's with the same engine-portability recipe as
+    * [[lloydQuantized]]: integer-grid quantization (exact, order-free
+    * cross-row sums), fixed-index-order double arithmetic, strided init
+    * (row (c·n)/k of the id-ordered sample), ties to the lowest cell,
+    * empty cells keep their previous centroid. Unlike the IVF (spherical)
+    * trainer, centroids are plain means — PQ codebooks minimize
+    * reconstruction error, so no renormalization. */
+  private[graft] def lloydQuantizedL2(sample: Array[Array[Float]],
+                                      nCells: Int,
+                                      iters: Int): Array[Array[Float]] = {
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val dim = sample.head.length
+    val n = sample.length
+    val k = math.min(nCells, n)
+    val qs: Array[Array[Long]] =
+      sample.map(_.map(x => math.floor(x.toDouble * 1024.0 + 0.5).toLong))
+    val dv: Array[Array[Double]] = qs.map(_.map(_ / 1024.0))
+    var cents: Array[Array[Double]] =
+      Array.tabulate(k)(c => dv((c * n) / k).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Long](dim))
+      val counts = new Array[Long](k)
+      var r = 0
+      while (r < n) {
+        var best = 0; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < k) {
+          var s = 0.0; var i = 0
+          while (i < dim) {
+            val t = dv(r)(i) - cents(c)(i); s += t * t; i += 1
+          }
+          if (s < bestD) { bestD = s; best = c } // strict: ties keep lowest
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += qs(r)(i); i += 1 }
+        r += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dim)(i =>
+          sums(c)(i).toDouble / counts(c).toDouble / 1024.0)
       }
     }
     cents.map(_.map(_.toFloat))

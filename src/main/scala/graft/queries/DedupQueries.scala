@@ -85,7 +85,18 @@ object DedupQueries {
       Dedup.nearDupPairsLshMulti(augEmb(s, d), "vec_id", "embedding", 0.95,
           nBits = 6, nTables = 2)
         .select(col("id1"), col("id2"), r4(col("cosine")).as("cosine"))
-        .orderBy("id1", "id2"))
+        .orderBy("id1", "id2")),
+
+    // Pairs -> CLUSTERS: connected components over the q23b near-dup pair
+    // graph (transitive closure; component = min reachable id). The oracle
+    // replays the closure with a recursive label-propagation CTE.
+    "q42_dedup_components" -> ((s, d) => {
+      val pairs = Dedup.nearDupPairs(augDocs(s, d), "doc_id", "text",
+        tau = 0.5)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    })
   )
 
   // ---- oracle SQL ----
@@ -111,6 +122,42 @@ object DedupQueries {
 
   private val tokHash =
     "CAST(concat('0x', substr(md5(t), 1, 14)) AS BIGINT)"
+
+  /** The q23b MinHash+LSH+Jaccard chain (tokenize → shingle-hash →
+    * 16-way signature → 4-band buckets → candidate pairs → true Jaccard),
+    * shared verbatim by q23b and the q42 component closure. Ends with
+    * `jac(id1, id2, jaccard)` — unfiltered; consumers apply the tau. */
+  private val minhashChainSql =
+    """tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |       FROM aug),
+      |sh AS (SELECT doc_id, list_transform(range(1, len(toks) - 1), i ->
+      |         CAST(concat('0x', substr(md5(
+      |           concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])), 1, 14))
+      |           AS BIGINT) % 2147483647) AS h
+      |       FROM tk WHERE len(toks) >= 3),
+      |sg AS (SELECT doc_id, h, list_transform(range(0, 16), j ->
+      |         list_min(list_transform(h, x ->
+      |           (((637543 + 104729 * j) % 2147483647) * x
+      |            + ((389287 + 982451 * j) % 2147483647)) % 2147483647)))
+      |         AS sig
+      |       FROM sh),
+      |bd AS (SELECT doc_id, bb.band,
+      |         md5(array_to_string(list_transform(
+      |           list_slice(sig, bb.band * 4 + 1, bb.band * 4 + 4),
+      |           v -> CAST(v AS VARCHAR)), ',')) AS bh
+      |       FROM sg, (SELECT unnest(range(0, 4)) AS band) bb),
+      |cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+      |         FROM bd l JOIN bd r ON l.band = r.band AND l.bh = r.bh
+      |           AND l.doc_id < r.doc_id),
+      |jac AS (SELECT c.id1, c.id2,
+      |    CAST(len(list_filter(list_distinct(h1.h),
+      |      x -> list_contains(list_distinct(h2.h), x))) AS DOUBLE)
+      |    / CAST(len(list_distinct(h1.h)) + len(list_distinct(h2.h))
+      |      - len(list_filter(list_distinct(h1.h),
+      |          x -> list_contains(list_distinct(h2.h), x))) AS DOUBLE)
+      |      AS jaccard
+      |  FROM cand c JOIN sh h1 ON h1.doc_id = c.id1
+      |  JOIN sh h2 ON h2.doc_id = c.id2)""".stripMargin
 
   /** Normalized (float-cast) vectors CTE over `aug`, as in q15. */
   private val normEmbSql =
@@ -151,38 +198,26 @@ object DedupQueries {
 
     "q23b_dedup_minhash_lsh" ->
       s"""WITH $augDocsSql,
-        |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-        |       FROM aug),
-        |sh AS (SELECT doc_id, list_transform(range(1, len(toks) - 1), i ->
-        |         CAST(concat('0x', substr(md5(
-        |           concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])), 1, 14))
-        |           AS BIGINT) % 2147483647) AS h
-        |       FROM tk WHERE len(toks) >= 3),
-        |sg AS (SELECT doc_id, h, list_transform(range(0, 16), j ->
-        |         list_min(list_transform(h, x ->
-        |           (((637543 + 104729 * j) % 2147483647) * x
-        |            + ((389287 + 982451 * j) % 2147483647)) % 2147483647)))
-        |         AS sig
-        |       FROM sh),
-        |bd AS (SELECT doc_id, bb.band,
-        |         md5(array_to_string(list_transform(
-        |           list_slice(sig, bb.band * 4 + 1, bb.band * 4 + 4),
-        |           v -> CAST(v AS VARCHAR)), ',')) AS bh
-        |       FROM sg, (SELECT unnest(range(0, 4)) AS band) bb),
-        |cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
-        |         FROM bd l JOIN bd r ON l.band = r.band AND l.bh = r.bh
-        |           AND l.doc_id < r.doc_id),
-        |jac AS (SELECT c.id1, c.id2,
-        |    CAST(len(list_filter(list_distinct(h1.h),
-        |      x -> list_contains(list_distinct(h2.h), x))) AS DOUBLE)
-        |    / CAST(len(list_distinct(h1.h)) + len(list_distinct(h2.h))
-        |      - len(list_filter(list_distinct(h1.h),
-        |          x -> list_contains(list_distinct(h2.h), x))) AS DOUBLE)
-        |      AS jaccard
-        |  FROM cand c JOIN sh h1 ON h1.doc_id = c.id1
-        |  JOIN sh h2 ON h2.doc_id = c.id2)
+        |$minhashChainSql
         |SELECT id1, id2, ${r4sql("jaccard")} AS jaccard FROM jac
         |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+
+    // the q23b pair graph closed into components: recursive min-label
+    // propagation (reach(id, lab) = "lab reaches id"; symmetric edges make
+    // reachability = component membership, min(lab) = the component id)
+    "q42_dedup_components" ->
+      s"""WITH RECURSIVE $augDocsSql,
+        |$minhashChainSql,
+        |pr AS (SELECT id1, id2 FROM jac WHERE jaccard >= 0.5),
+        |e AS (SELECT id1 AS s, id2 AS t FROM pr
+        |      UNION SELECT id2, id1 FROM pr),
+        |reach AS (
+        |  SELECT s AS id, s AS lab FROM e
+        |  UNION
+        |  SELECT e.t AS id, r.lab FROM reach r JOIN e ON e.s = r.id)
+        |SELECT CAST(id AS BIGINT) AS doc_id,
+        |  CAST(min(lab) AS BIGINT) AS component
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q24_simhash" ->
       s"""WITH $augDocsSql,

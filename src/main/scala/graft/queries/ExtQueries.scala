@@ -101,6 +101,22 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Q41: approximate top-k via product quantization (ADC scan). Same
+    // oracle-replayable-training recipe as q35: the per-subspace quantized
+    // Lloyd's (L2 objective) is bit-deterministic, so DuckDB replays the
+    // codebooks, the byte encoding, AND the lookup-table scoring exactly.
+    "q41_ann_pq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      SimilaritySearch.topKPq(queries, corpus, 5)
+        .select(col("query_id"), col("rank"), col("id"),
+          r4(col("sim")).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Q28: multimodal decode plumbing — binary payloads through the
     // partition-parallel featurize stub (md5-derived, oracle-replicable).
     "q28_multimodal_features" -> ((s, d) => {
@@ -222,6 +238,103 @@ object ExtQueries {
       |  SELECT p.query_id, a.vec_id AS id,
       |    ${dotReal("p.qv2", "a.v")} AS sim
       |  FROM pr p JOIN asgn a ON a.cell = p.cell),
+      |r AS (
+      |  SELECT query_id, id, sim, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY sim DESC, id) AS INTEGER) AS rank
+      |  FROM sc)
+      |SELECT query_id, rank, id, ${r4sql("sim")} AS sim
+      |FROM r WHERE rank <= 5 AND sim > 0
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.SimilaritySearch.topKPq]]: the
+    * q35-proven normalization and quantized-sample CTEs, then per-subspace
+    * L2 k-means keyed by (sub, cell) — the 8 independent trainers run as
+    * ONE unrolled iteration chain — followed by the identical argmin
+    * encode (||c||² − 2·dot, ties to lowest code) and ordered-list ADC
+    * sum (list(pd ORDER BY sub) = Spark's fixed left-to-right fold). */
+  private def q41OracleSql: String = {
+    val iter = (t: Int) =>
+      s"""a$t AS (
+        |  SELECT rn, sub, q8, cell FROM (
+        |    SELECT rn, sub, q8, cell,
+        |      row_number() OVER (PARTITION BY rn, sub ORDER BY d ASC, cell) AS rnk
+        |    FROM (SELECT s.rn, s.sub, s.q8, c.cell,
+        |        list_sum(list_transform(range(0, 8), i ->
+        |          (s.d8[i+1] - c.cv[i+1]) * (s.d8[i+1] - c.cv[i+1]))) AS d
+        |      FROM subs s JOIN c${t - 1} c ON c.sub = s.sub) y) x
+        |  WHERE rnk = 1),
+        |s$t AS (
+        |  SELECT sub, cell, ii.i, sum(q8[ii.i + 1]) AS sq, count(*) AS cnt
+        |  FROM a$t, (SELECT unnest(range(0, 8)) AS i) ii
+        |  GROUP BY sub, cell, ii.i),
+        |m$t AS (
+        |  SELECT sub, cell,
+        |    list(CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE) / 1024.0 ORDER BY i)
+        |      AS mv
+        |  FROM s$t GROUP BY sub, cell),
+        |c$t AS (
+        |  SELECT p.sub, p.cell,
+        |    CASE WHEN m.cell IS NULL THEN p.cv ELSE m.mv END AS cv
+        |  FROM c${t - 1} p LEFT JOIN m$t m
+        |    ON m.sub = p.sub AND m.cell = p.cell)""".stripMargin
+    val pdot =
+      """list_sum(list_transform(range(0, 8), i ->
+        |          CAST(n.v[c.sub * 8 + i + 1] AS DOUBLE)
+        |          * CAST(c.cvf[i+1] AS DOUBLE)))""".stripMargin
+    s"""WITH nrm AS (
+      |  SELECT vec_id, list_transform(range(0, 64), i ->
+      |    CAST(CAST(embedding[i+1] AS DOUBLE)
+      |      / sqrt(list_sum(list_transform(range(0, 64), j ->
+      |          CAST(embedding[j+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE))))
+      |      AS REAL)) AS v
+      |  FROM embeddings
+      |  WHERE sqrt(list_sum(list_transform(range(0, 64), j ->
+      |    CAST(embedding[j+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE)))) > 0),
+      |sampq AS (SELECT vec_id, v FROM nrm ORDER BY vec_id LIMIT 4096),
+      |samp AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn,
+      |    list_transform(v, x ->
+      |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv
+      |  FROM sampq),
+      |sz AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(least(16, count(*)) AS BIGINT) AS k FROM samp),
+      |subs AS (
+      |  SELECT s.rn, ss.sub,
+      |    list_slice(s.qv, ss.sub * 8 + 1, ss.sub * 8 + 8) AS q8,
+      |    list_transform(list_slice(s.qv, ss.sub * 8 + 1, ss.sub * 8 + 8),
+      |      q -> CAST(q AS DOUBLE) / 1024.0) AS d8
+      |  FROM samp s, (SELECT unnest(range(0, 8)) AS sub) ss),
+      |c0 AS (
+      |  SELECT sd.sub, cl.cell, sd.d8 AS cv
+      |  FROM (SELECT unnest(range(16)) AS cell) cl, sz, subs sd
+      |  WHERE cl.cell < sz.k AND sd.rn = (cl.cell * sz.n) // sz.k),
+      |${(1 to 5).map(iter).mkString(",\n")},
+      |cf AS (
+      |  SELECT sub, cell, list_transform(cv, x -> CAST(x AS REAL)) AS cvf
+      |  FROM c5),
+      |cfd AS (
+      |  SELECT sub, cell, cvf,
+      |    list_sum(list_transform(cvf, x ->
+      |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+      |  FROM cf),
+      |enc AS (
+      |  SELECT vec_id, sub, cell AS code FROM (
+      |    SELECT vec_id, sub, cell,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cell)
+      |        AS rnk
+      |    FROM (SELECT n.vec_id, c.sub, c.cell,
+      |        c.nsq - 2.0 * $pdot AS d
+      |      FROM nrm n CROSS JOIN cfd c) y) x
+      |  WHERE rnk = 1),
+      |lut AS (
+      |  SELECT n.vec_id AS query_id, c.sub, c.cell, $pdot AS pd
+      |  FROM nrm n CROSS JOIN cfd c WHERE n.vec_id < 10),
+      |sc AS (
+      |  SELECT l.query_id, e.vec_id AS id,
+      |    list_sum(list(l.pd ORDER BY l.sub)) AS sim
+      |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.cell = e.code
+      |  GROUP BY l.query_id, e.vec_id),
       |r AS (
       |  SELECT query_id, id, sim, CAST(row_number() OVER (
       |    PARTITION BY query_id ORDER BY sim DESC, id) AS INTEGER) AS rank
@@ -369,6 +482,7 @@ object ExtQueries {
 
   val oracle: Map[String, String] = Map(
     "q35_ann_ivf_topk" -> q35OracleSql,
+    "q41_ann_pq_topk" -> q41OracleSql,
     "q27b_ann_lsh_multi" -> q27bOracleSql,
     "q40_search_latest" -> q40OracleSql,
     "q40b_search_latest_lsh" -> q40bOracleSql,

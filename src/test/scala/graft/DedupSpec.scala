@@ -213,4 +213,45 @@ class DedupSpec extends SparkSpec {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(single.subsetOf(multi))
   }
+
+  test("connected components: transitive chains close, islands stay apart") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    val summary = Dedup.componentSummary(
+        Dedup.connectedComponents(pairs))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(summary == Set((1L, 4L, 4L), (10L, 2L, 11L), (20L, 2L, 21L)))
+  }
+
+  test("connected components match driver-side union-find on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = (0 until 60).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    val got = Dedup.connectedComponents(edges.toDF("id1", "id2"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("connected components: empty pair list yields empty output") {
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
 }

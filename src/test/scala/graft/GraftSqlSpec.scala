@@ -66,4 +66,46 @@ class GraftSqlSpec extends SparkSpec {
     assert(viaFold.exceptAll(viaApi).isEmpty
       && viaApi.exceptAll(viaFold).isEmpty)
   }
+
+  test("GraftExtensions injects every function at session build") {
+    import org.apache.spark.sql.SparkSession
+    // the extensions deployment path: clear the session slots so
+    // getOrCreate builds a FRESH session (over the same shared
+    // SparkContext) and applies GraftExtensions at session build.
+    // (`spark.sql.extensions` is a STATIC conf — read from the
+    // SparkContext's conf, so on a pre-existing context the builder
+    // route is `withExtensions`, the same hook the reflection path
+    // calls.) Never stop() the result: that would stop the shared
+    // context under every other suite.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = try SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.api.GraftExtensions())
+      .getOrCreate()
+    finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+    assert(s2 ne spark); // a genuinely new session, built with the conf
+    {
+      val d = s2.sql(
+        "SELECT graft_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
+          "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d")
+        .collect().head.getDouble(0)
+      assert(d == 11.0)
+      val sh = s2.sql("SELECT graft_simhash(' a b a ') AS s")
+        .collect().head.getLong(0)
+      val shApi = spark.range(1).select(
+          Dedup.simhashNative(lit(" a b a ")).as("s"))
+        .collect().head.getLong(0)
+      assert(sh == shApi)
+      // all seven functions resolvable
+      for (fn <- Seq("graft_dot", "graft_hyperplane_bucket", "graft_minhash",
+          "graft_simhash", "graft_l2_scale", "graft_apply_delta",
+          "graft_sparse_diff")) {
+        assert(s2.catalog.functionExists(fn), s"$fn not injected")
+      }
+    }
+  }
 }

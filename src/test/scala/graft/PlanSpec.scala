@@ -12,6 +12,9 @@ class PlanSpec extends SparkSpec {
     "q15_knn",              // exact kNN baseline: corpus × broadcast queries
     "q40_search_latest",    // same exact-kNN shape over reconstructed corpus
     "q25_neardup_embedding", // exact brute near-dup baseline
+    "q41_ann_pq_topk",      // ADC scan: codes × broadcast query LUTs — the
+                            // per-pair cost is m lookups, not a d-dim dot;
+                            // at scale composes with IVF cells (IVF-PQ)
     "q24b_simhash_pairs",   // banded join uses an additional id< condition
     "q23b_dedup_minhash_lsh",
     "q32_sql_surface"       // 5×5 pair demo
@@ -41,6 +44,18 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n" +
       plan.take(4000))
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("PQ q41: map-only encode — exchanges are the two rank phases only") {
+    val plan = SparkEntry.queries("q41_ann_pq_topk")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // corpus → byte codes is a projection over codebook literals (no
+    // shuffle reaches the corpus before the ADC cross join); the only
+    // hash exchanges are the salted top-k's two window phases
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n" +
+      plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
   test("q31 as-of: union+window shape — one hash exchange, no join") {

@@ -52,4 +52,41 @@ class PropertySpec extends AnyFunSuite {
       assert(acc.zip(expected).forall { case (a, b) => a == b })
     }
   }
+
+  test("PQ trainer: bit-deterministic, k clamps to n, ks>n degenerates sanely") {
+    import graft.operators.SimilaritySearch
+    for (trial <- 1 to 50) {
+      val r = new scala.util.Random(trial)
+      val n = 1 + r.nextInt(30)
+      val d = 2 + 2 * r.nextInt(4)
+      val sample = Array.fill(n)(Array.fill(d)(r.nextFloat() * 2 - 1))
+      val a = SimilaritySearch.lloydQuantizedL2(sample.map(_.clone()), 8, 3)
+      val b = SimilaritySearch.lloydQuantizedL2(sample.map(_.clone()), 8, 3)
+      // determinism: two runs over the same sample are bit-identical
+      // (oracle replay depends on this)
+      assert(a.length == b.length &&
+        a.zip(b).forall { case (x, y) => x.sameElements(y) })
+      assert(a.length == math.min(8, n)) // k clamps to the sample size
+      // every centroid stays inside the data's bounding box (means of
+      // grid-quantized members can't escape it by more than the grid step)
+      val lo = (0 until d).map(i => sample.map(_(i)).min - 0.001f)
+      val hi = (0 until d).map(i => sample.map(_(i)).max + 0.001f)
+      assert(a.forall(c => (0 until d).forall(i =>
+        c(i) >= lo(i) && c(i) <= hi(i))))
+    }
+  }
+
+  test("PQ codebooks: subspace slices train independently") {
+    import graft.operators.SimilaritySearch
+    val r = new scala.util.Random(99)
+    val sample = Array.fill(20)(Array.fill(8)(r.nextFloat()))
+    val books = SimilaritySearch.pqCodebooks(sample, m = 4, ks = 4, iters = 3)
+    val direct = (0 until 4).map { s =>
+      SimilaritySearch.lloydQuantizedL2(
+        sample.map(v => java.util.Arrays.copyOfRange(v, s * 2, s * 2 + 2)),
+        4, 3)
+    }
+    assert(books.zip(direct).forall { case (bk, dr) =>
+      bk.zip(dr).forall { case (x, y) => x.sameElements(y) } })
+  }
 }

@@ -57,6 +57,47 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= singleRecall)
   }
 
+  test("PQ topK: cluster-level recall vs exact, ADC self-sim near 1") {
+    // NOTE on the gate: intra-cluster jitter (0.01·sin) sits BELOW the
+    // quantization granularity, so cluster members share codes and ADC
+    // ties break by id — within-cluster ORDER is not preserved, cluster
+    // MEMBERSHIP is. k=10 (the full cluster) makes recall well-defined.
+    val exact = SimilaritySearch.topK(queryDf, corpusDf, 10)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val pq = SimilaritySearch.topKPq(queryDf, corpusDf, 10, m = 8, ks = 16)
+      .select("query_id", "rank", "id", "sim")
+      .as[(Long, Int, Long, Double)].collect()
+    val pqSet = pq.map(t => (t._1, t._3)).toSet
+    val recall = pqSet.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"PQ cluster recall $recall")
+    // every retrieved id comes from the query's own cluster
+    pq.foreach { case (q, _, id, _) =>
+      assert(id / 10 == q / 10, s"query $q retrieved off-cluster id $id") }
+    // the query's own vector is retrieved with ADC sim ≈ 1 (quantization
+    // error only)
+    for (q <- Seq(0L, 10L, 20L, 30L)) {
+      val self = pq.find(t => t._1 == q && t._3 == q)
+      assert(self.nonEmpty, s"query $q lost its own vector")
+      assert(math.abs(self.get._4 - 1.0) < 0.2,
+        s"query $q self ADC sim ${self.get._4}")
+    }
+  }
+
+  test("PQ trainer: empty cells keep centroids; codebook shapes are right") {
+    // 3 identical rows -> every row lands in cell 0; cells 1/2 keep their
+    // strided-init centroids (rows 1 and 2)
+    val sample = Array(
+      Array(1f, 0f), Array(1f, 0f), Array(1f, 0f))
+    val cents = SimilaritySearch.lloydQuantizedL2(sample, 3, 2)
+    assert(cents.length == 3 && cents.forall(_.length == 2))
+    assert(cents(0).toSeq == Seq(1f, 0f))
+    val books = SimilaritySearch.pqCodebooks(
+      Array.tabulate(8)(i => Array.tabulate(16)(j => (i + j).toFloat)),
+      m = 8, ks = 4, iters = 2)
+    assert(books.length == 8 && books.forall(_.length == 4) &&
+      books.forall(_.forall(_.length == 2)))
+  }
+
   test("autoBits grows with corpus size and clamps to [4, 24]") {
     import graft.operators.Dedup
     assert(Dedup.autoBits(1L << 20) == 10) // 1M rows / 1k target = 1k buckets
