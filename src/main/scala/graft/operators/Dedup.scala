@@ -212,8 +212,13 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).first()
         .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO) // empty input
-    var cur = edges.select(col("s").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+    // init fused with the first propagation round: comp(id) =
+    // min(id ∪ neighbors) is what round 1 over identity labels would
+    // produce, computed here with ONE aggregate instead of a distinct +
+    // join + union + aggregate
+    var cur = edges.groupBy(col("s").as("id"))
+      .agg(min(least(col("s"), col("t"))).as("comp"))
+      .localCheckpoint(true)
     var curSum = labelSum(cur)
     var it = 0
     var converged = false

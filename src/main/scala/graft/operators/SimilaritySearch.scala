@@ -300,7 +300,140 @@ object SimilaritySearch {
       .where(col("_cnorm") > 0)
       .withColumn("vec", l2NormalizeWithNative(col("vec"), col("_cnorm")))
       .drop("_cnorm")
+    val qn = queries
+      .withColumn("_qnorm", l2NormNative(col("qvec")))
+      .where(col("_qnorm") > 0)
+      .withColumn("qvec", l2NormalizeWithNative(col("qvec"), col("_qnorm")))
+      .drop("_qnorm")
+    TopK.perKeySalted(adcScored(qn, cn, m, ks, trainSample, iters),
+        "query_id", Seq(desc("sim"), col("id")), k)
+      .where(col("sim") > 0)
+  }
 
+  /** [[topKPq]] with an exact re-rank: the ADC scan keeps the top
+    * `refine` candidates per query (cheap, compressed-domain), then ONLY
+    * those survivors re-join the raw corpus vectors for exact dots — the
+    * standard two-stage shape (quantized recall stage + exact precision
+    * stage). Returned `sim` is EXACT. The survivor set is tiny (queries ×
+    * refine rows), so the re-join broadcasts it against the corpus scan.
+    * Fully oracle-replayable (q43). */
+  def topKPqRefine(queries: DataFrame, corpus: DataFrame, k: Int,
+                   refine: Int = 20, m: Int = 8, ks: Int = 16,
+                   trainSample: Int = 4096, iters: Int = 5): DataFrame = {
+    val cn = corpus
+      .withColumn("_cnorm", l2NormNative(col("vec")))
+      .where(col("_cnorm") > 0)
+      .withColumn("vec", l2NormalizeWithNative(col("vec"), col("_cnorm")))
+      .drop("_cnorm")
+    val qn = queries
+      .withColumn("_qnorm", l2NormNative(col("qvec")))
+      .where(col("_qnorm") > 0)
+      .withColumn("qvec", l2NormalizeWithNative(col("qvec"), col("_qnorm")))
+      .drop("_qnorm")
+    // stage 1: compressed-domain candidates (no positivity filter here —
+    // the exact stage decides; topKPq's own filter applies to ADC scores)
+    val adcTop = TopK.perKeySalted(
+        adcScored(qn, cn, m, ks, trainSample, iters),
+        "query_id", Seq(desc("sim"), col("id")), refine)
+      .select("query_id", "id")
+    // stage 2: exact dots over survivors only
+    cn.join(broadcast(adcTop), Seq("id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .withColumn("sim", dotNative(col("qvec"), col("vec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), col("id"))))
+      .where(col("rank") <= k && col("sim") > 0)
+      .select("query_id", "rank", "id", "sim")
+  }
+
+  /** IVF-PQ: the coarse quantizer restricts candidates to the query's
+    * `nProbe` nearest cells (equi-join on the cell id — no cross join
+    * anywhere) and ADC scores them in the compressed domain. The corpus
+    * side carries only (id, cell, m byte codes): at 100 TB this is the
+    * memory-AND-compute shape — candidates ∝ probed cells, per-candidate
+    * cost m lookups. Cells come from the q35 spherical trainer, codebooks
+    * from the q41 L2 trainer, both on the same bounded sample (ONE
+    * driver-side collect). Returned `sim` is the ADC approximation;
+    * compose with [[topKPqRefine]]'s exact stage when needed.
+    * Fully oracle-replayable (q44). */
+  def topKIvfPq(queries: DataFrame, corpus: DataFrame, k: Int,
+                nCells: Int = 16, nProbe: Int = 4, m: Int = 8, ks: Int = 16,
+                trainSample: Int = 4096, iters: Int = 5): DataFrame = {
+    val cn = corpus
+      .withColumn("_cnorm", l2NormNative(col("vec")))
+      .where(col("_cnorm") > 0)
+      .withColumn("vec", l2NormalizeWithNative(col("vec"), col("_cnorm")))
+      .drop("_cnorm")
+    val qn = queries
+      .withColumn("_qnorm", l2NormNative(col("qvec")))
+      .where(col("_qnorm") > 0)
+      .withColumn("qvec", l2NormalizeWithNative(col("qvec"), col("_qnorm")))
+      .drop("_qnorm")
+
+    val sample = cn.select(col("id"), col("vec")).orderBy("id")
+      .limit(trainSample).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("vec").toArray)
+    require(sample.nonEmpty, "IVF-PQ training sample is empty")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val centroids = lloydQuantized(sample, nCells, iters)
+    val books = pqCodebooks(sample, m, ks, iters)
+    val nsq = books.map(_.map { c =>
+      var s = 0.0; var i = 0
+      while (i < dsub) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+      s
+    })
+
+    // corpus: map-only cell assignment (q35 shape) + byte codes (q41
+    // shape); the raw vector drops here
+    val simsC = centroids.map(c => dotNative(col("vec"), typedLit(c.toSeq)))
+    def subDist(s: Int, c: Int): Column =
+      lit(nsq(s)(c)) - lit(2.0) *
+        dotNative(slice(col("vec"), s * dsub + 1, dsub),
+          typedLit(books(s)(c).toSeq))
+    val encoded = cn
+      .withColumn("_sims", array(simsC: _*))
+      .withColumn("_cell",
+        (array_position(col("_sims"), array_max(col("_sims"))) - 1)
+          .cast("int"))
+      .withColumn("_codes", array((0 until m).map { s =>
+        val ds = array((0 until books(s).length).map(c => subDist(s, c)): _*)
+        (array_position(ds, array_min(ds)) - 1).cast("int")
+      }: _*))
+      .drop("vec", "_sims")
+
+    // queries: top-nProbe cells (q35 shape) + ADC lookup tables, both
+    // computed below the broadcast
+    val qsims = centroids.zipWithIndex.map { case (c, i) =>
+      struct((-dotNative(col("qvec"), typedLit(c.toSeq))).as("ns"),
+        lit(i).as("c"))
+    }
+    val probes = qn
+      .withColumn("_lut", array((0 until m).map { s =>
+        array((0 until books(s).length).map(c =>
+          dotNative(slice(col("qvec"), s * dsub + 1, dsub),
+            typedLit(books(s)(c).toSeq))): _*)
+      }: _*))
+      .withColumn("_probes", slice(array_sort(array(qsims: _*)), 1, nProbe))
+      .select(col("query_id"), col("_lut"),
+        explode(transform(col("_probes"), x => x("c"))).as("_cell"))
+
+    val scored = encoded.join(broadcast(probes), Seq("_cell"))
+      .withColumn("sim", (0 until m).map(s =>
+        element_at(element_at(col("_lut"), s + 1),
+          element_at(col("_codes"), s + 1) + 1)).reduce(_ + _))
+      .drop("_codes", "_lut")
+    TopK.perKeySalted(scored, "query_id", Seq(desc("sim"), col("id")), k)
+      .where(col("sim") > 0)
+      .select("query_id", "rank", "id", "sim")
+  }
+
+  /** The shared ADC pipeline of [[topKPq]]/[[topKPqRefine]]: train, encode
+    * the (already normalized) corpus, score every (query, code-row) pair
+    * via broadcast LUTs. Returns (query_id, id, sim≈) unranked. */
+  private def adcScored(qn: DataFrame, cn: DataFrame, m: Int, ks: Int,
+                        trainSample: Int, iters: Int): DataFrame = {
     val sample = cn.select(col("id"), col("vec")).orderBy("id")
       .limit(trainSample).collect()
       .map(_.getAs[scala.collection.Seq[Float]]("vec").toArray)
@@ -308,48 +441,37 @@ object SimilaritySearch {
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
-    val books = pqCodebooks(sample, m, ks, iters) // [m][<=ks][dsub]
-    // per-centroid squared norms, double sum in index order (the oracle
-    // derives the identical value from the float-cast centroid list)
+    val books = pqCodebooks(sample, m, ks, iters)
     val nsq = books.map(_.map { c =>
       var s = 0.0; var i = 0
       while (i < dsub) { s += c(i).toDouble * c(i).toDouble; i += 1 }
       s
     })
-
-    // argmin_c ||v_s - c||² == argmin_c (||c||² - 2·<v_s, c>) — the ||v_s||²
-    // term is constant per row; the same formula runs in the oracle so
-    // float ties resolve identically (first minimum = lowest code)
-    def subDist(s: Int, c: Int, vcol: Column): Column =
+    // argmin_c ||v_s - c||² == argmin_c (||c||² - 2·<v_s, c>) — the
+    // ||v_s||² term is constant per row; the oracle runs the same formula
+    // so float ties resolve identically (first minimum = lowest code)
+    def subDist(s: Int, c: Int): Column =
       lit(nsq(s)(c)) - lit(2.0) *
-        dotNative(slice(vcol, s * dsub + 1, dsub), typedLit(books(s)(c).toSeq))
+        dotNative(slice(col("vec"), s * dsub + 1, dsub),
+          typedLit(books(s)(c).toSeq))
     val encoded = cn.withColumn("_codes", array((0 until m).map { s =>
-        val ds = array((0 until books(s).length).map(c =>
-          subDist(s, c, col("vec"))): _*)
+        val ds = array((0 until books(s).length).map(c => subDist(s, c)): _*)
         (array_position(ds, array_min(ds)) - 1).cast("int")
       }: _*))
       .drop("vec") // the compression: only (id, m codes) flow downstream
-
-    val qn = queries
-      .withColumn("_qnorm", l2NormNative(col("qvec")))
-      .where(col("_qnorm") > 0)
-      .withColumn("qvec", l2NormalizeWithNative(col("qvec"), col("_qnorm")))
-      .drop("_qnorm")
-    // LUT computed below the broadcast exchange: once per QUERY row
+    // LUT computed below the broadcast exchange: once per QUERY row, never
+    // per pair (a projection above the join could not be pushed back down)
     val qlut = qn.withColumn("_lut", array((0 until m).map { s =>
         array((0 until books(s).length).map(c =>
           dotNative(slice(col("qvec"), s * dsub + 1, dsub),
             typedLit(books(s)(c).toSeq))): _*)
       }: _*))
       .drop("qvec")
-
-    val scored = encoded.crossJoin(broadcast(qlut))
+    encoded.crossJoin(broadcast(qlut))
       .withColumn("sim", (0 until m).map(s =>
         element_at(element_at(col("_lut"), s + 1),
           element_at(col("_codes"), s + 1) + 1)).reduce(_ + _))
       .drop("_codes", "_lut")
-    TopK.perKeySalted(scored, "query_id", Seq(desc("sim"), col("id")), k)
-      .where(col("sim") > 0)
   }
 
   /** Per-subspace PQ codebooks: [[lloydQuantizedL2]] on each dsub-wide

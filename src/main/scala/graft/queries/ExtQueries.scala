@@ -117,6 +117,36 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Q43: PQ with exact re-rank — ADC top-20 per query in the compressed
+    // domain, then exact dots over just the survivors. Returned sims are
+    // EXACT (the precision stage); the oracle replays both stages.
+    "q43_ann_pq_refine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      SimilaritySearch.topKPqRefine(queries, corpus, 5, refine = 20)
+        .select(col("query_id"), col("rank"), col("id"),
+          r4(col("sim")).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Q44: IVF-PQ — the q35 coarse quantizer restricts candidates to the
+    // probed cells (equi-join, no cross join) and the q41 byte codes score
+    // them via ADC lookups. Both trainers replayed by the oracle.
+    "q44_ann_ivfpq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      SimilaritySearch.topKIvfPq(queries, corpus, 5)
+        .select(col("query_id"), col("rank"), col("id"),
+          r4(col("sim")).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Q28: multimodal decode plumbing — binary payloads through the
     // partition-parallel featurize stub (md5-derived, oracle-replicable).
     "q28_multimodal_features" -> ((s, d) => {
@@ -247,42 +277,11 @@ object ExtQueries {
       |ORDER BY query_id, rank""".stripMargin
   }
 
-  /** DuckDB replay of [[graft.operators.SimilaritySearch.topKPq]]: the
-    * q35-proven normalization and quantized-sample CTEs, then per-subspace
-    * L2 k-means keyed by (sub, cell) — the 8 independent trainers run as
-    * ONE unrolled iteration chain — followed by the identical argmin
-    * encode (||c||² − 2·dot, ties to lowest code) and ordered-list ADC
-    * sum (list(pd ORDER BY sub) = Spark's fixed left-to-right fold). */
-  private def q41OracleSql: String = {
-    val iter = (t: Int) =>
-      s"""a$t AS (
-        |  SELECT rn, sub, q8, cell FROM (
-        |    SELECT rn, sub, q8, cell,
-        |      row_number() OVER (PARTITION BY rn, sub ORDER BY d ASC, cell) AS rnk
-        |    FROM (SELECT s.rn, s.sub, s.q8, c.cell,
-        |        list_sum(list_transform(range(0, 8), i ->
-        |          (s.d8[i+1] - c.cv[i+1]) * (s.d8[i+1] - c.cv[i+1]))) AS d
-        |      FROM subs s JOIN c${t - 1} c ON c.sub = s.sub) y) x
-        |  WHERE rnk = 1),
-        |s$t AS (
-        |  SELECT sub, cell, ii.i, sum(q8[ii.i + 1]) AS sq, count(*) AS cnt
-        |  FROM a$t, (SELECT unnest(range(0, 8)) AS i) ii
-        |  GROUP BY sub, cell, ii.i),
-        |m$t AS (
-        |  SELECT sub, cell,
-        |    list(CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE) / 1024.0 ORDER BY i)
-        |      AS mv
-        |  FROM s$t GROUP BY sub, cell),
-        |c$t AS (
-        |  SELECT p.sub, p.cell,
-        |    CASE WHEN m.cell IS NULL THEN p.cv ELSE m.mv END AS cv
-        |  FROM c${t - 1} p LEFT JOIN m$t m
-        |    ON m.sub = p.sub AND m.cell = p.cell)""".stripMargin
-    val pdot =
-      """list_sum(list_transform(range(0, 8), i ->
-        |          CAST(n.v[c.sub * 8 + i + 1] AS DOUBLE)
-        |          * CAST(c.cvf[i+1] AS DOUBLE)))""".stripMargin
-    s"""WITH nrm AS (
+  /** Shared normalization + quantized-sample CTEs (q35-proven shapes):
+    * `nrm` (REAL-normalized vectors), `sampq`/`samp` (id-ordered bounded
+    * sample on the 1024 integer grid), `sz`. */
+  private val annPrefixCtes: String =
+    """nrm AS (
       |  SELECT vec_id, list_transform(range(0, 64), i ->
       |    CAST(CAST(embedding[i+1] AS DOUBLE)
       |      / sqrt(list_sum(list_transform(range(0, 64), j ->
@@ -298,26 +297,63 @@ object ExtQueries {
       |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv
       |  FROM sampq),
       |sz AS (SELECT CAST(count(*) AS BIGINT) AS n,
-      |  CAST(least(16, count(*)) AS BIGINT) AS k FROM samp),
-      |subs AS (
+      |  CAST(least(16, count(*)) AS BIGINT) AS k FROM samp)""".stripMargin
+
+  /** The PQ pipeline as reusable CTEs (names prefixed `p`/distinct so the
+    * IVF chain can coexist in q44): per-subspace L2 k-means keyed by
+    * (sub, cell) — 8 independent trainers as ONE unrolled iteration chain
+    * — then the argmin encode (||c||² − 2·dot, ties to lowest code) and
+    * ADC sims via ordered-list sum (list(pd ORDER BY sub) = Spark's fixed
+    * left-to-right fold). Assumes [[annPrefixCtes]]. Ends with
+    * `adcsc(query_id, id, sim)`. */
+  private def pqChainCtes: String = {
+    val iter = (t: Int) =>
+      s"""pa$t AS (
+        |  SELECT rn, sub, q8, cell FROM (
+        |    SELECT rn, sub, q8, cell,
+        |      row_number() OVER (PARTITION BY rn, sub ORDER BY d ASC, cell) AS rnk
+        |    FROM (SELECT s.rn, s.sub, s.q8, c.cell,
+        |        list_sum(list_transform(range(0, 8), i ->
+        |          (s.d8[i+1] - c.cv[i+1]) * (s.d8[i+1] - c.cv[i+1]))) AS d
+        |      FROM subs s JOIN pc${t - 1} c ON c.sub = s.sub) y) x
+        |  WHERE rnk = 1),
+        |ps$t AS (
+        |  SELECT sub, cell, ii.i, sum(q8[ii.i + 1]) AS sq, count(*) AS cnt
+        |  FROM pa$t, (SELECT unnest(range(0, 8)) AS i) ii
+        |  GROUP BY sub, cell, ii.i),
+        |pm$t AS (
+        |  SELECT sub, cell,
+        |    list(CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE) / 1024.0 ORDER BY i)
+        |      AS mv
+        |  FROM ps$t GROUP BY sub, cell),
+        |pc$t AS (
+        |  SELECT p.sub, p.cell,
+        |    CASE WHEN m.cell IS NULL THEN p.cv ELSE m.mv END AS cv
+        |  FROM pc${t - 1} p LEFT JOIN pm$t m
+        |    ON m.sub = p.sub AND m.cell = p.cell)""".stripMargin
+    val pdot =
+      """list_sum(list_transform(range(0, 8), i ->
+        |          CAST(n.v[c.sub * 8 + i + 1] AS DOUBLE)
+        |          * CAST(c.cvf[i+1] AS DOUBLE)))""".stripMargin
+    s"""subs AS (
       |  SELECT s.rn, ss.sub,
       |    list_slice(s.qv, ss.sub * 8 + 1, ss.sub * 8 + 8) AS q8,
       |    list_transform(list_slice(s.qv, ss.sub * 8 + 1, ss.sub * 8 + 8),
       |      q -> CAST(q AS DOUBLE) / 1024.0) AS d8
       |  FROM samp s, (SELECT unnest(range(0, 8)) AS sub) ss),
-      |c0 AS (
+      |pc0 AS (
       |  SELECT sd.sub, cl.cell, sd.d8 AS cv
       |  FROM (SELECT unnest(range(16)) AS cell) cl, sz, subs sd
       |  WHERE cl.cell < sz.k AND sd.rn = (cl.cell * sz.n) // sz.k),
       |${(1 to 5).map(iter).mkString(",\n")},
-      |cf AS (
+      |pcf AS (
       |  SELECT sub, cell, list_transform(cv, x -> CAST(x AS REAL)) AS cvf
-      |  FROM c5),
-      |cfd AS (
+      |  FROM pc5),
+      |pcfd AS (
       |  SELECT sub, cell, cvf,
       |    list_sum(list_transform(cvf, x ->
       |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
-      |  FROM cf),
+      |  FROM pcf),
       |enc AS (
       |  SELECT vec_id, sub, cell AS code FROM (
       |    SELECT vec_id, sub, cell,
@@ -325,15 +361,129 @@ object ExtQueries {
       |        AS rnk
       |    FROM (SELECT n.vec_id, c.sub, c.cell,
       |        c.nsq - 2.0 * $pdot AS d
-      |      FROM nrm n CROSS JOIN cfd c) y) x
+      |      FROM nrm n CROSS JOIN pcfd c) y) x
       |  WHERE rnk = 1),
       |lut AS (
       |  SELECT n.vec_id AS query_id, c.sub, c.cell, $pdot AS pd
-      |  FROM nrm n CROSS JOIN cfd c WHERE n.vec_id < 10),
+      |  FROM nrm n CROSS JOIN pcfd c WHERE n.vec_id < 10),
+      |adcsc AS (
+      |  SELECT l.query_id, e.vec_id AS id,
+      |    list_sum(list(l.pd ORDER BY l.sub)) AS sim
+      |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.cell = e.code
+      |  GROUP BY l.query_id, e.vec_id)""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.SimilaritySearch.topKPq]]. */
+  private def q41OracleSql: String =
+    s"""WITH $annPrefixCtes,
+      |$pqChainCtes,
+      |r AS (
+      |  SELECT query_id, id, sim, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY sim DESC, id) AS INTEGER) AS rank
+      |  FROM adcsc)
+      |SELECT query_id, rank, id, ${r4sql("sim")} AS sim
+      |FROM r WHERE rank <= 5 AND sim > 0
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.SimilaritySearch.topKPqRefine]]:
+    * ADC top-20 candidates per query, then exact dots over the survivors
+    * only, re-ranked (no positivity filter on the ADC stage — the exact
+    * stage decides). */
+  private def q43OracleSql: String =
+    s"""WITH $annPrefixCtes,
+      |$pqChainCtes,
+      |ra AS (
+      |  SELECT query_id, id, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY sim DESC, id) AS rnk
+      |  FROM adcsc),
+      |cand AS (SELECT query_id, id FROM ra WHERE rnk <= 20),
+      |ex AS (
+      |  SELECT c.query_id, c.id,
+      |    list_sum(list_transform(range(0, 64), i ->
+      |      CAST(q.v[i+1] AS DOUBLE) * CAST(n.v[i+1] AS DOUBLE))) AS sim
+      |  FROM cand c JOIN nrm n ON n.vec_id = c.id
+      |  JOIN nrm q ON q.vec_id = c.query_id),
+      |r AS (
+      |  SELECT query_id, id, sim, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY sim DESC, id) AS INTEGER) AS rank
+      |  FROM ex)
+      |SELECT query_id, rank, id, ${r4sql("sim")} AS sim
+      |FROM r WHERE rank <= 5 AND sim > 0
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.SimilaritySearch.topKIvfPq]]:
+    * the q35 spherical-Lloyd cell chain (c0..c5/cf/asgn/pr, verbatim
+    * shapes) + the q41 PQ chain (p-prefixed), joined so ADC sims are
+    * computed only for candidates whose cell the query probes. */
+  private def q44OracleSql: String = {
+    val dot64 = (a: String, b: String) =>
+      s"list_sum(list_transform(range(0, 64), i -> $a[i+1] * $b[i+1]))"
+    val dotReal = (a: String, b: String) =>
+      s"""list_sum(list_transform(range(0, 64), i ->
+         |        CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))""".stripMargin
+    val iter = (t: Int) =>
+      s"""a$t AS (
+        |  SELECT rn, qv, cell FROM (
+        |    SELECT rn, qv, cell,
+        |      row_number() OVER (PARTITION BY rn ORDER BY d DESC, cell) AS rnk
+        |    FROM (SELECT s.rn, s.qv, c.cell,
+        |        ${dot64("s.dv", "c.cv")} AS d
+        |      FROM sampd s CROSS JOIN c${t - 1} c) y) x
+        |  WHERE rnk = 1),
+        |s$t AS (
+        |  SELECT cell, ii.i, sum(qv[ii.i + 1]) AS sq, count(*) AS cnt
+        |  FROM a$t, (SELECT unnest(range(0, 64)) AS i) ii
+        |  GROUP BY cell, ii.i),
+        |m$t AS (
+        |  SELECT cell,
+        |    list(CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE) / 1024.0
+        |      ORDER BY i) AS mv
+        |  FROM s$t GROUP BY cell),
+        |c$t AS (
+        |  SELECT p.cell,
+        |    CASE WHEN m.cell IS NULL
+        |           OR sqrt(list_sum(list_transform(m.mv, x -> x * x))) = 0
+        |      THEN p.cv
+        |      ELSE list_transform(m.mv, x ->
+        |        x / sqrt(list_sum(list_transform(m.mv, y -> y * y))))
+        |    END AS cv
+        |  FROM c${t - 1} p LEFT JOIN m$t m ON m.cell = p.cell)""".stripMargin
+    s"""WITH $annPrefixCtes,
+      |sampd AS (
+      |  SELECT rn, qv,
+      |    list_transform(qv, q -> CAST(q AS DOUBLE) / 1024.0) AS dv
+      |  FROM samp),
+      |c0 AS (
+      |  SELECT cl.cell, s.dv AS cv
+      |  FROM (SELECT unnest(range(16)) AS cell) cl, sz, sampd s
+      |  WHERE cl.cell < sz.k AND s.rn = (cl.cell * sz.n) // sz.k),
+      |${(1 to 5).map(iter).mkString(",\n")},
+      |cf AS (SELECT cell, list_transform(cv, x -> CAST(x AS REAL)) AS cvf
+      |  FROM c5),
+      |asgn AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rnk
+      |    FROM (SELECT n.vec_id, c.cell,
+      |        ${dotReal("n.v", "c.cvf")} AS d
+      |      FROM nrm n CROSS JOIN cf c) y) x
+      |  WHERE rnk = 1),
+      |pr AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT vec_id AS query_id, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rnk
+      |    FROM (SELECT n.vec_id, c.cell,
+      |        ${dotReal("n.v", "c.cvf")} AS d
+      |      FROM nrm n CROSS JOIN cf c
+      |      WHERE n.vec_id < 10) y) x
+      |  WHERE rnk <= 4),
+      |$pqChainCtes,
       |sc AS (
       |  SELECT l.query_id, e.vec_id AS id,
       |    list_sum(list(l.pd ORDER BY l.sub)) AS sim
       |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.cell = e.code
+      |  JOIN asgn a ON a.vec_id = e.vec_id
+      |  JOIN pr p ON p.query_id = l.query_id AND p.cell = a.cell
       |  GROUP BY l.query_id, e.vec_id),
       |r AS (
       |  SELECT query_id, id, sim, CAST(row_number() OVER (
@@ -483,6 +633,8 @@ object ExtQueries {
   val oracle: Map[String, String] = Map(
     "q35_ann_ivf_topk" -> q35OracleSql,
     "q41_ann_pq_topk" -> q41OracleSql,
+    "q43_ann_pq_refine" -> q43OracleSql,
+    "q44_ann_ivfpq_topk" -> q44OracleSql,
     "q27b_ann_lsh_multi" -> q27bOracleSql,
     "q40_search_latest" -> q40OracleSql,
     "q40b_search_latest_lsh" -> q40bOracleSql,

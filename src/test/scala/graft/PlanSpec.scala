@@ -15,6 +15,8 @@ class PlanSpec extends SparkSpec {
     "q41_ann_pq_topk",      // ADC scan: codes × broadcast query LUTs — the
                             // per-pair cost is m lookups, not a d-dim dot;
                             // at scale composes with IVF cells (IVF-PQ)
+    "q43_ann_pq_refine",    // stage 1 is the same ADC scan; stage 2 is a
+                            // broadcast equi-join over survivors only
     "q24b_simhash_pairs",   // banded join uses an additional id< condition
     "q23b_dedup_minhash_lsh",
     "q32_sql_surface"       // 5×5 pair demo
@@ -56,6 +58,20 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n" +
       plan.take(4000))
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("IVF-PQ q44: cell equi-join, no cross join anywhere in the plan") {
+    val plan = SparkEntry.queries("q44_ann_ivfpq_topk")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    // the coarse quantizer turns the ADC scan's cross join into a
+    // broadcast equi-join on the cell id; encode stays map-only, so the
+    // hash exchanges are again just the two rank phases
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n" +
+      plan.take(4000))
   }
 
   test("q31 as-of: union+window shape — one hash exchange, no join") {

@@ -83,6 +83,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ refine with full coverage equals exact topK bit-for-bit") {
+    // refine >= |corpus| makes stage 1 a no-op filter: stage 2 then IS
+    // the exact search, so results must match topK exactly (same dots,
+    // same tie-breaks)
+    val exact = SimilaritySearch.topK(queryDf, corpusDf, 5)
+      .select("query_id", "rank", "id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val refined = SimilaritySearch.topKPqRefine(queryDf, corpusDf, 5,
+        refine = 40, m = 8, ks = 16)
+      .select("query_id", "rank", "id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(refined == exact)
+  }
+
+  test("IVF-PQ: cluster recall vs exact; sims are ADC approximations") {
+    val exact = SimilaritySearch.topK(queryDf, corpusDf, 10)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val ivfpq = SimilaritySearch.topKIvfPq(queryDf, corpusDf, 10,
+        nCells = 4, nProbe = 2, m = 8, ks = 16)
+      .select("query_id", "rank", "id", "sim")
+      .as[(Long, Int, Long, Double)].collect()
+    val recall = ivfpq.map(t => (t._1, t._3)).toSet.intersect(exact)
+      .size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF-PQ recall $recall")
+    // the query's own cell is always probed, so self survives with ADC
+    // sim ≈ 1
+    for (q <- Seq(0L, 10L, 20L, 30L)) {
+      val self = ivfpq.find(t => t._1 == q && t._3 == q)
+      assert(self.nonEmpty, s"query $q lost its own vector")
+      assert(math.abs(self.get._4 - 1.0) < 0.2)
+    }
+  }
+
   test("PQ trainer: empty cells keep centroids; codebook shapes are right") {
     // 3 identical rows -> every row lands in cell 0; cells 1/2 keep their
     // strided-init centroids (rows 1 and 2)
