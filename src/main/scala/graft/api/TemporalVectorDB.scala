@@ -34,6 +34,8 @@ class TemporalVectorDB(
   private var basesCache: Option[DataFrame] = None
   private var latestCache: Option[DataFrame] = None
   private var latestCount: Option[Long] = None
+  private var pqBooks: Option[Array[Array[Array[Float]]]] = None
+  private var pqCodes: Option[DataFrame] = None
 
   private def normalizedBases(rows: DataFrame): DataFrame =
     rows.where(col("kind") === "base")
@@ -121,6 +123,111 @@ class TemporalVectorDB(
       latestCount = None // corpus size changed; re-derive lazily
       merged
     }
+    // compressed index: re-ENCODE only the touched contents' new latest
+    // rows with the EXISTING codebooks (codebooks train once; retraining
+    // cadence is a caller policy, as with any deployed PQ index) and
+    // carry everything else
+    pqCodes = pqCodes.map { old =>
+      val books = pqBooks.get
+      val fresh = latestCache.get
+        .join(touched, Seq("content_id"), "left_semi")
+      val encoded = normalizedLatest(fresh)
+        .withColumn("_codes",
+          SimilaritySearch.pqEncodeExpr(books, col("vec")))
+        .drop("vec")
+      val carried = old.join(touched, Seq("content_id"), "left_anti")
+      val merged = pin(carried.unionByName(encoded))
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(old)
+      merged
+    }
+  }
+
+  private def normalizedLatest(latest: DataFrame): DataFrame =
+    latest.select(col("content_id"), col("seq"),
+        col("embedding").as("vec"))
+      .withColumn("_nrm", l2NormNative(col("vec")))
+      .where(col("_nrm") > 0)
+      .withColumn("vec", l2NormalizeWithNative(col("vec"), col("_nrm")))
+      .drop("_nrm")
+
+  /** Compressed (product-quantization) latest-state index: codebooks
+    * trained ONCE on a bounded sample of the materialized latest corpus,
+    * then every latest vector encoded to `m` byte codes — (content_id,
+    * seq, codes) is all that repeated approximate searches touch, a ~32×
+    * smaller footprint than the float corpus (the reason a 100 TB
+    * deployment can keep the whole searchable state resident). Maintained
+    * incrementally per append like the other indexes: touched contents
+    * re-encode, the rest carries. `m <= 0` picks the largest subspace
+    * count ≤ 8 dividing the dimension. */
+  def cachePqIndex(m: Int = 0, ks: Int = 16,
+                   trainSample: Int = 4096): DataFrame = synchronized {
+    pqCodes.getOrElse {
+      val corpus = normalizedLatest(cacheLatest())
+      val sample = corpus.orderBy("content_id", "seq").select("vec")
+        .limit(trainSample).collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("vec").toArray)
+      require(sample.nonEmpty, "PQ index: empty latest corpus")
+      val dim = sample.head.length
+      val mm =
+        if (m > 0) m
+        else (math.min(8, dim) to 1 by -1).find(dim % _ == 0).getOrElse(1)
+      require(dim % mm == 0, s"dim $dim not divisible by m=$mm subspaces")
+      val books = SimilaritySearch.pqCodebooks(sample, mm, ks, iters = 5)
+      val codes = pin(corpus
+        .withColumn("_codes", SimilaritySearch.pqEncodeExpr(books, col("vec")))
+        .drop("vec"))
+      pqBooks = Some(books)
+      pqCodes = Some(codes)
+      codes
+    }
+  }
+
+  /** Approximate latest-state search over the COMPRESSED index: ADC
+    * scoring against the maintained byte codes (m table lookups per
+    * candidate, no float vectors touched), optionally re-ranked exactly
+    * over the top `refine` survivors via the materialized latest corpus —
+    * the recall/precision two-stage shape of
+    * [[SimilaritySearch.topKPqRefine]] served from maintained state. */
+  def searchLatestVersionsPq(query: Array[Float], k: Int = Defaults.DefaultK,
+                             refine: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = cachePqIndex()
+    val books = synchronized(pqBooks.get)
+    val q = normQuery(query)
+      .withColumn("_lut", SimilaritySearch.pqLutExpr(books, col("qvec")))
+      .drop("qvec")
+    val scored = codes.crossJoin(broadcast(q))
+      .withColumn("sim", SimilaritySearch.adcSimExpr(books.length))
+      .withColumn("id",
+        concat_ws("#", col("content_id"), col("seq")))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("id"))
+    val adcRanked = scored.withColumn("rank", row_number().over(w))
+    if (refine <= 0)
+      adcRanked.where(col("rank") <= k && col("sim") > 0)
+        .select(col("rank"), col("id"), col("sim"))
+    else {
+      val survivors = adcRanked.where(col("rank") <= refine)
+        .select("query_id", "content_id", "seq")
+      val exact = normalizedLatest(cacheLatest())
+        .join(broadcast(survivors), Seq("content_id", "seq"))
+        .join(broadcast(normQuery(query)), Seq("query_id"))
+        .withColumn("sim", dotNative(col("qvec"), col("vec")))
+        .withColumn("id",
+          concat_ws("#", col("content_id"), col("seq")))
+      exact.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k && col("sim") > 0)
+        .select(col("rank"), col("id"), col("sim"))
+    }
+  }
+
+  /** One-row normalized query frame (query_id=1, qvec unit-length). */
+  private def normQuery(query: Array[Float]): DataFrame = {
+    import spark.implicits._
+    Seq((1L, query)).toDF("query_id", "qvec")
+      .withColumn("_nrm", l2NormNative(col("qvec")))
+      .where(col("_nrm") > 0)
+      .withColumn("qvec", l2NormalizeWithNative(col("qvec"), col("_nrm")))
+      .drop("_nrm")
   }
 
   /** Batch ingest of (content_id, ts, embedding[, metadata]) rows; assigns

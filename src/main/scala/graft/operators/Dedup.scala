@@ -248,6 +248,21 @@ object Dedup {
     components.groupBy("component")
       .agg(count(lit(1)).as("n_members"), max("id").as("max_member"))
 
+  /** Deduplicated corpus via the component closure: keep EXACTLY ONE doc
+    * per duplicate cluster (the component minimum), drop every other
+    * member — the principled form of [[dedupedCorpus]]'s pair-based
+    * policy (identical on most pair graphs; differs only when a pair's
+    * id1 is itself a dropped member of another cluster, where the
+    * pair-based form can over-keep). One anti-join after the closure. */
+  def dedupedCorpusCC(docs: DataFrame, idCol: String,
+                      pairs: DataFrame): DataFrame = {
+    val drop = connectedComponents(pairs)
+      .where(col("id") =!= col("component"))
+      .select(col("id").as("_drop_id"))
+    docs.join(drop, docs(idCol).cast("long") === drop("_drop_id"),
+      "left_anti")
+  }
+
   /** Fingerprint width for [[simhash56]]/[[simhashes]]: 56 bits — the full
     * range of [[md5Long]], and the widest fingerprint whose bit-masks and
     * vote-weighted sums stay BIGINT-safe for SQL portability. Width drives

@@ -376,31 +376,18 @@ object SimilaritySearch {
     require(sample.nonEmpty, "IVF-PQ training sample is empty")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
-    val dsub = dim / m
     val centroids = lloydQuantized(sample, nCells, iters)
     val books = pqCodebooks(sample, m, ks, iters)
-    val nsq = books.map(_.map { c =>
-      var s = 0.0; var i = 0
-      while (i < dsub) { s += c(i).toDouble * c(i).toDouble; i += 1 }
-      s
-    })
 
     // corpus: map-only cell assignment (q35 shape) + byte codes (q41
     // shape); the raw vector drops here
     val simsC = centroids.map(c => dotNative(col("vec"), typedLit(c.toSeq)))
-    def subDist(s: Int, c: Int): Column =
-      lit(nsq(s)(c)) - lit(2.0) *
-        dotNative(slice(col("vec"), s * dsub + 1, dsub),
-          typedLit(books(s)(c).toSeq))
     val encoded = cn
       .withColumn("_sims", array(simsC: _*))
       .withColumn("_cell",
         (array_position(col("_sims"), array_max(col("_sims"))) - 1)
           .cast("int"))
-      .withColumn("_codes", array((0 until m).map { s =>
-        val ds = array((0 until books(s).length).map(c => subDist(s, c)): _*)
-        (array_position(ds, array_min(ds)) - 1).cast("int")
-      }: _*))
+      .withColumn("_codes", pqEncodeExpr(books, col("vec")))
       .drop("vec", "_sims")
 
     // queries: top-nProbe cells (q35 shape) + ADC lookup tables, both
@@ -410,19 +397,13 @@ object SimilaritySearch {
         lit(i).as("c"))
     }
     val probes = qn
-      .withColumn("_lut", array((0 until m).map { s =>
-        array((0 until books(s).length).map(c =>
-          dotNative(slice(col("qvec"), s * dsub + 1, dsub),
-            typedLit(books(s)(c).toSeq))): _*)
-      }: _*))
+      .withColumn("_lut", pqLutExpr(books, col("qvec")))
       .withColumn("_probes", slice(array_sort(array(qsims: _*)), 1, nProbe))
       .select(col("query_id"), col("_lut"),
         explode(transform(col("_probes"), x => x("c"))).as("_cell"))
 
     val scored = encoded.join(broadcast(probes), Seq("_cell"))
-      .withColumn("sim", (0 until m).map(s =>
-        element_at(element_at(col("_lut"), s + 1),
-          element_at(col("_codes"), s + 1) + 1)).reduce(_ + _))
+      .withColumn("sim", adcSimExpr(m))
       .drop("_codes", "_lut")
     TopK.perKeySalted(scored, "query_id", Seq(desc("sim"), col("id")), k)
       .where(col("sim") > 0)
@@ -440,39 +421,69 @@ object SimilaritySearch {
     require(sample.nonEmpty, "PQ training sample is empty")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
-    val dsub = dim / m
     val books = pqCodebooks(sample, m, ks, iters)
-    val nsq = books.map(_.map { c =>
-      var s = 0.0; var i = 0
-      while (i < dsub) { s += c(i).toDouble * c(i).toDouble; i += 1 }
-      s
-    })
-    // argmin_c ||v_s - c||² == argmin_c (||c||² - 2·<v_s, c>) — the
-    // ||v_s||² term is constant per row; the oracle runs the same formula
-    // so float ties resolve identically (first minimum = lowest code)
-    def subDist(s: Int, c: Int): Column =
-      lit(nsq(s)(c)) - lit(2.0) *
-        dotNative(slice(col("vec"), s * dsub + 1, dsub),
-          typedLit(books(s)(c).toSeq))
-    val encoded = cn.withColumn("_codes", array((0 until m).map { s =>
-        val ds = array((0 until books(s).length).map(c => subDist(s, c)): _*)
-        (array_position(ds, array_min(ds)) - 1).cast("int")
-      }: _*))
+    val encoded = cn
+      .withColumn("_codes", pqEncodeExpr(books, col("vec")))
       .drop("vec") // the compression: only (id, m codes) flow downstream
     // LUT computed below the broadcast exchange: once per QUERY row, never
     // per pair (a projection above the join could not be pushed back down)
-    val qlut = qn.withColumn("_lut", array((0 until m).map { s =>
-        array((0 until books(s).length).map(c =>
-          dotNative(slice(col("qvec"), s * dsub + 1, dsub),
-            typedLit(books(s)(c).toSeq))): _*)
-      }: _*))
+    val qlut = qn.withColumn("_lut", pqLutExpr(books, col("qvec")))
       .drop("qvec")
     encoded.crossJoin(broadcast(qlut))
-      .withColumn("sim", (0 until m).map(s =>
-        element_at(element_at(col("_lut"), s + 1),
-          element_at(col("_codes"), s + 1) + 1)).reduce(_ + _))
+      .withColumn("sim", adcSimExpr(m))
       .drop("_codes", "_lut")
   }
+
+  /** Per-(subspace, centroid) squared norms — double sums in index order
+    * (the oracle derives the identical value from the float-cast centroid
+    * list). */
+  private[graft] def pqNorms(books: Array[Array[Array[Float]]])
+      : Array[Array[Double]] =
+    books.map(_.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+      s
+    })
+
+  /** Byte-code encoding of a (normalized) vector column against codebook
+    * literals — a map-only projection. Per subspace:
+    * argmin_c ||v_s − c||² == argmin_c (||c||² − 2·⟨v_s, c⟩) — the
+    * ||v_s||² term is constant per row; the oracle runs the same formula
+    * so float ties resolve identically (first minimum = lowest code). */
+  private[graft] def pqEncodeExpr(books: Array[Array[Array[Float]]],
+                                  vecCol: Column): Column = {
+    val m = books.length
+    val dsub = books.head.head.length
+    val nsq = pqNorms(books)
+    array((0 until m).map { s =>
+      val ds = array((0 until books(s).length).map(c =>
+        lit(nsq(s)(c)) - lit(2.0) *
+          dotNative(slice(vecCol, s * dsub + 1, dsub),
+            typedLit(books(s)(c).toSeq))): _*)
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** ADC lookup table for a (normalized) query column: partial dots of
+    * every subvector against every codebook entry. */
+  private[graft] def pqLutExpr(books: Array[Array[Array[Float]]],
+                               qvecCol: Column): Column = {
+    val m = books.length
+    val dsub = books.head.head.length
+    array((0 until m).map { s =>
+      array((0 until books(s).length).map(c =>
+        dotNative(slice(qvecCol, s * dsub + 1, dsub),
+          typedLit(books(s)(c).toSeq))): _*)
+    }: _*)
+  }
+
+  /** ADC similarity from `_lut` (query side) and `_codes` (corpus side):
+    * m lookups summed left-to-right — the fixed fold order the oracle's
+    * ordered-list sum replays. */
+  private[graft] def adcSimExpr(m: Int): Column =
+    (0 until m).map(s =>
+      element_at(element_at(col("_lut"), s + 1),
+        element_at(col("_codes"), s + 1) + 1)).reduce(_ + _)
 
   /** Per-subspace PQ codebooks: [[lloydQuantizedL2]] on each dsub-wide
     * slice of the (normalized) training sample. */

@@ -96,6 +96,16 @@ object DedupQueries {
       Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id")
+    }),
+
+    // The cluster-exact deduplicated corpus: drop every non-minimum
+    // member of each q42 component, keep everything unpaired.
+    "q45_dedup_corpus_cc" -> ((s, d) => {
+      val docs = augDocs(s, d)
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", tau = 0.5)
+      Dedup.dedupedCorpusCC(docs, "doc_id", pairs)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .orderBy("doc_id")
     })
   )
 
@@ -218,6 +228,24 @@ object DedupQueries {
         |SELECT CAST(id AS BIGINT) AS doc_id,
         |  CAST(min(lab) AS BIGINT) AS component
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // q42's closure applied as a dedup policy: any doc that is a
+    // NON-minimum member of its component drops; unpaired docs survive
+    "q45_dedup_corpus_cc" ->
+      s"""WITH RECURSIVE $augDocsSql,
+        |$minhashChainSql,
+        |pr AS (SELECT id1, id2 FROM jac WHERE jaccard >= 0.5),
+        |e AS (SELECT id1 AS s, id2 AS t FROM pr
+        |      UNION SELECT id2, id1 FROM pr),
+        |reach AS (
+        |  SELECT s AS id, s AS lab FROM e
+        |  UNION
+        |  SELECT e.t AS id, r.lab FROM reach r JOIN e ON e.s = r.id),
+        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+        |SELECT CAST(a.doc_id AS BIGINT) AS doc_id FROM aug a
+        |WHERE NOT EXISTS (SELECT 1 FROM comp c
+        |  WHERE c.id = a.doc_id AND c.id <> c.component)
+        |ORDER BY doc_id""".stripMargin,
 
     "q24_simhash" ->
       s"""WITH $augDocsSql,

@@ -180,6 +180,37 @@ class ApiSpec extends SparkSpec {
       .count() >= 1)
   }
 
+  test("PQ latest-state index: compressed search + exact refine, " +
+    "incremental re-encode on append") {
+    val db = freshDb()
+    // 24 well-separated contents so the codebooks (trained once on the
+    // latest corpus; dim 50 -> auto m=5 subspaces) are meaningful
+    val fleet = (0 until 24).map(i => (f"c$i%02d", ts(1),
+      Array.tabulate(dim)(j => math.sin(i * 17 + j).toFloat)))
+    db.addVersions(fleet.toDF("content_id", "ts", "embedding"))
+    val v5 = fleet(5)._3
+    // exact-refine search: top hit is the self vector with EXACT sim 1
+    val refined = db.searchLatestVersionsPq(v5, k = 1, refine = 8)
+      .select("id", "sim").as[(String, Double)].collect().head
+    assert(refined._1 == "c05#1" && math.abs(refined._2 - 1.0) < 1e-6)
+    // the maintained index is (content_id, seq, codes) ONLY — no float
+    // vectors — and repeated ADC searches read it from memory
+    assert(db.cachePqIndex().columns.toSeq ==
+      Seq("content_id", "seq", "_codes"))
+    val plan = db.searchLatestVersionsPq(v5, k = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan)
+    // append a new content: it re-encodes with the EXISTING codebooks and
+    // becomes searchable; carried rows are not re-encoded
+    val vz = Array.tabulate(dim)(j => math.sin(99 * 17 + j).toFloat)
+    db.addVersions(Seq(("zz", ts(2), vz))
+      .toDF("content_id", "ts", "embedding"))
+    val hit2 = db.searchLatestVersionsPq(vz, k = 1, refine = 8)
+      .select("id").as[String].collect().head
+    assert(hit2 == "zz#1")
+    assert(db.cachePqIndex().count() == 25)
+  }
+
   test("incremental cacheBases: append unions the batch into the cached " +
     "index instead of rebuilding from a full re-scan") {
     val db = freshDb()

@@ -254,4 +254,13 @@ class DedupSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
     assert(Dedup.connectedComponents(empty).count() == 0)
   }
+
+  test("dedupedCorpusCC keeps exactly one doc per duplicate cluster") {
+    // docs 1, 2, 4 form one near-dup cluster (exact + near copies of the
+    // same text): only the component minimum survives
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", tau = 0.5)
+    val kept = Dedup.dedupedCorpusCC(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L))
+  }
 }
