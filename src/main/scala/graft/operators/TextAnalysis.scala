@@ -91,6 +91,67 @@ object TextAnalysis {
       .drop("_non_ascii")
   }
 
+  /** Pack documents into training shards by token budget: each doc gets
+    * the shard whose budget window contains the tokens BEFORE it in
+    * doc_id order (greedy sequential packing — the standard pre-tokenizer
+    * step that turns a corpus into ~budget-sized work units).
+    *
+    * Scale shape: a GLOBAL running sum is the classic single-task window
+    * trap (`Window.orderBy` with no partition serializes the corpus), so
+    * this computes it in two bounded stages — per-bucket running sums
+    * (window PARTITIONED by a doc_id bucket) plus broadcast per-bucket
+    * offsets. The only unpartitioned window runs over the bucket-totals
+    * frame: N/bucketSize rows (a 1B-doc corpus at the default is ~244k
+    * rows on the driver-adjacent path — fine), never the corpus. */
+  def packShards(docs: DataFrame, tokenBudget: Long,
+                 bucketSize: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tokenBudget > 0 && bucketSize > 0)
+    val d = docs.select(col("doc_id"),
+        subtokenCount(col("text")).as("n_subtokens"))
+      .withColumn("_b",
+        expr(s"CAST(doc_id AS BIGINT) div $bucketSize"))
+    val wIn = Window.partitionBy("_b").orderBy("doc_id")
+    val inBucket = d.withColumn("_cumb", sum("n_subtokens").over(wIn))
+    val totals = d.groupBy("_b").agg(sum("n_subtokens").as("_bt"))
+    val wOff = Window.orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("_off", coalesce(sum("_bt").over(wOff), lit(0L)))
+      .drop("_bt")
+    inBucket.join(broadcast(offsets), Seq("_b"))
+      .withColumn("cum_subtokens", col("_off") + col("_cumb"))
+      .withColumn("shard_id",
+        expr(s"(cum_subtokens - n_subtokens) div $tokenBudget"))
+      .select("doc_id", "n_subtokens", "cum_subtokens", "shard_id")
+  }
+
+  /** Split each document into overlapping ~chunkSize-token windows (the
+    * context-window chunking step before embedding/tokenizer jobs):
+    * starts 1, 1+step, 1+2·step, … (step = chunkSize − overlap), last
+    * chunk may be short. Map-only: sequence + slice expressions, one
+    * output row per chunk. Emits the chunk's md5 (not the text) so
+    * downstream dedup/verification is cheap; swap the projection for the
+    * text itself when materializing. */
+  def chunkTokens(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap($overlap) < chunkSize($chunkSize)")
+    val step = chunkSize - overlap
+    val toks = tokens(col("text"))
+    val chunks = transform(
+      sequence(lit(1), size(toks), lit(step)),
+      st => struct(
+        md5(concat_ws(" ", slice(toks, st, lit(chunkSize))).cast("binary"))
+          .as("chunk_hash"),
+        least(lit(chunkSize), size(toks) - st + 1).cast("long")
+          .as("n_chunk_tokens")))
+    docs.where(size(toks) > 0)
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_id", "_c")))
+      .select(col("doc_id"), col("chunk_id"),
+        col("_c.chunk_hash").as("chunk_hash"),
+        col("_c.n_chunk_tokens").as("n_chunk_tokens"))
+  }
+
   /** Position-weighted rolling fingerprint of the token stream: an
     * order-sensitive document hash, Σ_i (md5hash(tok_i) mod P)·(i+1) mod P
     * with P = 1e9+7. md5-derived token hashes make the value reproducible in

@@ -45,7 +45,20 @@ object TextQueries {
     "q22_fingerprint" -> ((s, d) => par(Tables.documents(s, d))
       .select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-      .orderBy("doc_id"))
+      .orderBy("doc_id")),
+
+    // Q46: token-budget shard packing (bucketed running sum — the
+    // two-stage shape that avoids the global single-task window).
+    "q46_token_shards" -> ((s, d) =>
+      TextAnalysis.packShards(par(Tables.documents(s, d)), tokenBudget = 512)
+        .orderBy("doc_id")),
+
+    // Q47: overlapping context-window chunking (map-only sequence+slice;
+    // one row per ~32-token window, step 24).
+    "q47_token_chunks" -> ((s, d) =>
+      TextAnalysis.chunkTokens(par(Tables.documents(s, d)),
+          chunkSize = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_id"))
   )
 
   private val toks = "regexp_split_to_array(trim(text), '\\s+')"
@@ -96,6 +109,33 @@ object TextQueries {
         |  CAST(list_sum(list_transform(range(1, len(toks) + 1), i ->
         |    (CAST(concat('0x', substr(md5(toks[i]), 1, 14)) AS BIGINT)
         |      % 1000000007) * i)) % 1000000007 AS BIGINT) AS fingerprint
-        |FROM tk ORDER BY doc_id""".stripMargin
+        |FROM tk ORDER BY doc_id""".stripMargin,
+
+    // the oracle computes the SAME running total with one global window
+    // (oracle scale) — the engine's bucketed two-stage sum must agree
+    // exactly (integer arithmetic)
+    "q46_token_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_subtokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_subtokens,
+        |        sum(n_subtokens) OVER (ORDER BY doc_id) AS cum
+        |      FROM t)
+        |SELECT doc_id, n_subtokens, CAST(cum AS BIGINT) AS cum_subtokens,
+        |  CAST((cum - n_subtokens) // 512 AS BIGINT) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q47_token_chunks" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+        |st AS (SELECT doc_id, toks,
+        |         unnest(range(1, len(toks) + 1, 24)) AS start
+        |       FROM tk WHERE len(toks) > 0)
+        |SELECT doc_id, CAST((start - 1) // 24 AS INTEGER) AS chunk_id,
+        |  md5(array_to_string(list_slice(toks, start, start + 31), ' '))
+        |    AS chunk_hash,
+        |  CAST(least(32, len(toks) - start + 1) AS BIGINT) AS n_chunk_tokens
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin
   )
 }
