@@ -36,6 +36,7 @@ class TemporalVectorDB(
   private var latestCount: Option[Long] = None
   private var pqBooks: Option[Array[Array[Array[Float]]]] = None
   private var pqCodes: Option[DataFrame] = None
+  private var pqParams: Option[(Int, Int, Int)] = None // raw (m, ks, sample)
 
   private def normalizedBases(rows: DataFrame): DataFrame =
     rows.where(col("kind") === "base")
@@ -53,7 +54,14 @@ class TemporalVectorDB(
     * post-append state (wrong seq offsets, duplicated latest rows). A
     * checkpoint has no file relation in its plan, so appends cannot touch
     * it; refreshes replace it explicitly. On a cluster with an unreliable
-    * executor fleet, swap for `checkpoint()` against a durable dir. */
+    * executor fleet, swap for `checkpoint()` against a durable dir.
+    *
+    * LIFETIME CONTRACT: a refresh frees the REPLACED checkpoint's blocks
+    * immediately, so DataFrames returned by index-backed searches are
+    * valid until the next [[addVersions]]/[[refreshAfterAppend]] —
+    * collect results before appending; a lazy plan held across an append
+    * fails with a missing-checkpoint-block error (a checkpoint has no
+    * lineage to recompute). */
   private def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
   /** Cached normalized base snapshots — the engine's "vector index"
@@ -158,28 +166,58 @@ class TemporalVectorDB(
     * deployment can keep the whole searchable state resident). Maintained
     * incrementally per append like the other indexes: touched contents
     * re-encode, the rest carries. `m <= 0` picks the largest subspace
-    * count ≤ 8 dividing the dimension. */
+    * count ≤ 8 dividing the dimension.
+    *
+    * An explicit call whose (m, ks, trainSample) differ from the live
+    * index REBUILDS it with the requested configuration (searches go
+    * through [[currentPqIndex]] and never discard a configured index);
+    * [[retrainPqIndex]] refreshes drifted codebooks in place. */
   def cachePqIndex(m: Int = 0, ks: Int = 16,
                    trainSample: Int = 4096): DataFrame = synchronized {
-    pqCodes.getOrElse {
-      val corpus = normalizedLatest(cacheLatest())
-      val sample = corpus.orderBy("content_id", "seq").select("vec")
-        .limit(trainSample).collect()
-        .map(_.getAs[scala.collection.Seq[Float]]("vec").toArray)
-      require(sample.nonEmpty, "PQ index: empty latest corpus")
-      val dim = sample.head.length
-      val mm =
-        if (m > 0) m
-        else (math.min(8, dim) to 1 by -1).find(dim % _ == 0).getOrElse(1)
-      require(dim % mm == 0, s"dim $dim not divisible by m=$mm subspaces")
-      val books = SimilaritySearch.pqCodebooks(sample, mm, ks, iters = 5)
-      val codes = pin(corpus
-        .withColumn("_codes", SimilaritySearch.pqEncodeExpr(books, col("vec")))
-        .drop("vec"))
-      pqBooks = Some(books)
-      pqCodes = Some(codes)
-      codes
+    pqCodes match {
+      case Some(codes) if pqParams.contains((m, ks, trainSample)) => codes
+      case Some(_) => // explicit different configuration: rebuild
+        buildPqIndex(m, ks, trainSample)
+      case None => buildPqIndex(m, ks, trainSample)
     }
+  }
+
+  /** Retrain the codebooks and re-encode the whole latest corpus with the
+    * LAST-USED configuration — the codebook-drift remedy after many
+    * appends (incremental refresh deliberately keeps books fixed). */
+  def retrainPqIndex(): DataFrame = synchronized {
+    val (m, ks, ts) = pqParams.getOrElse((0, 16, 4096))
+    buildPqIndex(m, ks, ts)
+  }
+
+  private def buildPqIndex(m: Int, ks: Int, trainSample: Int): DataFrame = {
+    val corpus = normalizedLatest(cacheLatest())
+    val sample = corpus.orderBy("content_id", "seq").select("vec")
+      .limit(trainSample).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("vec").toArray)
+    require(sample.nonEmpty, "PQ index: empty latest corpus")
+    val dim = sample.head.length
+    val mm =
+      if (m > 0) m
+      else (math.min(8, dim) to 1 by -1).find(dim % _ == 0).getOrElse(1)
+    require(dim % mm == 0, s"dim $dim not divisible by m=$mm subspaces")
+    val books = SimilaritySearch.pqCodebooks(sample, mm, ks, iters = 5)
+    val codes = pin(corpus
+      .withColumn("_codes", SimilaritySearch.pqEncodeExpr(books, col("vec")))
+      .drop("vec"))
+    pqCodes.foreach(
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint)
+    pqBooks = Some(books)
+    pqCodes = Some(codes)
+    pqParams = Some((m, ks, trainSample))
+    codes
+  }
+
+  /** The live index for searches: whatever configuration exists (builds
+    * with defaults on first use) — a default-argument search never
+    * discards an explicitly configured index. */
+  private def currentPqIndex(): DataFrame = synchronized {
+    pqCodes.getOrElse(buildPqIndex(0, 16, 4096))
   }
 
   /** Approximate latest-state search over the COMPRESSED index: ADC
@@ -191,7 +229,7 @@ class TemporalVectorDB(
   def searchLatestVersionsPq(query: Array[Float], k: Int = Defaults.DefaultK,
                              refine: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val codes = cachePqIndex()
+    val codes = currentPqIndex()
     val books = synchronized(pqBooks.get)
     val q = normQuery(query)
       .withColumn("_lut", SimilaritySearch.pqLutExpr(books, col("qvec")))

@@ -204,6 +204,16 @@ object Dedup {
     * in principle wrap). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
+    // fail fast on non-integral ids: a silent cast would turn e.g. string
+    // ids into nulls and emit garbage components; map ids to longs first
+    Seq("id1", "id2").foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.ShortType,
+        s"connectedComponents needs integral ids; $c is $dt — " +
+          "map ids to longs before calling")
+    }
     val half = pairs.select(col("id1").cast("long").as("s"),
       col("id2").cast("long").as("t"))
     val edges = half
@@ -237,6 +247,10 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds — " +
         "component diameter exceeds the iteration budget")
+    // NOTE: the result is checkpoint-BACKED (it must survive the loop's
+    // intermediate frees). Long-lived sessions that run many closures
+    // should Bridge.unpersistCheckpoint the returned frame once consumed;
+    // otherwise the blocks live until driver GC collects the RDD handle.
     cur.select(col("id"), col("comp").as("component"))
   }
 
@@ -256,6 +270,15 @@ object Dedup {
     * pair-based form can over-keep). One anti-join after the closure. */
   def dedupedCorpusCC(docs: DataFrame, idCol: String,
                       pairs: DataFrame): DataFrame = {
+    // same integral-id contract as connectedComponents (which enforces it
+    // on `pairs`); enforce on the docs side too so a string-id corpus
+    // cannot silently anti-join on nulls and come back undeduplicated
+    val dt = docs.schema(idCol).dataType
+    require(dt == org.apache.spark.sql.types.LongType ||
+      dt == org.apache.spark.sql.types.IntegerType ||
+      dt == org.apache.spark.sql.types.ShortType,
+      s"dedupedCorpusCC needs an integral $idCol; got $dt — " +
+        "map ids to longs before calling")
     val drop = connectedComponents(pairs)
       .where(col("id") =!= col("component"))
       .select(col("id").as("_drop_id"))

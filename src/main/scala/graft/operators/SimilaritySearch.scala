@@ -295,16 +295,8 @@ object SimilaritySearch {
   def topKPq(queries: DataFrame, corpus: DataFrame, k: Int,
              m: Int = 8, ks: Int = 16, trainSample: Int = 4096,
              iters: Int = 5): DataFrame = {
-    val cn = corpus
-      .withColumn("_cnorm", l2NormNative(col("vec")))
-      .where(col("_cnorm") > 0)
-      .withColumn("vec", l2NormalizeWithNative(col("vec"), col("_cnorm")))
-      .drop("_cnorm")
-    val qn = queries
-      .withColumn("_qnorm", l2NormNative(col("qvec")))
-      .where(col("_qnorm") > 0)
-      .withColumn("qvec", l2NormalizeWithNative(col("qvec"), col("_qnorm")))
-      .drop("_qnorm")
+    val cn = normalized(corpus, "vec")
+    val qn = normalized(queries, "qvec")
     TopK.perKeySalted(adcScored(qn, cn, m, ks, trainSample, iters),
         "query_id", Seq(desc("sim"), col("id")), k)
       .where(col("sim") > 0)
@@ -320,16 +312,8 @@ object SimilaritySearch {
   def topKPqRefine(queries: DataFrame, corpus: DataFrame, k: Int,
                    refine: Int = 20, m: Int = 8, ks: Int = 16,
                    trainSample: Int = 4096, iters: Int = 5): DataFrame = {
-    val cn = corpus
-      .withColumn("_cnorm", l2NormNative(col("vec")))
-      .where(col("_cnorm") > 0)
-      .withColumn("vec", l2NormalizeWithNative(col("vec"), col("_cnorm")))
-      .drop("_cnorm")
-    val qn = queries
-      .withColumn("_qnorm", l2NormNative(col("qvec")))
-      .where(col("_qnorm") > 0)
-      .withColumn("qvec", l2NormalizeWithNative(col("qvec"), col("_qnorm")))
-      .drop("_qnorm")
+    val cn = normalized(corpus, "vec")
+    val qn = normalized(queries, "qvec")
     // stage 1: compressed-domain candidates (no positivity filter here —
     // the exact stage decides; topKPq's own filter applies to ADC scores)
     val adcTop = TopK.perKeySalted(
@@ -359,21 +343,10 @@ object SimilaritySearch {
   def topKIvfPq(queries: DataFrame, corpus: DataFrame, k: Int,
                 nCells: Int = 16, nProbe: Int = 4, m: Int = 8, ks: Int = 16,
                 trainSample: Int = 4096, iters: Int = 5): DataFrame = {
-    val cn = corpus
-      .withColumn("_cnorm", l2NormNative(col("vec")))
-      .where(col("_cnorm") > 0)
-      .withColumn("vec", l2NormalizeWithNative(col("vec"), col("_cnorm")))
-      .drop("_cnorm")
-    val qn = queries
-      .withColumn("_qnorm", l2NormNative(col("qvec")))
-      .where(col("_qnorm") > 0)
-      .withColumn("qvec", l2NormalizeWithNative(col("qvec"), col("_qnorm")))
-      .drop("_qnorm")
+    val cn = normalized(corpus, "vec")
+    val qn = normalized(queries, "qvec")
 
-    val sample = cn.select(col("id"), col("vec")).orderBy("id")
-      .limit(trainSample).collect()
-      .map(_.getAs[scala.collection.Seq[Float]]("vec").toArray)
-    require(sample.nonEmpty, "IVF-PQ training sample is empty")
+    val sample = collectSample(cn, trainSample, "IVF-PQ")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val centroids = lloydQuantized(sample, nCells, iters)
@@ -415,10 +388,7 @@ object SimilaritySearch {
     * via broadcast LUTs. Returns (query_id, id, sim≈) unranked. */
   private def adcScored(qn: DataFrame, cn: DataFrame, m: Int, ks: Int,
                         trainSample: Int, iters: Int): DataFrame = {
-    val sample = cn.select(col("id"), col("vec")).orderBy("id")
-      .limit(trainSample).collect()
-      .map(_.getAs[scala.collection.Seq[Float]]("vec").toArray)
-    require(sample.nonEmpty, "PQ training sample is empty")
+    val sample = collectSample(cn, trainSample, "PQ")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val books = pqCodebooks(sample, m, ks, iters)
@@ -432,6 +402,25 @@ object SimilaritySearch {
     encoded.crossJoin(broadcast(qlut))
       .withColumn("sim", adcSimExpr(m))
       .drop("_codes", "_lut")
+  }
+
+  /** Drop zero-norm rows and unit-normalize `colName` in place (shared by
+    * the PQ family; the older operators keep their inline spelled-out
+    * twins, proven by their oracles). */
+  private def normalized(df: DataFrame, colName: String): DataFrame =
+    df.withColumn("_n", l2NormNative(col(colName)))
+      .where(col("_n") > 0)
+      .withColumn(colName, l2NormalizeWithNative(col(colName), col("_n")))
+      .drop("_n")
+
+  /** Bounded id-ordered training sample — the one justified driver-side
+    * collect in the ANN family. */
+  private def collectSample(cn: DataFrame, n: Int,
+                            what: String): Array[Array[Float]] = {
+    val s = cn.select(col("id"), col("vec")).orderBy("id").limit(n).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("vec").toArray)
+    require(s.nonEmpty, s"$what training sample is empty")
+    s
   }
 
   /** Per-(subspace, centroid) squared norms — double sums in index order

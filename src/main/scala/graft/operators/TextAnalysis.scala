@@ -107,10 +107,16 @@ object TextAnalysis {
                  bucketSize: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tokenBudget > 0 && bucketSize > 0)
+    // persisted: the regexp-heavy token-count scan feeds BOTH the
+    // windowed branch and the totals aggregate — without this the
+    // dominant cost (the regex pass over all text) runs twice; the
+    // persisted projection is (doc_id, count, bucket) longs only,
+    // ~1000× smaller than the text it derives from
     val d = docs.select(col("doc_id"),
         subtokenCount(col("text")).as("n_subtokens"))
       .withColumn("_b",
         expr(s"CAST(doc_id AS BIGINT) div $bucketSize"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wIn = Window.partitionBy("_b").orderBy("doc_id")
     val inBucket = d.withColumn("_cumb", sum("n_subtokens").over(wIn))
     val totals = d.groupBy("_b").agg(sum("n_subtokens").as("_bt"))

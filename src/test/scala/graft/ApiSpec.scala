@@ -209,6 +209,14 @@ class ApiSpec extends SparkSpec {
       .select("id").as[String].collect().head
     assert(hit2 == "zz#1")
     assert(db.cachePqIndex().count() == 25)
+    // explicit reconfiguration rebuilds (new books, full re-encode) and
+    // retrain refreshes in place; searches keep working on both
+    assert(db.cachePqIndex(m = 5, ks = 8, trainSample = 1024).count() == 25)
+    assert(db.searchLatestVersionsPq(vz, k = 1, refine = 8)
+      .select("id").as[String].collect().head == "zz#1")
+    assert(db.retrainPqIndex().count() == 25)
+    assert(db.searchLatestVersionsPq(v5, k = 1, refine = 8)
+      .select("id").as[String].collect().head == "c05#1")
   }
 
   test("incremental cacheBases: append unions the batch into the cached " +
