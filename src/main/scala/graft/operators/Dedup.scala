@@ -254,6 +254,80 @@ object Dedup {
     cur.select(col("id"), col("comp").as("component"))
   }
 
+  /** Connected components via alternating large-star/small-star rounds
+    * (the MapReduce-era two-operation formulation): converges in
+    * O(log²) rounds in the component size REGARDLESS of diameter —
+    * the long-chain graphs where [[connectedComponents]]' min-label
+    * propagation needs O(diameter) rounds and trips its `maxIter`.
+    * Same output contract: (id, component = min reachable id).
+    *
+    *  - large-star: every node's LARGER neighbors re-attach to the
+    *    minimum of its neighborhood (incl. itself) — doubles the reach
+    *    of small labels down long chains;
+    *  - small-star: every node and its smaller non-minimum neighbors
+    *    attach to the neighborhood minimum, canonicalizing toward star
+    *    graphs (edges always (bigger, smaller) afterwards).
+    *
+    * Fixpoint = the edge set is unchanged (checked with an exact
+    * anti-join both ways, not a hash heuristic); at fixpoint the edges
+    * form stars whose centers are the component minima. Same iterative
+    * hygiene as the label loop: every round localCheckpoints and frees
+    * the replaced round's storage. Prefer this for unknown/long-chain
+    * graphs; the label loop does fewer shuffles per round on the
+    * shallow near-clique graphs dedup produces. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50)
+      : DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Seq("id1", "id2").foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.ShortType,
+        s"connectedComponentsStar needs integral ids; $c is $dt")
+    }
+    val half = pairs.select(col("id1").cast("long").as("s"),
+      col("id2").cast("long").as("t")).where(col("s") =!= col("t"))
+    // canonical directed form: (big, small); `cur` stays canonical and
+    // deduplicated across rounds
+    var cur = half.select(greatest(col("s"), col("t")).as("a"),
+        least(col("s"), col("t")).as("b"))
+      .distinct().localCheckpoint(true)
+    var it = 0
+    var converged = cur.isEmpty
+    while (it < maxIter && !converged) {
+      // large-star over the SYMMETRIC neighborhood: per node u,
+      // m = min(u ∪ N(u)); larger neighbors v > u re-attach as (v, m)
+      val sym = cur.select(col("a").as("s"), col("b").as("t"))
+        .unionByName(cur.select(col("b").as("s"), col("a").as("t")))
+      val mins = sym.groupBy("s").agg(min(least(col("s"), col("t"))).as("m"))
+      val ls = sym.join(mins, "s").where(col("t") > col("s"))
+        .select(col("t").as("a"), col("m").as("b"))
+        .distinct()
+      // small-star over the directed (big, small) edges: per node a,
+      // m = min of its smaller neighbors; a and every non-minimum
+      // smaller neighbor attach to m
+      val m2 = ls.groupBy("a").agg(min("b").as("m"))
+      val next = ls.join(m2, "a")
+        .where(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionByName(m2.select(col("a"), col("m").as("b")))
+        .distinct().localCheckpoint(true)
+      // exact fixpoint test: edge sets equal in both directions
+      converged =
+        next.join(cur, Seq("a", "b"), "left_anti").isEmpty &&
+          cur.join(next, Seq("a", "b"), "left_anti").isEmpty
+      Bridge.unpersistCheckpoint(cur)
+      cur = next; it += 1
+    }
+    if (!converged && it >= maxIter) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    // at fixpoint the edges are stars (member, root): roots label
+    // themselves, members label their root
+    cur.select(col("b").as("id"), col("b").as("comp"))
+      .unionByName(cur.select(col("a").as("id"), col("b").as("comp")))
+      .groupBy("id").agg(min("comp").as("component"))
+  }
+
   /** Cluster summary over [[connectedComponents]] output: one row per
     * component with its size and representative (the component id is
     * already the minimum member id — the member every keep-lowest-id

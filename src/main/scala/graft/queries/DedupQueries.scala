@@ -98,6 +98,17 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // The same closure computed by the diameter-proof large-star/
+    // small-star algorithm — identical output, so it shares q42's
+    // oracle verbatim (the oracle doesn't care which engine loop ran).
+    "q42b_dedup_components_star" -> ((s, d) => {
+      val pairs = Dedup.nearDupPairs(augDocs(s, d), "doc_id", "text",
+        tau = 0.5)
+      Dedup.connectedComponentsStar(pairs)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
     // The cluster-exact deduplicated corpus: drop every non-minimum
     // member of each q42 component, keep everything unpaired.
     "q45_dedup_corpus_cc" -> ((s, d) => {
@@ -198,6 +209,21 @@ object DedupQueries {
        |    > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
   }.mkString(" + ")
 
+  /** DuckDB closure of the q23b pair graph — the shared q42/q42b oracle. */
+  private lazy val ccClosureSql: String =
+    s"""WITH RECURSIVE $augDocsSql,
+      |$minhashChainSql,
+      |pr AS (SELECT id1, id2 FROM jac WHERE jaccard >= 0.5),
+      |e AS (SELECT id1 AS s, id2 AS t FROM pr
+      |      UNION SELECT id2, id1 FROM pr),
+      |reach AS (
+      |  SELECT s AS id, s AS lab FROM e
+      |  UNION
+      |  SELECT e.t AS id, r.lab FROM reach r JOIN e ON e.s = r.id)
+      |SELECT CAST(id AS BIGINT) AS doc_id,
+      |  CAST(min(lab) AS BIGINT) AS component
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q23_dedup_exact_groups" ->
       s"""WITH $augDocsSql
@@ -215,19 +241,9 @@ object DedupQueries {
     // the q23b pair graph closed into components: recursive min-label
     // propagation (reach(id, lab) = "lab reaches id"; symmetric edges make
     // reachability = component membership, min(lab) = the component id)
-    "q42_dedup_components" ->
-      s"""WITH RECURSIVE $augDocsSql,
-        |$minhashChainSql,
-        |pr AS (SELECT id1, id2 FROM jac WHERE jaccard >= 0.5),
-        |e AS (SELECT id1 AS s, id2 AS t FROM pr
-        |      UNION SELECT id2, id1 FROM pr),
-        |reach AS (
-        |  SELECT s AS id, s AS lab FROM e
-        |  UNION
-        |  SELECT e.t AS id, r.lab FROM reach r JOIN e ON e.s = r.id)
-        |SELECT CAST(id AS BIGINT) AS doc_id,
-        |  CAST(min(lab) AS BIGINT) AS component
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q42_dedup_components" -> ccClosureSql,
+    // the star-algorithm variant computes the SAME relation
+    "q42b_dedup_components_star" -> ccClosureSql,
 
     // q42's closure applied as a dedup policy: any doc that is a
     // NON-minimum member of its component drops; unpaired docs survive

@@ -253,6 +253,35 @@ class DedupSpec extends SparkSpec {
   test("connected components: empty pair list yields empty output") {
     val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
     assert(Dedup.connectedComponents(empty).count() == 0)
+    assert(Dedup.connectedComponentsStar(empty).count() == 0)
+  }
+
+  test("star components equal label-propagation components on random graphs") {
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 1 to 3) {
+      val edges = (0 until 50).map(_ =>
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(e => e._1 != e._2)
+      val df = edges.toDF("id1", "id2")
+      val label = Dedup.connectedComponents(df)
+        .as[(Long, Long)].collect().toMap
+      val star = Dedup.connectedComponentsStar(df)
+        .as[(Long, Long)].collect().toMap
+      assert(star == label)
+    }
+  }
+
+  test("star components close a 400-hop chain that exhausts the label loop") {
+    // a path graph of diameter 400: min-label propagation moves the label
+    // one hop per round (maxIter=20 fails fast — honest, not partial);
+    // the star algorithm's reach doubles per round and closes it
+    val chain = (0L until 400L).map(i => (i, i + 1)).toDF("id1", "id2")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 20)
+    }
+    val star = Dedup.connectedComponentsStar(chain)
+      .as[(Long, Long)].collect()
+    assert(star.length == 401 && star.forall(_._2 == 0L))
   }
 
   test("dedupedCorpusCC keeps exactly one doc per duplicate cluster") {
