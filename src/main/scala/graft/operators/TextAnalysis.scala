@@ -158,6 +158,40 @@ object TextAnalysis {
         col("_c.n_chunk_tokens").as("n_chunk_tokens"))
   }
 
+  /** Deterministic hash sampling: keep a row iff
+    * md5(key:seed) mod 1e6 < rate·1e6 — reproducible across runs,
+    * engines, and partitionings (no RNG state), map-only, and stable
+    * under corpus growth (a kept id stays kept). The seed folds into the
+    * hashed key so different samples of the same corpus are independent. */
+  def hashSample(docs: DataFrame, keyCol: String, rate: Double,
+                 seed: Int = 0): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0,1]")
+    docs.where(hashBucket(col(keyCol), seed) < math.round(rate * 1e6))
+  }
+
+  /** Per-stratum deterministic sampling (downsample dominant strata,
+    * keep rare ones whole — e.g. lang -> rate): same keep rule as
+    * [[hashSample]] with the rate chosen by the stratum column;
+    * unlisted strata use `defaultRate`. */
+  def stratifiedSample(docs: DataFrame, keyCol: String, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double = 1.0,
+                       seed: Int = 0): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rate $r outside [0,1]"))
+    val threshold = rates.foldLeft(lit(math.round(defaultRate * 1e6))) {
+      case (acc, (stratum, r)) =>
+        when(col(strataCol) === stratum, lit(math.round(r * 1e6)))
+          .otherwise(acc)
+    }
+    docs.where(hashBucket(col(keyCol), seed) < threshold)
+  }
+
+  /** md5-derived bucket in [0, 1e6) — the shared keep-test hash. */
+  private def hashBucket(key: Column, seed: Int): Column =
+    pmod(conv(substring(md5(
+        concat(key.cast("string"), lit(s":$seed")).cast("binary")), 1, 14),
+      16, 10).cast("long"), lit(1000000L))
+
   /** Position-weighted rolling fingerprint of the token stream: an
     * order-sensitive document hash, Σ_i (md5hash(tok_i) mod P)·(i+1) mod P
     * with P = 1e9+7. md5-derived token hashes make the value reproducible in

@@ -58,7 +58,16 @@ object TextQueries {
     "q47_token_chunks" -> ((s, d) =>
       TextAnalysis.chunkTokens(par(Tables.documents(s, d)),
           chunkSize = 32, overlap = 8)
-        .orderBy("doc_id", "chunk_id"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // Q48: deterministic stratified sampling — downsample 'en' to 30%,
+    // 'de' to 50%, keep everything else; md5-keyed so the oracle keeps
+    // the identical rows.
+    "q48_stratified_sample" -> ((s, d) =>
+      TextAnalysis.stratifiedSample(par(Tables.documents(s, d)),
+          "doc_id", "lang", Map("en" -> 0.3, "de" -> 0.5))
+        .select("doc_id", "lang")
+        .orderBy("doc_id"))
   )
 
   private val toks = "regexp_split_to_array(trim(text), '\\s+')"
@@ -136,6 +145,16 @@ object TextQueries {
         |  md5(array_to_string(list_slice(toks, start, start + 31), ' '))
         |    AS chunk_hash,
         |  CAST(least(32, len(toks) - start + 1) AS BIGINT) AS n_chunk_tokens
-        |FROM st ORDER BY doc_id, chunk_id""".stripMargin
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q48_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(concat('0x', substr(md5(
+        |    concat(CAST(doc_id AS VARCHAR), ':0')), 1, 14)) AS BIGINT)
+        |  % 1000000
+        |  < (CASE WHEN lang = 'en' THEN 300000
+        |          WHEN lang = 'de' THEN 500000
+        |          ELSE 1000000 END)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -54,4 +54,47 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.chunkTokens(docs, chunkSize = 4, overlap = 4)
     }
   }
+
+  test("hashSample: deterministic, rate-proportional, stable under growth") {
+    val docs = (0 until 2000).map(i => (i.toLong, s"text $i"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.hashSample(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val b = TextAnalysis.hashSample(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b) // reproducible
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05, s"kept ${a.size}")
+    // raising the rate only ADDS rows (thresholds nest)
+    val wider = TextAnalysis.hashSample(docs, "doc_id", 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.subsetOf(wider))
+    // growth stability: the kept set over a prefix is the prefix of the
+    // kept set (per-row decision, no corpus-level state)
+    val prefix = TextAnalysis.hashSample(
+        docs.where(col("doc_id") < 1000), "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(prefix == a.filter(_ < 1000))
+    // a different seed draws a different (but same-sized-ish) sample
+    val reseeded = TextAnalysis.hashSample(docs, "doc_id", 0.3, seed = 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(reseeded != a)
+  }
+
+  test("stratifiedSample honors per-stratum rates") {
+    val docs = (0 until 3000).map(i =>
+      (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr",
+        s"text $i"))
+      .toDF("doc_id", "lang", "text")
+    val kept = TextAnalysis.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 0.2, "de" -> 0.7))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(kept("en") / 1000.0 - 0.2) < 0.06, kept.toString)
+    assert(math.abs(kept("de") / 1000.0 - 0.7) < 0.06, kept.toString)
+    assert(kept("fr") == 1000) // default rate 1.0 keeps everything
+    // rate 0 drops a stratum entirely
+    val none = TextAnalysis.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 0.0), defaultRate = 1.0)
+      .where(col("lang") === "en").count()
+    assert(none == 0)
+  }
 }
