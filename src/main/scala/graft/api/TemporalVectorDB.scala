@@ -215,10 +215,21 @@ class TemporalVectorDB(
 
   /** The live index for searches: whatever configuration exists (builds
     * with defaults on first use) — a default-argument search never
-    * discards an explicitly configured index. */
-  private def currentPqIndex(): DataFrame = synchronized {
-    pqCodes.getOrElse(buildPqIndex(0, 16, 4096))
-  }
+    * discards an explicitly configured index. Returns the codes frame AND
+    * its codebooks from ONE synchronized section: fetching them separately
+    * would let a concurrent [[cachePqIndex]]/[[retrainPqIndex]] pair new
+    * codebooks with the old codes frame (wrong widths → wrong sims). */
+  private def currentPqIndex(): (DataFrame, Array[Array[Array[Float]]]) =
+    synchronized {
+      if (pqCodes.isEmpty) buildPqIndex(0, 16, 4096)
+      (pqCodes.get, pqBooks.get)
+    }
+
+  /** Parameterless GETTER for the live compressed index — returns whatever
+    * configuration is live (building the default on first use) and NEVER
+    * rebuilds a configured index. Use this to inspect; use
+    * [[cachePqIndex]](m, ks, trainSample) to (re)configure. */
+  def pqIndex(): DataFrame = currentPqIndex()._1
 
   /** Approximate latest-state search over the COMPRESSED index: ADC
     * scoring against the maintained byte codes (m table lookups per
@@ -229,8 +240,7 @@ class TemporalVectorDB(
   def searchLatestVersionsPq(query: Array[Float], k: Int = Defaults.DefaultK,
                              refine: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val codes = currentPqIndex()
-    val books = synchronized(pqBooks.get)
+    val (codes, books) = currentPqIndex()
     val q = normQuery(query)
       .withColumn("_lut", SimilaritySearch.pqLutExpr(books, col("qvec")))
       .drop("qvec")

@@ -123,25 +123,45 @@ object Dedup {
     * The shingle scan is done ONCE, by the compiled one-pass kernel: each
     * row yields both the minhash minima (for banding) and the distinct
     * shingle-hash set (for the jaccard verify) with NO exploded aggregate
-    * — the LSH band join is the pipeline's only shuffle. */
+    * — the LSH band join is the pipeline's only corpus-scale shuffle.
+    *
+    * Exact-dup collapse (the crawl-corpus safeguard): e byte-identical
+    * copies of one document share one signature, so banding them all
+    * floods every band bucket with e² candidate pairs — the degenerate
+    * Σ bucket² shape real web corpora hit hardest. Only ONE representative
+    * per exact text group (min id) enters the band join; verified rep
+    * pairs expand back to member pairs afterwards, and within-group pairs
+    * emit directly with jaccard 1.0 (identical texts ⇒ identical shingle
+    * sets). Output is IDENTICAL to banding every member — members band
+    * together iff their reps do — but candidate generation and the
+    * jaccard verify see each group once. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    tau: Double, n: Int = 3, numHashes: Int = 16,
                    bands: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val r = numHashes / bands
-    // persisted: four consumers (both sides of the band self-join, both
-    // jaccard joins) would otherwise re-run the md5-heavy shingle scan;
-    // the signature table is the dedup analogue of the reference's cached
-    // vector index (storage_engine.py:89-110) and is ~100× smaller than
-    // the corpus text.
-    val sig = docs.select(col(idCol).as("_id"),
+    // persisted: the md5-heavy shingle scan feeds the rep selection, the
+    // membership table, and (through repSig) the band join; the signature
+    // table is the dedup analogue of the reference's cached vector index
+    // (storage_engine.py:89-110) and is ~100× smaller than the text.
+    val sig0 = docs.select(col(idCol).as("_id"),
+        md5(col(textCol).cast("binary")).as("_g"),
         minhashNative(col(textCol), n, numHashes).as("_mh"))
       .where(size(col("_mh.hashes")) > 0)
-      .select(col("_id") +: ((0 until numHashes).map(j =>
-        col("_mh.sig").getItem(j).as(s"_m$j")) :+
-        col("_mh.hashes").as("_h")): _*)
+      .select(Seq(col("_id"), col("_g")) ++
+        (0 until numHashes).map(j =>
+          col("_mh.sig").getItem(j).as(s"_m$j")) :+
+        col("_mh.hashes").as("_h"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (id -> exact group) membership, and one signature row per group
+    val mem = sig0.select(col("_id"), col("_g"))
+    val repSig = sig0
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy("_g").orderBy("_id")))
+      .where(col("_rn") === 1).drop("_rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val banded = sig.select(col("_id"),
+    val banded = repSig.select(col("_id"),
       posexplode(array((0 until bands).map { b =>
         md5(concat_ws(",",
           (b * r until (b + 1) * r).map(j => col(s"_m$j").cast("string")): _*)
@@ -154,15 +174,40 @@ object Dedup {
       .select(col("l._id").as("id1"), col("r._id").as("id2"))
       .distinct()
 
-    val hashed = sig.select(col("_id"), col("_h"))
-    cand
-      .join(hashed.withColumnRenamed("_id", "id1")
-        .withColumnRenamed("_h", "_h1"), "id1")
-      .join(hashed.withColumnRenamed("_id", "id2")
-        .withColumnRenamed("_h", "_h2"), "id2")
+    val hashed = repSig.select(col("_id"), col("_g"), col("_h"))
+    val repPairs = cand
+      .join(hashed.select(col("_id").as("id1"), col("_g").as("_g1"),
+        col("_h").as("_h1")), "id1")
+      .join(hashed.select(col("_id").as("id2"), col("_g").as("_g2"),
+        col("_h").as("_h2")), "id2")
       .withColumn("jaccard", jaccard(col("_h1"), col("_h2")))
       .where(col("jaccard") >= tau)
-      .select("id1", "id2", "jaccard")
+      .select("_g1", "_g2", "jaccard")
+
+    // cross-group expansion: every member pair of a verified rep pair is
+    // a near-dup pair with the SAME jaccard (members are byte-identical
+    // to their reps); groups are disjoint so least/greatest never ties
+    val cross = repPairs
+      .join(mem.select(col("_g").as("_g1"), col("_id").as("_a")), "_g1")
+      .join(mem.select(col("_g").as("_g2"), col("_id").as("_b")), "_g2")
+      .select(least(col("_a"), col("_b")).as("id1"),
+        greatest(col("_a"), col("_b")).as("id2"), col("jaccard"))
+    // within-group pairs: identical shingle sets, jaccard exactly 1.0
+    // (identical signatures share every band, so the uncollapsed form
+    // always banded and verified them)
+    val within = mem.as("l").join(mem.as("r"),
+        col("l._g") === col("r._g") && col("l._id") < col("r._id"))
+      .select(col("l._id").as("id1"), col("r._id").as("id2"),
+        lit(1.0).as("jaccard"))
+      .where(lit(1.0) >= tau)
+
+    // pairs are tiny next to the corpus: materialize them so both caches
+    // free NOW (same lifetime contract as connectedComponents — the
+    // result is checkpoint-backed)
+    val out = cross.unionByName(within).localCheckpoint(true)
+    repSig.unpersist(false)
+    sig0.unpersist(false)
+    out
   }
 
   /** Materialize a deduplicated corpus: drop every doc that appears as the
@@ -312,10 +357,13 @@ object Dedup {
         .select(col("b").as("a"), col("m").as("b"))
         .unionByName(m2.select(col("a"), col("m").as("b")))
         .distinct().localCheckpoint(true)
-      // exact fixpoint test: edge sets equal in both directions
+      // exact fixpoint test: edge sets equal in both directions — both
+      // anti-joins union into ONE action (one job per round, not two;
+      // O(log²) rounds make the per-round action count matter)
       converged =
-        next.join(cur, Seq("a", "b"), "left_anti").isEmpty &&
-          cur.join(next, Seq("a", "b"), "left_anti").isEmpty
+        next.join(cur, Seq("a", "b"), "left_anti")
+          .unionByName(cur.join(next, Seq("a", "b"), "left_anti"))
+          .isEmpty
       Bridge.unpersistCheckpoint(cur)
       cur = next; it += 1
     }
@@ -323,9 +371,19 @@ object Dedup {
       s"connectedComponentsStar did not converge in $maxIter rounds")
     // at fixpoint the edges are stars (member, root): roots label
     // themselves, members label their root
-    cur.select(col("b").as("id"), col("b").as("comp"))
+    val fromEdges = cur.select(col("b").as("id"), col("b").as("comp"))
       .unionByName(cur.select(col("a").as("id"), col("b").as("comp")))
       .groupBy("id").agg(min("comp").as("component"))
+    // ids that appear ONLY in self-pairs were dropped by the s =!= t
+    // filter above; [[connectedComponents]] emits them as their own
+    // singleton component, so this variant must too (same output
+    // contract — q42 and q42b share one oracle)
+    val allIds = pairs.select(col("id1").cast("long").as("id"))
+      .unionByName(pairs.select(col("id2").cast("long").as("id")))
+      .distinct()
+    fromEdges.unionByName(
+      allIds.join(fromEdges.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component")))
   }
 
   /** Cluster summary over [[connectedComponents]] output: one row per

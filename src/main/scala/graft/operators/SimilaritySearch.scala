@@ -79,10 +79,10 @@ object SimilaritySearch {
       .drop("_cnorm")
     val scored = cn.join(broadcast(qn), Seq("_bucket"))
       .withColumn("sim", dotNative(col("qvec"), col("vec")))
-    scored.withColumn("rank",
-        row_number().over(
-          Window.partitionBy("query_id").orderBy(desc("sim"), col("id"))))
-      .where(col("rank") <= k && col("sim") > 0)
+    // salted two-phase rank (same as topK): a hot query in a dense bucket
+    // would otherwise rank its whole candidate set on one task
+    TopK.perKeySalted(scored, "query_id", Seq(desc("sim"), col("id")), k)
+      .where(col("sim") > 0)
       .drop("qvec", "vec", "_bucket")
   }
 
@@ -127,10 +127,10 @@ object SimilaritySearch {
     val scored = cn.join(broadcast(qp), Seq("_table", "_bucket"))
       .withColumn("sim", dotNative(col("qvec"), col("vec")))
       .select("query_id", "id", "sim").distinct()
-    scored.withColumn("rank",
-        row_number().over(
-          Window.partitionBy("query_id").orderBy(desc("sim"), col("id"))))
-      .where(col("rank") <= k && col("sim") > 0)
+    // salted two-phase rank (same as topK): cross-table unions make this
+    // candidate set the largest of the LSH family — never one task per key
+    TopK.perKeySalted(scored, "query_id", Seq(desc("sim"), col("id")), k)
+      .where(col("sim") > 0)
   }
 
   /** [[topKLshMulti]] with `nBits` sized from the actual corpus count via
@@ -201,11 +201,12 @@ object SimilaritySearch {
       .select(col("query_id"), col("qvec"),
         explode(transform(col("_probes"), x => x("c"))).as("_cell"))
 
-    assigned.join(broadcast(probes), Seq("_cell"))
+    val scored = assigned.join(broadcast(probes), Seq("_cell"))
       .withColumn("sim", dotNative(col("qvec"), col("vec")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("sim"), col("id"))))
-      .where(col("rank") <= k && col("sim") > 0)
+    // salted two-phase rank (same as topK): nProbe dense cells per hot
+    // query would otherwise sort on a single task
+    TopK.perKeySalted(scored, "query_id", Seq(desc("sim"), col("id")), k)
+      .where(col("sim") > 0)
       .select("query_id", "rank", "id", "sim")
   }
 

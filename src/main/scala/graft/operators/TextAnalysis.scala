@@ -125,11 +125,20 @@ object TextAnalysis {
     val offsets = totals
       .withColumn("_off", coalesce(sum("_bt").over(wOff), lit(0L)))
       .drop("_bt")
-    inBucket.join(broadcast(offsets), Seq("_b"))
+    // materialize the (small, 4-long-column) result so the temporary
+    // token-count cache can be freed NOW — without this the returned
+    // plan references the persisted frame and repeated packShards calls
+    // accumulate cached blocks for the session. Same lifetime contract
+    // as [[Dedup.connectedComponents]]: the result is checkpoint-backed;
+    // long-lived sessions Bridge.unpersistCheckpoint it once consumed.
+    val out = inBucket.join(broadcast(offsets), Seq("_b"))
       .withColumn("cum_subtokens", col("_off") + col("_cumb"))
       .withColumn("shard_id",
         expr(s"(cum_subtokens - n_subtokens) div $tokenBudget"))
       .select("doc_id", "n_subtokens", "cum_subtokens", "shard_id")
+      .localCheckpoint(true)
+    d.unpersist(false)
+    out
   }
 
   /** Split each document into overlapping ~chunkSize-token windows (the
