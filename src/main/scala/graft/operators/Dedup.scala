@@ -94,9 +94,18 @@ object Dedup {
     * + bucket self-join (one shuffle) — Σ bucket², never N². */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numHashes: Int = 16,
-                        bands: Int = 4): DataFrame = {
+                        bands: Int = 4): DataFrame =
+    bandCandidates(minhashSignatures(docs, idCol, textCol, n, numHashes),
+      numHashes, bands)
+
+  /** The banded LSH self-join over a signature frame (_id, _m0.._m{k-1}):
+    * distinct candidate pairs (id1 < id2) sharing any (band, band_hash)
+    * bucket. Shared by [[minhashCandidates]] and [[nearDupPairs]]; exposed
+    * `private[graft]` so DedupSpec can gate candidate-count linearity on
+    * exact-dup-heavy corpora directly. */
+  private[graft] def bandCandidates(sig: DataFrame, numHashes: Int,
+                                    bands: Int): DataFrame = {
     val r = numHashes / bands
-    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
     val banded = sig.select(col("_id"),
       posexplode(array((0 until bands).map { b =>
         md5(concat_ws(",",
@@ -138,41 +147,9 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    tau: Double, n: Int = 3, numHashes: Int = 16,
                    bands: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val r = numHashes / bands
-    // persisted: the md5-heavy shingle scan feeds the rep selection, the
-    // membership table, and (through repSig) the band join; the signature
-    // table is the dedup analogue of the reference's cached vector index
-    // (storage_engine.py:89-110) and is ~100× smaller than the text.
-    val sig0 = docs.select(col(idCol).as("_id"),
-        md5(col(textCol).cast("binary")).as("_g"),
-        minhashNative(col(textCol), n, numHashes).as("_mh"))
-      .where(size(col("_mh.hashes")) > 0)
-      .select(Seq(col("_id"), col("_g")) ++
-        (0 until numHashes).map(j =>
-          col("_mh.sig").getItem(j).as(s"_m$j")) :+
-        col("_mh.hashes").as("_h"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // (id -> exact group) membership, and one signature row per group
-    val mem = sig0.select(col("_id"), col("_g"))
-    val repSig = sig0
-      .withColumn("_rn",
-        row_number().over(Window.partitionBy("_g").orderBy("_id")))
-      .where(col("_rn") === 1).drop("_rn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val banded = repSig.select(col("_id"),
-      posexplode(array((0 until bands).map { b =>
-        md5(concat_ws(",",
-          (b * r until (b + 1) * r).map(j => col(s"_m$j").cast("string")): _*)
-          .cast("binary"))
-      }: _*)).as(Seq("_band", "_bhash")))
-    val cand = banded.as("l").join(banded.as("r"),
-        col("l._band") === col("r._band") &&
-          col("l._bhash") === col("r._bhash") &&
-          col("l._id") < col("r._id"))
-      .select(col("l._id").as("id1"), col("r._id").as("id2"))
-      .distinct()
+    val (sig0, mem, repSig) = exactCollapsed(docs, idCol, textCol, n,
+      numHashes)
+    val cand = bandCandidates(repSig, numHashes, bands)
 
     val hashed = repSig.select(col("_id"), col("_g"), col("_h"))
     val repPairs = cand
@@ -208,6 +185,40 @@ object Dedup {
     repSig.unpersist(false)
     sig0.unpersist(false)
     out
+  }
+
+  /** The exact-dup collapse stage of [[nearDupPairs]], exposed
+    * `private[graft]` so DedupSpec can gate its linearity promise (the
+    * band join sees ONE row per byte-identical text group, so e exact
+    * copies cannot produce e² band candidates). Returns:
+    *  - `sig0`: per-doc signatures + exact-group key `_g` = md5(text) +
+    *    distinct shingle-hash set `_h` (persisted — feeds all three
+    *    consumers below; ~100× smaller than the text, the dedup analogue
+    *    of the reference's cached vector index, storage_engine.py:89-110);
+    *  - `mem`: (id -> exact group) membership;
+    *  - `repSig`: ONE signature row per group (min-id representative;
+    *    persisted — feeds the band join and the jaccard verify).
+    * The caller unpersists sig0 and repSig when done. */
+  private[graft] def exactCollapsed(docs: DataFrame, idCol: String,
+                                    textCol: String, n: Int, numHashes: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val sig0 = docs.select(col(idCol).as("_id"),
+        md5(col(textCol).cast("binary")).as("_g"),
+        minhashNative(col(textCol), n, numHashes).as("_mh"))
+      .where(size(col("_mh.hashes")) > 0)
+      .select(Seq(col("_id"), col("_g")) ++
+        (0 until numHashes).map(j =>
+          col("_mh.sig").getItem(j).as(s"_m$j")) :+
+        col("_mh.hashes").as("_h"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mem = sig0.select(col("_id"), col("_g"))
+    val repSig = sig0
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy("_g").orderBy("_id")))
+      .where(col("_rn") === 1).drop("_rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (sig0, mem, repSig)
   }
 
   /** Materialize a deduplicated corpus: drop every doc that appears as the

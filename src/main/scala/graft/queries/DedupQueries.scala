@@ -28,6 +28,21 @@ object DedupQueries {
       .transform(par)
   }
 
+  /** [[augDocs]] plus THREE more exact-copy tiers (+30000/+40000/+50000
+    * for doc_id % 50 == 0) — an exact-dup-HEAVY corpus (groups of 5
+    * byte-identical members, linked to a near-dup copy through the group's
+    * original): the crawl shape whose uncollapsed banding is e² per group.
+    * q50 runs [[Dedup.nearDupPairs]] (collapsed) over it while the DuckDB
+    * oracle replays the UNCOLLAPSED chain — hash equality is an
+    * independent proof that the collapse is output-identical. */
+  def heavyDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    (3 to 5).foldLeft(augDocs(s, d)) { (acc, k) =>
+      acc.unionByName(docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select((col("doc_id") + k * 10000).as("doc_id"), col("text")))
+    }
+  }
+
   /** embeddings + perturbed copies (+10000): +0.01 on dims i%16==0. */
   def augEmb(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
@@ -109,6 +124,15 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Near-dup pairs over the exact-dup-HEAVY corpus: the engine bands one
+    // representative per byte-identical group and expands afterwards; the
+    // oracle bands every member. Hash equality proves the collapse is
+    // output-identical on the corpus shape it exists for.
+    "q50_dedup_exact_heavy" -> ((s, d) =>
+      Dedup.nearDupPairs(heavyDocs(s, d), "doc_id", "text", tau = 0.5)
+        .select(col("id1"), col("id2"), r4(col("jaccard")).as("jaccard"))
+        .orderBy("id1", "id2")),
+
     // The cluster-exact deduplicated corpus: drop every non-minimum
     // member of each q42 component, keep everything unpaired.
     "q45_dedup_corpus_cc" -> ((s, d) => {
@@ -130,6 +154,19 @@ object DedupQueries {
       |  FROM documents WHERE doc_id % 25 = 0
       |  UNION ALL
       |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 50 = 0)""".stripMargin
+
+  /** [[heavyDocs]] in SQL — still named `aug` so [[minhashChainSql]]
+    * composes unchanged (the chain is the UNCOLLAPSED formulation: every
+    * group member bands; e² candidates per group are fine at oracle
+    * scale). */
+  private val augHeavySql =
+    augDocsSql.dropRight(1) + """
+      |  UNION ALL
+      |  SELECT doc_id + 30000, text FROM documents WHERE doc_id % 50 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 40000, text FROM documents WHERE doc_id % 50 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 50000, text FROM documents WHERE doc_id % 50 = 0)""".stripMargin
 
   private val augEmbSql =
     """aug AS (
@@ -234,6 +271,14 @@ object DedupQueries {
 
     "q23b_dedup_minhash_lsh" ->
       s"""WITH $augDocsSql,
+        |$minhashChainSql
+        |SELECT id1, id2, ${r4sql("jaccard")} AS jaccard FROM jac
+        |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+
+    // q23b's chain over the exact-dup-heavy corpus — uncollapsed banding
+    // (every member) vs the engine's rep-collapse + expansion
+    "q50_dedup_exact_heavy" ->
+      s"""WITH $augHeavySql,
         |$minhashChainSql
         |SELECT id1, id2, ${r4sql("jaccard")} AS jaccard FROM jac
         |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,

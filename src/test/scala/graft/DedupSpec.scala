@@ -30,6 +30,43 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("exact-dup collapse: band candidates stay linear in group size " +
+    "and the pair output equals the uncollapsed contract") {
+    // a crawl-shaped corpus: 80 byte-identical copies of one page plus a
+    // handful of distinct docs — the shape where uncollapsed banding
+    // floods every bucket with e² candidate pairs
+    val e = 80
+    val copies = (1 to e).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
+    val others = Seq(
+      (900L, "completely different words about spark engines and columnar io"),
+      (901L, "another unrelated document concerning parquet row group sizes"))
+    val heavy = (copies ++ others).toDF("doc_id", "text")
+
+    // the collapse stage feeds the band join ONE row per distinct text...
+    val (sig0, mem, repSig) =
+      Dedup.exactCollapsed(heavy, "doc_id", "text", 3, 16)
+    assert(repSig.count() == 3) // 3 distinct texts, not 82 rows
+    assert(mem.count() == 82)
+    // ...so the banded self-join over reps yields ~|distinct texts|²
+    // worst-case candidates, NOT C(80,2)·bands — here the 3 distinct
+    // texts share no band bucket at all
+    assert(Dedup.bandCandidates(repSig, 16, 4).count() == 0)
+    // the UNCOLLAPSED band join on the same corpus is the e² shape the
+    // collapse avoids: every copy pair is a candidate
+    assert(Dedup.minhashCandidates(heavy, "doc_id", "text").count() ==
+      e.toLong * (e - 1) / 2)
+    sig0.unpersist(false); repSig.unpersist(false)
+
+    // output contract unchanged by the collapse: all C(80,2) exact pairs
+    // at jaccard 1.0, nothing touching the unrelated docs
+    val pairs = Dedup.nearDupPairs(heavy, "doc_id", "text", tau = 0.5)
+    val rows = pairs.select("id1", "id2", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == e * (e - 1) / 2)
+    assert(rows.forall { case (a, b, j) => a < b && b <= e && j == 1.0 })
+  }
+
   test("jaccard of exact dup is 1.0") {
     val h = docs.where(col("doc_id").isin(1, 4))
       .select(array_distinct(Dedup.shingleHashes(col("text"), 3)).as("h"))

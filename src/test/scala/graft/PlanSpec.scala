@@ -36,16 +36,38 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unintentional cross joins in: $offenders")
   }
 
-  test("IVF q35: map-only assignment — only exchange is the rank window") {
+  test("IVF q35: map-only assignment — exchanges are the two rank phases") {
     val plan = SparkEntry.queries("q35_ann_ivf_topk")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
     // corpus cell assignment must be a projection over centroid literals:
     // no shuffle reaches the corpus before the broadcast probe join, so
-    // the whole plan carries exactly ONE hash exchange (rank-by-query)
+    // the only hash exchanges are the salted top-k's two window phases
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n" +
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n" +
       plan.take(4000))
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("every approximate search path ranks with the salted two-phase " +
+    "top-k (two row_number windows), never a single per-query window") {
+    // q27 (LSH), q27b (LSH-multi), q35 (IVF), q41 (PQ), q44 (IVF-PQ): the
+    // candidate-ranking stage must be TopK.perKeySalted's two phases —
+    // rank within (query, salt), then rank the ≤ k·salts survivors — so a
+    // hot query in a dense bucket/cell never sorts its whole candidate
+    // set on one task. Exactly two row_number windows per plan.
+    for (q <- Seq("q27_ann_lsh_topk", "q27b_ann_lsh_multi",
+        "q35_ann_ivf_topk", "q41_ann_pq_topk", "q44_ann_ivfpq_topk")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      // count Window OPERATOR nodes (WindowGroupLimit helpers also print
+      // "row_number()" — they are pushdown limits of the same windows)
+      val windows = "Window \\[row_number\\(\\)".r.findAllIn(plan).length
+      assert(windows == 2,
+        s"$q: expected 2 row_number windows (salted two-phase rank), " +
+          s"got $windows:\n" + plan.take(4000))
+      assert(plan.contains("_salt"),
+        s"$q: phase-1 window is not salted:\n" + plan.take(4000))
+    }
   }
 
   test("PQ q41: map-only encode — exchanges are the two rank phases only") {
