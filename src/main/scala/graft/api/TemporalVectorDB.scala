@@ -35,8 +35,10 @@ class TemporalVectorDB(
   private var latestCache: Option[DataFrame] = None
   private var latestCount: Option[Long] = None
   private var pqBooks: Option[Array[Array[Array[Float]]]] = None
+  private var pqCents: Option[Array[Array[Float]]] = None // coarse (IVF) layer
   private var pqCodes: Option[DataFrame] = None
-  private var pqParams: Option[(Int, Int, Int)] = None // raw (m, ks, sample)
+  // raw (m, ks, trainSample, nCells) as passed to cachePqIndex
+  private var pqParams: Option[(Int, Int, Int, Int)] = None
 
   private def normalizedBases(rows: DataFrame): DataFrame =
     rows.where(col("kind") === "base")
@@ -132,14 +134,16 @@ class TemporalVectorDB(
       merged
     }
     // compressed index: re-ENCODE only the touched contents' new latest
-    // rows with the EXISTING codebooks (codebooks train once; retraining
-    // cadence is a caller policy, as with any deployed PQ index) and
-    // carry everything else
+    // rows with the EXISTING codebooks and coarse centroids (both train
+    // once; retraining cadence is a caller policy, as with any deployed
+    // PQ index) and carry everything else
     pqCodes = pqCodes.map { old =>
       val books = pqBooks.get
+      val cents = pqCents.get
       val fresh = latestCache.get
         .join(touched, Seq("content_id"), "left_semi")
-      val encoded = normalizedLatest(fresh)
+      val encoded = SimilaritySearch
+        .withCell(normalizedLatest(fresh), cents, col("vec"))
         .withColumn("_codes",
           SimilaritySearch.pqEncodeExpr(books, col("vec")))
         .drop("vec")
@@ -158,39 +162,47 @@ class TemporalVectorDB(
       .withColumn("vec", l2NormalizeWithNative(col("vec"), col("_nrm")))
       .drop("_nrm")
 
-  /** Compressed (product-quantization) latest-state index: codebooks
-    * trained ONCE on a bounded sample of the materialized latest corpus,
-    * then every latest vector encoded to `m` byte codes — (content_id,
-    * seq, codes) is all that repeated approximate searches touch, a ~32×
-    * smaller footprint than the float corpus (the reason a 100 TB
-    * deployment can keep the whole searchable state resident). Maintained
-    * incrementally per append like the other indexes: touched contents
-    * re-encode, the rest carries. `m <= 0` picks the largest subspace
-    * count ≤ 8 dividing the dimension.
+  /** Compressed (IVF-PQ) latest-state index: codebooks AND coarse (IVF)
+    * centroids trained ONCE on a bounded sample of the materialized latest
+    * corpus, then every latest vector assigned its nearest coarse cell and
+    * encoded to `m` byte codes — (content_id, seq, cell, codes) is all
+    * that repeated approximate searches touch, a ~32× smaller footprint
+    * than the float corpus (the reason a 100 TB deployment can keep the
+    * whole searchable state resident), and the cell column is what lets
+    * [[searchLatestVersionsPq]] probe a FRACTION of it per query instead
+    * of ADC-scanning every code row (the scale-killer of a flat PQ
+    * index — the reference's FAISS-flat has exactly that shape,
+    * storage_engine.py:85, 459-461). Maintained incrementally per append
+    * like the other indexes: touched contents re-assign + re-encode, the
+    * rest carries. `m <= 0` picks the largest subspace count ≤ 8 dividing
+    * the dimension.
     *
-    * An explicit call whose (m, ks, trainSample) differ from the live
-    * index REBUILDS it with the requested configuration (searches go
+    * An explicit call whose (m, ks, trainSample, nCells) differ from the
+    * live index REBUILDS it with the requested configuration (searches go
     * through [[currentPqIndex]] and never discard a configured index);
     * [[retrainPqIndex]] refreshes drifted codebooks in place. */
-  def cachePqIndex(m: Int = 0, ks: Int = 16,
-                   trainSample: Int = 4096): DataFrame = synchronized {
+  def cachePqIndex(m: Int = 0, ks: Int = 16, trainSample: Int = 4096,
+                   nCells: Int = 16): DataFrame = synchronized {
     pqCodes match {
-      case Some(codes) if pqParams.contains((m, ks, trainSample)) => codes
+      case Some(codes) if pqParams.contains((m, ks, trainSample, nCells)) =>
+        codes
       case Some(_) => // explicit different configuration: rebuild
-        buildPqIndex(m, ks, trainSample)
-      case None => buildPqIndex(m, ks, trainSample)
+        buildPqIndex(m, ks, trainSample, nCells)
+      case None => buildPqIndex(m, ks, trainSample, nCells)
     }
   }
 
-  /** Retrain the codebooks and re-encode the whole latest corpus with the
-    * LAST-USED configuration — the codebook-drift remedy after many
-    * appends (incremental refresh deliberately keeps books fixed). */
+  /** Retrain the codebooks + coarse centroids and re-encode the whole
+    * latest corpus with the LAST-USED configuration — the codebook-drift
+    * remedy after many appends (incremental refresh deliberately keeps
+    * books fixed). */
   def retrainPqIndex(): DataFrame = synchronized {
-    val (m, ks, ts) = pqParams.getOrElse((0, 16, 4096))
-    buildPqIndex(m, ks, ts)
+    val (m, ks, ts, nc) = pqParams.getOrElse((0, 16, 4096, 16))
+    buildPqIndex(m, ks, ts, nc)
   }
 
-  private def buildPqIndex(m: Int, ks: Int, trainSample: Int): DataFrame = {
+  private def buildPqIndex(m: Int, ks: Int, trainSample: Int,
+                           nCells: Int): DataFrame = {
     val corpus = normalizedLatest(cacheLatest())
     val sample = corpus.orderBy("content_id", "seq").select("vec")
       .limit(trainSample).collect()
@@ -202,60 +214,82 @@ class TemporalVectorDB(
       else (math.min(8, dim) to 1 by -1).find(dim % _ == 0).getOrElse(1)
     require(dim % mm == 0, s"dim $dim not divisible by m=$mm subspaces")
     val books = SimilaritySearch.pqCodebooks(sample, mm, ks, iters = 5)
-    val codes = pin(corpus
+    val cents = SimilaritySearch.lloydQuantized(sample, nCells, iters = 5)
+    val codes = pin(SimilaritySearch.withCell(corpus, cents, col("vec"))
       .withColumn("_codes", SimilaritySearch.pqEncodeExpr(books, col("vec")))
       .drop("vec"))
     pqCodes.foreach(
       org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint)
     pqBooks = Some(books)
+    pqCents = Some(cents)
     pqCodes = Some(codes)
-    pqParams = Some((m, ks, trainSample))
+    pqParams = Some((m, ks, trainSample, nCells))
     codes
   }
 
   /** The live index for searches: whatever configuration exists (builds
     * with defaults on first use) — a default-argument search never
-    * discards an explicitly configured index. Returns the codes frame AND
-    * its codebooks from ONE synchronized section: fetching them separately
-    * would let a concurrent [[cachePqIndex]]/[[retrainPqIndex]] pair new
-    * codebooks with the old codes frame (wrong widths → wrong sims). */
-  private def currentPqIndex(): (DataFrame, Array[Array[Array[Float]]]) =
+    * discards an explicitly configured index. Returns the codes frame, its
+    * codebooks AND its coarse centroids from ONE synchronized section:
+    * fetching them separately would let a concurrent
+    * [[cachePqIndex]]/[[retrainPqIndex]] pair new codebooks with the old
+    * codes frame (wrong widths → wrong sims). */
+  private def currentPqIndex()
+      : (DataFrame, Array[Array[Array[Float]]], Array[Array[Float]]) =
     synchronized {
-      if (pqCodes.isEmpty) buildPqIndex(0, 16, 4096)
-      (pqCodes.get, pqBooks.get)
+      if (pqCodes.isEmpty) buildPqIndex(0, 16, 4096, 16)
+      (pqCodes.get, pqBooks.get, pqCents.get)
     }
 
   /** Parameterless GETTER for the live compressed index — returns whatever
     * configuration is live (building the default on first use) and NEVER
     * rebuilds a configured index. Use this to inspect; use
-    * [[cachePqIndex]](m, ks, trainSample) to (re)configure. */
+    * [[cachePqIndex]](m, ks, trainSample, nCells) to (re)configure. */
   def pqIndex(): DataFrame = currentPqIndex()._1
 
-  /** Approximate latest-state search over the COMPRESSED index: ADC
-    * scoring against the maintained byte codes (m table lookups per
-    * candidate, no float vectors touched), optionally re-ranked exactly
-    * over the top `refine` survivors via the materialized latest corpus —
-    * the recall/precision two-stage shape of
-    * [[SimilaritySearch.topKPqRefine]] served from maintained state. */
+  /** Approximate latest-state search over the COMPRESSED index: the query
+    * probes its `nProbe` nearest coarse cells — an EQUI-JOIN on the
+    * maintained cell column, so each search ADC-scores only the probed
+    * cells' code rows (~nProbe/nCells of the table) instead of
+    * full-scanning it (at 100 TB the flat scan reads ~3 TB of codes per
+    * query; the probe reads a bounded fraction, and candidates stay
+    * proportional to probed cells). Scoring is ADC (m table lookups per
+    * candidate, no float vectors touched), rank is the salted two-phase
+    * top-k, optionally re-ranked exactly over the top `refine` survivors
+    * via the materialized latest corpus — the recall/precision two-stage
+    * shape of [[SimilaritySearch.topKIvfPq]]+[[SimilaritySearch.topKPqRefine]]
+    * served from maintained state. `nProbe <= 0` probes EVERY cell —
+    * exact parity with a flat ADC scan of the whole code table (the
+    * reference's FAISS-flat semantics, storage_engine.py:459-461). */
   def searchLatestVersionsPq(query: Array[Float], k: Int = Defaults.DefaultK,
-                             refine: Int = 0): DataFrame = {
+                             refine: Int = 0,
+                             nProbe: Int = Defaults.DefaultNProbe)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (codes, books) = currentPqIndex()
+    val (codes, books, cents) = currentPqIndex()
+    val probeN =
+      if (nProbe <= 0) cents.length else math.min(nProbe, cents.length)
+    // LUT + probe cells computed below the broadcast: once per query
     val q = normQuery(query)
       .withColumn("_lut", SimilaritySearch.pqLutExpr(books, col("qvec")))
-      .drop("qvec")
-    val scored = codes.crossJoin(broadcast(q))
+      .withColumn("_probes",
+        SimilaritySearch.probeCellsExpr(cents, col("qvec"), probeN))
+      .select(col("query_id"), col("_lut"),
+        explode(col("_probes")).as("_cell"))
+    val scored = codes.join(broadcast(q), Seq("_cell"))
       .withColumn("sim", SimilaritySearch.adcSimExpr(books.length))
       .withColumn("id",
         concat_ws("#", col("content_id"), col("seq")))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("id"))
-    val adcRanked = scored.withColumn("rank", row_number().over(w))
     if (refine <= 0)
-      adcRanked.where(col("rank") <= k && col("sim") > 0)
+      TopK.perKeySalted(scored, "query_id",
+          Seq(desc("sim"), col("id")), k)
+        .where(col("sim") > 0)
         .select(col("rank"), col("id"), col("sim"))
     else {
-      val survivors = adcRanked.where(col("rank") <= refine)
+      val survivors = TopK.perKeySalted(scored, "query_id",
+          Seq(desc("sim"), col("id")), refine)
         .select("query_id", "content_id", "seq")
+      val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("id"))
       val exact = normalizedLatest(cacheLatest())
         .join(broadcast(survivors), Seq("content_id", "seq"))
         .join(broadcast(normQuery(query)), Seq("query_id"))

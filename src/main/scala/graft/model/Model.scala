@@ -24,6 +24,9 @@ object Defaults {
   val ErrorAccumulationRate = 0.0005
   val QualityThreshold      = 0.95
   val DefaultK              = 5
+  /** Coarse cells probed per maintained-index search (of the default 16
+    * trained cells) — the recall/cost knob of the IVF layer. */
+  val DefaultNProbe         = 4
 }
 
 /** One row of the engine's core `versions` table (SURVEY §1.3 / FIXTURES A1).

@@ -174,32 +174,19 @@ object SimilaritySearch {
       .map(_.getAs[scala.collection.Seq[Float]]("vec").toArray)
     val centroids = lloydQuantized(sample, nCells, iters = 5)
 
-    // map-only nearest-centroid assignment: argmax over centroid literals;
-    // array_position picks the FIRST max, i.e. ties resolve to the lowest
-    // cell (same as ORDER BY sim DESC, cell ASC LIMIT 1)
-    val simsC = centroids.map(c => dotNative(col("vec"), typedLit(c.toSeq)))
-    val assigned = cn
-      .withColumn("_sims", array(simsC: _*))
-      .withColumn("_cell",
-        (array_position(col("_sims"), array_max(col("_sims"))) - 1)
-          .cast("int"))
-      .drop("_sims")
+    // map-only nearest-centroid assignment: argmax over centroid literals
+    val assigned = withCell(cn, centroids, col("vec"))
 
     val qn = queries
       .withColumn("_qnorm", l2NormNative(col("qvec")))
       .where(col("_qnorm") > 0)
       .withColumn("qvec", l2NormalizeWithNative(col("qvec"), col("_qnorm")))
       .drop("_qnorm")
-    // map-only top-nProbe cells per query: sort (−sim, cell) structs
-    // ascending = sim DESC with cell ASC tiebreak, slice, explode
-    val qsims = centroids.zipWithIndex.map { case (c, i) =>
-      struct((-dotNative(col("qvec"), typedLit(c.toSeq))).as("ns"),
-        lit(i).as("c"))
-    }
+    // map-only top-nProbe cells per query
     val probes = qn
-      .withColumn("_probes", slice(array_sort(array(qsims: _*)), 1, nProbe))
+      .withColumn("_probes", probeCellsExpr(centroids, col("qvec"), nProbe))
       .select(col("query_id"), col("qvec"),
-        explode(transform(col("_probes"), x => x("c"))).as("_cell"))
+        explode(col("_probes")).as("_cell"))
 
     val scored = assigned.join(broadcast(probes), Seq("_cell"))
       .withColumn("sim", dotNative(col("qvec"), col("vec")))
@@ -208,6 +195,34 @@ object SimilaritySearch {
     TopK.perKeySalted(scored, "query_id", Seq(desc("sim"), col("id")), k)
       .where(col("sim") > 0)
       .select("query_id", "rank", "id", "sim")
+  }
+
+  /** Map-only nearest-centroid cell assignment for a (normalized) vector
+    * column: adds `_cell` = argmax over centroid LITERALS — nCells
+    * codegen'd dots + an argmax per row, zero shuffle (the sims array is
+    * materialized ONCE in an intermediate column, referenced twice, then
+    * dropped). `array_position` picks the FIRST max, i.e. ties resolve to
+    * the lowest cell (same as ORDER BY sim DESC, cell ASC LIMIT 1 — the
+    * tie-break every oracle replays). */
+  private[graft] def withCell(df: DataFrame, centroids: Array[Array[Float]],
+                              vecCol: Column): DataFrame =
+    df.withColumn("_sims",
+        array(centroids.map(c => dotNative(vecCol, typedLit(c.toSeq))): _*))
+      .withColumn("_cell",
+        (array_position(col("_sims"), array_max(col("_sims"))) - 1)
+          .cast("int"))
+      .drop("_sims")
+
+  /** Map-only top-`nProbe` cell ids for a (normalized) query column: sort
+    * (−sim, cell) structs ascending = sim DESC with cell ASC tiebreak,
+    * slice, project the cell ids. */
+  private[graft] def probeCellsExpr(centroids: Array[Array[Float]],
+                                    qvecCol: Column, nProbe: Int): Column = {
+    val qsims = centroids.zipWithIndex.map { case (c, i) =>
+      struct((-dotNative(qvecCol, typedLit(c.toSeq))).as("ns"),
+        lit(i).as("c"))
+    }
+    transform(slice(array_sort(array(qsims: _*)), 1, nProbe), x => x("c"))
   }
 
   /** Driver-side Lloyd's for IVF training, designed for bit-exact replay in
@@ -223,9 +238,9 @@ object SimilaritySearch {
     *    zero-norm means keep their previous centroid.
     * Returns centroids rounded to float (the literal type the codegen'd
     * [[graft.functions.DotProduct]] consumes; the oracle casts to REAL). */
-  private[operators] def lloydQuantized(sample: Array[Array[Float]],
-                                        nCells: Int,
-                                        iters: Int): Array[Array[Float]] = {
+  private[graft] def lloydQuantized(sample: Array[Array[Float]],
+                                    nCells: Int,
+                                    iters: Int): Array[Array[Float]] = {
     require(sample.nonEmpty, "IVF training sample is empty")
     val dim = sample.head.length
     val n = sample.length
@@ -355,26 +370,17 @@ object SimilaritySearch {
 
     // corpus: map-only cell assignment (q35 shape) + byte codes (q41
     // shape); the raw vector drops here
-    val simsC = centroids.map(c => dotNative(col("vec"), typedLit(c.toSeq)))
-    val encoded = cn
-      .withColumn("_sims", array(simsC: _*))
-      .withColumn("_cell",
-        (array_position(col("_sims"), array_max(col("_sims"))) - 1)
-          .cast("int"))
+    val encoded = withCell(cn, centroids, col("vec"))
       .withColumn("_codes", pqEncodeExpr(books, col("vec")))
-      .drop("vec", "_sims")
+      .drop("vec")
 
     // queries: top-nProbe cells (q35 shape) + ADC lookup tables, both
     // computed below the broadcast
-    val qsims = centroids.zipWithIndex.map { case (c, i) =>
-      struct((-dotNative(col("qvec"), typedLit(c.toSeq))).as("ns"),
-        lit(i).as("c"))
-    }
     val probes = qn
       .withColumn("_lut", pqLutExpr(books, col("qvec")))
-      .withColumn("_probes", slice(array_sort(array(qsims: _*)), 1, nProbe))
+      .withColumn("_probes", probeCellsExpr(centroids, col("qvec"), nProbe))
       .select(col("query_id"), col("_lut"),
-        explode(transform(col("_probes"), x => x("c"))).as("_cell"))
+        explode(col("_probes")).as("_cell"))
 
     val scored = encoded.join(broadcast(probes), Seq("_cell"))
       .withColumn("sim", adcSimExpr(m))

@@ -147,6 +147,27 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Q49: the maintained-index search shape end-to-end — IVF-PQ over the
+    // RECONSTRUCTED LATEST corpus (the facade's searchLatestVersionsPq
+    // pipeline: reconstruction → coarse cells → byte codes → cell-probed
+    // ADC). Composes the q40 reconstruction prefix with the q44 trainer
+    // chains; the oracle replays ALL of it (promotion, delta fold, both
+    // quantized Lloyd trainers, the cell probe, the ADC lookups).
+    "q49_search_latest_ivfpq" -> ((s, d) => {
+      val versions = SyntheticVersions.versions(s, d)
+      val latest = versions.groupBy("content_id").agg(max("seq").as("seq"))
+      val corpus = graft.operators.Reconstruction
+        .reconstruct(versions, latest)
+        .select(substring(col("content_id"), 2, 10).cast("int").as("id"),
+          col("embedding").as("vec"))
+      val queries = corpus.where(col("id") < 3)
+        .select(col("id").as("query_id"), col("vec").as("qvec"))
+      SimilaritySearch.topKIvfPq(queries, corpus, 5)
+        .select(col("query_id"), col("rank"), col("id"),
+          r4(col("sim")).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Q28: multimodal decode plumbing — binary payloads through the
     // partition-parallel featurize stub (md5-derived, oracle-replicable).
     "q28_multimodal_features" -> ((s, d) => {
@@ -277,9 +298,21 @@ object ExtQueries {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Bounded id-ordered training sample on the 1024 integer grid, over
+    * whatever `nrm(vec_id, v)` the composition provides (embeddings for
+    * q41/q43/q44; the reconstructed-latest corpus for q49). */
+  private val sampCtes: String =
+    """sampq AS (SELECT vec_id, v FROM nrm ORDER BY vec_id LIMIT 4096),
+      |samp AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn,
+      |    list_transform(v, x ->
+      |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv
+      |  FROM sampq),
+      |sz AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(least(16, count(*)) AS BIGINT) AS k FROM samp)""".stripMargin
+
   /** Shared normalization + quantized-sample CTEs (q35-proven shapes):
-    * `nrm` (REAL-normalized vectors), `sampq`/`samp` (id-ordered bounded
-    * sample on the 1024 integer grid), `sz`. */
+    * `nrm` (REAL-normalized vectors from `embeddings`), then [[sampCtes]]. */
   private val annPrefixCtes: String =
     """nrm AS (
       |  SELECT vec_id, list_transform(range(0, 64), i ->
@@ -290,14 +323,7 @@ object ExtQueries {
       |  FROM embeddings
       |  WHERE sqrt(list_sum(list_transform(range(0, 64), j ->
       |    CAST(embedding[j+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE)))) > 0),
-      |sampq AS (SELECT vec_id, v FROM nrm ORDER BY vec_id LIMIT 4096),
-      |samp AS (
-      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn,
-      |    list_transform(v, x ->
-      |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv
-      |  FROM sampq),
-      |sz AS (SELECT CAST(count(*) AS BIGINT) AS n,
-      |  CAST(least(16, count(*)) AS BIGINT) AS k FROM samp)""".stripMargin
+      |""".stripMargin + sampCtes
 
   /** The PQ pipeline as reusable CTEs (names prefixed `p`/distinct so the
     * IVF chain can coexist in q44): per-subspace L2 k-means keyed by
@@ -306,7 +332,9 @@ object ExtQueries {
     * ADC sims via ordered-list sum (list(pd ORDER BY sub) = Spark's fixed
     * left-to-right fold). Assumes [[annPrefixCtes]]. Ends with
     * `adcsc(query_id, id, sim)`. */
-  private def pqChainCtes: String = {
+  private def pqChainCtes: String = pqChainCtes("n.vec_id < 10")
+
+  private def pqChainCtes(queryPred: String): String = {
     val iter = (t: Int) =>
       s"""pa$t AS (
         |  SELECT rn, sub, q8, cell FROM (
@@ -365,7 +393,7 @@ object ExtQueries {
       |  WHERE rnk = 1),
       |lut AS (
       |  SELECT n.vec_id AS query_id, c.sub, c.cell, $pdot AS pd
-      |  FROM nrm n CROSS JOIN pcfd c WHERE n.vec_id < 10),
+      |  FROM nrm n CROSS JOIN pcfd c WHERE $queryPred),
       |adcsc AS (
       |  SELECT l.query_id, e.vec_id AS id,
       |    list_sum(list(l.pd ORDER BY l.sub)) AS sim
@@ -411,11 +439,13 @@ object ExtQueries {
       |FROM r WHERE rank <= 5 AND sim > 0
       |ORDER BY query_id, rank""".stripMargin
 
-  /** DuckDB replay of [[graft.operators.SimilaritySearch.topKIvfPq]]:
-    * the q35 spherical-Lloyd cell chain (c0..c5/cf/asgn/pr, verbatim
-    * shapes) + the q41 PQ chain (p-prefixed), joined so ADC sims are
-    * computed only for candidates whose cell the query probes. */
-  private def q44OracleSql: String = {
+  /** DuckDB replay of [[graft.operators.SimilaritySearch.topKIvfPq]] over
+    * whatever `nrm(vec_id, v)` and sample CTEs precede it: the q35
+    * spherical-Lloyd cell chain (c0..c5/cf/asgn/pr, verbatim shapes) + the
+    * q41 PQ chain (p-prefixed), joined so ADC sims are computed only for
+    * candidates whose cell the query probes. `queryPred` selects the query
+    * rows (q44: embeddings ids < 10; q49: reconstructed ids < 3). */
+  private def ivfPqBodySql(queryPred: String): String = {
     val dot64 = (a: String, b: String) =>
       s"list_sum(list_transform(range(0, 64), i -> $a[i+1] * $b[i+1]))"
     val dotReal = (a: String, b: String) =>
@@ -448,8 +478,7 @@ object ExtQueries {
         |        x / sqrt(list_sum(list_transform(m.mv, y -> y * y))))
         |    END AS cv
         |  FROM c${t - 1} p LEFT JOIN m$t m ON m.cell = p.cell)""".stripMargin
-    s"""WITH $annPrefixCtes,
-      |sampd AS (
+    s"""sampd AS (
       |  SELECT rn, qv,
       |    list_transform(qv, q -> CAST(q AS DOUBLE) / 1024.0) AS dv
       |  FROM samp),
@@ -475,9 +504,9 @@ object ExtQueries {
       |    FROM (SELECT n.vec_id, c.cell,
       |        ${dotReal("n.v", "c.cvf")} AS d
       |      FROM nrm n CROSS JOIN cf c
-      |      WHERE n.vec_id < 10) y) x
+      |      WHERE $queryPred) y) x
       |  WHERE rnk <= 4),
-      |$pqChainCtes,
+      |${pqChainCtes(queryPred)},
       |sc AS (
       |  SELECT l.query_id, e.vec_id AS id,
       |    list_sum(list(l.pd ORDER BY l.sub)) AS sim
@@ -493,6 +522,21 @@ object ExtQueries {
       |FROM r WHERE rank <= 5 AND sim > 0
       |ORDER BY query_id, rank""".stripMargin
   }
+
+  private def q44OracleSql: String =
+    s"""WITH $annPrefixCtes,
+      |${ivfPqBodySql("n.vec_id < 10")}""".stripMargin
+
+  /** DuckDB replay of q49: the q40 reconstruction prefix supplies
+    * `nrm` (the reconstructed-latest corpus), then the IDENTICAL IVF-PQ
+    * chain as q44 — reconstruction, both trainers, cell probe, ADC
+    * lookups, all in SQL. */
+  private def q49OracleSql: String =
+    q40ReconCte +
+      s""",
+      |nrm AS (SELECT id AS vec_id, v FROM n),
+      |$sampCtes,
+      |${ivfPqBodySql("n.vec_id < 3")}""".stripMargin
 
   /** Multi-table LSH bucket bits for table `t` of a 6-bit scheme (global
     * plane index g = t·6 + j, mirroring Dedup.hyperplaneBucket). */
@@ -635,6 +679,7 @@ object ExtQueries {
     "q41_ann_pq_topk" -> q41OracleSql,
     "q43_ann_pq_refine" -> q43OracleSql,
     "q44_ann_ivfpq_topk" -> q44OracleSql,
+    "q49_search_latest_ivfpq" -> q49OracleSql,
     "q27b_ann_lsh_multi" -> q27bOracleSql,
     "q40_search_latest" -> q40OracleSql,
     "q40b_search_latest_lsh" -> q40bOracleSql,

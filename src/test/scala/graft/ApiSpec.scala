@@ -193,13 +193,34 @@ class ApiSpec extends SparkSpec {
     val refined = db.searchLatestVersionsPq(v5, k = 1, refine = 8)
       .select("id", "sim").as[(String, Double)].collect().head
     assert(refined._1 == "c05#1" && math.abs(refined._2 - 1.0) < 1e-6)
-    // the maintained index is (content_id, seq, codes) ONLY — no float
-    // vectors — and repeated ADC searches read it from memory
+    // the maintained index is (content_id, seq, cell, codes) ONLY — no
+    // float vectors — and repeated ADC searches read it from memory
     assert(db.cachePqIndex().columns.toSeq ==
-      Seq("content_id", "seq", "_codes"))
+      Seq("content_id", "seq", "_cell", "_codes"))
     val plan = db.searchLatestVersionsPq(v5, k = 1)
       .queryExecution.executedPlan.toString
     assert(plan.contains("ExistingRDD"), plan)
+    // the coarse layer makes the search an EQUI-join on the cell id:
+    // no cross join / nested loop anywhere — the probed fraction of the
+    // code table is all a search touches (the scale contract)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // probing EVERY cell (nProbe <= 0) is exact parity with a flat ADC
+    // scan: every code row is reachable through the cell equi-join (each
+    // row matches its one cell exactly once — k >= corpus returns every
+    // positively-scored row, no duplicates, no drops)
+    val flat = db.searchLatestVersionsPq(v5, k = 24, nProbe = 0)
+      .select("id", "sim").as[(String, Double)].collect()
+    assert(flat.map(_._1).distinct.length == flat.length)
+    assert(flat.length ==
+      db.searchLatestVersionsPq(v5, k = 24, nProbe = 16).count())
+    // the default probe (4 of 16 cells) must still find the self-match:
+    // the query's nearest cell IS its own assigned cell (same centroids,
+    // same tie-break)
+    val probedHit = db.searchLatestVersionsPq(v5, k = 1)
+      .select("id").as[String].collect().head
+    assert(probedHit == "c05#1")
     // append a new content: it re-encodes with the EXISTING codebooks and
     // becomes searchable; carried rows are not re-encoded
     val vz = Array.tabulate(dim)(j => math.sin(99 * 17 + j).toFloat)
