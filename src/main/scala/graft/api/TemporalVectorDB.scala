@@ -312,6 +312,69 @@ class TemporalVectorDB(
       .drop("_nrm")
   }
 
+  /** Where the maintained indexes persist: `<store>_idx` beside the store
+    * (same filesystem — HDFS/S3 at deployment scale). */
+  protected def indexDir: String = path.stripSuffix("/") + "_idx"
+
+  /** Persist the maintained indexes — bases, latest corpus, PQ codes,
+    * codebooks + coarse centroids + configuration — to parquet beside the
+    * store. With [[loadIndexes]] this beats the reference's startup shape
+    * (storage_engine.py:87-110 re-embeds and re-adds EVERY vector into
+    * FAISS on construction — the one reference inefficiency SURVEY §4.2
+    * had left standing): a new session reloads materialized state and
+    * serves searches with ZERO retraining, re-encoding, or
+    * reconstruction, and with zero reads of the versions store itself.
+    * Builds whatever isn't live yet, then writes. */
+  def persistIndexes(): Unit = synchronized {
+    import spark.implicits._
+    val bases = cacheBases()
+    val latest = cacheLatest()
+    val (codes, books, cents) = currentPqIndex()
+    val (m, ks, ts, nc) = pqParams.get
+    bases.write.mode("overwrite").parquet(s"$indexDir/bases")
+    latest.write.mode("overwrite").parquet(s"$indexDir/latest")
+    codes.write.mode("overwrite").parquet(s"$indexDir/codes")
+    Seq((m, ks, ts, nc,
+        books.map(_.map(_.toSeq).toSeq).toSeq,
+        cents.map(_.toSeq).toSeq))
+      .toDF("m", "ks", "train_sample", "n_cells", "books", "cents")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  /** Reload persisted maintained indexes, replacing (and freeing) any
+    * live ones; searches serve from the loaded materialized state
+    * immediately and appends keep maintaining it incrementally. Returns
+    * false — leaving live state untouched — when nothing was persisted.
+    * The load MATERIALIZES the frames (same lineage-free pin as a build),
+    * so later appends to the store cannot invalidate them. */
+  def loadIndexes(): Boolean = synchronized {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath)) false
+    else {
+      type SSeq[A] = scala.collection.Seq[A]
+      val meta = spark.read.parquet(s"$indexDir/meta").collect().head
+      val books = meta.getAs[SSeq[SSeq[SSeq[Float]]]]("books")
+        .map(_.map(_.toArray).toArray).toArray
+      val cents = meta.getAs[SSeq[SSeq[Float]]]("cents")
+        .map(_.toArray).toArray
+      val newBases = pin(spark.read.parquet(s"$indexDir/bases"))
+      val newLatest = pin(spark.read.parquet(s"$indexDir/latest"))
+      val newCodes = pin(spark.read.parquet(s"$indexDir/codes"))
+      Seq(basesCache, latestCache, pqCodes).flatten.foreach(
+        org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint)
+      basesCache = Some(newBases)
+      latestCache = Some(newLatest)
+      latestCount = None
+      pqBooks = Some(books)
+      pqCents = Some(cents)
+      pqCodes = Some(newCodes)
+      pqParams = Some((meta.getAs[Int]("m"), meta.getAs[Int]("ks"),
+        meta.getAs[Int]("train_sample"), meta.getAs[Int]("n_cells")))
+      true
+    }
+  }
+
   /** Batch ingest of (content_id, ts, embedding[, metadata]) rows; assigns
     * sequence numbers after any existing versions and appends to the store
     * (reference add_content_version, temporal_database.py:86-178 — but one
@@ -499,6 +562,12 @@ class BucketedTemporalVectorDB(
     extends TemporalVectorDB(spark, table, cfg) {
 
   override def versions: DataFrame = spark.table(table)
+
+  // `path` is a table name here, not a filesystem location — persist the
+  // maintained indexes under the warehouse beside the table's data
+  override protected def indexDir: String =
+    spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+      s"/${table}_idx"
 
   override protected def storeExists: Boolean =
     spark.catalog.tableExists(table)

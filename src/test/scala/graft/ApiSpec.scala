@@ -240,6 +240,56 @@ class ApiSpec extends SparkSpec {
       .select("id").as[String].collect().head == "c05#1")
   }
 
+  test("persisted indexes reload in a second facade instance: identical " +
+    "codes and search results with ZERO store reads or retraining") {
+    val db = freshDb()
+    val fleet = (0 until 24).map(i => (f"c$i%02d", ts(1),
+      Array.tabulate(dim)(j => math.sin(i * 17 + j).toFloat)))
+    db.addVersions(fleet.toDF("content_id", "ts", "embedding"))
+    val v5 = fleet(5)._3
+    val before = db.searchLatestVersionsPq(v5, k = 3, refine = 8)
+      .select("rank", "id", "sim").as[(Int, String, Double)]
+      .collect().toSeq
+    db.persistIndexes()
+    val codesBefore = db.pqIndex()
+      .as[(String, Int, Int, Seq[Int])].collect().toSet
+
+    // move the versions store AWAY: a second facade on the same path can
+    // only serve searches if the loaded indexes truly carry everything
+    // (the reference re-embeds every vector into FAISS here)
+    val storeDir = java.nio.file.Paths.get(db.path)
+    val hidden = java.nio.file.Paths.get(db.path + "_hidden")
+    java.nio.file.Files.move(storeDir, hidden)
+    try {
+      val db2 = new TemporalVectorDB(spark, db.path,
+        VersionStore.Config(baseInterval = 5))
+      assert(db2.loadIndexes())
+      assert(db2.pqIndex().as[(String, Int, Int, Seq[Int])]
+        .collect().toSet == codesBefore)
+      val after = db2.searchLatestVersionsPq(v5, k = 3, refine = 8)
+        .select("rank", "id", "sim").as[(Int, String, Double)]
+        .collect().toSeq
+      assert(after == before)
+      assert(db2.searchSimilarContent(v5, k = 1)
+        .select("id").as[String].collect().head == "c05#1")
+    } finally java.nio.file.Files.move(hidden, storeDir)
+
+    // with the store back, a loaded facade keeps maintaining the indexes
+    // incrementally (re-encode with the LOADED centroids/codebooks)
+    val db3 = new TemporalVectorDB(spark, db.path,
+      VersionStore.Config(baseInterval = 5))
+    assert(db3.loadIndexes())
+    val vz = Array.tabulate(dim)(j => math.sin(99 * 17 + j).toFloat)
+    db3.addVersions(Seq(("zz", ts(2), vz))
+      .toDF("content_id", "ts", "embedding"))
+    assert(db3.searchLatestVersionsPq(vz, k = 1, refine = 8)
+      .select("id").as[String].collect().head == "zz#1")
+    assert(db3.pqIndex().count() == 25)
+
+    // nothing persisted -> load reports false and leaves state alone
+    assert(!freshDb().loadIndexes())
+  }
+
   test("incremental cacheBases: append unions the batch into the cached " +
     "index instead of rebuilding from a full re-scan") {
     val db = freshDb()
