@@ -543,6 +543,46 @@ object SimilaritySearch {
     cents.map(_.map(_.toFloat))
   }
 
+  /** Recall@k harness: per-query recall of ANY approximate top-k path
+    * against the exact [[topK]] baseline on the same (queries, corpus, k)
+    * — the tuning instrument for the six approximate paths' knobs
+    * (`nBits`/`nTables`/`nProbe`/`m`/`ks`/`refine`). Output: (query_id,
+    * n_exact, n_hit, recall), one row per query that has a non-empty
+    * exact top-k.
+    *
+    * Scale shape: the exact baseline is the quadratic scan, so run this
+    * on a BOUNDED query/corpus sample (that is the point of a recall
+    * harness — measure on a sample you can afford, then apply the tuned
+    * knobs to the full corpus). Both sides reduce to (query_id, id) pairs
+    * before the hit join, so the harness itself shuffles only k rows per
+    * query. */
+  def annRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+                approx: (DataFrame, DataFrame, Int) => DataFrame)
+      : DataFrame = {
+    val exact = topK(queries, corpus, k).select(col("query_id"), col("id"))
+    val got = approx(queries, corpus, k)
+      .select(col("query_id"), col("id")).distinct()
+    val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    val nHit = exact.join(got, Seq("query_id", "id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    nExact.join(nHit, Seq("query_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+  }
+
+  /** One-row [[annRecall]] summary: macro-averaged recall@k with the
+    * worst/best per-query extremes — the number a tuning loop thresholds
+    * on. */
+  def annRecallSummary(queries: DataFrame, corpus: DataFrame, k: Int,
+                       approx: (DataFrame, DataFrame, Int) => DataFrame)
+      : DataFrame =
+    annRecall(queries, corpus, k, approx).agg(
+      count(lit(1)).as("n_queries"),
+      avg("recall").as("avg_recall"),
+      min("recall").as("min_recall"),
+      max("recall").as("max_recall"))
+
   /** Search the versioned store the way the reference does: corpus = base
     * snapshots only (storage_engine.py:89-110), identity = (content_id, seq). */
   def searchBases(versions: DataFrame, queries: DataFrame, k: Int): DataFrame =

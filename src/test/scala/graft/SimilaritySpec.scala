@@ -57,6 +57,52 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= singleRecall)
   }
 
+  test("annRecall harness: exact self-comparison is 1.0 everywhere; the " +
+    "documented clustered/unclustered recall claims are executable") {
+    // exact vs exact: every query at recall exactly 1.0
+    val self = SimilaritySearch.annRecall(queryDf, corpusDf, 5,
+        SimilaritySearch.topK(_, _, _))
+      .select("query_id", "n_exact", "n_hit", "recall")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(self.length == 4)
+    assert(self.forall(r => r._2 == 5 && r._3 == 5 && r._4 == 1.0))
+
+    // COVERAGE.md's clustered claims, now harness-gated: multi-table LSH
+    // >= 0.9 and IVF >= 0.8 macro-average on the 4-cluster fixture
+    val lsh = SimilaritySearch.annRecallSummary(queryDf, corpusDf, 5,
+        SimilaritySearch.topKLshMulti(_, _, _, nBits = 6, nTables = 4))
+      .select("n_queries", "avg_recall").as[(Long, Double)].collect().head
+    assert(lsh._1 == 4 && lsh._2 >= 0.9, s"clustered LSH-multi recall $lsh")
+    val ivf = SimilaritySearch.annRecallSummary(queryDf, corpusDf, 5,
+        SimilaritySearch.topKIvf(_, _, _, nCells = 4, nProbe = 2))
+      .select("avg_recall").as[Double].collect().head
+    assert(ivf >= 0.8, s"clustered IVF recall $ivf")
+
+    // COVERAGE.md's UNclustered claim (random 64-dim vectors, weakly
+    // sign-correlated neighbors): single-table 8-bit LSH recall@5 lands
+    // LOW — the harness is what surfaces that to a user tuning knobs
+    val rng = new scala.util.Random(7)
+    val rand = (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)(rng.nextFloat() - 0.5f)))
+    val randCorpus = rand.toDF("id", "vec")
+    val randQueries = rand.take(8).map { case (i, v) => (i, v) }
+      .toDF("query_id", "qvec")
+    val unclustered = SimilaritySearch.annRecallSummary(
+        randQueries, randCorpus, 5,
+        SimilaritySearch.topKLsh(_, _, _, nBits = 8))
+      .select("avg_recall").as[Double].collect().head
+    assert(unclustered < 0.8, // documented ~0.3 regime, not exactness
+      s"unclustered LSH recall unexpectedly high: $unclustered")
+    // self-matches keep it strictly positive (a query shares its bucket)
+    assert(unclustered > 0.0, s"unclustered LSH recall $unclustered")
+
+    // refine-to-full-coverage is exact: PQ with refine = |corpus| == 1.0
+    val refined = SimilaritySearch.annRecallSummary(queryDf, corpusDf, 5,
+        SimilaritySearch.topKPqRefine(_, _, _, refine = 40))
+      .select("avg_recall").as[Double].collect().head
+    assert(refined == 1.0, s"full-coverage refine recall $refined")
+  }
+
   test("PQ topK: cluster-level recall vs exact, ADC self-sim near 1") {
     // NOTE on the gate: intra-cluster jitter (0.01·sin) sits BELOW the
     // quantization granularity, so cluster members share codes and ADC
