@@ -156,10 +156,15 @@ object ExtQueries {
     "q49_search_latest_ivfpq" -> ((s, d) => {
       val versions = SyntheticVersions.versions(s, d)
       val latest = versions.groupBy("content_id").agg(max("seq").as("seq"))
+      // pin the reconstructed corpus ONCE (the facade serves searches from
+      // its materialized latest corpus — cacheLatest — so the trainer
+      // sample, the query broadcast, and the encode scan here must read a
+      // materialization too, not re-run the reconstruction 3x)
       val corpus = graft.operators.Reconstruction
         .reconstruct(versions, latest)
         .select(substring(col("content_id"), 2, 10).cast("int").as("id"),
           col("embedding").as("vec"))
+        .localCheckpoint(true)
       val queries = corpus.where(col("id") < 3)
         .select(col("id").as("query_id"), col("vec").as("qvec"))
       SimilaritySearch.topKIvfPq(queries, corpus, 5)

@@ -81,6 +81,31 @@ class BucketedStoreSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_bucketed_facade")
   }
 
+  test("bucketed facade persists + reloads its maintained indexes under " +
+    "the warehouse (table name is not a filesystem path)") {
+    import graft.api.BucketedTemporalVectorDB
+    val history = EvolutionSimulator.historyDf(spark, 4, 6, 16, seed = 23)
+      .select("content_id", "ts", "embedding")
+    val bdb = new BucketedTemporalVectorDB(spark, "graft_bucketed_persist",
+      VersionStore.Config(baseInterval = 5), buckets = 4)
+    try {
+      bdb.addVersions(history)
+      val q = history.where(col("content_id") === "article_000")
+        .orderBy(desc("ts")).select("embedding")
+        .as[Seq[Float]].collect().head.toArray
+      val before = bdb.searchLatestVersionsPq(q, k = 2, refine = 4)
+        .select("rank", "id").as[(Int, String)].collect().toSeq
+      bdb.persistIndexes()
+      val bdb2 = new BucketedTemporalVectorDB(spark,
+        "graft_bucketed_persist", VersionStore.Config(baseInterval = 5),
+        buckets = 4)
+      assert(bdb2.loadIndexes())
+      val after = bdb2.searchLatestVersionsPq(q, k = 2, refine = 4)
+        .select("rank", "id").as[(Int, String)].collect().toSeq
+      assert(after == before && before.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_bucketed_persist")
+  }
+
   test("reconstruction over the bucketed store matches the plain store") {
     BucketedStore.write(versions, "graft_bucketed_test2", buckets = 4)
     try {
