@@ -265,18 +265,38 @@ class TemporalVectorDB(
                              refine: Int = 0,
                              nProbe: Int = Defaults.DefaultNProbe)
       : DataFrame = {
+    import spark.implicits._
+    searchLatestVersionsPqBatch(Seq((1L, query)).toDF("query_id", "qvec"),
+        k, refine, nProbe)
+      .select(col("rank"), col("id"), col("sim"))
+  }
+
+  /** Batch form of [[searchLatestVersionsPq]]: every row of `queries`
+    * ((query_id, qvec)) probes its own `nProbe` cells and ranks
+    * independently — ONE job for the whole batch against the maintained
+    * index, the set-based shape a per-call loop cannot express (the
+    * reference searches one query per FAISS call). Output: (query_id,
+    * rank, id, sim). At 100 TB this is the offline-evaluation path: a
+    * million-query batch is one cell-probed join, not a million ADC
+    * scans. */
+  def searchLatestVersionsPqBatch(queries: DataFrame,
+                                  k: Int = Defaults.DefaultK,
+                                  refine: Int = 0,
+                                  nProbe: Int = Defaults.DefaultNProbe)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (codes, books, cents) = currentPqIndex()
     val probeN =
       if (nProbe <= 0) cents.length else math.min(nProbe, cents.length)
+    val qn = normQueries(queries)
     // LUT + probe cells computed below the broadcast: once per query
-    val q = normQuery(query)
+    val probes = qn
       .withColumn("_lut", SimilaritySearch.pqLutExpr(books, col("qvec")))
       .withColumn("_probes",
         SimilaritySearch.probeCellsExpr(cents, col("qvec"), probeN))
       .select(col("query_id"), col("_lut"),
         explode(col("_probes")).as("_cell"))
-    val scored = codes.join(broadcast(q), Seq("_cell"))
+    val scored = codes.join(broadcast(probes), Seq("_cell"))
       .withColumn("sim", SimilaritySearch.adcSimExpr(books.length))
       .withColumn("id",
         concat_ws("#", col("content_id"), col("seq")))
@@ -284,7 +304,7 @@ class TemporalVectorDB(
       TopK.perKeySalted(scored, "query_id",
           Seq(desc("sim"), col("id")), k)
         .where(col("sim") > 0)
-        .select(col("rank"), col("id"), col("sim"))
+        .select(col("query_id"), col("rank"), col("id"), col("sim"))
     else {
       val survivors = TopK.perKeySalted(scored, "query_id",
           Seq(desc("sim"), col("id")), refine)
@@ -292,25 +312,24 @@ class TemporalVectorDB(
       val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("id"))
       val exact = normalizedLatest(cacheLatest())
         .join(broadcast(survivors), Seq("content_id", "seq"))
-        .join(broadcast(normQuery(query)), Seq("query_id"))
+        .join(broadcast(qn), Seq("query_id"))
         .withColumn("sim", dotNative(col("qvec"), col("vec")))
         .withColumn("id",
           concat_ws("#", col("content_id"), col("seq")))
       exact.withColumn("rank", row_number().over(w))
         .where(col("rank") <= k && col("sim") > 0)
-        .select(col("rank"), col("id"), col("sim"))
+        .select(col("query_id"), col("rank"), col("id"), col("sim"))
     }
   }
 
-  /** One-row normalized query frame (query_id=1, qvec unit-length). */
-  private def normQuery(query: Array[Float]): DataFrame = {
-    import spark.implicits._
-    Seq((1L, query)).toDF("query_id", "qvec")
+  /** Drop zero-norm rows and unit-normalize a (query_id, qvec) frame. */
+  private def normQueries(queries: DataFrame): DataFrame =
+    queries
       .withColumn("_nrm", l2NormNative(col("qvec")))
       .where(col("_nrm") > 0)
       .withColumn("qvec", l2NormalizeWithNative(col("qvec"), col("_nrm")))
       .drop("_nrm")
-  }
+
 
   /** Where the maintained indexes persist: `<store>_idx` beside the store
     * (same filesystem — HDFS/S3 at deployment scale). */
@@ -346,7 +365,14 @@ class TemporalVectorDB(
     * immediately and appends keep maintaining it incrementally. Returns
     * false — leaving live state untouched — when nothing was persisted.
     * The load MATERIALIZES the frames (same lineage-free pin as a build),
-    * so later appends to the store cannot invalidate them. */
+    * so later appends to the store cannot invalidate them.
+    *
+    * STALENESS CONTRACT: the load restores the state AS OF the matching
+    * [[persistIndexes]] call — versions appended to the store between
+    * persist and load are not in the loaded indexes. Persist after every
+    * append batch (cheap: the frames are already materialized), or
+    * rebuild (`cacheLatest`/`retrainPqIndex`) when the store may have
+    * moved on under external writers. */
   def loadIndexes(): Boolean = synchronized {
     val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

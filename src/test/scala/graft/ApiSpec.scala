@@ -240,6 +240,27 @@ class ApiSpec extends SparkSpec {
       .select("id").as[String].collect().head == "c05#1")
   }
 
+  test("batch PQ search: one job ranks every query independently and " +
+    "agrees with the single-query path") {
+    val db = freshDb()
+    val fleet = (0 until 24).map(i => (f"c$i%02d", ts(1),
+      Array.tabulate(dim)(j => math.sin(i * 17 + j).toFloat)))
+    db.addVersions(fleet.toDF("content_id", "ts", "embedding"))
+    val batch = Seq((5L, fleet(5)._3), (11L, fleet(11)._3))
+      .toDF("query_id", "qvec")
+    val got = db.searchLatestVersionsPqBatch(batch, k = 1, refine = 8)
+      .select("query_id", "rank", "id", "sim")
+      .as[(Long, Int, String, Double)].collect().sortBy(_._1).toSeq
+    // every query self-matches with exact sim 1 (refine stage)
+    assert(got.map(t => (t._1, t._2, t._3)) ==
+      Seq((5L, 1, "c05#1"), (11L, 1, "c11#1")))
+    assert(got.forall(t => math.abs(t._4 - 1.0) < 1e-6))
+    // the batch row for query 5 is exactly the single-query result
+    val single = db.searchLatestVersionsPq(fleet(5)._3, k = 1, refine = 8)
+      .select("rank", "id", "sim").as[(Int, String, Double)].collect().head
+    assert((got.head._2, got.head._3, got.head._4) == single)
+  }
+
   test("persisted indexes reload in a second facade instance: identical " +
     "codes and search results with ZERO store reads or retraining") {
     val db = freshDb()
