@@ -202,6 +202,7 @@ object Dedup {
   private[graft] def exactCollapsed(docs: DataFrame, idCol: String,
                                     textCol: String, n: Int, numHashes: Int)
       : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val sig0 = docs.select(col(idCol).as("_id"),
         md5(col(textCol).cast("binary")).as("_g"),
         minhashNative(col(textCol), n, numHashes).as("_mh"))
@@ -212,17 +213,15 @@ object Dedup {
         col("_mh.hashes").as("_h"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mem = sig0.select(col("_id"), col("_g"))
-    // rep selection is a groupBy, NOT a window: byte-identical texts have
-    // identical signatures/hash sets, so min(_id) + first(everything else)
-    // IS the min-id row — and partial aggregation collapses each group
-    // map-side before the shuffle (a window would sort the whole
-    // signature table to then keep row 1 per group)
-    val repSig = sig0.groupBy("_g")
-      .agg(min(col("_id")).as("_id"),
-        (0 until numHashes).map(j => first(col(s"_m$j")).as(s"_m$j")) :+
-          first(col("_h")).as("_h"): _*)
-      .select(Seq(col("_id"), col("_g")) ++
-        (0 until numHashes).map(j => col(s"_m$j")) :+ col("_h"): _*)
+    // rep selection via rank-1 window: Spark's WindowGroupLimit pushes a
+    // PARTIAL top-1-per-group below the exchange, so only ~one row per
+    // group is shuffled — already the map-side collapse a groupBy would
+    // buy, without forcing the array column `_h` through a sort-based
+    // aggregation buffer (first(ARRAY) disqualifies HashAggregate)
+    val repSig = sig0
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy("_g").orderBy("_id")))
+      .where(col("_rn") === 1).drop("_rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (sig0, mem, repSig)
   }
