@@ -493,17 +493,32 @@ class TemporalVectorDB(
       .select(col("rank"), col("id"), col("sim"))
   }
 
+  /** Batch form of [[searchLatestVersions]]: exact cosine top-k for every
+    * row of `queries` ((query_id, qvec)) against the materialized latest
+    * corpus in ONE job — the corpus is scanned once for the whole batch
+    * regardless of query count (the reference loops one FAISS call per
+    * query). Output: (query_id, rank, id, sim). For large corpora prefer
+    * [[searchLatestVersionsPqBatch]] (compressed, cell-probed). */
+  def searchLatestVersionsBatch(queries: DataFrame,
+                                k: Int = Defaults.DefaultK): DataFrame =
+    SimilaritySearch.topK(queries, latestCorpus(), k)
+      .select(col("query_id"), col("rank"), col("id"), col("sim"))
+
   private def latestCorpus(): DataFrame =
     cacheLatest().select(
       concat_ws("#", col("content_id"), col("seq")).as("id"),
       col("embedding").as("vec"))
 
-  /** Approximate latest-state search — the repeat-query path at corpus
-    * scale: multi-table hyperplane-LSH over the materialized latest
-    * corpus ([[SimilaritySearch.topKLshMulti]]; `nBits <= 0` sizes buckets
-    * from the corpus count via [[Dedup.autoBits]]). Same contract as
-    * [[searchLatestVersions]] minus recall (bounded by the table/probe
-    * configuration), at Σ bucket² cost instead of an exact corpus scan. */
+  /** Approximate latest-state search via multi-table hyperplane-LSH over
+    * the materialized latest corpus ([[SimilaritySearch.topKLshMulti]];
+    * `nBits <= 0` sizes buckets from the corpus count via
+    * [[Dedup.autoBits]]). Same contract as [[searchLatestVersions]] minus
+    * recall (bounded by the table/probe configuration), at Σ bucket² cost
+    * instead of an exact corpus scan. STATELESS by design — buckets are
+    * recomputed from the float corpus per call; for repeat-query
+    * workloads at corpus scale the maintained, ~32×-smaller
+    * [[searchLatestVersionsPq]]/[[searchLatestVersionsPqBatch]] index is
+    * the intended path. */
   def searchLatestVersionsApprox(query: Array[Float],
                                  k: Int = Defaults.DefaultK,
                                  nBits: Int = 0,

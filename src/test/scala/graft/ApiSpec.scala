@@ -259,6 +259,14 @@ class ApiSpec extends SparkSpec {
     val single = db.searchLatestVersionsPq(fleet(5)._3, k = 1, refine = 8)
       .select("rank", "id", "sim").as[(Int, String, Double)].collect().head
     assert((got.head._2, got.head._3, got.head._4) == single)
+    // the EXACT batch path agrees: same self-matches, exact sims, one
+    // corpus scan for the whole batch
+    val exact = db.searchLatestVersionsBatch(batch, k = 1)
+      .select("query_id", "rank", "id", "sim")
+      .as[(Long, Int, String, Double)].collect().sortBy(_._1).toSeq
+    assert(exact.map(t => (t._1, t._2, t._3)) ==
+      Seq((5L, 1, "c05#1"), (11L, 1, "c11#1")))
+    assert(exact.forall(t => math.abs(t._4 - 1.0) < 1e-6))
   }
 
   test("persisted indexes reload in a second facade instance: identical " +

@@ -43,6 +43,43 @@ class StreamingSpec extends SparkSpec {
     assert(db.validateTimelineIntegrity().count() == 0)
   }
 
+  test("streaming appends maintain the live search indexes: the PQ index " +
+    "re-encodes streamed contents and serves them without a rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Timestamp, Array[Float])]
+    val dir = Files.createTempDirectory("tvdb-stream-pq").toFile
+    dir.delete()
+    val ckpt = Files.createTempDirectory("tvdb-ckpt-pq").toFile.getAbsolutePath
+    val db = new TemporalVectorDB(spark, dir.getAbsolutePath,
+      VersionStore.Config(baseInterval = 5))
+    val dim = 16
+    def vec(seed: Int) = Array.tabulate(dim)(j => math.sin(seed * 17 + j).toFloat)
+
+    val q = StreamingIngest.start(
+      stream.toDF().toDF("content_id", "ts", "embedding"), db, ckpt)
+    try {
+      stream.addData((0 until 8).map(i => (f"s$i%02d", ts(1), vec(i))): _*)
+      q.processAllAvailable()
+      // build the maintained index over the streamed-so-far corpus...
+      assert(db.searchLatestVersionsPq(vec(3), k = 1, refine = 4)
+        .select("id").as[String].collect().head == "s03#1")
+      // ...then stream MORE contents: refreshAfterAppend must re-encode
+      // them with the EXISTING centroids/codebooks (no retrain, no
+      // rebuild) and searches must find them immediately
+      stream.addData(("zz", ts(2), vec(99)))
+      q.processAllAvailable()
+      assert(db.pqIndex().count() == 9)
+      assert(db.searchLatestVersionsPq(vec(99), k = 1, refine = 4)
+        .select("id").as[String].collect().head == "zz#1")
+      // a streamed NEW VERSION of an existing content moves its latest
+      // in the index (the index row re-encodes at the new seq)
+      stream.addData(("s03", ts(3), vec(55)))
+      q.processAllAvailable()
+      assert(db.searchLatestVersionsPq(vec(55), k = 1, refine = 4)
+        .select("id").as[String].collect().head == "s03#2")
+    } finally q.stop()
+  }
+
   test("replayed micro-batch is skipped via its commit marker (idempotent)") {
     val dir = Files.createTempDirectory("tvdb-replay").toFile
     dir.delete()
