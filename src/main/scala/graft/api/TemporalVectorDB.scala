@@ -566,6 +566,40 @@ class TemporalVectorDB(
     Reconstruction.costs(versions)
       .where(col("reconstruction_cost") > maxCost)
 
+  /** EXECUTE the recommendation [[optimizeContentBases]] reports — the
+    * reference stops at "Consider promoting N versions"
+    * (temporal_database.py:487) because acting on it would mean N
+    * per-version reconstruct+rewrite loops; here it is ONE set-based
+    * job ([[VersionStore.promoteBases]]): reconstruct every version
+    * whose cost is a positive multiple of maxCost+1, rewrite those rows
+    * as base snapshots, and swap the store — after which no version
+    * costs more than maxCost and [[optimizeContentBases]] reports
+    * nothing. An offline compaction-style maintenance job (the store is
+    * rewritten in full; schedule it like compaction). Values of every
+    * version are unchanged; the maintained indexes refresh incrementally
+    * for the touched contents. Returns the number of promoted
+    * versions. */
+  def applyBaseOptimization(maxCost: Int = 10): Long = {
+    val targets = VersionStore.promotionTargets(versions, maxCost)
+      .localCheckpoint(true) // pinned: consumed after the store swaps
+    val n = targets.count()
+    if (n > 0) {
+      // materialized BEFORE overwriting the path it reads from
+      val rewritten = VersionStore.promoteBases(versions, maxCost)
+        .localCheckpoint(true)
+      overwriteStore(rewritten)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(rewritten)
+      refreshCaches(targets.select("content_id").distinct())
+    }
+    org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(targets)
+    n
+  }
+
+  /** Full-store rewrite seam (overridden by [[BucketedTemporalVectorDB]]);
+    * `rewritten` must be materialized (checkpointed) by the caller. */
+  protected def overwriteStore(rewritten: DataFrame): Unit =
+    rewritten.write.mode("overwrite").parquet(path)
+
   /** Store-wide integrity audit (reference reconstruction_service
     * :299-358). */
   def validateTimelineIntegrity(): DataFrame = Integrity.audit(versions)
@@ -615,6 +649,13 @@ class BucketedTemporalVectorDB(
 
   override protected def appendToStore(ingested: DataFrame): Unit =
     ingested.write.mode("append")
+      .bucketBy(buckets, "content_id")
+      .sortBy("content_id", "seq")
+      .format("parquet")
+      .saveAsTable(table)
+
+  override protected def overwriteStore(rewritten: DataFrame): Unit =
+    rewritten.write.mode("overwrite")
       .bucketBy(buckets, "content_id")
       .sortBy("content_id", "seq")
       .format("parquet")

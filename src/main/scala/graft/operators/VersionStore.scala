@@ -110,6 +110,50 @@ object VersionStore {
     ingestWithSeq(offset, cfg)
   }
 
+  /** The versions [[promoteBases]] promotes for `maxCost`: every version
+    * whose reconstruction cost is a positive multiple of maxCost+1. After
+    * promoting exactly these, NO version in the store costs more than
+    * maxCost — one promotion per maxCost+1 run of a delta chain, the
+    * greedy minimum for contiguous chains (a version originally at cost
+    * c reconstructs from the promoted base at ⌊c/(maxCost+1)⌋·(maxCost+1)
+    * with cost c mod (maxCost+1) ≤ maxCost). */
+  def promotionTargets(versions: DataFrame, maxCost: Int): DataFrame = {
+    require(maxCost >= 1, s"maxCost must be >= 1, got $maxCost")
+    Reconstruction.costs(versions)
+      .where(col("reconstruction_cost") > 0 &&
+        pmod(col("reconstruction_cost"), lit(maxCost + 1)) === 0)
+      .select("content_id", "seq")
+  }
+
+  /** EXECUTE the base-promotion recommendation the reference can only
+    * REPORT (optimize_content_bases returns "Consider promoting N
+    * versions to base snapshots", temporal_database.py:443-494, and no
+    * code path acts on it): reconstruct every [[promotionTargets]] row in
+    * ONE set-based job and rewrite it as a base snapshot — embedding
+    * materialized, delta arrays and from_seq cleared, ts / metadata /
+    * change_magnitude preserved. Every version's VALUE is unchanged
+    * (promotion materializes exactly what reconstruction computes); only
+    * future read cost changes. Returns the rewritten store frame; the
+    * facade's applyBaseOptimization handles the store swap. */
+  def promoteBases(versions: DataFrame, maxCost: Int = 10): DataFrame = {
+    val targets = promotionTargets(versions, maxCost)
+    val rebuilt = Reconstruction.reconstruct(versions, targets)
+      .select(col("content_id"), col("seq"), col("embedding").as("_emb"))
+    val promoted = versions
+      .join(rebuilt, Seq("content_id", "seq"))
+      .select(col("content_id"), col("seq"), col("ts"),
+        lit("base").as("kind"),
+        col("_emb").as("embedding"),
+        lit(null).cast("array<int>").as("delta_idx"),
+        lit(null).cast("array<float>").as("delta_val"),
+        lit(null).cast("int").as("from_seq"),
+        col("change_magnitude"),
+        col("metadata"))
+    versions.join(rebuilt.select("content_id", "seq"),
+        Seq("content_id", "seq"), "left_anti")
+      .unionByName(promoted)
+  }
+
   /** Write a versions DataFrame to parquet, hash-distributed by content_id so
     * downstream per-content reads prune well. At cluster scale this is where
     * bucketing (`bucketBy(content_id)`) would go; plain repartition keeps the

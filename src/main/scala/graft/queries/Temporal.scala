@@ -93,6 +93,22 @@ object Temporal {
         .orderBy("content_id", "seq")
     }),
 
+    // Q51: EXECUTED base promotion — the reference's optimize_content_bases
+    // stops at "Consider promoting N versions" (temporal_database.py:487);
+    // promoteBases acts on it in one set-based job. maxCost=3 over the
+    // interval-5 synthetic store promotes the cost-4 chain tails; output
+    // is the post-rewrite store shape (kind flips, embedding materialized,
+    // delta columns cleared), replayed entirely by the oracle.
+    "q51_promote_bases" -> ((s, d) => {
+      val store = SyntheticVersions.versions(s, d)
+      VersionStore.promoteBases(store, maxCost = 3)
+        .select(col("content_id"), col("seq"), col("kind"),
+          col("embedding").isNotNull.as("has_embedding"),
+          coalesce(size(col("delta_idx")), lit(-1)).as("n_delta_dims"),
+          col("from_seq"))
+        .orderBy("content_id", "seq")
+    }),
+
     // Q38: versions.metadata JSON round-trip (reference JSON-serializes
     // metadata on every store write/read, storage_engine.py:150-151,
     // 222-223, 304, 358): ingest WITH metadata, serialize via to_json,
@@ -181,6 +197,25 @@ object Temporal {
         |  CAST(CASE WHEN kind = 'delta' THEN n_changed END AS INTEGER) AS n_stored,
         |  CASE WHEN seq > 1 THEN ${r4sql("mag")} END AS magnitude
         |FROM vk ORDER BY content_id, seq""".stripMargin),
+
+    // promotion policy replayed in SQL: cost = seq − nearest base at-or-
+    // before (contiguous seqs make that the chain length); rows at
+    // cost > 0 with cost % (maxCost+1) = 0 flip to base
+    "q51_promote_bases" -> (cte +
+      s""", c AS (
+        |  SELECT content_id, seq, kind, n_changed,
+        |    seq - max(CASE WHEN kind = 'base' THEN seq END)
+        |      OVER (PARTITION BY content_id ORDER BY seq
+        |            ROWS UNBOUNDED PRECEDING) AS cost
+        |  FROM vk)
+        |SELECT content_id, seq,
+        |  CASE WHEN cost > 0 AND cost % 4 = 0 THEN 'base' ELSE kind END AS kind,
+        |  (kind = 'base' OR (cost > 0 AND cost % 4 = 0)) AS has_embedding,
+        |  CAST(CASE WHEN kind = 'delta' AND NOT (cost > 0 AND cost % 4 = 0)
+        |       THEN n_changed ELSE -1 END AS INTEGER) AS n_delta_dims,
+        |  CAST(CASE WHEN kind = 'delta' AND NOT (cost > 0 AND cost % 4 = 0)
+        |       THEN seq - 1 END AS INTEGER) AS from_seq
+        |FROM c ORDER BY content_id, seq""".stripMargin),
 
     "q14_reconstruct" -> (cte + {
       val dims = (0 until 8).map(j =>

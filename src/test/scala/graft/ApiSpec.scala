@@ -339,6 +339,37 @@ class ApiSpec extends SparkSpec {
     assert(plan.contains("ExistingRDD"), plan)
   }
 
+  test("applyBaseOptimization EXECUTES the promotion recommendation: " +
+    "costs bounded, values bit-identical, indexes refreshed, idempotent") {
+    val db = freshDb()
+    db.addVersions(mkHistory(12).toDF("content_id", "ts", "embedding"))
+    // chains under interval-5 bases run up to cost 4 -> maxCost=2 has work
+    assert(db.optimizeContentBases(maxCost = 2).count() > 0)
+    val beforeVals = db.getVersionRange("art", 1, 12)
+      .select("seq", "embedding").as[(Int, Seq[Float])].collect().toMap
+    val basesBefore = db.cacheBases().count()
+
+    val n = db.applyBaseOptimization(maxCost = 2)
+    assert(n > 0)
+    // the recommendation is now satisfied: nothing above maxCost remains
+    assert(db.optimizeContentBases(maxCost = 2).count() == 0)
+    // every version's VALUE is unchanged (promotion materializes what
+    // reconstruction computed)
+    val afterVals = db.getVersionRange("art", 1, 12)
+      .select("seq", "embedding").as[(Int, Seq[Float])].collect().toMap
+    assert(afterVals == beforeVals)
+    // the store stays audit-clean and the same size (rows rewritten in
+    // place, not appended)
+    assert(db.validateTimelineIntegrity().count() == 0)
+    assert(db.versions.count() == 12)
+    assert(db.versions.where(col("kind") === "base").count() ==
+      basesBefore + n)
+    // the maintained bases index absorbed the promoted rows incrementally
+    assert(db.cacheBases().count() == basesBefore + n)
+    // nothing left to promote: second run is a no-op
+    assert(db.applyBaseOptimization(maxCost = 2) == 0)
+  }
+
   test("getContentStatistics bundles counts + recon stats + integrity " +
     "(temporal_database.py:301-330 shape)") {
     val db = freshDb()

@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Local oracle-parity harness mimicking the driver's DuckDB compare.
 
-Usage: python3 tools/parity_check.py <sf_dir> <verify_out_dir>
+Usage: python3 tools/parity_check.py <sf_dir> <verify_out_dir> [only...]
+
+`only` args (optional) restrict the compare to the named queries —
+fast iteration on one oracle without re-running the heavy ANN chains.
 
 For each <verify_out_dir>/<name> parquet dir (written by graft.Verify):
   - run oracle_sql.json[name] in DuckDB with views over <sf_dir>/*.parquet
@@ -26,13 +29,15 @@ def norm(v):
         return round(v, 9)
     return v
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         qdir = f"{out_dir}/{name}"
@@ -78,4 +83,4 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))
