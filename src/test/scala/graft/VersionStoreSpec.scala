@@ -106,6 +106,43 @@ class VersionStoreSpec extends SparkSpec {
     }
   }
 
+  test("promoteBases rewrites exactly the cost-multiple rows as bases, " +
+    "preserving ts/metadata/magnitude and every version's value") {
+    import org.apache.spark.sql.functions._
+    // 10 tiny edits under interval 100 -> one base at seq 1, deltas with
+    // costs 1..9; maxCost=3 promotes costs 4 and 8 (multiples of 4)
+    val rows = history(Seq.fill(10)(0.02))
+      .toDF("content_id", "seq", "ts", "embedding")
+      .withColumn("metadata", map(lit("rev"), col("seq").cast("string")))
+    val store = VersionStore.ingestWithSeq(rows,
+      VersionStore.Config(baseInterval = 100))
+    val before = graft.operators.Reconstruction
+      .reconstruct(store, store.select("content_id", "seq"))
+      .select("seq", "embedding").as[(Int, Seq[Float])].collect().toMap
+
+    val rewritten = VersionStore.promoteBases(store, maxCost = 3)
+    val kinds = rewritten.select("seq", "kind").as[(Int, String)]
+      .collect().toMap
+    assert((1 to 10).map(kinds) == Seq("base", "delta", "delta", "delta",
+      "base", "delta", "delta", "delta", "base", "delta"))
+    // promoted rows keep their ts and metadata, clear delta columns
+    val promoted = rewritten.where(col("seq").isin(5, 9))
+      .select(col("ts"), col("metadata")("rev"), col("delta_idx").isNull,
+        col("from_seq").isNull, col("embedding").isNotNull)
+      .as[(Timestamp, String, Boolean, Boolean, Boolean)].collect()
+    assert(promoted.map(_._2).sorted.toSeq == Seq("5", "9"))
+    assert(promoted.forall(p => p._3 && p._4 && p._5))
+    assert(promoted.map(_._1).toSet == Set(ts(4), ts(8)))
+    // every version reconstructs to the identical value afterwards
+    val after = graft.operators.Reconstruction
+      .reconstruct(rewritten, rewritten.select("content_id", "seq"))
+      .select("seq", "embedding").as[(Int, Seq[Float])].collect().toMap
+    assert(after == before)
+    // and nothing costs more than 3 now
+    assert(graft.operators.Reconstruction.costs(rewritten)
+      .agg(max("reconstruction_cost")).as[Int].collect().head <= 3)
+  }
+
   test("ingest without seqs assigns chronological 1-based seqs with offset") {
     val first = Seq(("a", ts(0), Array.fill(4)(1.0f)))
       .toDF("content_id", "ts", "embedding")
