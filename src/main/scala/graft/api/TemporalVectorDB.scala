@@ -407,7 +407,11 @@ class TemporalVectorDB(
     * job for the whole batch instead of per-row timeline reloads). Live
     * indexes are maintained incrementally from the batch's content ids,
     * never rebuilt from a full scan. */
-  def addVersions(df: DataFrame): Unit = {
+  def addVersions(df: DataFrame): Unit = synchronized {
+    // synchronized up here (not just inside refreshCaches): the max-seq
+    // read + append must not interleave with another same-facade append
+    // (duplicate seqs) or with applyBaseOptimization's snapshot+overwrite
+    // window (a lost append)
     val existing =
       if (storeExists) Some(versions.select("content_id", "seq")) else None
     appendToStore(VersionStore.ingest(df, existing, cfg))
@@ -579,7 +583,13 @@ class TemporalVectorDB(
     * version are unchanged; the maintained indexes refresh incrementally
     * for the touched contents. Returns the number of promoted
     * versions. */
-  def applyBaseOptimization(maxCost: Int = 10): Long = {
+  def applyBaseOptimization(maxCost: Int = 10): Long = synchronized {
+    // synchronized serializes against this facade's index refreshes; the
+    // STORE-level contract is the same as any compaction job: no writer
+    // may append between the snapshot read and the swap (an append from
+    // another process in that window would be lost with the overwrite —
+    // schedule rewrites in the maintenance window external writers
+    // already respect)
     val targets = VersionStore.promotionTargets(versions, maxCost)
       .localCheckpoint(true) // pinned: consumed after the store swaps
     val n = targets.count()
