@@ -55,18 +55,23 @@ object TextAnalysis {
       length(col("text")).cast("long").as("text_len"),
       alphaRatio(col("text")).as("alpha_ratio"))
 
+  /** The [[qualityScore]] expression (rounded to 4 decimals) — shared so
+    * downstream selectors rank by the IDENTICAL value the scoring query
+    * emits (a re-derived epsilon-different score would reorder ties). */
+  def qualityExpr(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    val nTok = size(toks).cast("double")
+    val stop = markerCount(toks, Stopwords).cast("double")
+    val lenScore = least(lit(1.0), length(text).cast("double") / 500.0)
+    round(lit(0.3) * lenScore + lit(0.4) * alphaRatio(text)
+      + lit(0.3) * (stop / nTok), 4)
+  }
+
   /** Quality score in [0,1]:
     * 0.3·min(1, chars/500) + 0.4·alpha_ratio + 0.3·stopword_ratio.
     * A deterministic heuristic in the spirit of C4/Gopher-style filters. */
-  def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast("double")
-    val stop = markerCount(toks, Stopwords).cast("double")
-    val lenScore = least(lit(1.0), length(col("text")).cast("double") / 500.0)
-    docs.select(col("doc_id"),
-      round(lit(0.3) * lenScore + lit(0.4) * alphaRatio(col("text"))
-        + lit(0.3) * (stop / nTok), 4).as("quality"))
-  }
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), qualityExpr(col("text")).as("quality"))
 
   /** n-gram/marker-heuristic language ID. Ties resolve in a fixed order
     * (zh > en > de > fr > es) so the prediction is deterministic. */
@@ -215,5 +220,172 @@ object TextAnalysis {
       pmod(conv(substring(md5(t.cast("binary")), 1, 14), 16, 10).cast("long"),
         lit(P)) * (i.cast("long") + 1))
     aggregate(weighted, lit(0L), (a, x) => pmod(a + x, lit(P)))
+  }
+
+  /** Space-joined token n-grams at positions 1..len−n+1 (map-only).
+    * Empty array when the doc has fewer than n tokens — the guard matters
+    * because Spark's `sequence(1, stop)` DESCENDS when stop < 1 instead
+    * of returning empty. */
+  def ngrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style per-document repetition measures (Rae et al. 2021,
+    * "Scaling Language Models", Table A1 — the repetition family of
+    * quality filters; reference north star: the builder brief's quality
+    * scoring row):
+    *   - `top_bigram_frac`: chars covered by ALL occurrences of the most
+    *     frequent token 2-gram / total text chars (ties on count resolve
+    *     to the larger char coverage — the value, not the gram, is the
+    *     contract, and equal (count, chars) ties are value-identical);
+    *   - `dup_trigram_frac`: chars covered by every token 3-gram that
+    *     occurs more than once / total text chars. Overlapping grams
+    *     count their chars each, so the ratio can exceed 1 on highly
+    *     repetitive text — it is a filter score, not a partition of the
+    *     document.
+    * Docs with fewer than 2 (resp. 3) tokens score 0.0.
+    *
+    * Scale shape: one corpus scan explodes both gram sizes tagged by n,
+    * then two keyed aggregations — (doc, n, gram) counts with map-side
+    * partial agg, and a per-doc struct-max/conditional-sum rollup. No
+    * windows, no driver state; both shuffles are keyed by doc_id(+gram),
+    * so a 100 TB corpus distributes on the natural key. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("text_len"))
+    val grams = docs.select(col("doc_id"),
+        explode(concat(
+          transform(ngrams(col("text"), 2), g => struct(lit(2).as("n"), g.as("gram"))),
+          transform(ngrams(col("text"), 3), g => struct(lit(3).as("n"), g.as("gram")))
+        )).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+    val counts = grams.groupBy("doc_id", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("chars", col("cnt") * length(col("gram")).cast("long"))
+    val perDoc = counts.groupBy("doc_id").agg(
+      // lexicographic struct max = max count, then max char coverage
+      max(when(col("n") === 2, struct(col("cnt"), col("chars"))))
+        .getField("chars").as("_top2"),
+      sum(when(col("n") === 3 && col("cnt") > 1, col("chars"))
+        .otherwise(lit(0L))).as("_dup3"))
+    // floor(x·1e4 + 0.5)/1e4 — the engine-portable rounding (same IEEE
+    // ops in Spark and DuckDB; plain round() diverges at .00005 edges)
+    def r4p(c: Column): Column =
+      floor(c * 10000.0 + 0.5).cast("double") / 10000.0
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        r4p(coalesce(col("_top2"), lit(0L)).cast("double") /
+          col("text_len").cast("double")).as("top_bigram_frac"),
+        r4p(coalesce(col("_dup3"), lit(0L)).cast("double") /
+          col("text_len").cast("double")).as("dup_trigram_frac"))
+  }
+
+  /** Train/test decontamination by token n-gram overlap (the GPT-3 /
+    * Llama eval-leakage check: a training doc is contaminated when it
+    * shares any n-gram with the held-out set). Returns
+    * (doc_id, n_shared_ngrams) for contaminated train docs only.
+    *
+    * Scale shape: the test side collapses to a DISTINCT gram set — eval
+    * suites are orders of magnitude smaller than the corpus — and
+    * broadcasts, so the train side is a map-only explode+filter; the
+    * only shuffle is the per-doc distinct-gram count, keyed by doc_id.
+    * Pass `broadcastTest = false` when the held-out set is itself huge
+    * (falls back to a shuffled equi-join on the gram key). */
+  def decontaminate(train: DataFrame, test: DataFrame, n: Int = 4,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    broadcastTest: Boolean = true): DataFrame = {
+    val testGrams = test
+      .select(explode(ngrams(col(textCol), n)).as("gram")).distinct()
+    val probe = if (broadcastTest) broadcast(testGrams) else testGrams
+    train.select(col(idCol), explode(ngrams(col(textCol), n)).as("gram"))
+      .join(probe, "gram")
+      .groupBy(idCol)
+      .agg(count_distinct(col("gram")).as("n_shared_ngrams"))
+  }
+
+  /** Greedy per-stratum corpus selection under a token budget: rank each
+    * stratum's docs by (quality desc, doc_id), keep the prefix whose
+    * cumulative subtoken count stays within `budget` (the data-mixing
+    * step that fills a per-language token quota with the best documents
+    * first). Quality is [[qualityExpr]] — already rounded to 4 decimals,
+    * so the rank order is reproducible across engines.
+    *
+    * Scale shape: the naive form is a per-stratum ordered running sum — a
+    * single task per stratum, and languages are FEW, so one stratum can
+    * be most of a 100 TB corpus. This computes the selection in two
+    * bounded stages instead: (1) aggregate token totals per (stratum,
+    * quality-bucket) — quality has 4 decimals, so ≤10001 buckets per
+    * stratum, a tiny frame — and find each stratum's threshold bucket
+    * with a window over that frame only; (2) docs strictly above the
+    * threshold pass with NO window, and only the threshold bucket's docs
+    * (one quality value's worth) pay an ordered cumsum. Equivalent to the
+    * global greedy because every doc in a bucket shares the exact quality
+    * value, and the tie-break inside the bucket is doc_id — the same
+    * order the one-window form would use. */
+  def selectByTokenBudget(docs: DataFrame, budget: Long,
+                          strataCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val scored = docs.select(col("doc_id"), col(strataCol),
+      qualityExpr(col("text")).as("quality"),
+      subtokenCount(col("text")).as("n_subtokens"))
+    // integer bucket = quality * 10000 (bijective: quality has 4 decimals)
+    val bucketed = scored.withColumn("_qb",
+      round(col("quality") * 10000).cast("long"))
+    val bucketTotals = bucketed.groupBy(strataCol, "_qb")
+      .agg(sum("n_subtokens").as("_btok"))
+    // descending cumulative over the tiny (stratum, bucket) frame; the
+    // threshold bucket is the FIRST (highest-quality) bucket whose
+    // inclusive cum exceeds the budget — min cum among crossings, ties
+    // (possible only via zero-token buckets) resolved to the higher bucket
+    val wDesc = Window.partitionBy(strataCol).orderBy(col("_qb").desc)
+    val thresholds = bucketTotals
+      .withColumn("_cum", sum("_btok").over(wDesc))
+      .where(col("_cum") > budget)
+      .groupBy(strataCol)
+      .agg(min(struct(col("_cum"), (-col("_qb")).as("_nqb"), col("_btok")))
+        .as("_x"))
+      .select(col(strataCol), (-col("_x._nqb")).as("_bstar"),
+        (col("_x._cum") - col("_x._btok")).as("_above"))
+    val joined = bucketed.join(broadcast(thresholds), Seq(strataCol), "left")
+    // stratum fully under budget (no threshold row) => keep everything
+    val pass = joined.where(col("_bstar").isNull || col("_qb") > col("_bstar"))
+    val wIn = Window.partitionBy(strataCol).orderBy("doc_id")
+    val boundary = joined.where(col("_qb") === col("_bstar"))
+      .withColumn("_cumIn", sum("n_subtokens").over(wIn))
+      .where(col("_above") + col("_cumIn") <= budget)
+      .drop("_cumIn")
+    pass.unionByName(boundary)
+      .select("doc_id", strataCol, "quality", "n_subtokens")
+  }
+
+  /** PII patterns (portable across Java regex and RE2): emails, NANP-style
+    * dashed phone numbers, dotted-quad IPv4 literals. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrubbing (the pre-training redaction pass): replace emails,
+    * phone numbers, and IPv4 literals with typed placeholder tags and
+    * count each redaction. Email runs FIRST so an address's host part is
+    * never half-eaten by the IP rule; map-only codegen'd regexps, one
+    * corpus scan, no shuffle. */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t0 = col(textCol)
+    val nEmails = regexp_count(t0, lit(EmailRe)).cast("long")
+    val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val nIps = regexp_count(t1, lit(Ipv4Re)).cast("long")
+    val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
+    val nPhones = regexp_count(t2, lit(PhoneRe)).cast("long")
+    val t3 = regexp_replace(t2, PhoneRe, "<PHONE>")
+    docs.withColumn("n_emails", nEmails)
+      .withColumn("n_ips", nIps)
+      .withColumn("n_phones", nPhones)
+      .withColumn(textCol, t3)
   }
 }

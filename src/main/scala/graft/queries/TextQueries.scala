@@ -67,7 +67,53 @@ object TextQueries {
       TextAnalysis.stratifiedSample(par(Tables.documents(s, d)),
           "doc_id", "lang", Map("en" -> 0.3, "de" -> 0.5))
         .select("doc_id", "lang")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Q52: Gopher-style repetition quality filters — chars in the most
+    // frequent 2-gram / chars in duplicated 3-grams, per doc.
+    "q52_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(par(Tables.documents(s, d)))
+        .orderBy("doc_id")),
+
+    // Q53: train/test decontamination by 4-gram overlap; the held-out
+    // set is the deterministic doc_id % 97 == 0 slice.
+    "q53_decontaminate" -> ((s, d) => {
+      val docs = par(Tables.documents(s, d))
+      val test = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+      val train = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+      TextAnalysis.decontaminate(train, test, n = 4).orderBy("doc_id")
+    }),
+
+    // Q54: greedy per-language corpus selection under a 4000-subtoken
+    // budget (quality-ranked prefix; engine uses the two-stage
+    // threshold-bucket shape, oracle the one-window form).
+    "q54_budget_select" -> ((s, d) =>
+      TextAnalysis.selectByTokenBudget(par(Tables.documents(s, d)),
+          budget = 4000)
+        .orderBy("doc_id")),
+
+    // Q55: PII scrubbing over a corpus with deterministically injected
+    // emails/phones/IPs (the raw corpus is PII-free by construction, so
+    // the redaction pass must be exercised on augmented text).
+    "q55_pii_scrub" -> ((s, d) => {
+      val idS = col("doc_id").cast("string")
+      val inj = concat(
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" contact user"), idS, lit("@example.com")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0, lit(" call 555-867-5309"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(lit(" host 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit(".7")))
+          .otherwise(lit("")))
+      val aug = par(Tables.documents(s, d))
+        .select(col("doc_id"), concat(col("text"), inj).as("text"))
+      TextAnalysis.scrubPii(aug)
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ips"), md5(col("text").cast("binary")).as("scrub_hash"))
+        .orderBy("doc_id")
+    })
   )
 
   private val toks = "regexp_split_to_array(trim(text), '\\s+')"
@@ -155,6 +201,88 @@ object TextQueries {
         |  < (CASE WHEN lang = 'en' THEN 300000
         |          WHEN lang = 'de' THEN 500000
         |          ELSE 1000000 END)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q52_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len,
+        |  $toks AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, 2 AS n,
+        |    list_aggregate(toks[i:i+1], 'string_agg', ' ') AS gram
+        |  FROM tk, UNNEST(range(1, len(toks))) AS t(i)
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS n,
+        |    list_aggregate(toks[i:i+2], 'string_agg', ' ') AS gram
+        |  FROM tk, UNNEST(range(1, len(toks) - 1)) AS t(i)),
+        |gc AS (SELECT doc_id, n, gram, count(*) AS cnt,
+        |    count(*) * length(gram) AS chars
+        |  FROM g GROUP BY doc_id, n, gram),
+        |t2 AS (SELECT doc_id, chars, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY cnt DESC, chars DESC) AS rn
+        |  FROM gc WHERE n = 2),
+        |d3 AS (SELECT doc_id, sum(chars) AS dup3
+        |  FROM gc WHERE n = 3 AND cnt > 1 GROUP BY doc_id)
+        |SELECT tk.doc_id,
+        |  ${r4sql("coalesce(t2.chars, 0) / CAST(text_len AS DOUBLE)")}
+        |    AS top_bigram_frac,
+        |  ${r4sql("coalesce(d3.dup3, 0) / CAST(text_len AS DOUBLE)")}
+        |    AS dup_trigram_frac
+        |FROM tk
+        |LEFT JOIN (SELECT doc_id, chars FROM t2 WHERE rn = 1) t2 USING (doc_id)
+        |LEFT JOIN d3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q53_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |    list_aggregate(toks[i:i+3], 'string_agg', ' ') AS gram
+        |  FROM tk, UNNEST(range(1, len(toks) - 2)) AS t(i)),
+        |test AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+        |SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared_ngrams
+        |FROM g JOIN test USING (gram)
+        |WHERE g.doc_id % 97 <> 0
+        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q54_budget_select" ->
+      s"""WITH scored AS (SELECT doc_id, lang,
+        |  ${r4sql(s"""0.3 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0) + 0.4 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) + 0.3 * (CAST(len(list_filter($toks, t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE) / CAST(len($toks) AS DOUBLE))""")} AS quality,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_subtokens
+        |  FROM documents),
+        |sel AS (SELECT *, sum(n_subtokens) OVER (
+        |    PARTITION BY lang ORDER BY quality DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM scored)
+        |SELECT doc_id, lang, quality, n_subtokens
+        |FROM sel WHERE cum <= 4000 ORDER BY doc_id""".stripMargin,
+
+    "q55_pii_scrub" ->
+      """WITH aug AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 7 = 0
+        |    THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END ||
+        |  CASE WHEN doc_id % 13 = 0
+        |    THEN ' host 10.0.' || (doc_id % 256) || '.7' ELSE '' END AS text
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+        |    AS t1 FROM aug),
+        |s2 AS (SELECT doc_id, n_emails,
+        |  CAST(len(regexp_extract_all(t1,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(t1,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, n_emails, n_ips,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS t3
+        |  FROM s2)
+        |SELECT doc_id, n_emails, n_phones, n_ips, md5(t3) AS scrub_hash
+        |FROM s3 ORDER BY doc_id""".stripMargin
   )
 }

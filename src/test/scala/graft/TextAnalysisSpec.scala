@@ -80,6 +80,103 @@ class TextAnalysisSpec extends SparkSpec {
     assert(reseeded != a)
   }
 
+  test("ngrams: positions, short-doc guard") {
+    val docs = Seq((1L, "a b c d"), (2L, "x"), (3L, "p q")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.ngrams(col("text"), 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L) == Seq.empty) // < n tokens: empty, NOT a descending-seq artifact
+    assert(got(3L) == Seq.empty)
+  }
+
+  test("repetitionStats: hand-computed Gopher fractions") {
+    // "ab ab ab cd": bigrams = [ab ab]x2, [ab cd]x1 -> top covers 2*5=10
+    // chars of 11; trigrams = [ab ab ab], [ab ab cd] all unique -> dup3 0
+    val d1 = "ab ab ab cd"
+    // "x y x y x y": bigram [x y]x3 (3*3=9), [y x]x2 (6); trigrams
+    // [x y x]x2, [y x y]x2 -> dup3 = 2*5 + 2*5 = 20 chars of 11
+    val d2 = "x y x y x y"
+    val docs = Seq((1L, d1), (2L, d2), (3L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (math.round(10.0 / 11.0 * 1e4) / 1e4, 0.0))
+    assert(got(2L) == (math.round(9.0 / 11.0 * 1e4) / 1e4,
+      math.round(20.0 / 11.0 * 1e4) / 1e4)) // overlapping grams can exceed 1
+    assert(got(3L) == (0.0, 0.0)) // no bigrams -> zero, doc still emitted
+  }
+
+  test("decontaminate: flags n-gram overlap with the held-out set only") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),   // shares 'quick brown fox' 3-gram
+      (2L, "totally different words here"),
+      (3L, "quick brown fox quick brown fox pad") // same gram twice: count once
+    ).toDF("doc_id", "text")
+    val test = Seq((100L, "a quick brown fox appears")).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminate(train, test, n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(1L) == 1L && got(3L) == 1L) // distinct shared grams, not hits
+    // the shuffled-join fallback agrees with the broadcast path
+    val shuffled = TextAnalysis.decontaminate(train, test, n = 3,
+      broadcastTest = false).as[(Long, Long)].collect().toMap
+    assert(shuffled == got)
+  }
+
+  test("selectByTokenBudget: two-stage threshold equals the global greedy") {
+    val rnd = new scala.util.Random(11)
+    // strata with many quality ties (few distinct words -> few distinct
+    // quality values) exercise the boundary-bucket window
+    val docs = (0 until 400).map { i =>
+      val lang = Seq("en", "de", "fr")(i % 3)
+      val words = Seq.fill(3 + rnd.nextInt(20))(
+        Seq("the", "a", "zq", "word", "of")(rnd.nextInt(5)))
+      (i.toLong, lang, words.mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val budget = 600L
+    val got = TextAnalysis.selectByTokenBudget(docs, budget)
+      .select("doc_id").as[Long].collect().toSet
+    // naive per-stratum greedy ground truth
+    val scored = docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityExpr(col("text")).as("q"),
+        TextAnalysis.subtokenCount(col("text")).as("n"))
+      .as[(Long, String, Double, Long)].collect()
+    val exp = scored.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (-r._3, r._1)).takeWhile { r =>
+        cum += r._4; cum <= budget
+      }.map(_._1).toSeq
+    }.toSet
+    assert(got == exp)
+    // selected token mass per stratum is within budget
+    val mass = TextAnalysis.selectByTokenBudget(docs, budget)
+      .groupBy("lang").agg(sum("n_subtokens").as("m"))
+      .as[(String, Long)].collect()
+    mass.foreach { case (l, m) => assert(m <= budget, s"$l over budget: $m") }
+    // a stratum entirely under budget is kept whole
+    val all = TextAnalysis.selectByTokenBudget(docs, 1000000L).count()
+    assert(all == 400)
+  }
+
+  test("scrubPii: typed redactions with counts") {
+    val docs = Seq(
+      (1L, "reach me at bob.smith+x@mail.example.org or 555-123-4567"),
+      (2L, "server 10.0.3.77 and 192.168.001.1 up"),
+      (3L, "clean text no pii"),
+      (4L, "a@b.io c@d.io")).toDF("doc_id", "text")
+    val got = TextAnalysis.scrubPii(docs)
+      .select("doc_id", "text", "n_emails", "n_phones", "n_ips")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == "reach me at <EMAIL> or <PHONE>")
+    assert(got(1L)._3 == 1 && got(1L)._4 == 1 && got(1L)._5 == 0)
+    assert(got(2L)._2 == "server <IP> and <IP> up")
+    assert(got(2L)._5 == 2)
+    assert(got(3L)._2 == "clean text no pii" &&
+      got(3L)._3 + got(3L)._4 + got(3L)._5 == 0)
+    assert(got(4L)._2 == "<EMAIL> <EMAIL>" && got(4L)._3 == 2)
+  }
+
   test("stratifiedSample honors per-stratum rates") {
     val docs = (0 until 3000).map(i =>
       (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr",
