@@ -117,6 +117,22 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Q56: approximate top-k via SQ8 scalar quantization — per-dimension
+    // byte grid from the sample's min/max envelope (a trainer with NO
+    // float-sum ambiguity, exactly replayable), asymmetric decode-and-dot
+    // scan. Completes the quantization family: IVF / PQ / IVF-PQ / SQ.
+    "q56_ann_sq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      SimilaritySearch.topKSq(queries, corpus, 5)
+        .select(col("query_id"), col("rank"), col("id"),
+          r4(col("sim")).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Q43: PQ with exact re-rank — ADC top-20 per query in the compressed
     // domain, then exact dots over just the survivors. Returned sims are
     // EXACT (the precision stage); the oracle replays both stages.
@@ -679,8 +695,49 @@ object ExtQueries {
       |FROM r WHERE rank <= 5 AND sim > 0
       |ORDER BY query_id, rank""".stripMargin
 
+  /** DuckDB replay of [[graft.operators.SimilaritySearch.topKSq]]: per-dim
+    * min/max over the id-ordered sample, byte encode with edge clamping,
+    * decode to REAL, asymmetric double-accumulated dots. */
+  private def q56OracleSql: String = {
+    val dotReal = (a: String, b: String) =>
+      s"""list_sum(list_transform(range(0, 64), i ->
+         |        CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))""".stripMargin
+    s"""WITH $annPrefixCtes,
+      |mm AS (
+      |  SELECT ii.i, CAST(min(v[ii.i + 1]) AS DOUBLE) AS lo,
+      |    (CAST(max(v[ii.i + 1]) AS DOUBLE)
+      |      - CAST(min(v[ii.i + 1]) AS DOUBLE)) / 255.0 AS sc
+      |  FROM sampq, (SELECT unnest(range(0, 64)) AS i) ii
+      |  GROUP BY ii.i),
+      |mml AS (SELECT list(lo ORDER BY i) AS lo, list(sc ORDER BY i) AS sc
+      |  FROM mm),
+      |enc AS (
+      |  SELECT n.vec_id, list_transform(range(0, 64), i ->
+      |    CASE WHEN m.sc[i + 1] = 0 THEN 0
+      |      ELSE CAST(least(255, greatest(0,
+      |        floor((CAST(n.v[i + 1] AS DOUBLE) - m.lo[i + 1])
+      |          / m.sc[i + 1] + 0.5))) AS BIGINT) END) AS codes
+      |  FROM nrm n, mml m),
+      |dec AS (
+      |  SELECT e.vec_id, list_transform(range(0, 64), i ->
+      |    CAST(m.lo[i + 1] + e.codes[i + 1] * m.sc[i + 1] AS REAL)) AS dv
+      |  FROM enc e, mml m),
+      |sc2 AS (
+      |  SELECT q.vec_id AS query_id, d.vec_id AS id,
+      |    ${dotReal("q.v", "d.dv")} AS sim
+      |  FROM nrm q, dec d WHERE q.vec_id < 10),
+      |r AS (
+      |  SELECT query_id, id, sim, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY sim DESC, id) AS INTEGER) AS rank
+      |  FROM sc2)
+      |SELECT query_id, rank, id, ${r4sql("sim")} AS sim
+      |FROM r WHERE rank <= 5 AND sim > 0
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q35_ann_ivf_topk" -> q35OracleSql,
+    "q56_ann_sq_topk" -> q56OracleSql,
     "q41_ann_pq_topk" -> q41OracleSql,
     "q43_ann_pq_refine" -> q43OracleSql,
     "q44_ann_ivfpq_topk" -> q44OracleSql,

@@ -17,6 +17,9 @@ class PlanSpec extends SparkSpec {
                             // at scale composes with IVF cells (IVF-PQ)
     "q43_ann_pq_refine",    // stage 1 is the same ADC scan; stage 2 is a
                             // broadcast equi-join over survivors only
+    "q56_ann_sq_topk",      // SQ8 decode-and-dot scan: same flat shape as
+                            // the ADC scan, 4× compressed corpus; compose
+                            // with IVF cells when candidates must shrink
     "q24b_simhash_pairs",   // banded join uses an additional id< condition
     "q23b_dedup_minhash_lsh",
     "q32_sql_surface"       // 5×5 pair demo
@@ -56,7 +59,8 @@ class PlanSpec extends SparkSpec {
     // hot query in a dense bucket/cell never sorts its whole candidate
     // set on one task. Exactly two row_number windows per plan.
     for (q <- Seq("q27_ann_lsh_topk", "q27b_ann_lsh_multi",
-        "q35_ann_ivf_topk", "q41_ann_pq_topk", "q44_ann_ivfpq_topk")) {
+        "q35_ann_ivf_topk", "q41_ann_pq_topk", "q44_ann_ivfpq_topk",
+        "q56_ann_sq_topk")) {
       val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
       // count Window OPERATOR nodes (WindowGroupLimit helpers also print

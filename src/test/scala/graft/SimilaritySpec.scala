@@ -101,6 +101,32 @@ class SimilaritySpec extends SparkSpec {
         SimilaritySearch.topKPqRefine(_, _, _, refine = 40))
       .select("avg_recall").as[Double].collect().head
     assert(refined == 1.0, s"full-coverage refine recall $refined")
+
+    // SQ8's regime is the INVERSE of the bucketing paths': on spread-out
+    // (unclustered) data its per-dim 256-level grid makes quantization
+    // error tiny relative to neighbor gaps -> near-exact recall where LSH
+    // collapsed above; on THIS clustered fixture the within-cluster
+    // spacing (~0.01) sits BELOW the quantization step (range ~2 / 255),
+    // so within-cluster order scrambles and recall lands mid-range — the
+    // documented trade, asserted as such (an exact-rerank composition à
+    // la topKPqRefine is the fix when both regimes must hold)
+    val sqRand = SimilaritySearch.annRecallSummary(randQueries, randCorpus, 5,
+        SimilaritySearch.topKSq(_, _, _))
+      .select("avg_recall").as[Double].collect().head
+    assert(sqRand >= 0.9, s"unclustered SQ8 recall $sqRand")
+    val sqClustered = SimilaritySearch.annRecallSummary(queryDf, corpusDf, 5,
+        SimilaritySearch.topKSq(_, _, _))
+      .select("avg_recall").as[Double].collect().head
+    assert(sqClustered > 0.3 && sqClustered < 0.95,
+      s"clustered sub-step-spacing SQ8 recall $sqClustered")
+    // decode sanity: a query scored against its own quantized self stays
+    // within the error budget (dim · step/2 · |v| ≈ 0.07 here) of 1.0 —
+    // an indexing/decode bug would crater this long before recall moves
+    val selfSims = SimilaritySearch.topKSq(queryDf, corpusDf, 10)
+      .where(col("query_id") === col("id"))
+      .select("sim").as[Double].collect()
+    assert(selfSims.length == 4 && selfSims.forall(s => math.abs(s - 1.0) < 0.1),
+      s"SQ8 self-sims ${selfSims.toSeq}")
   }
 
   test("PQ topK: cluster-level recall vs exact, ADC self-sim near 1") {
