@@ -285,27 +285,38 @@ object TextAnalysis {
           col("text_len").cast("double")).as("dup_trigram_frac"))
   }
 
+  /** md5-derived 56-bit gram key — the engine-portable hash every other
+    * portable operator uses (hashBucket / fingerprint); 56 bits keep the
+    * collision odds negligible (≈ q²/2⁵⁷ for q distinct grams — 1e-5 at
+    * a million grams) while making the key REPLAYABLE in the oracle. */
+  private def gramHash(gram: Column): Column =
+    conv(substring(md5(gram.cast("binary")), 1, 14), 16, 10).cast("long")
+
   /** Train/test decontamination by token n-gram overlap (the GPT-3 /
     * Llama eval-leakage check: a training doc is contaminated when it
     * shares any n-gram with the held-out set). Returns
     * (doc_id, n_shared_ngrams) for contaminated train docs only.
     *
-    * Scale shape: the test side collapses to a DISTINCT gram set — eval
-    * suites are orders of magnitude smaller than the corpus — and
-    * broadcasts, so the train side is a map-only explode+filter; the
-    * only shuffle is the per-doc distinct-gram count, keyed by doc_id.
-    * Pass `broadcastTest = false` when the held-out set is itself huge
-    * (falls back to a shuffled equi-join on the gram key). */
+    * Scale shape: grams travel as 8-byte md5-derived keys, never strings
+    * (the Dolma/RedPajama shape — a million-doc eval suite broadcasts as
+    * tens of MB, not GB of text). The test side collapses to a DISTINCT
+    * key set — eval suites are orders of magnitude smaller than the
+    * corpus — and broadcasts, so the train side is a map-only
+    * explode+filter; the only shuffle is the per-doc distinct-key count,
+    * keyed by doc_id. Pass `broadcastTest = false` when the held-out set
+    * is itself huge (falls back to a shuffled equi-join on the key). */
   def decontaminate(train: DataFrame, test: DataFrame, n: Int = 4,
                     idCol: String = "doc_id", textCol: String = "text",
                     broadcastTest: Boolean = true): DataFrame = {
     val testGrams = test
-      .select(explode(ngrams(col(textCol), n)).as("gram")).distinct()
+      .select(explode(ngrams(col(textCol), n)).as("_g"))
+      .select(gramHash(col("_g")).as("_gk")).distinct()
     val probe = if (broadcastTest) broadcast(testGrams) else testGrams
-    train.select(col(idCol), explode(ngrams(col(textCol), n)).as("gram"))
-      .join(probe, "gram")
+    train.select(col(idCol), explode(ngrams(col(textCol), n)).as("_g"))
+      .select(col(idCol), gramHash(col("_g")).as("_gk"))
+      .join(probe, "_gk")
       .groupBy(idCol)
-      .agg(count_distinct(col("gram")).as("n_shared_ngrams"))
+      .agg(count_distinct(col("_gk")).as("n_shared_ngrams"))
   }
 
   /** Greedy per-stratum corpus selection under a token budget: rank each

@@ -232,14 +232,18 @@ object TextQueries {
         |LEFT JOIN d3 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // grams travel as the engine's md5-derived 56-bit keys (replayed
+    // here), exactly as the operator ships them at scale
     "q53_decontaminate" ->
       s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
         |g AS (SELECT doc_id,
-        |    list_aggregate(toks[i:i+3], 'string_agg', ' ') AS gram
+        |    CAST(concat('0x', substr(md5(
+        |      list_aggregate(toks[i:i+3], 'string_agg', ' ')), 1, 14))
+        |      AS BIGINT) AS gk
         |  FROM tk, UNNEST(range(1, len(toks) - 2)) AS t(i)),
-        |test AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
-        |SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared_ngrams
-        |FROM g JOIN test USING (gram)
+        |test AS (SELECT DISTINCT gk FROM g WHERE doc_id % 97 = 0)
+        |SELECT g.doc_id, count(DISTINCT g.gk) AS n_shared_ngrams
+        |FROM g JOIN test USING (gk)
         |WHERE g.doc_id % 97 <> 0
         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
 
