@@ -251,22 +251,30 @@ object TextAnalysis {
     * Docs with fewer than 2 (resp. 3) tokens score 0.0.
     *
     * Scale shape: one corpus scan explodes both gram sizes tagged by n,
-    * then two keyed aggregations — (doc, n, gram) counts with map-side
-    * partial agg, and a per-doc struct-max/conditional-sum rollup. No
-    * windows, no driver state; both shuffles are keyed by doc_id(+gram),
-    * so a 100 TB corpus distributes on the natural key. */
+    * then two keyed aggregations — (doc, n, gram-key) counts with
+    * map-side partial agg, and a per-doc struct-max/conditional-sum
+    * rollup. No windows, no driver state; both shuffles are keyed by
+    * doc_id(+gram-key), so a 100 TB corpus distributes on the natural
+    * key. Grams travel as (md5-derived 56-bit key, length) pairs, never
+    * strings — the count only needs identity and the char math only
+    * needs length, so the dominant shuffle carries ~16 bytes per gram
+    * instead of the gram text (the same portable-hash trade as
+    * [[decontaminate]]; a (key, length) collision merging two distinct
+    * grams is ≈q²/2⁵⁷ per doc — negligible, and the oracle replays the
+    * identical keys). */
   def repetitionStats(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"),
       length(col("text")).cast("long").as("text_len"))
+    def tagged(n: Int) = transform(ngrams(col("text"), n), g =>
+      struct(lit(n).as("n"), gramHash(g).as("gk"),
+        length(g).cast("long").as("glen")))
     val grams = docs.select(col("doc_id"),
-        explode(concat(
-          transform(ngrams(col("text"), 2), g => struct(lit(2).as("n"), g.as("gram"))),
-          transform(ngrams(col("text"), 3), g => struct(lit(3).as("n"), g.as("gram")))
-        )).as("g"))
-      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
-    val counts = grams.groupBy("doc_id", "n", "gram")
+        explode(concat(tagged(2), tagged(3))).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gk").as("gk"),
+        col("g.glen").as("glen"))
+    val counts = grams.groupBy("doc_id", "n", "gk", "glen")
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("chars", col("cnt") * length(col("gram")).cast("long"))
+      .withColumn("chars", col("cnt") * col("glen"))
     val perDoc = counts.groupBy("doc_id").agg(
       // lexicographic struct max = max count, then max char coverage
       max(when(col("n") === 2, struct(col("cnt"), col("chars"))))

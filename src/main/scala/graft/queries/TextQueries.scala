@@ -214,9 +214,11 @@ object TextQueries {
         |  SELECT doc_id, 3 AS n,
         |    list_aggregate(toks[i:i+2], 'string_agg', ' ') AS gram
         |  FROM tk, UNNEST(range(1, len(toks) - 1)) AS t(i)),
-        |gc AS (SELECT doc_id, n, gram, count(*) AS cnt,
+        |gc AS (SELECT doc_id, n,
+        |    CAST(concat('0x', substr(md5(gram), 1, 14)) AS BIGINT) AS gk,
+        |    length(gram) AS glen, count(*) AS cnt,
         |    count(*) * length(gram) AS chars
-        |  FROM g GROUP BY doc_id, n, gram),
+        |  FROM g GROUP BY doc_id, n, gk, glen),
         |t2 AS (SELECT doc_id, chars, row_number() OVER (
         |    PARTITION BY doc_id ORDER BY cnt DESC, chars DESC) AS rn
         |  FROM gc WHERE n = 2),
