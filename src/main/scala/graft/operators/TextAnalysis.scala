@@ -172,6 +172,47 @@ object TextAnalysis {
         col("_c.n_chunk_tokens").as("n_chunk_tokens"))
   }
 
+  /** Per-document repeated-span statistics — the fixed-window
+    * approximation of suffix-array exact-substring dedup ("Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2022): hash
+    * every full `window`-token span at stride `step`; a span is REPEATED
+    * when its hash occurs ≥ 2 times corpus-wide (within-doc repeats
+    * count — repeated boilerplate inside one page is duplication too).
+    * Returns (doc_id, n_spans, n_repeated_spans, repeated_frac) for docs
+    * with at least one full window; `repeated_frac` is the span-level
+    * duplication signal quality pipelines threshold on.
+    *
+    * Scale shape: spans reuse [[chunkTokens]] (map-only explode to md5
+    * hashes — the text itself never shuffles); the occurrence count and
+    * the join back are BOTH keyed by the hash, so Spark reuses one
+    * exchange for the two consumers, then one doc_id-keyed rollup. The
+    * span projection is persisted across its two consumers (the
+    * regex-tokenize scan is the dominant cost, same lifetime contract as
+    * [[packShards]] — result is checkpoint-backed, temp freed eagerly). */
+  def spanDedupStats(docs: DataFrame, window: Int, step: Int): DataFrame = {
+    require(step >= 1 && step <= window,
+      s"need 1 <= step($step) <= window($window)")
+    val spans = chunkTokens(docs, window, window - step)
+      .where(col("n_chunk_tokens") === window)
+      .select("doc_id", "chunk_hash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repeated = spans.groupBy("chunk_hash")
+      .agg(count(lit(1)).as("_occ"))
+      .where(col("_occ") >= 2)
+    val out = spans.join(repeated, Seq("chunk_hash"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("_occ").isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_repeated_spans"))
+      .withColumn("repeated_frac",
+        floor(col("n_repeated_spans").cast("double") /
+          col("n_spans").cast("double") * 10000.0 + 0.5).cast("double")
+          / 10000.0)
+      .localCheckpoint(true)
+    spans.unpersist(false)
+    out
+  }
+
   /** Deterministic hash sampling: keep a row iff
     * md5(key:seed) mod 1e6 < rate·1e6 — reproducible across runs,
     * engines, and partitionings (no RNG state), map-only, and stable

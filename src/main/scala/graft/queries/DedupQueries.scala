@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -62,6 +62,14 @@ object DedupQueries {
         max("doc_id").as("drop_doc"))
       .where(col("dup_cnt") > 1)
       .orderBy("text_hash")),
+
+    // Q57: repeated-span statistics — the fixed-window approximation of
+    // suffix-array substring dedup (Lee et al. 2022) over the augmented
+    // corpus (the exact-copy tier makes every span of a copied doc
+    // corpus-repeated; near-dup copies shift alignment and stay clean).
+    "q57_repeated_spans" -> ((s, d) =>
+      TextAnalysis.spanDedupStats(augDocs(s, d), window = 16, step = 8)
+        .orderBy("doc_id")),
 
     // MinHash + LSH banding + true-Jaccard verification.
     "q23b_dedup_minhash_lsh" -> ((s, d) =>
@@ -268,6 +276,29 @@ object DedupQueries {
         |  min(doc_id) AS keep_doc, max(doc_id) AS drop_doc
         |FROM aug GROUP BY md5(text) HAVING count(*) > 1
         |ORDER BY text_hash""".stripMargin,
+
+    // replay of spanDedupStats: the q47 chunk-hash recipe at window 16 /
+    // stride 8, full windows only, occurrence >= 2 marks a repeated span
+    "q57_repeated_spans" ->
+      s"""WITH $augDocsSql,
+        |tk AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\\s+') AS toks FROM aug),
+        |st AS (SELECT doc_id, toks,
+        |    unnest(range(1, len(toks) + 1, 8)) AS start
+        |  FROM tk WHERE len(toks) > 0),
+        |sp AS (SELECT doc_id,
+        |    md5(array_to_string(list_slice(toks, start, start + 15), ' '))
+        |      AS h
+        |  FROM st WHERE len(toks) - start + 1 >= 16),
+        |rep AS (SELECT h FROM sp GROUP BY h HAVING count(*) >= 2)
+        |SELECT sp.doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN rep.h IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_repeated_spans,
+        |  floor(CAST(sum(CASE WHEN rep.h IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0
+        |    AS repeated_frac
+        |FROM sp LEFT JOIN rep USING (h)
+        |GROUP BY sp.doc_id ORDER BY doc_id""".stripMargin,
 
     "q23b_dedup_minhash_lsh" ->
       s"""WITH $augDocsSql,

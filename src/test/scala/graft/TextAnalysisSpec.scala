@@ -158,6 +158,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(all == 400)
   }
 
+  test("spanDedupStats: exact copies fully repeated, distinct docs clean, " +
+    "within-doc boilerplate counts") {
+    val passage = (1 to 24).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, passage),                         // copy pair with doc 2
+      (2L, passage),
+      (3L, (1 to 24).map(i => s"u$i").mkString(" ")), // distinct
+      (4L, Seq.fill(3)((1 to 8).map(i => s"b$i").mkString(" ")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.spanDedupStats(docs, window = 8, step = 8)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // window 8 step 8: docs 1-3 have 3 full spans each
+    assert(got(1L) == (1L, 3L, 3L, 1.0)) // every span shared with doc 2
+    assert(got(2L) == (2L, 3L, 3L, 1.0))
+    assert(got(3L) == (3L, 3L, 0L, 0.0)) // no repeats anywhere
+    // doc 4: the same 8-token block 3 times -> 3 identical spans, all
+    // repeated WITHIN the doc (boilerplate duplication counts)
+    assert(got(4L) == (4L, 3L, 3L, 1.0))
+    // partial tail windows are excluded: a 12-token doc at window 8 has
+    // exactly one full span
+    val tail = Seq((9L, (1 to 12).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val t = TextAnalysis.spanDedupStats(tail, 8, 8)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(t.toSeq == Seq((9L, 1L, 0L, 0.0)))
+  }
+
   test("scrubPii: typed redactions with counts") {
     val docs = Seq(
       (1L, "reach me at bob.smith+x@mail.example.org or 555-123-4567"),
