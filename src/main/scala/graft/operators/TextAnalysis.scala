@@ -389,14 +389,38 @@ object TextAnalysis {
     * order the one-window form would use. */
   def selectByTokenBudget(docs: DataFrame, budget: Long,
                           strataCol: String = "lang"): DataFrame = {
+    // persisted: the regex-heavy scoring scan feeds THREE consumers
+    // (bucket totals, the pass-through branch, the boundary branch) —
+    // the projection is 5 narrow columns, ~1000× smaller than the text
+    // it derives from (same lifetime contract as packShards: result is
+    // checkpoint-backed, temp freed before returning)
+    val bucketed = scoredBuckets(docs, strataCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = selectFromBuckets(bucketed, budget, strataCol)
+      .localCheckpoint(true)
+    bucketed.unpersist(false)
+    out
+  }
+
+  /** The [[selectByTokenBudget]] pipeline without the persist/checkpoint
+    * pinning — exposed so plan-shape gates can assert the two-window
+    * threshold structure (the checkpoint hides it from the public plan). */
+  private[graft] def selectByTokenBudgetPlan(docs: DataFrame, budget: Long,
+      strataCol: String = "lang"): DataFrame =
+    selectFromBuckets(scoredBuckets(docs, strataCol), budget, strataCol)
+
+  /** (doc_id, stratum, quality, n_subtokens, _qb): integer quality bucket
+    * = quality·10000 (bijective — quality has 4 decimals). */
+  private def scoredBuckets(docs: DataFrame, strataCol: String): DataFrame =
+    docs.select(col("doc_id"), col(strataCol),
+        qualityExpr(col("text")).as("quality"),
+        subtokenCount(col("text")).as("n_subtokens"))
+      .withColumn("_qb", round(col("quality") * 10000).cast("long"))
+
+  private def selectFromBuckets(bucketed: DataFrame, budget: Long,
+                                strataCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget >= 0, s"budget must be >= 0, got $budget")
-    val scored = docs.select(col("doc_id"), col(strataCol),
-      qualityExpr(col("text")).as("quality"),
-      subtokenCount(col("text")).as("n_subtokens"))
-    // integer bucket = quality * 10000 (bijective: quality has 4 decimals)
-    val bucketed = scored.withColumn("_qb",
-      round(col("quality") * 10000).cast("long"))
     val bucketTotals = bucketed.groupBy(strataCol, "_qb")
       .agg(sum("n_subtokens").as("_btok"))
     // descending cumulative over the tiny (stratum, bucket) frame; the

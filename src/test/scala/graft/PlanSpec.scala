@@ -100,6 +100,40 @@ class PlanSpec extends SparkSpec {
       plan.take(4000))
   }
 
+  test("q53 decontamination: held-out gram keys broadcast — no shuffled " +
+    "join ever reaches the train-side gram stream") {
+    val plan = SparkEntry.queries("q53_decontaminate")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan.take(2000))
+  }
+
+  test("q54 budget selection: threshold bucketing leaves exactly two " +
+    "windows — the tiny bucket-totals cum and the boundary-bucket cum") {
+    // the public operator checkpoints its result (freeing the scored
+    // cache eagerly), which hides the internals — gate the un-pinned
+    // pipeline, which q54 wraps
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = graft.operators.TextAnalysis
+      .selectByTokenBudgetPlan(docs, 4000)
+      .queryExecution.executedPlan.toString
+    // neither window may see the corpus: the bucket-totals cum runs over
+    // the tiny (stratum, quality-bucket) frame (duplicated into both
+    // union branches here because the un-pinned pipeline re-derives it;
+    // the public operator's persist collapses the duplicate), the
+    // boundary cum over the single threshold bucket's docs
+    val windows = "Window \\[".r.findAllIn(plan).length
+    assert(windows == 2 || windows == 3,
+      s"expected 2-3 bounded windows, got $windows:\n" + plan.take(4000))
+    // the corpus-grain branches themselves are window-free: every window
+    // partition spec is keyed by the stratum alone (bucket/boundary
+    // frames), never an unpartitioned global cumsum
+    assert(!plan.contains("windowspecdefinition()"), plan.take(4000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("q31 as-of: union+window shape — one hash exchange, no join") {
     val plan = SparkEntry.queries("q31_asof_join")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
