@@ -260,6 +260,71 @@ object StreamingIngest {
     df.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming decontamination guard: drop stream documents sharing any
+    * token n-gram with a STATIC held-out set (the batch
+    * [[graft.operators.TextAnalysis.decontaminate]] as an ingest-time
+    * filter). The held-out grams collapse ONCE to the same md5-derived
+    * 56-bit keys the batch operator ships and ride a broadcast variable;
+    * each stream row pays one tokenize + (tokens−n+1) hash-set probes
+    * inside a typed filter.
+    *
+    * This is the engine's one deliberate non-codegen hot path: Structured
+    * Streaming offers no stream-native way to express "doc passes iff NO
+    * exploded gram matches" without either a state store (explode →
+    * re-aggregate, which adds watermark latency) or an unsupported
+    * stream-stream anti-join — a stateless broadcast-set probe is the
+    * shape that keeps the guard output-mode-agnostic and latency-free.
+    * Row-for-row agreement with the batch operator is gated in
+    * StreamingSpec. `invert = true` emits the QUARANTINE stream
+    * (contaminated docs only) instead. */
+  def streamingDecontaminate(stream: DataFrame, test: DataFrame, n: Int = 4,
+                             textCol: String = "text",
+                             invert: Boolean = false): DataFrame = {
+    import graft.operators.TextAnalysis
+    val keys: Set[Long] = test
+      .select(explode(TextAnalysis.ngrams(col(textCol), n)).as("_g"))
+      .select(conv(substring(md5(col("_g").cast("binary")), 1, 14), 16, 10)
+        .cast("long").as("_gk"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val bKeys = stream.sparkSession.sparkContext.broadcast(keys)
+    val idx = stream.schema.fieldIndex(textCol)
+    stream.filter { row =>
+      val contaminated = !row.isNullAt(idx) &&
+        gramKeysJvm(row.getString(idx), n).exists(bKeys.value.contains)
+      contaminated == invert
+    }
+  }
+
+  /** JVM twin of the column-side gram hashing
+    * ([[graft.operators.TextAnalysis.ngrams]] + md5-prefix key), kept
+    * BIT-IDENTICAL so streaming and batch decontamination agree on every
+    * row: Spark's `trim` strips the space char only (not Java's
+    * whitespace-≤U+0020 rule) and its `split` keeps leading empties
+    * (Pattern.split with limit −1). */
+  private[graft] def gramKeysJvm(text: String, n: Int): Iterator[Long] = {
+    var s = text
+    var a = 0; var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s = s.substring(a, b)
+    val toks = s.split("\\s+", -1)
+    if (toks.length < n) Iterator.empty
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 to toks.length - n).iterator.map { i =>
+        md.reset()
+        val d = md.digest(
+          toks.slice(i, i + n).mkString(" ")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 14 hex chars = the top 7 bytes' hex, i.e. 56 bits
+        var v = 0L
+        var j = 0
+        while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+        v
+      }
+    }
+  }
+
   /** Watermarked per-hour event statistics — the canonical streaming agg
     * shape (readStream → watermark → windowed groupBy → writeStream).
     * `events` must carry a TimestampType `ts` column. */

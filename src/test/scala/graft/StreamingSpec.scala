@@ -328,4 +328,50 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSet
     assert(rows.contains(("click", 2L, 2.0)))
   }
+
+  test("streaming decontamination: clean + quarantine streams partition " +
+    "the input and agree row-for-row with the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val testSet = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val docsData = Seq(
+      (1L, "x alpha beta gamma delta y"),    // shares 'alpha beta gamma delta'
+      (2L, "totally clean document right here"),
+      (3L, "beta gamma delta epsilon tail"), // shares a shifted 4-gram
+      (4L, "alpha beta gamma x delta"),      // broken up: no shared 4-gram
+      (5L, "tiny doc"))                      // < n tokens: trivially clean
+    val stream = MemoryStream[(Long, String)]
+    val in = stream.toDF().toDF("doc_id", "text")
+    val qc = StreamingIngest.streamingDecontaminate(in, testSet)
+      .writeStream.format("memory").queryName("decon_clean")
+      .outputMode("append").start()
+    val qq = StreamingIngest.streamingDecontaminate(in, testSet,
+        invert = true)
+      .writeStream.format("memory").queryName("decon_quar")
+      .outputMode("append").start()
+    try {
+      stream.addData(docsData: _*)
+      qc.processAllAvailable(); qq.processAllAvailable()
+    } finally { qc.stop(); qq.stop() }
+    val kept = spark.table("decon_clean")
+      .select("doc_id").as[Long].collect().toSet
+    val quarantined = spark.table("decon_quar")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 5L), s"kept $kept")
+    assert(quarantined == Set(1L, 3L), s"quarantined $quarantined")
+    // exact agreement with the batch operator's flags
+    val flagged = graft.operators.TextAnalysis
+      .decontaminate(docsData.toDF("doc_id", "text"), testSet)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged == quarantined)
+    // the JVM gram hasher is bit-identical to the column-side keys
+    val sparkKeys = docsData.toDF("doc_id", "text")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.operators.TextAnalysis.ngrams(col("text"), 4)).as("g"))
+      .select(conv(substring(md5(col("g").cast("binary")), 1, 14), 16, 10)
+        .cast("long")).as[Long].collect().sorted.toSeq
+    val jvmKeys = docsData
+      .flatMap(d => StreamingIngest.gramKeysJvm(d._2, 4)).sorted
+    assert(sparkKeys == jvmKeys)
+  }
 }
