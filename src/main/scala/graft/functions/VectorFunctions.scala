@@ -57,6 +57,13 @@ object VectorFunctions {
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
   }
 
+  /** [[dotNative]] for ARRAY<DOUBLE> inputs (the distributed trainers'
+    * double-precision centroids) — codegen'd [[DotProductDouble]]. */
+  def dotNativeD(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(DotProductDouble(Bridge.expression(a), Bridge.expression(b)))
+  }
+
   /** Cosine similarity of two raw vectors. For bulk scoring pre-normalize. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 

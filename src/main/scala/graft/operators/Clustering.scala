@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Distributed spherical k-means over the FULL corpus — the 100 TB
+  * counterpart of the sample-bound quantized Lloyd's the ANN paths train
+  * with ([[SimilaritySearch.lloydQuantized]]). The sample trainers collect
+  * ≤4096 rows and iterate on the driver; this trainer never moves the
+  * corpus: each iteration is ONE map-side-combinable aggregation whose
+  * shuffle carries at most k·dim·partitions partial-sum rows, and the
+  * driver only ever holds the k centroids. That is how IVF coarse
+  * quantizers are trained at corpus scale (a 4096-row sample of a 100 TB
+  * corpus under-fits its cell structure; the full-corpus pass doesn't).
+  *
+  * Determinism (and hence DuckDB replayability, same recipe as the
+  * sample trainers, proven by q35/q44):
+  *  - vectors unit-normalize, then quantize to the 1/1024 integer grid;
+  *    per-cell per-dimension sums are EXACT longs — aggregation order
+  *    cannot move them;
+  *  - assignment dots run in double over the dequantized grid values
+  *    (codegen'd [[graft.functions.DotProductDouble]]), ties to the
+  *    lowest cell;
+  *  - init = the k lowest-vec_id rows (deterministic without a global
+  *    rank: an `orderBy(id).limit(k)` is a distributed top-k, not a
+  *    corpus sort);
+  *  - centroid update on the driver in double: mean = sum/cnt/1024,
+  *    L2-normalized; empty cells keep their previous centroid.
+  */
+object Clustering {
+
+  /** Train `nCells` centroids with `iters` full-corpus Lloyd iterations,
+    * then return every vector's final assignment: (vec_id, cell, sim)
+    * with `sim` = dot(dequantized vector, its centroid). The input is
+    * (vec_id, embedding ARRAY<FLOAT>); zero-norm rows are dropped (they
+    * have no direction to cluster).
+    *
+    * The quantized corpus projection persists across the iteration jobs
+    * and is freed before returning; the result is checkpoint-backed
+    * (same lifetime contract as [[Dedup.connectedComponents]]). */
+  def kmeansAssign(corpus: DataFrame, nCells: Int = 8,
+                   iters: Int = 3): DataFrame = {
+    val (nrm, cents) = train(corpus, nCells, iters)
+    val out = withCellD(nrm, cents)
+      .withColumn("sim", array_max(col("_sims")))
+      .select("vec_id", "cell", "sim")
+      .localCheckpoint(true)
+    nrm.unpersist(false)
+    out
+  }
+
+  /** The trained centroids alone (assignment skipped) — the full-corpus
+    * IVF coarse-quantizer training path: feed these to
+    * [[SimilaritySearch.withCell]]-style assignment in place of the
+    * sample-trained centroids. Returned as floats (the literal type the
+    * codegen'd float dot consumes). */
+  def kmeansCentroids(corpus: DataFrame, nCells: Int = 8,
+                      iters: Int = 3): Array[Array[Float]] = {
+    val (nrm, cents) = train(corpus, nCells, iters)
+    nrm.unpersist(false)
+    cents.map(_.map(_.toFloat))
+  }
+
+  /** Map-only assignment against double-centroid literals: `_sims` =
+    * per-centroid dots, `cell` = argmax with first-max (lowest-cell)
+    * tie-break — the shape every oracle replays as
+    * `row_number() OVER (ORDER BY d DESC, cell) = 1`. */
+  private def withCellD(df: DataFrame,
+                        cents: Array[Array[Double]]): DataFrame =
+    df.withColumn("_sims", array(cents.map(c =>
+        dotNativeD(col("dv"), typedLit(c.toSeq))): _*))
+      .withColumn("cell",
+        (array_position(col("_sims"), array_max(col("_sims"))) - 1)
+          .cast("int"))
+
+  /** Shared pipeline: persisted quantized corpus projection + `iters`
+    * aggregate-collect rounds. Caller owns unpersisting the frame. */
+  private def train(corpus: DataFrame, nCells: Int, iters: Int)
+      : (DataFrame, Array[Array[Double]]) = {
+    require(nCells > 0 && iters >= 0)
+    val nrm = corpus
+      .withColumn("_n", l2NormNative(col("embedding")))
+      .where(col("_n") > 0)
+      .withColumn("_v", l2NormalizeWithNative(col("embedding"), col("_n")))
+      .select(col("vec_id"),
+        transform(col("_v"),
+          x => floor(x.cast("double") * lit(1024.0) + lit(0.5)).cast("long"))
+          .as("qv"))
+      .withColumn("dv",
+        transform(col("qv"), q => q.cast("double") / lit(1024.0)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var cents: Array[Array[Double]] = nrm.orderBy("vec_id").limit(nCells)
+      .select("dv").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("dv").toArray)
+    require(cents.nonEmpty, "kmeans: empty corpus")
+    val dim = cents.head.length
+
+    for (_ <- 1 to iters) {
+      // one job per round: per-(cell, dimension) exact long sums with
+      // map-side combine; only k·dim aggregated rows reach the driver
+      val parts = withCellD(nrm, cents)
+        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "q")))
+        .groupBy("cell", "pos")
+        .agg(sum("q").as("sq"), count(lit(1)).as("cnt"))
+        .collect()
+      val sums = Array.fill(cents.length)(new Array[Long](dim))
+      val counts = new Array[Long](cents.length)
+      parts.foreach { r =>
+        val c = r.getAs[Int]("cell"); val p = r.getAs[Int]("pos")
+        sums(c)(p) = r.getAs[Long]("sq")
+        counts(c) = r.getAs[Long]("cnt")
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          val m = Array.tabulate(dim)(i =>
+            sums(c)(i).toDouble / counts(c).toDouble / 1024.0)
+          var ss = 0.0; var i = 0
+          while (i < dim) { ss += m(i) * m(i); i += 1 }
+          val nn = math.sqrt(ss)
+          if (nn == 0) cents(c) else m.map(_ / nn)
+        }
+      }
+    }
+    (nrm, cents)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Keyword (BM25) retrieval and rank fusion — the lexical half of a
+  * training-data search stack (the reference's engine is vector-only;
+  * a corpus user doing contamination forensics or quality audits needs
+  * "find the documents containing these terms, ranked" next to ANN, and
+  * hybrid BM25+vector fusion is the standard retrieval-quality baseline).
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *  - the text is tokenized ONCE into a postings frame keyed by an
+  *    md5-derived 56-bit term key — terms never shuffle as strings, and
+  *    the only corpus-sized shuffle is the (doc, term) partial-aggregated
+  *    groupBy (map-side combine collapses repeated terms per doc before
+  *    anything moves);
+  *  - query terms broadcast; postings are semi-filtered to query terms
+  *    BEFORE any scoring work, so per-search cost is proportional to the
+  *    posting lists of the queried terms, not the corpus (document
+  *    frequencies are likewise counted only for queried terms);
+  *  - per-term score contributions quantize to exact 1e-6 longs before the
+  *    per-(query, doc) sum, so aggregation order cannot change results
+  *    (same determinism recipe as the quantized ANN trainers), and the
+  *    final rank is the salted two-phase top-k.
+  *
+  * A term present in more than half the corpus gets a small (but still
+  * positive — Lucene's +1 smoothing) idf rather than a negative one, so
+  * stopword-heavy queries degrade gracefully instead of penalizing
+  * matches.
+  */
+object Retrieval {
+
+  private def toks(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Tokenized postings: one row per (doc_id, term_key) with the term
+    * frequency and the document token length — (doc_id, dl, term_key, tf).
+    * Term keys are [[Dedup.md5Long]] 56-bit hashes (collision odds over a
+    * q-term vocabulary ≈ q²/2⁵⁷ — negligible, and the oracle replays the
+    * identical keys). */
+  def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks(col("text")).as("_toks"))
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("dl"),
+        explode(col("_toks")).as("_term"))
+      .groupBy(col("doc_id"), col("dl"),
+        Dedup.md5Long(col("_term")).as("term_key"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** BM25 top-`k` per query. `queries` is a small (query_id, qtext) frame
+    * (it broadcasts; repeated terms within one query count once — the
+    * standard short-query form). Output: (query_id, rank, doc_id, score),
+    * score quantized to 1e-6 (exact integer summation → deterministic
+    * across engines and partitionings).
+    *
+    * One corpus-text scan; the postings build is the only corpus-sized
+    * shuffle. k1/b are the Robertson defaults. */
+  def bm25(docs: DataFrame, queries: DataFrame, k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val post = postings(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-query distinct terms, and the distinct overall key set
+    val qt = queries
+      .select(col("query_id"), explode(toks(col("qtext"))).as("_qterm"))
+      .select(col("query_id"), Dedup.md5Long(col("_qterm")).as("term_key"))
+      .distinct()
+    val qkeys = qt.select("term_key").distinct()
+    // corpus stats (1 row): N docs, total token length -> avgdl; rides in
+    // as a 1-row broadcast (the scalar-subquery plan shape)
+    val stats = post.groupBy("doc_id").agg(first("dl").as("dl"))
+      .agg(count(lit(1)).as("n"), sum("dl").as("tot"))
+    // postings restricted to queried terms; df counted on the restriction
+    // (post has exactly one row per (doc, term), so count(*) = df)
+    val cand = post.join(broadcast(qkeys), Seq("term_key"))
+    val dfreq = cand.groupBy("term_key").agg(count(lit(1)).as("df"))
+    val k1b = k1 * (1 - b) // 0.3 at defaults
+    val k1bb = k1 * b // 0.9
+    val scored = cand
+      .join(broadcast(qt), Seq("term_key"))
+      .join(broadcast(dfreq), Seq("term_key"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_avgdl", col("tot").cast("double") / col("n").cast("double"))
+      .withColumn("_idf",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("_contrib",
+        col("_idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + (lit(k1b) + lit(k1bb) * col("dl") / col("_avgdl"))))
+      .withColumn("_cq",
+        floor(col("_contrib") * lit(1000000.0) + lit(0.5)).cast("long"))
+    val perDoc = scored.groupBy("query_id", "doc_id")
+      .agg(sum("_cq").as("score_q"))
+    val ranked = TopK.perKeySalted(perDoc, "query_id",
+        Seq(desc("score_q"), col("doc_id")), k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        (col("score_q").cast("double") / lit(1000000.0)).as("score"))
+      .localCheckpoint(true)
+    post.unpersist(false)
+    ranked
+  }
+
+  /** Reciprocal-rank fusion over any number of per-query rankings (each a
+    * (query_id, doc_id, rank) frame — BM25, ANN, whatever): fused score
+    * Σ 1/(c + rank), quantized to exact 1e-9 longs via integer division
+    * (1e9 div (c+rank)) so the cross-list sum is order-insensitive. A doc
+    * missing from a list contributes nothing for it. Output: (query_id,
+    * rank, doc_id, rrf) — the standard hybrid-search merge (c = 60 per
+    * Cormack et al.). */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contribs = rankings.map(_.select(col("query_id"), col("doc_id"),
+      expr(s"1000000000L div ($c + cast(rank as bigint))").as("_rq")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy("query_id", "doc_id")
+      .agg(sum("_rq").as("rrf_q"))
+    TopK.perKeySalted(fused, "query_id",
+        Seq(desc("rrf_q"), col("doc_id")), k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        (col("rrf_q").cast("double") / lit(1000000000.0)).as("rrf"))
+  }
+}

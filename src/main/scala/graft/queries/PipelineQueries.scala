@@ -1,0 +1,304 @@
+package graft.queries
+
+import graft.operators.{Clustering, QualityModels, Retrieval, SimilaritySearch}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-5 widening of the training-pipeline surface: lexical (BM25) and
+  * hybrid retrieval, model-shaped quality scoring (hashed linear
+  * classifier, bigram-LM perplexity), full-corpus distributed k-means,
+  * and temperature-weighted source mixing — q58..q63, each with a DuckDB
+  * oracle that replays the engine's integer/quantized arithmetic
+  * end-to-end (the same determinism discipline as the ANN trainers). */
+object PipelineQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q58: BM25 keyword retrieval — three fixed queries (one with the
+    // rare discriminative term 'dup') over the documents corpus.
+    "q58_bm25" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq((0L, "dup merge scan"), (1L, "spark window agg"),
+        (2L, "vector join fast")).toDF("query_id", "qtext")
+      Retrieval.bm25(par(Tables.documents(s, d)), qs, 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Q59: hybrid retrieval — BM25 more-like-this (query = docs 0..2) and
+    // exact vector kNN (query = embeddings 0..2) fused by reciprocal-rank
+    // fusion. Both rankings at k=20, fused top-10.
+    "q59_hybrid_rrf" -> ((s, d) => {
+      val docs = par(Tables.documents(s, d))
+      val qdocs = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").cast("long").as("query_id"),
+          col("text").as("qtext"))
+      val lex = Retrieval.bm25(docs, qdocs, 20)
+        .select("query_id", "doc_id", "rank")
+      val emb = Tables.embeddings(s, d)
+      val vq = emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val vec = SimilaritySearch.topK(vq, corpus, 20)
+        .select(col("query_id"), col("id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, vec), 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Q60: hashing-trick linear classifier inference (the fastText-filter
+    // shape) with md5-derived integer weights — exact long margins.
+    "q60_quality_classifier" -> ((s, d) =>
+      QualityModels.hashedLinearScore(par(Tables.documents(s, d)))
+        .withColumn("score", r4(col("score")))
+        .orderBy("doc_id")),
+
+    // Q61: add-one bigram LM scoring — counts trained on the
+    // doc_id % 97 != 0 slice (the q53 split), every doc scored by mean
+    // bigram log-prob (quantized-long summation).
+    "q61_lm_score" -> ((s, d) => {
+      val docs = par(Tables.documents(s, d))
+      val train = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+      QualityModels.bigramLmScore(train, docs)
+        .withColumn("avg_logprob", r4(col("avg_logprob")))
+        .orderBy("doc_id")
+    }),
+
+    // Q62: distributed full-corpus spherical k-means (8 cells, 3 Lloyd
+    // rounds) over the embeddings table — the corpus-scale IVF trainer.
+    "q62_kmeans" -> ((s, d) =>
+      Clustering.kmeansAssign(par(Tables.embeddings(s, d)),
+          nCells = 8, iters = 3)
+        .select(col("vec_id"), col("cell"), r4(col("sim")).as("sim"))
+        .orderBy("vec_id")),
+
+    // Q63: temperature-0.5 source mixing under a 20k-subtoken budget —
+    // deterministic md5-keyed keep test per source rate.
+    "q63_source_mixture" -> ((s, d) =>
+      QualityModels.sourceMixtureSample(par(Tables.documents(s, d)),
+          tokenBudget = 20000L)
+        .withColumn("rate", r4(col("rate")))
+        .orderBy("doc_id"))
+  )
+
+  private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+  private def key56(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 14)) AS BIGINT)"
+
+  /** Shared BM25 replay: postings/stats/df/score CTEs over `documents`,
+    * parameterized by the query-terms CTE body. Ends with `bm(query_id,
+    * doc_id, score_q, rank)`. Constants are interpolated from the SAME
+    * JVM arithmetic the operator uses (k1=1.2, b=0.75), so both engines
+    * evaluate identical doubles. */
+  private def bm25Ctes(qtSql: String): String =
+    s"""tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      |post AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+      |    ${key56("t")} AS term_key, count(*) AS tf
+      |  FROM tk, UNNEST(toks) AS u(t)
+      |  GROUP BY doc_id, dl, term_key),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(dl) AS BIGINT) AS tot
+      |  FROM (SELECT doc_id, any_value(dl) AS dl FROM post GROUP BY doc_id)),
+      |qt AS ($qtSql),
+      |qk AS (SELECT DISTINCT query_id, ${key56("term")} AS term_key FROM qt),
+      |dfreq AS (SELECT term_key, count(*) AS df FROM post
+      |  WHERE term_key IN (SELECT DISTINCT term_key FROM qk)
+      |  GROUP BY term_key),
+      |bsc AS (
+      |  SELECT qk.query_id, p.doc_id,
+      |    CAST(floor(
+      |      ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+      |        * (p.tf * ${1.2 + 1.0})
+      |        / (p.tf + (${1.2 * (1 - 0.75)} + ${1.2 * 0.75} * p.dl
+      |            / (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE))))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS cq
+      |  FROM post p
+      |  JOIN qk ON p.term_key = qk.term_key
+      |  JOIN dfreq d ON d.term_key = p.term_key
+      |  CROSS JOIN stats s),
+      |bagg AS (SELECT query_id, doc_id, CAST(sum(cq) AS BIGINT) AS score_q
+      |  FROM bsc GROUP BY query_id, doc_id),
+      |bm AS (SELECT query_id, doc_id, score_q,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank
+      |  FROM bagg)""".stripMargin
+
+  private val q58Qt: String =
+    """SELECT CAST(v.query_id AS BIGINT) AS query_id, v.term
+      |  FROM (VALUES (0, 'dup'), (0, 'merge'), (0, 'scan'),
+      |    (1, 'spark'), (1, 'window'), (1, 'agg'),
+      |    (2, 'vector'), (2, 'join'), (2, 'fast')) v(query_id, term)""".stripMargin
+
+  /** q62 iteration CTEs, q35-style but over the FULL corpus `dz`. */
+  private def kmeansIter(t: Int): String = {
+    val dot = (a: String, b: String) =>
+      s"list_sum(list_transform(range(0, 64), i -> $a[i+1] * $b[i+1]))"
+    s"""a$t AS (
+      |  SELECT vec_id, qv, cell FROM (
+      |    SELECT d.vec_id, d.qv, c.cell,
+      |      row_number() OVER (PARTITION BY d.vec_id
+      |        ORDER BY ${dot("d.dv", "c.cv")} DESC, c.cell) AS rnk
+      |    FROM dz d CROSS JOIN c${t - 1} c) x
+      |  WHERE rnk = 1),
+      |s$t AS (
+      |  SELECT cell, ii.i, CAST(sum(qv[ii.i + 1]) AS BIGINT) AS sq,
+      |    count(*) AS cnt
+      |  FROM a$t, (SELECT unnest(range(0, 64)) AS i) ii
+      |  GROUP BY cell, ii.i),
+      |m$t AS (
+      |  SELECT cell,
+      |    list(CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE) / 1024.0
+      |      ORDER BY i) AS mv
+      |  FROM s$t GROUP BY cell),
+      |c$t AS (
+      |  SELECT p.cell,
+      |    CASE WHEN m.cell IS NULL
+      |           OR sqrt(list_sum(list_transform(m.mv, x -> x * x))) = 0
+      |      THEN p.cv
+      |      ELSE list_transform(m.mv, x ->
+      |        x / sqrt(list_sum(list_transform(m.mv, y -> y * y))))
+      |    END AS cv
+      |  FROM c${t - 1} p LEFT JOIN m$t m ON m.cell = p.cell)""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q58_bm25" ->
+      s"""WITH ${bm25Ctes(q58Qt)}
+        |SELECT query_id, rank, doc_id,
+        |  CAST(score_q AS DOUBLE) / 1000000.0 AS score
+        |FROM bm WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q59_hybrid_rrf" ->
+      s"""WITH ${bm25Ctes(
+          "SELECT doc_id AS query_id, unnest(toks) AS term FROM tk WHERE doc_id < 3")},
+        |nv AS (
+        |  SELECT vec_id, list_transform(range(0, 64), i ->
+        |    CAST(CAST(embedding[i+1] AS DOUBLE)
+        |      / sqrt(list_sum(list_transform(range(0, 64), j ->
+        |          CAST(embedding[j+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE))))
+        |      AS REAL)) AS v
+        |  FROM embeddings
+        |  WHERE sqrt(list_sum(list_transform(range(0, 64), j ->
+        |    CAST(embedding[j+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE)))) > 0),
+        |vs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |    list_sum(list_transform(range(0, 64), i ->
+        |      CAST(q.v[i+1] AS DOUBLE) * CAST(c.v[i+1] AS DOUBLE))) AS sim
+        |  FROM nv q, nv c WHERE q.vec_id < 3),
+        |vr AS (
+        |  SELECT query_id, doc_id, sim, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sim DESC, doc_id) AS INTEGER) AS rank
+        |  FROM vs),
+        |contrib AS (
+        |  SELECT query_id, doc_id, 1000000000 // (60 + rank) AS rq
+        |  FROM bm WHERE rank <= 20
+        |  UNION ALL
+        |  SELECT query_id, doc_id, 1000000000 // (60 + rank) AS rq
+        |  FROM vr WHERE rank <= 20 AND sim > 0),
+        |fused AS (SELECT query_id, doc_id, CAST(sum(rq) AS BIGINT) AS rrf_q
+        |  FROM contrib GROUP BY query_id, doc_id),
+        |fr AS (SELECT query_id, doc_id, rrf_q,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_q DESC, doc_id) AS INTEGER) AS rank
+        |  FROM fused)
+        |SELECT query_id, rank, doc_id,
+        |  CAST(rrf_q AS DOUBLE) / 1000000000.0 AS rrf
+        |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q60_quality_classifier" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+        |b AS (SELECT doc_id, ${key56("term")} % 256 AS bkt FROM t),
+        |w AS (SELECT doc_id,
+        |  (${key56("'w' || bkt")} % 2000001) - 1000000 AS wq FROM b),
+        |a AS (SELECT doc_id, CAST(sum(wq) AS BIGINT) AS margin_q,
+        |  count(*) AS n_tokens FROM w GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, margin_q,
+        |  ${r4sql("1.0 / (1.0 + exp(-(CAST(margin_q AS DOUBLE) / 1000000.0 / n_tokens)))")} AS score,
+        |  CASE WHEN margin_q >= 0 THEN 1 ELSE 0 END AS label
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q61_lm_score" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |bi AS (SELECT doc_id,
+        |    ${key56("toks[i] || ' ' || toks[i+1]")} AS bk,
+        |    ${key56("toks[i]")} AS uk
+        |  FROM tk, UNNEST(range(1, len(toks))) AS t(i)),
+        |c2 AS (SELECT bk, count(*) AS c2 FROM bi
+        |  WHERE doc_id % 97 <> 0 GROUP BY bk),
+        |c1 AS (SELECT ${key56("t")} AS uk, count(*) AS c1
+        |  FROM tk, UNNEST(toks) AS u(t)
+        |  WHERE doc_id % 97 <> 0 GROUP BY uk),
+        |vv AS (SELECT count(*) AS v FROM c1),
+        |sc AS (SELECT b.doc_id,
+        |    CAST(floor(ln((coalesce(c2.c2, 0) + 1.0)
+        |        / (coalesce(c1.c1, 0) + vv.v))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS lpq
+        |  FROM bi b
+        |  LEFT JOIN c2 USING (bk)
+        |  LEFT JOIN c1 USING (uk)
+        |  CROSS JOIN vv),
+        |a AS (SELECT doc_id, CAST(sum(lpq) AS BIGINT) AS sumq,
+        |  count(*) AS n_bigrams FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  ${r4sql("CAST(sumq AS DOUBLE) / 1000000.0 / n_bigrams")} AS avg_logprob
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q62_kmeans" ->
+      s"""WITH nrm AS (
+        |  SELECT vec_id, list_transform(range(0, 64), i ->
+        |    CAST(CAST(embedding[i+1] AS DOUBLE)
+        |      / sqrt(list_sum(list_transform(range(0, 64), j ->
+        |          CAST(embedding[j+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE))))
+        |      AS REAL)) AS v
+        |  FROM embeddings
+        |  WHERE sqrt(list_sum(list_transform(range(0, 64), j ->
+        |    CAST(embedding[j+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE)))) > 0),
+        |dz AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv,
+        |    list_transform(list_transform(v, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)),
+        |      q -> CAST(q AS DOUBLE) / 1024.0) AS dv
+        |  FROM nrm),
+        |c0 AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, dv AS cv
+        |  FROM (SELECT vec_id, dv FROM dz ORDER BY vec_id LIMIT 8)),
+        |${(1 to 3).map(kmeansIter).mkString(",\n")},
+        |af AS (
+        |  SELECT vec_id, cell, d FROM (
+        |    SELECT d.vec_id, c.cell,
+        |      list_sum(list_transform(range(0, 64), i ->
+        |        d.dv[i+1] * c.cv[i+1])) AS d,
+        |      row_number() OVER (PARTITION BY d.vec_id
+        |        ORDER BY list_sum(list_transform(range(0, 64), i ->
+        |          d.dv[i+1] * c.cv[i+1])) DESC, c.cell) AS rnk
+        |    FROM dz d CROSS JOIN c3 c) x
+        |  WHERE rnk = 1)
+        |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+        |  ${r4sql("d")} AS sim
+        |FROM af ORDER BY vec_id""".stripMargin,
+
+    "q63_source_mixture" ->
+      s"""WITH st AS (SELECT doc_id, source,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS nst
+        |  FROM documents),
+        |s AS (SELECT source, CAST(sum(nst) AS BIGINT) AS toks_s
+        |  FROM st GROUP BY source),
+        |w AS (SELECT source, toks_s,
+        |  sqrt(CAST(toks_s AS DOUBLE)) AS wv FROM s),
+        |dn AS (SELECT list_sum(list(wv ORDER BY source)) AS denom FROM w),
+        |r AS (SELECT w.source,
+        |  least(1000000, CAST(floor(w.wv / dn.denom * 20000.0 / w.toks_s
+        |    * 1000000.0) AS BIGINT)) AS rate_q
+        |  FROM w, dn)
+        |SELECT st.doc_id, st.source,
+        |  ${r4sql("CAST(r.rate_q AS DOUBLE) / 1000000.0")} AS rate
+        |FROM st JOIN r USING (source)
+        |WHERE ${key56("CAST(st.doc_id AS VARCHAR) || ':mix'")} % 1000000
+        |  < r.rate_q
+        |ORDER BY doc_id""".stripMargin
+  )
+}

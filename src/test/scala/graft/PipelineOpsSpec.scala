@@ -1,0 +1,204 @@
+package graft
+
+import graft.operators.{Clustering, Dedup, QualityModels, Retrieval}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-5 pipeline widening: BM25 retrieval, RRF fusion,
+  * hashed linear classifier, bigram-LM scoring, distributed k-means, and
+  * source mixing. Ground truths are naive JVM reimplementations of the
+  * same arithmetic, so agreement proves the distributed formulation, not
+  * just self-consistency. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** JVM twin of [[Dedup.md5Long]] (first 14 md5 hex digits as a long). */
+  private def md5Long(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(7).map(b => f"$b%02x").mkString, 16)
+  }
+
+  test("bm25: matches a naive single-threaded reimplementation") {
+    val corpus = Seq(
+      (1L, "a b a"), (2L, "a c"), (3L, "c c c d"), (4L, "b b d a"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "a d"), (11L, "c")).toDF("query_id", "qtext")
+    val got = Retrieval.bm25(corpus, qs, 3)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+
+    // naive ground truth with the operator's exact arithmetic
+    val docs = Map(1L -> "a b a", 2L -> "a c", 3L -> "c c c d",
+      4L -> "b b d a").view.mapValues(_.split("\\s+").toSeq).toMap
+    val n = docs.size.toLong
+    val avgdl = docs.values.map(_.size).sum.toDouble / n.toDouble
+    def df(t: String) = docs.values.count(_.contains(t)).toLong
+    def scoreQ(qterms: Seq[String], id: Long): Long =
+      qterms.distinct.filter(t => docs(id).contains(t)).map { t =>
+        val tf = docs(id).count(_ == t).toLong
+        val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+        val contrib = idf * (tf * (1.2 + 1.0)) /
+          (tf + (1.2 * (1 - 0.75) + 1.2 * 0.75 * docs(id).size / avgdl))
+        math.floor(contrib * 1000000.0 + 0.5).toLong
+      }.sum
+    val exp = (for {
+      (qid, qterms) <- Seq(10L -> Seq("a", "d"), 11L -> Seq("c"))
+      ranked = docs.keys.toSeq.map(id => (id, scoreQ(qterms, id)))
+        .filter(_._2 != 0L)
+        .sortBy { case (id, s) => (-s, id) }.take(3)
+      ((id, s), i) <- ranked.zipWithIndex
+    } yield (qid, i + 1, id, s.toDouble / 1000000.0)).toSet
+    assert(got == exp)
+    // the rare term dominates: for query "a d", docs with 'd' outrank the
+    // doc that only has 'a' twice
+    val q10 = got.filter(_._1 == 10L).toSeq.sortBy(_._2).map(_._3)
+    assert(Set(3L, 4L).contains(q10.head))
+  }
+
+  test("rrfFuse: exact integer contributions, missing-list docs score " +
+    "single-sided, ties break by doc_id") {
+    val r1 = Seq((1L, 100L, 1), (1L, 101L, 2)).toDF("query_id", "doc_id", "rank")
+    val r2 = Seq((1L, 101L, 1), (1L, 102L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(r1, r2), 10)
+      .select("query_id", "rank", "doc_id", "rrf")
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    def c(r: Int) = 1000000000L / (60L + r)
+    val expTop = Seq(
+      (101L, c(2) + c(1)), // in both lists
+      (100L, c(1)),
+      (102L, c(2)))
+      .sortBy { case (id, s) => (-s, id) }
+    assert(got.map(_._3).toSeq == expTop.map(_._1))
+    assert(got.map(_._4).toSeq ==
+      expTop.map(_._2.toDouble / 1000000000.0))
+  }
+
+  test("hashedLinearScore: derived weights equal the weighted variant " +
+    "fed the same md5-derived table; margins are exact") {
+    val docs = Seq((1L, "alpha beta gamma alpha"), (2L, "delta beta"),
+      (3L, "zeta")).toDF("doc_id", "text")
+    val nb = 64
+    val weights = Array.tabulate(nb)(j =>
+      math.floorMod(md5Long(s"w$j"), 2000001L) - 1000000L)
+    val a = QualityModels.hashedLinearScore(docs, nb)
+      .select("doc_id", "n_tokens", "margin_q", "score", "label")
+      .as[(Long, Long, Long, Double, Int)].collect().sortBy(_._1)
+    val b = QualityModels.hashedLinearScoreWeighted(docs, weights)
+      .select("doc_id", "n_tokens", "margin_q", "score", "label")
+      .as[(Long, Long, Long, Double, Int)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    // exact margin check for doc 1 via the JVM md5 twin
+    val toks = Seq("alpha", "beta", "gamma", "alpha")
+    val margin = toks.map(t =>
+      weights(math.floorMod(md5Long(t), nb.toLong).toInt)).sum
+    val row1 = a.find(_._1 == 1L).get
+    assert(row1._3 == margin && row1._2 == 4L)
+    assert(row1._5 == (if (margin >= 0) 1 else 0))
+    val z = margin.toDouble / 1000000.0 / 4L
+    // Spark's EXP may differ from Math.exp by 1 ulp (StrictMath vs
+    // intrinsic); scores carry that wiggle, which is why the oracle
+    // compares r4-rounded scores. Margins above are exact longs.
+    assert(math.abs(row1._4 - 1.0 / (1.0 + math.exp(-z))) < 1e-12)
+  }
+
+  test("bigramLmScore: hand-computed add-one probabilities") {
+    val train = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val target = Seq((3L, "a b x"), (4L, "q")).toDF("doc_id", "text")
+    val got = QualityModels.bigramLmScore(train, target)
+      .select("doc_id", "n_bigrams", "avg_logprob")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // train counts: C(a b)=3, C(b a)=1, C(b c)=1; unigrams a=3, b=3, c=1;
+    // V=3. doc 3 bigrams: (a b) -> ln(4/6), (b x) -> ln(1/6).
+    def q(x: Double) = math.floor(x * 1000000.0 + 0.5).toLong
+    val sumQ = q(math.log((3 + 1.0) / (3 + 3))) +
+      q(math.log((0 + 1.0) / (3 + 3)))
+    assert(got.map(_._1).toSeq == Seq(3L)) // 1-token doc 4 has no bigrams
+    assert(got.head._2 == 2L)
+    assert(got.head._3 == sumQ.toDouble / 1000000.0 / 2L)
+  }
+
+  test("kmeansAssign separates an obviously clustered corpus and is " +
+    "deterministic") {
+    // two tight clusters around orthogonal directions
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 0f, 1f, 0f)
+      (i.toLong, jitter(base).toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val got = Clustering.kmeansAssign(corpus, nCells = 2, iters = 3)
+      .select("vec_id", "cell", "sim")
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    val cells = got.map(r => (r._1 % 2, r._2)).distinct
+    // every even id in one cell, every odd in the other
+    assert(cells.length == 2 && cells.map(_._2).distinct.length == 2)
+    // cohesion: everything close to its centroid
+    assert(got.forall(_._3 > 0.95))
+    val again = Clustering.kmeansAssign(corpus, 2, 3)
+      .select("vec_id", "cell", "sim")
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("kmeansCentroids: unit-norm floats, k of them, usable as IVF " +
+    "coarse layer") {
+    val rows = (0 until 24).map { i =>
+      val base = Array.fill(8)(0f); base(i % 4) = 1f
+      (i.toLong, base.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val cents = Clustering.kmeansCentroids(corpus, nCells = 4, iters = 2)
+    assert(cents.length == 4)
+    cents.foreach { c =>
+      val nrm = math.sqrt(c.map(x => x.toDouble * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-6)
+    }
+  }
+
+  test("sourceMixtureSample: rates follow the temperature formula and " +
+    "the keep test is the deterministic md5 threshold") {
+    val docs = (0 until 300).map { i =>
+      val src = if (i < 200) "big" else "small"
+      (i.toLong, src, "tok " * (5 + i % 3))
+    }.toDF("doc_id", "source", "text")
+    val budget = 600L
+    val got = QualityModels.sourceMixtureSample(docs, budget)
+      .select("doc_id", "source", "rate")
+      .as[(Long, String, Double)].collect()
+    // ground-truth rates
+    val st = docs.select(col("doc_id"), col("source"),
+        graft.operators.TextAnalysis.subtokenCount(col("text")).as("n"))
+      .as[(Long, String, Long)].collect()
+    val bySrc = st.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val denom = bySrc.toSeq.sortBy(_._1).map { case (_, t) =>
+      math.sqrt(t.toDouble) }.sum
+    def rateQ(srcToks: Long): Long = math.min(1000000L,
+      math.floor(math.sqrt(srcToks.toDouble) / denom * budget.toDouble /
+        srcToks * 1000000.0).toLong)
+    val expKept = st.filter { case (id, src, _) =>
+      math.floorMod(md5Long(s"$id:mix"), 1000000L) < rateQ(bySrc(src))
+    }.map(r => (r._1, r._2, rateQ(bySrc(r._2)).toDouble / 1000000.0)).toSet
+    assert(got.toSet == expKept)
+    // the small source is upweighted: its keep-rate exceeds the big one's
+    assert(rateQ(bySrc("small")).toDouble / bySrc("small") >
+      rateQ(bySrc("big")).toDouble / bySrc("big"))
+  }
+
+  test("dotNativeD equals the HOF double dot bit-for-bit") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 50).map(i => (i.toLong,
+      Seq.fill(16)(rnd.nextDouble() * 2 - 1),
+      Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+      .toDF("id", "a", "b")
+    val cmp = rows.select(
+      dotNativeD(col("a"), col("b")).as("fast"),
+      dot(col("a"), col("b")).as("ref"))
+      .as[(Double, Double)].collect()
+    assert(cmp.forall { case (f, r) => f == r })
+  }
+}

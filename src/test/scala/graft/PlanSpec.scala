@@ -22,7 +22,13 @@ class PlanSpec extends SparkSpec {
                             // with IVF cells when candidates must shrink
     "q24b_simhash_pairs",   // banded join uses an additional id< condition
     "q23b_dedup_minhash_lsh",
-    "q32_sql_surface"       // 5×5 pair demo
+    "q32_sql_surface",      // 5×5 pair demo
+    "q59_hybrid_rrf",       // vector half is the exact-kNN baseline (the
+                            // q15 shape); swap topK -> topKIvfPq at scale
+    "q61_lm_score",         // 1-row vocab-size broadcast: the
+                            // scalar-subquery plan shape (build side is
+                            // one row — not a corpus cartesian)
+    "q63_source_mixture"    // same: 1-row Σ-sqrt denominator broadcast
   )
 
   test("no unintentional cartesian/nested-loop joins in any declared query") {
