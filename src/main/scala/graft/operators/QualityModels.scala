@@ -132,12 +132,19 @@ object QualityModels {
       .agg(sum(TextAnalysis.subtokenCount(col("text"))).as("toks_s"))
       .withColumn("_w", sqrt(col("toks_s").cast("double")))
     // Σ over sources in source-name order: fold of a sorted struct array,
-    // deterministic in any engine
-    val denom = stats
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("source"), col("_w")))),
-        lit(0.0), (acc, x) => acc + x("_w")).as("_denom"))
-    val rates = stats.crossJoin(broadcast(denom))
+    // deterministic in any engine. Computed as an unpartitioned window
+    // over the STATS frame (sources are few — single-task by design, and
+    // it keeps this a single plan branch: a separate .agg() would
+    // duplicate the corpus-scan subtree, re-running the regex pass)
+    val rates = stats
+      .withColumn("_all",
+        collect_list(struct(col("source"), col("_w"))).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy().rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .withColumn("_denom", aggregate(array_sort(col("_all")),
+        lit(0.0), (acc, x) => acc + x("_w")))
       .withColumn("rate_q",
         least(lit(1000000L),
           floor(col("_w") / col("_denom") * lit(tokenBudget.toDouble) /

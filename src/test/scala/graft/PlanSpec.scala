@@ -140,6 +140,28 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("q60 classifier: zero joins — hashed features + literal weights " +
+    "reach one doc-keyed hash exchange") {
+    val plan = SparkEntry.queries("q60_quality_classifier")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(3000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n" +
+      plan.take(4000))
+  }
+
+  test("q63 mixture: corpus rows take one broadcast join + a map-side " +
+    "threshold — the only hash exchange is the tiny source-stats agg") {
+    val plan = SparkEntry.queries("q63_source_mixture")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan.take(3000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n" +
+      plan.take(4000))
+  }
+
   test("q31 as-of: union+window shape — one hash exchange, no join") {
     val plan = SparkEntry.queries("q31_asof_join")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
