@@ -37,8 +37,8 @@ class TemporalVectorDB(
   private var pqBooks: Option[Array[Array[Array[Float]]]] = None
   private var pqCents: Option[Array[Array[Float]]] = None // coarse (IVF) layer
   private var pqCodes: Option[DataFrame] = None
-  // raw (m, ks, trainSample, nCells) as passed to cachePqIndex
-  private var pqParams: Option[(Int, Int, Int, Int)] = None
+  // raw (m, ks, trainSample, nCells, fullCells) as passed to cachePqIndex
+  private var pqParams: Option[(Int, Int, Int, Int, Boolean)] = None
 
   private def normalizedBases(rows: DataFrame): DataFrame =
     rows.where(col("kind") === "base")
@@ -177,18 +177,30 @@ class TemporalVectorDB(
     * rest carries. `m <= 0` picks the largest subspace count ≤ 8 dividing
     * the dimension.
     *
-    * An explicit call whose (m, ks, trainSample, nCells) differ from the
-    * live index REBUILDS it with the requested configuration (searches go
-    * through [[currentPqIndex]] and never discard a configured index);
-    * [[retrainPqIndex]] refreshes drifted codebooks in place. */
+    * An explicit call whose (m, ks, trainSample, nCells, fullCells)
+    * differ from the live index REBUILDS it with the requested
+    * configuration (searches go through [[currentPqIndex]] and never
+    * discard a configured index); [[retrainPqIndex]] refreshes drifted
+    * codebooks in place.
+    *
+    * `fullCells = true` trains the COARSE centroids on the whole latest
+    * corpus with [[graft.operators.Clustering]]'s distributed Lloyd's
+    * instead of the bounded driver sample — the corpus-scale
+    * configuration: a 4096-row sample of a 100 TB corpus under-fits its
+    * cell structure, and mis-fitted cells cost recall at every probe.
+    * Codebooks stay sample-trained either way (per-subspace quantization
+    * error is a local property the sample captures; cell GEOMETRY is a
+    * global one it doesn't). */
   def cachePqIndex(m: Int = 0, ks: Int = 16, trainSample: Int = 4096,
-                   nCells: Int = 16): DataFrame = synchronized {
+                   nCells: Int = 16, fullCells: Boolean = false)
+      : DataFrame = synchronized {
     pqCodes match {
-      case Some(codes) if pqParams.contains((m, ks, trainSample, nCells)) =>
+      case Some(codes)
+          if pqParams.contains((m, ks, trainSample, nCells, fullCells)) =>
         codes
       case Some(_) => // explicit different configuration: rebuild
-        buildPqIndex(m, ks, trainSample, nCells)
-      case None => buildPqIndex(m, ks, trainSample, nCells)
+        buildPqIndex(m, ks, trainSample, nCells, fullCells)
+      case None => buildPqIndex(m, ks, trainSample, nCells, fullCells)
     }
   }
 
@@ -197,12 +209,12 @@ class TemporalVectorDB(
     * remedy after many appends (incremental refresh deliberately keeps
     * books fixed). */
   def retrainPqIndex(): DataFrame = synchronized {
-    val (m, ks, ts, nc) = pqParams.getOrElse((0, 16, 4096, 16))
-    buildPqIndex(m, ks, ts, nc)
+    val (m, ks, ts, nc, fc) = pqParams.getOrElse((0, 16, 4096, 16, false))
+    buildPqIndex(m, ks, ts, nc, fc)
   }
 
   private def buildPqIndex(m: Int, ks: Int, trainSample: Int,
-                           nCells: Int): DataFrame = {
+                           nCells: Int, fullCells: Boolean): DataFrame = {
     val corpus = normalizedLatest(cacheLatest())
     val sample = corpus.orderBy("content_id", "seq").select("vec")
       .limit(trainSample).collect()
@@ -214,7 +226,13 @@ class TemporalVectorDB(
       else (math.min(8, dim) to 1 by -1).find(dim % _ == 0).getOrElse(1)
     require(dim % mm == 0, s"dim $dim not divisible by m=$mm subspaces")
     val books = SimilaritySearch.pqCodebooks(sample, mm, ks, iters = 5)
-    val cents = SimilaritySearch.lloydQuantized(sample, nCells, iters = 5)
+    val cents =
+      if (fullCells)
+        Clustering.kmeansCentroids(
+          corpus.select(col("content_id").as("vec_id"),
+            col("vec").as("embedding")),
+          nCells, iters = 5)
+      else SimilaritySearch.lloydQuantized(sample, nCells, iters = 5)
     val codes = pin(SimilaritySearch.withCell(corpus, cents, col("vec"))
       .withColumn("_codes", SimilaritySearch.pqEncodeExpr(books, col("vec")))
       .drop("vec"))
@@ -223,7 +241,7 @@ class TemporalVectorDB(
     pqBooks = Some(books)
     pqCents = Some(cents)
     pqCodes = Some(codes)
-    pqParams = Some((m, ks, trainSample, nCells))
+    pqParams = Some((m, ks, trainSample, nCells, fullCells))
     codes
   }
 
@@ -237,7 +255,7 @@ class TemporalVectorDB(
   private def currentPqIndex()
       : (DataFrame, Array[Array[Array[Float]]], Array[Array[Float]]) =
     synchronized {
-      if (pqCodes.isEmpty) buildPqIndex(0, 16, 4096, 16)
+      if (pqCodes.isEmpty) buildPqIndex(0, 16, 4096, 16, fullCells = false)
       (pqCodes.get, pqBooks.get, pqCents.get)
     }
 
@@ -349,14 +367,15 @@ class TemporalVectorDB(
     val bases = cacheBases()
     val latest = cacheLatest()
     val (codes, books, cents) = currentPqIndex()
-    val (m, ks, ts, nc) = pqParams.get
+    val (m, ks, ts, nc, fc) = pqParams.get
     bases.write.mode("overwrite").parquet(s"$indexDir/bases")
     latest.write.mode("overwrite").parquet(s"$indexDir/latest")
     codes.write.mode("overwrite").parquet(s"$indexDir/codes")
-    Seq((m, ks, ts, nc,
+    Seq((m, ks, ts, nc, fc,
         books.map(_.map(_.toSeq).toSeq).toSeq,
         cents.map(_.toSeq).toSeq))
-      .toDF("m", "ks", "train_sample", "n_cells", "books", "cents")
+      .toDF("m", "ks", "train_sample", "n_cells", "full_cells",
+        "books", "cents")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
@@ -396,7 +415,8 @@ class TemporalVectorDB(
       pqCents = Some(cents)
       pqCodes = Some(newCodes)
       pqParams = Some((meta.getAs[Int]("m"), meta.getAs[Int]("ks"),
-        meta.getAs[Int]("train_sample"), meta.getAs[Int]("n_cells")))
+        meta.getAs[Int]("train_sample"), meta.getAs[Int]("n_cells"),
+        meta.getAs[Boolean]("full_cells")))
       true
     }
   }

@@ -56,6 +56,23 @@ object QualityModels {
         .select(col("doc_id"), wq.as("_wq")))
   }
 
+  /** The [[hashedLinearScore]] margin as a PURE column expression: a
+    * per-row fold over the token array (exact long addition — order
+    * can't matter, so fold ≡ the batch explode+agg bit-for-bit). Zero
+    * shuffle, zero state: this is the form a STREAMING quality guard
+    * filters on ([[graft.streaming.StreamingIngest.streamingQualityFilter]]),
+    * and the batch twin keeps it honest in PipelineOpsSpec. */
+  def marginExpr(text: Column, nBuckets: Int = 256): Column = {
+    require(nBuckets > 0)
+    aggregate(
+      transform(toks(text), t => {
+        val bkt = pmod(Dedup.md5Long(t), lit(nBuckets.toLong))
+        pmod(Dedup.md5Long(concat(lit("w"), bkt.cast("string"))),
+          lit(2000001L)) - lit(1000000L)
+      }),
+      lit(0L), (acc, w) => acc + w)
+  }
+
   private def scoreMargins(perToken: DataFrame): DataFrame =
     perToken.groupBy("doc_id")
       .agg(sum("_wq").as("margin_q"), count(lit(1)).as("n_tokens"))

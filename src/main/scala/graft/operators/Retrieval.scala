@@ -46,18 +46,43 @@ object Retrieval {
         Dedup.md5Long(col("_term")).as("term_key"))
       .agg(count(lit(1)).as("tf"))
 
-  /** BM25 top-`k` per query. `queries` is a small (query_id, qtext) frame
+  /** BM25 top-`k` per query, one-shot form: builds the postings frame,
+    * searches it, frees it. `queries` is a small (query_id, qtext) frame
     * (it broadcasts; repeated terms within one query count once — the
     * standard short-query form). Output: (query_id, rank, doc_id, score),
     * score quantized to 1e-6 (exact integer summation → deterministic
     * across engines and partitionings).
     *
     * One corpus-text scan; the postings build is the only corpus-sized
-    * shuffle. k1/b are the Robertson defaults. */
+    * shuffle. For a repeated-search deployment build [[postings]] ONCE
+    * (persist it — bucketed by `term_key` if the store supports it — and
+    * [[bm25OverPostings]] each query batch against it; the build
+    * amortizes to zero). k1/b are the Robertson defaults. */
   def bm25(docs: DataFrame, queries: DataFrame, k: Int,
-           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           k1: Double = 1.2, b: Double = 0.75,
+           maxDfFrac: Double = 1.0): DataFrame = {
     val post = postings(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = bm25OverPostings(post, queries, k, k1, b, maxDfFrac)
+      .localCheckpoint(true)
+    post.unpersist(false)
+    ranked
+  }
+
+  /** BM25 search against a PREBUILT [[postings]] frame — the maintained-
+    * index path (lazy; the caller owns the postings' lifetime). Corpus
+    * stats and document frequencies derive from the postings themselves,
+    * so a persisted postings table is fully self-contained.
+    *
+    * `maxDfFrac < 1` drops query terms whose document frequency exceeds
+    * that fraction of the corpus — the stopword guard at web scale: a
+    * term in half the corpus contributes almost no idf but its posting
+    * list is half the table, and THAT list is the one skewed shuffle a
+    * hot query could pay. One predicate on the tiny per-term df frame
+    * removes it before any posting list is touched. */
+  def bm25OverPostings(post: DataFrame, queries: DataFrame, k: Int,
+                       k1: Double = 1.2, b: Double = 0.75,
+                       maxDfFrac: Double = 1.0): DataFrame = {
     // per-query distinct terms, and the distinct overall key set
     val qt = queries
       .select(col("query_id"), explode(toks(col("qtext"))).as("_qterm"))
@@ -71,7 +96,12 @@ object Retrieval {
     // postings restricted to queried terms; df counted on the restriction
     // (post has exactly one row per (doc, term), so count(*) = df)
     val cand = post.join(broadcast(qkeys), Seq("term_key"))
-    val dfreq = cand.groupBy("term_key").agg(count(lit(1)).as("df"))
+    val dfAll = cand.groupBy("term_key").agg(count(lit(1)).as("df"))
+    val dfreq =
+      if (maxDfFrac >= 1.0) dfAll
+      else dfAll.crossJoin(broadcast(stats.select("n")))
+        .where(col("df") <= lit(maxDfFrac) * col("n"))
+        .drop("n")
     val k1b = k1 * (1 - b) // 0.3 at defaults
     val k1bb = k1 * b // 0.9
     val scored = cand
@@ -88,13 +118,10 @@ object Retrieval {
         floor(col("_contrib") * lit(1000000.0) + lit(0.5)).cast("long"))
     val perDoc = scored.groupBy("query_id", "doc_id")
       .agg(sum("_cq").as("score_q"))
-    val ranked = TopK.perKeySalted(perDoc, "query_id",
+    TopK.perKeySalted(perDoc, "query_id",
         Seq(desc("score_q"), col("doc_id")), k)
       .select(col("query_id"), col("rank"), col("doc_id"),
         (col("score_q").cast("double") / lit(1000000.0)).as("score"))
-      .localCheckpoint(true)
-    post.unpersist(false)
-    ranked
   }
 
   /** Reciprocal-rank fusion over any number of per-query rankings (each a

@@ -260,6 +260,22 @@ object StreamingIngest {
     df.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming quality guard: keep stream documents whose hashed-linear
+    * classifier margin ([[graft.operators.QualityModels.marginExpr]])
+    * meets `minMargin` — the fastText-style quality filter at ingest
+    * time. Unlike the decontamination guard this needs NO JVM probe:
+    * the margin is a pure column fold (exact long arithmetic), so the
+    * filter is stateless, watermark-free, and agrees bit-for-bit with
+    * the batch scorer on every row (gated in StreamingSpec).
+    * `invert = true` emits the REJECT stream instead. */
+  def streamingQualityFilter(stream: DataFrame, minMargin: Long = 0L,
+                             nBuckets: Int = 256, textCol: String = "text",
+                             invert: Boolean = false): DataFrame = {
+    val pass = graft.operators.QualityModels
+      .marginExpr(col(textCol), nBuckets) >= minMargin
+    stream.filter(if (invert) !pass else pass)
+  }
+
   /** Streaming decontamination guard: drop stream documents sharing any
     * token n-gram with a STATIC held-out set (the batch
     * [[graft.operators.TextAnalysis.decontaminate]] as an ingest-time

@@ -319,6 +319,46 @@ class ApiSpec extends SparkSpec {
     assert(!freshDb().loadIndexes())
   }
 
+  test("full-corpus coarse cells: cachePqIndex(fullCells=true) trains " +
+    "the IVF layer with the distributed trainer; searches, incremental " +
+    "append and persist/reload all carry the configuration") {
+    val db = freshDb()
+    val fleet = (0 until 24).map(i => (f"c$i%02d", ts(1),
+      Array.tabulate(dim)(j => math.sin(i * 17 + j).toFloat)))
+    db.addVersions(fleet.toDF("content_id", "ts", "embedding"))
+    val codes = db.cachePqIndex(nCells = 4, fullCells = true)
+    assert(codes.columns.toSeq == Seq("content_id", "seq", "_cell", "_codes"))
+    val cells = codes.select("_cell").as[Int].collect()
+    assert(cells.length == 24 && cells.forall(c => c >= 0 && c < 4))
+    assert(cells.distinct.length >= 2) // separated data spreads over cells
+    // searches on the corpus-trained cells still self-match exactly
+    val v5 = fleet(5)._3
+    val before = db.searchLatestVersionsPq(v5, k = 3, refine = 8)
+      .select("rank", "id", "sim").as[(Int, String, Double)].collect().toSeq
+    assert(before.head._2 == "c05#1" && math.abs(before.head._3 - 1.0) < 1e-6)
+    // a default-argument search never discards the configuration, and an
+    // append re-assigns + re-encodes with the CORPUS-trained centroids
+    val vz = Array.tabulate(dim)(j => math.sin(99 * 17 + j).toFloat)
+    db.addVersions(Seq(("zz", ts(2), vz)).toDF("content_id", "ts", "embedding"))
+    assert(db.pqIndex().count() == 25)
+    assert(db.searchLatestVersionsPq(vz, k = 1, refine = 8)
+      .select("id").as[String].collect().head == "zz#1")
+    // persist + reload round-trips the full-cells flag: a matching
+    // explicit cachePqIndex on the loaded instance reuses the loaded
+    // index (same codes), it does not retrain
+    db.persistIndexes()
+    val codesBefore = db.pqIndex()
+      .as[(String, Int, Int, Seq[Int])].collect().toSet
+    val db2 = new TemporalVectorDB(spark, db.path,
+      VersionStore.Config(baseInterval = 5))
+    assert(db2.loadIndexes())
+    assert(db2.cachePqIndex(nCells = 4, fullCells = true)
+      .as[(String, Int, Int, Seq[Int])].collect().toSet == codesBefore)
+    assert(db2.searchLatestVersionsPq(v5, k = 3, refine = 8)
+      .select("rank", "id", "sim").as[(Int, String, Double)]
+      .collect().toSeq == before)
+  }
+
   test("incremental cacheBases: append unions the batch into the cached " +
     "index instead of rebuilding from a full re-scan") {
     val db = freshDb()

@@ -56,6 +56,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Set(3L, 4L).contains(q10.head))
   }
 
+  test("bm25OverPostings on a prebuilt postings frame equals the " +
+    "one-shot form; maxDfFrac drops ubiquitous terms before scoring") {
+    val corpus = Seq(
+      (1L, "the a b"), (2L, "the a c"), (3L, "the c d"), (4L, "the b d"))
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "the d")).toDF("query_id", "qtext")
+    val post = Retrieval.postings(corpus).cache()
+    val oneShot = Retrieval.bm25(corpus, qs, 4)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val overPost = Retrieval.bm25OverPostings(post, qs, 4)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(oneShot == overPost)
+    // 'the' is in every doc (df = 4 = n): capped at 0.5 it contributes
+    // nothing, so only docs containing 'd' survive
+    val capped = Retrieval.bm25OverPostings(post, qs, 4, maxDfFrac = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(capped == Set(3L, 4L))
+    // uncapped, every doc matches via 'the'
+    assert(overPost.map(_._3) == Set(1L, 2L, 3L, 4L))
+    post.unpersist()
+  }
+
   test("rrfFuse: exact integer contributions, missing-list docs score " +
     "single-sided, ties break by doc_id") {
     val r1 = Seq((1L, 100L, 1), (1L, 101L, 2)).toDF("query_id", "doc_id", "rank")
@@ -100,6 +123,18 @@ class PipelineOpsSpec extends SparkSpec {
     // intrinsic); scores carry that wiggle, which is why the oracle
     // compares r4-rounded scores. Margins above are exact longs.
     assert(math.abs(row1._4 - 1.0 / (1.0 + math.exp(-z))) < 1e-12)
+  }
+
+  test("marginExpr: the per-row fold equals the batch explode+agg " +
+    "margin bit-for-bit (exact long arithmetic)") {
+    val docs = Seq((1L, "alpha beta gamma alpha"), (2L, "delta beta"),
+      (3L, "zeta"), (4L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val folded = docs.select(col("doc_id"),
+        QualityModels.marginExpr(col("text"), 64).as("m"))
+      .as[(Long, Long)].collect().toMap
+    val batch = QualityModels.hashedLinearScore(docs, 64)
+      .select("doc_id", "margin_q").as[(Long, Long)].collect().toMap
+    assert(folded == batch)
   }
 
   test("bigramLmScore: hand-computed add-one probabilities") {

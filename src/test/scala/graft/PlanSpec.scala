@@ -140,6 +140,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("bm25 search plan: broadcast joins only, salted two-phase rank " +
+    "(gated on the lazy over-postings form — the query entry checkpoints)") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val qs = {
+      import spark.implicits._
+      Seq((0L, "dup merge scan")).toDF("query_id", "qtext")
+    }
+    val plan = graft.operators.Retrieval
+      .bm25OverPostings(graft.operators.Retrieval.postings(docs), qs, 10)
+      .queryExecution.executedPlan.toString
+    // every query-side join broadcasts; the only non-broadcast shuffles
+    // are the postings agg, the per-(query, doc) agg and the rank phases
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    val windows = "Window \\[row_number\\(\\)".r.findAllIn(plan).length
+    assert(windows == 2, s"expected the salted two-phase rank, got " +
+      s"$windows windows:\n" + plan.take(4000))
+    assert(plan.contains("_salt"), plan.take(4000))
+  }
+
   test("q60 classifier: zero joins — hashed features + literal weights " +
     "reach one doc-keyed hash exchange") {
     val plan = SparkEntry.queries("q60_quality_classifier")(

@@ -374,4 +374,45 @@ class StreamingSpec extends SparkSpec {
       .flatMap(d => StreamingIngest.gramKeysJvm(d._2, 4)).sorted
     assert(sparkKeys == jvmKeys)
   }
+
+  test("streaming quality filter + PII scrub: stateless column guards " +
+    "run on a stream and agree with the batch operators") {
+    implicit val sqlCtx = spark.sqlContext
+    val docsData = (0 until 40).map(i =>
+      (i.toLong, s"doc $i filler tok${i % 7} mail user$i@example.com"))
+    val stream = MemoryStream[(Long, String)]
+    val in = stream.toDF().toDF("doc_id", "text")
+    // quality guard (margin >= 0) feeding the PII scrubber — the hygiene
+    // chain as ONE stateless streaming pipeline
+    val guarded = StreamingIngest.streamingQualityFilter(in, minMargin = 0L)
+    val q = graft.operators.TextAnalysis.scrubPii(guarded)
+      .writeStream.format("memory").queryName("qual_scrub")
+      .outputMode("append").start()
+    val qr = StreamingIngest
+      .streamingQualityFilter(in, minMargin = 0L, invert = true)
+      .writeStream.format("memory").queryName("qual_reject")
+      .outputMode("append").start()
+    try {
+      stream.addData(docsData: _*)
+      q.processAllAvailable(); qr.processAllAvailable()
+    } finally { q.stop(); qr.stop() }
+    val kept = spark.table("qual_scrub")
+    val rejected = spark.table("qual_reject")
+      .select("doc_id").as[Long].collect().toSet
+    // pass + reject partition the input, split exactly as the batch
+    // scorer's labels
+    val batchLabels = graft.operators.QualityModels
+      .hashedLinearScore(docsData.toDF("doc_id", "text"))
+      .select("doc_id", "label").as[(Long, Int)].collect().toMap
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    assert(keptIds.union(rejected) == docsData.map(_._1).toSet)
+    assert(keptIds.intersect(rejected).isEmpty)
+    assert(keptIds == batchLabels.filter(_._2 == 1).keySet)
+    assert(keptIds.nonEmpty && rejected.nonEmpty) // both regimes exercised
+    // the scrubber redacted every kept doc's address on the stream
+    assert(kept.count() > 0)
+    assert(kept.select("n_emails").as[Long].collect().forall(_ == 1L))
+    assert(!kept.select("text").as[String].collect()
+      .exists(_.contains("@example.com")))
+  }
 }
