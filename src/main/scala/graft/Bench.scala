@@ -30,7 +30,12 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: $e"); None
       }
     }
+    // optional comma-separated restriction (local scale probes); the
+    // driver's per-round run never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // pass-major order (all queries per pass, then repeat) so a query's
     // repetitions are spread across the run and share load conditions
     val samples: Seq[Map[String, Option[Double]]] =

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Clustering, QualityModels, Retrieval, SimilaritySearch}
+import graft.operators.{Clustering, QualityModels, Retrieval, SimilaritySearch, Sketches}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -77,7 +77,16 @@ object PipelineQueries {
       QualityModels.sourceMixtureSample(par(Tables.documents(s, d)),
           tokenBudget = 20000L)
         .withColumn("rate", r4(col("rate")))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Q64: KMV (bottom-k) distinct-count sketch — approximate distinct
+    // texts per language with a DETERMINISTIC estimator any engine
+    // replays (unlike HLL++), k = 64.
+    "q64_kmv_distinct" -> ((s, d) =>
+      Sketches.kmvDistinct(par(Tables.documents(s, d)), "lang",
+          col("text"), k = 64)
+        .withColumn("estimate", r4(col("estimate")))
+        .orderBy("lang"))
   )
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -299,6 +308,17 @@ object PipelineQueries {
         |FROM st JOIN r USING (source)
         |WHERE ${key56("CAST(st.doc_id AS VARCHAR) || ':mix'")} % 1000000
         |  < r.rate_q
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q64_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT lang, ${key56("text")} AS hv
+        |  FROM documents),
+        |r AS (SELECT lang, hv, row_number() OVER (
+        |  PARTITION BY lang ORDER BY hv) AS rk FROM h),
+        |a AS (SELECT lang, count(*) AS n_kept, max(hv) AS hk
+        |  FROM r WHERE rk <= 64 GROUP BY lang)
+        |SELECT lang, n_kept,
+        |  ${r4sql("CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE) ELSE CAST(63 AS DOUBLE) * CAST(72057594037927936 AS DOUBLE) / CAST(hk AS DOUBLE) END")} AS estimate
+        |FROM a ORDER BY lang""".stripMargin
   )
 }

@@ -224,6 +224,27 @@ class PipelineOpsSpec extends SparkSpec {
       rateQ(bySrc("big")).toDouble / bySrc("big"))
   }
 
+  test("kmvDistinct: exact below k, within the estimator's error band " +
+    "above it, and the estimate is a pure function of the value set") {
+    import graft.operators.Sketches
+    val big = (0 until 2000).map(i => ("big", s"value-$i"))
+    val small = (0 until 10).map(i => ("small", s"v$i"))
+    val dup = (0 until 300).map(i => ("small", s"v${i % 10}")) // duplicates
+    val df = (big ++ small ++ dup).toDF("lang", "text")
+    val got = Sketches.kmvDistinct(df, "lang", col("text"), k = 64)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // below k: exact
+    assert(got("small")._2 == 10L && got("small")._3 == 10.0)
+    // above k: KMV estimator, stderr ~ 1/sqrt(62) ~ 13% — allow 3 sigma
+    val est = got("big")._3
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.4, s"estimate $est")
+    // duplicates cannot move the sketch (hash set semantics)
+    val noDup = Sketches.kmvDistinct(
+      (big ++ small).toDF("lang", "text"), "lang", col("text"), 64)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(noDup == got)
+  }
+
   test("dotNativeD equals the HOF double dot bit-for-bit") {
     val rnd = new scala.util.Random(3)
     val rows = (0 until 50).map(i => (i.toLong,
