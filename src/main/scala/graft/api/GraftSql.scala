@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.functions.{ApplyMapDeltaExpr, DotProduct, HyperplaneBucketExpr, L2NormalizeExpr, SimHashExpr, SparseDiffExpr}
+import graft.functions.{ApplyMapDeltaExpr, DotProduct, DotProductDouble, HyperplaneBucketExpr, L2NormalizeExpr, SimHashExpr, SparseDiffExpr}
 import graft.sources.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.graftbridge.Bridge
@@ -44,6 +44,9 @@ object GraftSql {
     "graft_dot" ->
       ((exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs(0), exprs(1))),
+    "graft_dot_d" ->
+      ((exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProductDouble(exprs(0), exprs(1))),
     "graft_hyperplane_bucket" ->
       ((exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HyperplaneBucketExpr(exprs(0),

@@ -60,11 +60,13 @@ object Retrieval {
     * amortizes to zero). k1/b are the Robertson defaults. */
   def bm25(docs: DataFrame, queries: DataFrame, k: Int,
            k1: Double = 1.2, b: Double = 0.75,
-           maxDfFrac: Double = 1.0): DataFrame = {
+           maxDfFrac: Double = 1.0, requireAll: Boolean = false)
+      : DataFrame = {
     val post = postings(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ranked = bm25OverPostings(post, queries, k, k1, b, maxDfFrac)
-      .localCheckpoint(true)
+    val ranked =
+      bm25OverPostings(post, queries, k, k1, b, maxDfFrac, requireAll)
+        .localCheckpoint(true)
     post.unpersist(false)
     ranked
   }
@@ -79,10 +81,19 @@ object Retrieval {
     * term in half the corpus contributes almost no idf but its posting
     * list is half the table, and THAT list is the one skewed shuffle a
     * hot query could pay. One predicate on the tiny per-term df frame
-    * removes it before any posting list is touched. */
+    * removes it before any posting list is touched.
+    *
+    * `requireAll = true` keeps only documents matching EVERY (surviving)
+    * query term — conjunctive (AND) retrieval. Implemented as a filter
+    * on the per-(query, doc) aggregation: the matched-term count must
+    * equal the query's surviving-term count (counted AFTER the df cap,
+    * so a capped stopword doesn't make conjunctive queries unmatchable).
+    * No extra shuffle — both counts ride the aggregations that already
+    * exist. */
   def bm25OverPostings(post: DataFrame, queries: DataFrame, k: Int,
                        k1: Double = 1.2, b: Double = 0.75,
-                       maxDfFrac: Double = 1.0): DataFrame = {
+                       maxDfFrac: Double = 1.0,
+                       requireAll: Boolean = false): DataFrame = {
     // per-query distinct terms, and the distinct overall key set
     val qt = queries
       .select(col("query_id"), explode(toks(col("qtext"))).as("_qterm"))
@@ -117,8 +128,18 @@ object Retrieval {
       .withColumn("_cq",
         floor(col("_contrib") * lit(1000000.0) + lit(0.5)).cast("long"))
     val perDoc = scored.groupBy("query_id", "doc_id")
-      .agg(sum("_cq").as("score_q"))
-    TopK.perKeySalted(perDoc, "query_id",
+      .agg(sum("_cq").as("score_q"), count(lit(1)).as("_matched"))
+    val filtered =
+      if (!requireAll) perDoc
+      else {
+        // surviving (post-cap) term count per query: a tiny broadcast
+        val qsize = qt.join(broadcast(dfreq.select("term_key")),
+            Seq("term_key"))
+          .groupBy("query_id").agg(count(lit(1)).as("_qterms"))
+        perDoc.join(broadcast(qsize), Seq("query_id"))
+          .where(col("_matched") === col("_qterms"))
+      }
+    TopK.perKeySalted(filtered, "query_id",
         Seq(desc("score_q"), col("doc_id")), k)
       .select(col("query_id"), col("rank"), col("doc_id"),
         (col("score_q").cast("double") / lit(1000000.0)).as("score"))

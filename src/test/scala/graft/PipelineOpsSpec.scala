@@ -76,6 +76,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(capped == Set(3L, 4L))
     // uncapped, every doc matches via 'the'
     assert(overPost.map(_._3) == Set(1L, 2L, 3L, 4L))
+    // conjunctive mode: only docs containing BOTH 'the' and 'd'
+    val conj = Retrieval.bm25OverPostings(post, qs, 4, requireAll = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(conj == Set(3L, 4L))
+    // conjunctive + df-cap: the capped stopword leaves a 1-term query,
+    // which still matches docs with 'd' (cap happens BEFORE the all-of
+    // count, so conjunctive queries don't become unmatchable)
+    val conjCap = Retrieval.bm25OverPostings(post, qs, 4,
+        maxDfFrac = 0.5, requireAll = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(conjCap == Set(3L, 4L))
     post.unpersist()
   }
 
@@ -243,6 +254,36 @@ class PipelineOpsSpec extends SparkSpec {
       (big ++ small).toDF("lang", "text"), "lang", col("text"), 64)
       .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
     assert(noDup == got)
+  }
+
+  test("partitioning invariance: bm25, LM scores, k-means and the KMV " +
+    "sketch return identical results under different partitionings — " +
+    "the quantized/integer arithmetic claim, exercised") {
+    import graft.operators.Sketches
+    val rnd = new scala.util.Random(23)
+    val words = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val docs = (0 until 200).map(i => (i.toLong,
+      Seq.fill(3 + rnd.nextInt(12))(words(rnd.nextInt(words.length)))
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    val vecs = (0 until 60).map(i => (i.toLong,
+      Seq.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val qs = Seq((1L, "aa ff"), (2L, "cc")).toDF("query_id", "qtext")
+    def allOf(parts: Int): (Set[(Long, Int, Long, Double)],
+        Set[(Long, Long, Double)], Set[(Long, Int)], Set[(String, Long,
+        Double)]) = {
+      val d = docs.repartition(parts)
+      val v = vecs.repartition(parts)
+      (Retrieval.bm25(d, qs, 5)
+         .as[(Long, Int, Long, Double)].collect().toSet,
+       QualityModels.bigramLmScore(d.where(col("doc_id") % 3 =!= 0), d)
+         .as[(Long, Long, Double)].collect().toSet,
+       Clustering.kmeansAssign(v, nCells = 3, iters = 2)
+         .select("vec_id", "cell").as[(Long, Int)].collect().toSet,
+       Sketches.kmvDistinct(d, "text", col("doc_id").cast("string"), 8)
+         .as[(String, Long, Double)].collect().toSet)
+    }
+    assert(allOf(1) == allOf(13))
   }
 
   test("dotNativeD equals the HOF double dot bit-for-bit") {
