@@ -626,9 +626,73 @@ class TemporalVectorDB(
   }
 
   /** Full-store rewrite seam (overridden by [[BucketedTemporalVectorDB]]);
-    * `rewritten` must be materialized (checkpointed) by the caller. */
-  protected def overwriteStore(rewritten: DataFrame): Unit =
+    * `rewritten` must be materialized (checkpointed) by the caller.
+    *
+    * The path-backed form preserves the streaming staged-commit markers
+    * (`_streaming_commits/`): Spark's directory overwrite deletes the
+    * whole root, and without the markers a checkpoint-recovery replay
+    * after a rewrite would re-append already-committed batches
+    * (duplicate rows — the exactly-once guarantee silently lost). */
+  protected def overwriteStore(rewritten: DataFrame): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = new org.apache.hadoop.fs.Path(root, "_streaming_commits")
+    val markers: Seq[String] =
+      if (fs.exists(commits))
+        fs.listStatus(commits).toSeq.map(_.getPath.getName)
+      else Seq.empty
     rewritten.write.mode("overwrite").parquet(path)
+    if (markers.nonEmpty) {
+      fs.mkdirs(commits)
+      markers.foreach { m =>
+        fs.create(new org.apache.hadoop.fs.Path(commits, m), true).close()
+      }
+    }
+  }
+
+  /** Number of visible data files in the store root (hidden `_`/`.`
+    * entries — commit markers, Spark metadata — excluded). Overridden by
+    * [[BucketedTemporalVectorDB]] (table-backed, warehouse location). */
+  protected def dataFileCount: Long = countFilesAt(path)
+
+  protected final def countFilesAt(dir: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).count { f =>
+      val n = f.getPath.getName
+      f.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.toLong
+  }
+
+  /** Compact the versions store: rewrite the current snapshot into
+    * `targetPartitions` content-hashed files (default: the session's
+    * parallelism). The operational counterpart of the streaming ingest —
+    * every micro-batch's staged commit adds a file set, so a long-running
+    * stream accretes thousands of small files and every later scan pays
+    * per-file open cost (the classic small-file problem; at 100 TB the
+    * fix is this rewrite on a maintenance cadence). Data is bit-identical
+    * after (values never change — only file layout), commit markers
+    * survive (see [[overwriteStore]]), and the maintained indexes are
+    * untouched BY DESIGN: they are lineage-free checkpoints, so a store
+    * rewrite cannot invalidate or rebuild them. Same store-level writer
+    * contract as [[applyBaseOptimization]]: no concurrent external
+    * appends during the snapshot+overwrite window.
+    *
+    * Returns (files before, files after). */
+  def compactStore(targetPartitions: Int = 0): (Long, Long) = synchronized {
+    require(storeExists, s"no store at $path")
+    val parts =
+      if (targetPartitions > 0) targetPartitions
+      else spark.sparkContext.defaultParallelism
+    val before = dataFileCount
+    // repartition BEFORE the pin: the checkpoint holds the final layout,
+    // and the overwrite writes it with no further shuffle
+    val snap = versions.repartition(parts, col("content_id"))
+      .localCheckpoint(true)
+    overwriteStore(snap)
+    org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(snap)
+    (before, dataFileCount)
+  }
 
   /** Store-wide integrity audit (reference reconstruction_service
     * :299-358). */
@@ -690,4 +754,22 @@ class BucketedTemporalVectorDB(
       .sortBy("content_id", "seq")
       .format("parquet")
       .saveAsTable(table)
+
+  // table-backed: count the managed table's files under the warehouse
+  // (every append lands one file PER BUCKET, so long-running ingest
+  // accretes buckets × batches files — the same compaction cadence
+  // applies, and [[compactStore]]'s rewrite re-buckets into one file set)
+  override protected def dataFileCount: Long =
+    countFilesAt(spark.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/") + s"/$table")
+
+  /** Bucketed compaction: the write fans out per (task, bucket), so the
+    * result is bounded by targetPartitions × buckets files — against
+    * batches × buckets before (every append adds a file set). Default
+    * width = the bucket count; pass 1 to force exactly one file per
+    * bucket (single-task write — fine for maintenance windows on
+    * moderate stores, not for a 100 TB rewrite). */
+  override def compactStore(targetPartitions: Int = 0): (Long, Long) =
+    super.compactStore(
+      if (targetPartitions > 0) targetPartitions else buckets)
 }

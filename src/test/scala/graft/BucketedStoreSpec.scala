@@ -81,6 +81,33 @@ class BucketedStoreSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_bucketed_facade")
   }
 
+  test("bucketed facade compaction: per-append bucket files collapse to " +
+    "one file set; data and the exchange-free plan shape survive") {
+    import graft.api.BucketedTemporalVectorDB
+    val bdb = new BucketedTemporalVectorDB(spark, "graft_bucketed_compact",
+      VersionStore.Config(baseInterval = 5), buckets = 4)
+    try {
+      // three appends -> three file sets per bucket
+      (1 to 3).foreach { b =>
+        bdb.addVersions((0 until 4).map(i =>
+          (s"c$i", java.sql.Timestamp.valueOf(f"2025-06-0$b 00:00:00"),
+            Array.fill(8)(0.1f * b))).toDF("content_id", "ts", "embedding"))
+      }
+      val rows = bdb.versions.select("content_id", "seq")
+        .as[(String, Int)].collect().sorted.toSeq
+      // single write task -> exactly one file per bucket
+      val (nb, na) = bdb.compactStore(targetPartitions = 1)
+      assert(nb > na && na <= 4L, s"$nb -> $na")
+      assert(bdb.versions.select("content_id", "seq")
+        .as[(String, Int)].collect().sorted.toSeq == rows)
+      // bucketing metadata survives the rewrite: still exchange-free
+      val plan = bdb.versions.groupBy("content_id").agg(max("seq"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(bdb.validateTimelineIntegrity().count() == 0)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_bucketed_compact")
+  }
+
   test("bucketed facade persists + reloads its maintained indexes under " +
     "the warehouse (table name is not a filesystem path)") {
     import graft.api.BucketedTemporalVectorDB

@@ -100,6 +100,43 @@ class StreamingSpec extends SparkSpec {
     assert(db.validateTimelineIntegrity().count() == 0)
   }
 
+  test("compactStore: streamed small files collapse, data is identical, " +
+    "commit markers survive the rewrite — replayed batches still skip") {
+    val dir = Files.createTempDirectory("tvdb-compact").toFile
+    dir.delete()
+    val db = new TemporalVectorDB(spark, dir.getAbsolutePath)
+    val batches = (0 until 5).map { b =>
+      (0 until 4).map(i =>
+        (s"k$i", ts(b + 1), Array.fill(8)(0.1f * (b + 1))))
+        .toDF("content_id", "ts", "embedding")
+    }
+    batches.zipWithIndex.foreach { case (bt, id) =>
+      StreamingIngest.processBatch(db, bt, id.toLong) }
+    val rowsBefore = db.versions
+      .select("content_id", "seq", "kind")
+      .as[(String, Int, String)].collect().sorted.toSeq
+    assert(rowsBefore.length == 20)
+    val (nBefore, nAfter) = db.compactStore(targetPartitions = 2)
+    // five staged commits accreted a file set per batch; two files remain
+    assert(nBefore > nAfter && nAfter <= 2L, s"$nBefore -> $nAfter")
+    val rowsAfter = db.versions
+      .select("content_id", "seq", "kind")
+      .as[(String, Int, String)].collect().sorted.toSeq
+    assert(rowsAfter == rowsBefore)
+    assert(db.validateTimelineIntegrity().count() == 0)
+    // the commit markers survived: an at-least-once replay of an already
+    // committed batch is STILL a no-op (without marker preservation the
+    // rewrite would have silently downgraded exactly-once to duplicates)
+    StreamingIngest.processBatch(db, batches(3), batchId = 3L)
+    assert(db.versions.count() == 20)
+    // and ingest continues normally on the compacted store
+    StreamingIngest.processBatch(db,
+      Seq(("k0", ts(9), Array.fill(8)(0.9f)))
+        .toDF("content_id", "ts", "embedding"), batchId = 5L)
+    assert(db.versions.count() == 21)
+    assert(db.validateTimelineIntegrity().count() == 0)
+  }
+
   test("exactly-once: a crash between data rename and commit marker " +
     "neither loses nor duplicates rows on replay (fault injection)") {
     val dir = Files.createTempDirectory("tvdb-crash").toFile
