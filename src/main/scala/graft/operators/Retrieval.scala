@@ -89,11 +89,21 @@ object Retrieval {
     * equal the query's surviving-term count (counted AFTER the df cap,
     * so a capped stopword doesn't make conjunctive queries unmatchable).
     * No extra shuffle — both counts ride the aggregations that already
-    * exist. */
+    * exist.
+    *
+    * `broadcastQueries = false` drops the broadcast hints on the
+    * query-term frames — the offline-evaluation regime where the query
+    * batch itself is corpus-sized (millions of queries don't fit a
+    * broadcast; the term-keyed joins become shuffled hash joins on the
+    * same 8-byte keys). Results are identical either way (spec-gated,
+    * the [[TextAnalysis.decontaminate]] broadcast≡shuffle discipline). */
   def bm25OverPostings(post: DataFrame, queries: DataFrame, k: Int,
                        k1: Double = 1.2, b: Double = 0.75,
                        maxDfFrac: Double = 1.0,
-                       requireAll: Boolean = false): DataFrame = {
+                       requireAll: Boolean = false,
+                       broadcastQueries: Boolean = true): DataFrame = {
+    val bc: DataFrame => DataFrame =
+      if (broadcastQueries) broadcast else identity
     // per-query distinct terms, and the distinct overall key set
     val qt = queries
       .select(col("query_id"), explode(toks(col("qtext"))).as("_qterm"))
@@ -106,7 +116,7 @@ object Retrieval {
       .agg(count(lit(1)).as("n"), sum("dl").as("tot"))
     // postings restricted to queried terms; df counted on the restriction
     // (post has exactly one row per (doc, term), so count(*) = df)
-    val cand = post.join(broadcast(qkeys), Seq("term_key"))
+    val cand = post.join(bc(qkeys), Seq("term_key"))
     val dfAll = cand.groupBy("term_key").agg(count(lit(1)).as("df"))
     val dfreq =
       if (maxDfFrac >= 1.0) dfAll
@@ -116,8 +126,8 @@ object Retrieval {
     val k1b = k1 * (1 - b) // 0.3 at defaults
     val k1bb = k1 * b // 0.9
     val scored = cand
-      .join(broadcast(qt), Seq("term_key"))
-      .join(broadcast(dfreq), Seq("term_key"))
+      .join(bc(qt), Seq("term_key"))
+      .join(bc(dfreq), Seq("term_key"))
       .crossJoin(broadcast(stats))
       .withColumn("_avgdl", col("tot").cast("double") / col("n").cast("double"))
       .withColumn("_idf",
@@ -133,10 +143,10 @@ object Retrieval {
       if (!requireAll) perDoc
       else {
         // surviving (post-cap) term count per query: a tiny broadcast
-        val qsize = qt.join(broadcast(dfreq.select("term_key")),
+        val qsize = qt.join(bc(dfreq.select("term_key")),
             Seq("term_key"))
           .groupBy("query_id").agg(count(lit(1)).as("_qterms"))
-        perDoc.join(broadcast(qsize), Seq("query_id"))
+        perDoc.join(bc(qsize), Seq("query_id"))
           .where(col("_matched") === col("_qterms"))
       }
     TopK.perKeySalted(filtered, "query_id",

@@ -87,7 +87,38 @@ class PipelineOpsSpec extends SparkSpec {
         maxDfFrac = 0.5, requireAll = true)
       .select("doc_id").as[Long].collect().toSet
     assert(conjCap == Set(3L, 4L))
+    // the shuffled-queries regime (million-query batches don't
+    // broadcast) returns identical rows
+    val shuffled = Retrieval.bm25OverPostings(post, qs, 4,
+        broadcastQueries = false)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(shuffled == overPost)
     post.unpersist()
+  }
+
+  test("text-family edge cases: empty, whitespace-only and symbol-heavy " +
+    "docs flow through retrieval and scoring without errors") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "!!! ??? ..."),
+      (4L, "normal words here"), (5L, "a"))
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "normal"), (2L, "")).toDF("query_id", "qtext")
+    val r = Retrieval.bm25(docs, qs, 5)
+      .as[(Long, Int, Long, Double)].collect()
+    // query 1 finds doc 4. The tokenizer maps an empty/whitespace string
+    // to ONE empty token on both sides (Spark split-on-trim semantics,
+    // same as the oracle's regexp_split), so the empty query matches
+    // exactly the empty docs — consistent, deterministic, no crash.
+    assert(r.filter(_._1 == 1L).map(_._3).toSeq == Seq(4L))
+    assert(r.filter(_._1 == 2L).map(_._3).toSet == Set(1L, 2L))
+    assert(QualityModels.hashedLinearScore(docs).count() == 5)
+    assert(QualityModels.bigramLmScore(
+      docs.where(col("doc_id") =!= 4), docs).count() == 2) // docs 3, 4
+    assert(QualityModels.sourceMixtureSample(
+      docs.withColumn("source", lit("s")), 100L).count() >= 0)
+    import graft.operators.Sketches
+    val kmv = Sketches.kmvDistinct(docs, "doc_id", col("text"), 4)
+    assert(kmv.count() == 5)
   }
 
   test("rrfFuse: exact integer contributions, missing-list docs score " +
