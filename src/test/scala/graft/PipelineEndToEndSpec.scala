@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{Dedup, QualityModels, Retrieval, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** The whole training-data pipeline COMPOSED, on the driver's real
+  * documents table: near-dup dedup → decontamination → quality filter →
+  * per-language budget selection → shard packing — with row accounting
+  * and output invariants at every stage. Each stage is individually
+  * oracle-checked elsewhere (q23b/q45, q53, q20/q60, q54, q46); this
+  * spec proves the stages actually fit together the way a user would
+  * chain them. */
+class PipelineEndToEndSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("documents -> dedup -> decontaminate -> quality -> budget " +
+    "select -> shards: row accounting holds at every stage") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val n0 = docs.count()
+
+    // 1. near-dup dedup: MinHash+LSH pairs at Jaccard >= 0.5, component
+    //    closure, keep each cluster's minimum id
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", tau = 0.5)
+      .select(col("id1"), col("id2"))
+    val deduped = Dedup.dedupedCorpusCC(docs, "doc_id", pairs)
+    val n1 = deduped.count()
+    assert(n1 <= n0 && n1 > 0)
+    // the corpus HAS duplicate groups (q18's finding) — dedup must act
+    assert(n1 < n0)
+
+    // 2. decontamination against the held-out doc_id % 97 slice
+    val heldOut = deduped.where(pmod(col("doc_id"), lit(97)) === 0)
+    val train = deduped.where(pmod(col("doc_id"), lit(97)) =!= 0)
+    val contaminated = TextAnalysis.decontaminate(train, heldOut)
+      .select(col("doc_id"))
+    val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+    val n2 = clean.count()
+    assert(n2 <= train.count())
+    // nothing contaminated survives
+    assert(clean.join(contaminated, Seq("doc_id"), "left_semi")
+      .count() == 0)
+
+    // 3. quality gate: hashed-classifier label 1 only
+    val scored = QualityModels.hashedLinearScore(clean)
+      .where(col("label") === 1).select("doc_id")
+    val quality = clean.join(scored, Seq("doc_id"), "left_semi")
+    val n3 = quality.count()
+    assert(n3 <= n2 && n3 > 0)
+
+    // 4. per-language token-budget selection
+    val selected = TextAnalysis.selectByTokenBudget(quality, budget = 2000)
+    val n4 = selected.count()
+    assert(n4 <= n3 && n4 > 0)
+    // budget respected per stratum (first doc may exceed alone — the
+    // greedy prefix rule: cumulative <= budget)
+    val perLang = selected.groupBy("lang")
+      .agg(sum("n_subtokens").as("t")).as[(String, Long)].collect()
+    assert(perLang.forall(_._2 <= 2000L))
+
+    // 5. shard packing of the survivors
+    val packed = TextAnalysis.packShards(
+      selected.select("doc_id")
+        .join(docs.select("doc_id", "text"), Seq("doc_id")),
+      tokenBudget = 512)
+    assert(packed.count() == n4)
+    // shards are dense 0..max and every shard holds <= budget tokens
+    // EXCEPT single-doc shards allowed over budget (a doc longer than
+    // the budget still ships)
+    val shardTotals = packed.groupBy("shard_id")
+      .agg(sum("n_subtokens").as("t"), max("n_subtokens").as("m"))
+      .as[(Long, Long, Long)].collect()
+    val ids = shardTotals.map(_._1).sorted
+    assert(ids.head == 0L && ids.last == ids.length - 1L)
+    // greedy bound: a shard exceeds the budget only by its final
+    // boundary-crossing doc — total <= budget + that shard's max doc
+    assert(shardTotals.forall { case (_, t, m) => t <= 512 + m })
+
+    // the funnel is monotone and documented
+    assert(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 >= n4)
+
+    // 6. the selected corpus is still SEARCHABLE: BM25 over the final
+    //    set returns hits from within it only
+    val qs = Seq((1L, "spark join table")).toDF("query_id", "qtext")
+    val hits = Retrieval.bm25(
+      selected.select("doc_id")
+        .join(docs.select("doc_id", "text"), Seq("doc_id")), qs, 5)
+    val hitIds = hits.select("doc_id").as[Long].collect().toSet
+    val finalIds = selected.select("doc_id").as[Long].collect().toSet
+    assert(hitIds.nonEmpty && hitIds.subsetOf(finalIds))
+  }
+}
