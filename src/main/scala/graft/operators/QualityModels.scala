@@ -17,7 +17,20 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object QualityModels {
 
-  private def toks(text: Column): Column = split(trim(text), "\\s+")
+  // shared canonical tokenizer (see [[TextAnalysis.tokens]]) — the oracle
+  // SQL replays its exact semantics
+  private def toks(text: Column): Column = TextAnalysis.tokens(text)
+
+  /** The md5-derived µ-weight of one token under `nBuckets` hashed
+    * features — THE weight formula, shared by the batch scorer, the
+    * weighted variant's derivation in specs, and the streaming
+    * [[marginExpr]] (one definition, so batch and streaming margins
+    * cannot drift apart). */
+  private def weightQ(token: Column, nBuckets: Int): Column = {
+    val bkt = pmod(Dedup.md5Long(token), lit(nBuckets.toLong))
+    pmod(Dedup.md5Long(concat(lit("w"), bkt.cast("string"))),
+      lit(2000001L)) - lit(1000000L)
+  }
 
   /** Hashing-trick linear classifier inference (the fastText-filter
     * shape): every token hashes into one of `nBuckets` feature buckets,
@@ -33,12 +46,9 @@ object QualityModels {
     * real weights. Output: (doc_id, n_tokens, margin_q, score, label). */
   def hashedLinearScore(docs: DataFrame, nBuckets: Int = 256): DataFrame = {
     require(nBuckets > 0)
-    val bkt = pmod(Dedup.md5Long(col("_term")), lit(nBuckets.toLong))
-    val wq = pmod(Dedup.md5Long(concat(lit("w"), bkt.cast("string"))),
-      lit(2000001L)) - lit(1000000L)
     scoreMargins(
       docs.select(col("doc_id"), explode(toks(col("text"))).as("_term"))
-        .select(col("doc_id"), wq.as("_wq")))
+        .select(col("doc_id"), weightQ(col("_term"), nBuckets).as("_wq")))
   }
 
   /** Same inference with CALLER-SUPPLIED µ-unit weights (index =
@@ -64,12 +74,7 @@ object QualityModels {
     * and the batch twin keeps it honest in PipelineOpsSpec. */
   def marginExpr(text: Column, nBuckets: Int = 256): Column = {
     require(nBuckets > 0)
-    aggregate(
-      transform(toks(text), t => {
-        val bkt = pmod(Dedup.md5Long(t), lit(nBuckets.toLong))
-        pmod(Dedup.md5Long(concat(lit("w"), bkt.cast("string"))),
-          lit(2000001L)) - lit(1000000L)
-      }),
+    aggregate(transform(toks(text), t => weightQ(t, nBuckets)),
       lit(0L), (acc, w) => acc + w)
   }
 
@@ -95,10 +100,8 @@ object QualityModels {
     * order cannot move the result. Output: (doc_id, n_bigrams,
     * avg_logprob) for docs with >= 1 bigram. */
   def bigramLmScore(train: DataFrame, score: DataFrame): DataFrame = {
-    def bigrams(docs: DataFrame): DataFrame = {
-      val t = toks(col("text"))
-      docs.select(col("doc_id"), t.as("_toks"))
-        .where(size(col("_toks")) >= 2)
+    def bigramsFromToks(toksDf: DataFrame): DataFrame =
+      toksDf.where(size(col("_toks")) >= 2)
         .select(col("doc_id"), explode(transform(
           sequence(lit(1), size(col("_toks")) - 1),
           i => struct(
@@ -107,10 +110,16 @@ object QualityModels {
             Dedup.md5Long(element_at(col("_toks"), i)).as("uk"))))
           .as("_g"))
         .select(col("doc_id"), col("_g.bk").as("bk"), col("_g.uk").as("uk"))
-    }
-    val c2 = bigrams(train).groupBy("bk").agg(count(lit(1)).as("c2"))
-    val c1 = train
-      .select(explode(toks(col("text"))).as("_term"))
+    // tokenize train ONCE: both count tables (bigram + unigram) derive
+    // from the persisted token projection — without it each call pays
+    // two full text scans + regex passes over train (packShards'
+    // lifetime pattern: result checkpoint-backed, temp freed on return)
+    val trainToks = train
+      .select(col("doc_id"), toks(col("text")).as("_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c2 = bigramsFromToks(trainToks).groupBy("bk")
+      .agg(count(lit(1)).as("c2"))
+    val c1 = trainToks.select(explode(col("_toks")).as("_term"))
       .select(Dedup.md5Long(col("_term")).as("uk"))
       .groupBy("uk").agg(count(lit(1)).as("c1"))
     // 1-row vocab-size frame rides in as a broadcast (the scalar-subquery
@@ -118,7 +127,8 @@ object QualityModels {
     val v = c1.agg(count(lit(1)).as("v"))
     val lp = log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
       (coalesce(col("c1"), lit(0L)) + col("v")))
-    bigrams(score)
+    val out = bigramsFromToks(
+        score.select(col("doc_id"), toks(col("text")).as("_toks")))
       .join(c2, Seq("bk"), "left")
       .join(c1, Seq("uk"), "left")
       .crossJoin(broadcast(v))
@@ -128,6 +138,9 @@ object QualityModels {
       .withColumn("avg_logprob",
         col("_sum_q").cast("double") / lit(1000000.0) / col("n_bigrams"))
       .select("doc_id", "n_bigrams", "avg_logprob")
+      .localCheckpoint(true)
+    trainToks.unpersist(false)
+    out
   }
 
   /** Temperature-weighted source mixing under a global token budget (the

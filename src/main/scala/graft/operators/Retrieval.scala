@@ -31,7 +31,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Retrieval {
 
-  private def toks(text: Column): Column = split(trim(text), "\\s+")
+  // the engine's ONE canonical tokenizer — every oracle replays its exact
+  // semantics, so retrieval must share it rather than re-implement it
+  private def toks(text: Column): Column = TextAnalysis.tokens(text)
 
   /** Tokenized postings: one row per (doc_id, term_key) with the term
     * frequency and the document token length — (doc_id, dl, term_key, tf).
@@ -142,9 +144,16 @@ object Retrieval {
     val filtered =
       if (!requireAll) perDoc
       else {
-        // surviving (post-cap) term count per query: a tiny broadcast
-        val qsize = qt.join(bc(dfreq.select("term_key")),
-            Seq("term_key"))
+        // surviving term count per query = all query terms minus only
+        // the DF-CAPPED ones. Out-of-vocabulary terms (absent from the
+        // postings entirely) still COUNT: no document can match them, so
+        // a conjunctive query containing one returns empty — true AND
+        // semantics. (Counting from dfreq instead would silently drop
+        // OOV terms and return spurious matches.) Capped terms live in
+        // dfAll but not dfreq — a tiny anti-join.
+        val capped = dfAll.select("term_key")
+          .join(dfreq.select("term_key"), Seq("term_key"), "left_anti")
+        val qsize = qt.join(bc(capped), Seq("term_key"), "left_anti")
           .groupBy("query_id").agg(count(lit(1)).as("_qterms"))
         perDoc.join(bc(qsize), Seq("query_id"))
           .where(col("_matched") === col("_qterms"))

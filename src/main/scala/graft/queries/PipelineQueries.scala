@@ -34,7 +34,9 @@ object PipelineQueries {
           col("text").as("qtext"))
       val lex = Retrieval.bm25(docs, qdocs, 20)
         .select("query_id", "doc_id", "rank")
-      val emb = Tables.embeddings(s, d)
+      // par(): the corpus side of the exact-kNN cross join must not run
+      // on the source's single row-group partition
+      val emb = par(Tables.embeddings(s, d))
       val vq = emb.where(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       val corpus = emb.select(col("vec_id").as("id"),

@@ -87,6 +87,14 @@ class PipelineOpsSpec extends SparkSpec {
         maxDfFrac = 0.5, requireAll = true)
       .select("doc_id").as[Long].collect().toSet
     assert(conjCap == Set(3L, 4L))
+    // an out-of-vocabulary term in a conjunctive query means NO doc can
+    // match every term — the result must be empty (OOV terms are not
+    // df-capped, so they still count toward the required set)
+    val oov = Seq((9L, "the zzznotaword")).toDF("query_id", "qtext")
+    assert(Retrieval.bm25OverPostings(post, oov, 4, requireAll = true)
+      .count() == 0)
+    // ...while the same query in OR mode still ranks by 'the'
+    assert(Retrieval.bm25OverPostings(post, oov, 4).count() == 4)
     // the shuffled-queries regime (million-query batches don't
     // broadcast) returns identical rows
     val shuffled = Retrieval.bm25OverPostings(post, qs, 4,
