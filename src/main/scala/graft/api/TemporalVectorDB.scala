@@ -40,13 +40,19 @@ class TemporalVectorDB(
   // raw (m, ks, trainSample, nCells, fullCells) as passed to cachePqIndex
   private var pqParams: Option[(Int, Int, Int, Int, Boolean)] = None
 
-  private def normalizedBases(rows: DataFrame): DataFrame =
-    rows.where(col("kind") === "base")
-      .select(col("content_id"), col("seq"), col("embedding").as("vec"))
-      .withColumn("_nrm", l2NormNative(col("vec")))
+  /** Drop zero-norm rows and unit-normalize `c` in place — THE normalize
+    * pipeline (one definition; bases/latest/query variants below only
+    * choose their projection). */
+  private def normalized(df: DataFrame, c: String): DataFrame =
+    df.withColumn("_nrm", l2NormNative(col(c)))
       .where(col("_nrm") > 0)
-      .withColumn("vec", l2NormalizeWithNative(col("vec"), col("_nrm")))
+      .withColumn(c, l2NormalizeWithNative(col(c), col("_nrm")))
       .drop("_nrm")
+
+  private def normalizedBases(rows: DataFrame): DataFrame =
+    normalized(rows.where(col("kind") === "base")
+      .select(col("content_id"), col("seq"), col("embedding").as("vec")),
+      "vec")
 
   /** Pin a maintained corpus as an eager, LINEAGE-FREE materialization.
     * `localCheckpoint` (not `cache`) on purpose: every parquet append to
@@ -155,12 +161,8 @@ class TemporalVectorDB(
   }
 
   private def normalizedLatest(latest: DataFrame): DataFrame =
-    latest.select(col("content_id"), col("seq"),
-        col("embedding").as("vec"))
-      .withColumn("_nrm", l2NormNative(col("vec")))
-      .where(col("_nrm") > 0)
-      .withColumn("vec", l2NormalizeWithNative(col("vec"), col("_nrm")))
-      .drop("_nrm")
+    normalized(latest.select(col("content_id"), col("seq"),
+      col("embedding").as("vec")), "vec")
 
   /** Compressed (IVF-PQ) latest-state index: codebooks AND coarse (IVF)
     * centroids trained ONCE on a bounded sample of the materialized latest
@@ -296,13 +298,24 @@ class TemporalVectorDB(
     * reference searches one query per FAISS call). Output: (query_id,
     * rank, id, sim). At 100 TB this is the offline-evaluation path: a
     * million-query batch is one cell-probed join, not a million ADC
-    * scans. */
+    * scans.
+    *
+    * `broadcastQueries = false` drops the broadcast hints: the probe
+    * frame carries an m×ks-double LUT per (query, cell) row, so a
+    * MILLION-query batch is gigabytes — past Spark's broadcast limit.
+    * Un-hinted, the probe and refine joins become shuffled hash joins
+    * on the cell / (content, seq) keys; identical results. Default true
+    * (interactive batches are small — per-query broadcast is the fast
+    * shape). */
   def searchLatestVersionsPqBatch(queries: DataFrame,
                                   k: Int = Defaults.DefaultK,
                                   refine: Int = 0,
-                                  nProbe: Int = Defaults.DefaultNProbe)
+                                  nProbe: Int = Defaults.DefaultNProbe,
+                                  broadcastQueries: Boolean = true)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val bc: DataFrame => DataFrame =
+      if (broadcastQueries) broadcast else identity
     val (codes, books, cents) = currentPqIndex()
     val probeN =
       if (nProbe <= 0) cents.length else math.min(nProbe, cents.length)
@@ -314,7 +327,7 @@ class TemporalVectorDB(
         SimilaritySearch.probeCellsExpr(cents, col("qvec"), probeN))
       .select(col("query_id"), col("_lut"),
         explode(col("_probes")).as("_cell"))
-    val scored = codes.join(broadcast(probes), Seq("_cell"))
+    val scored = codes.join(bc(probes), Seq("_cell"))
       .withColumn("sim", SimilaritySearch.adcSimExpr(books.length))
       .withColumn("id",
         concat_ws("#", col("content_id"), col("seq")))
@@ -329,8 +342,8 @@ class TemporalVectorDB(
         .select("query_id", "content_id", "seq")
       val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("id"))
       val exact = normalizedLatest(cacheLatest())
-        .join(broadcast(survivors), Seq("content_id", "seq"))
-        .join(broadcast(qn), Seq("query_id"))
+        .join(bc(survivors), Seq("content_id", "seq"))
+        .join(bc(qn), Seq("query_id"))
         .withColumn("sim", dotNative(col("qvec"), col("vec")))
         .withColumn("id",
           concat_ws("#", col("content_id"), col("seq")))
@@ -342,11 +355,7 @@ class TemporalVectorDB(
 
   /** Drop zero-norm rows and unit-normalize a (query_id, qvec) frame. */
   private def normQueries(queries: DataFrame): DataFrame =
-    queries
-      .withColumn("_nrm", l2NormNative(col("qvec")))
-      .where(col("_nrm") > 0)
-      .withColumn("qvec", l2NormalizeWithNative(col("qvec"), col("_nrm")))
-      .drop("_nrm")
+    normalized(queries, "qvec")
 
 
   /** Where the maintained indexes persist: `<store>_idx` beside the store
@@ -628,27 +637,14 @@ class TemporalVectorDB(
   /** Full-store rewrite seam (overridden by [[BucketedTemporalVectorDB]]);
     * `rewritten` must be materialized (checkpointed) by the caller.
     *
-    * The path-backed form preserves the streaming staged-commit markers
-    * (`_streaming_commits/`): Spark's directory overwrite deletes the
-    * whole root, and without the markers a checkpoint-recovery replay
-    * after a rewrite would re-append already-committed batches
-    * (duplicate rows — the exactly-once guarantee silently lost). */
-  protected def overwriteStore(rewritten: DataFrame): Unit = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val commits = new org.apache.hadoop.fs.Path(root, "_streaming_commits")
-    val markers: Seq[String] =
-      if (fs.exists(commits))
-        fs.listStatus(commits).toSeq.map(_.getPath.getName)
-      else Seq.empty
+    * The streaming staged-commit markers are NOT at risk here: they live
+    * BESIDE the store (`<store>_commits/`, see
+    * [[graft.streaming.StreamingIngest.processBatch]]) precisely so a
+    * destructive root overwrite cannot touch them under any crash timing
+    * — losing them would let a checkpoint-recovery replay re-append
+    * already-committed batches (duplicate rows). */
+  protected def overwriteStore(rewritten: DataFrame): Unit =
     rewritten.write.mode("overwrite").parquet(path)
-    if (markers.nonEmpty) {
-      fs.mkdirs(commits)
-      markers.foreach { m =>
-        fs.create(new org.apache.hadoop.fs.Path(commits, m), true).close()
-      }
-    }
-  }
 
   /** Number of visible data files in the store root (hidden `_`/`.`
     * entries — commit markers, Spark metadata — excluded). Overridden by

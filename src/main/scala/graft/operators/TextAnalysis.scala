@@ -338,7 +338,10 @@ object TextAnalysis {
     * portable operator uses (hashBucket / fingerprint); 56 bits keep the
     * collision odds negligible (≈ q²/2⁵⁷ for q distinct grams — 1e-5 at
     * a million grams) while making the key REPLAYABLE in the oracle. */
-  private def gramHash(gram: Column): Column =
+  // private[graft]: the streaming decontamination guard derives its
+  // broadcast key set with THE SAME expression — parity (and the
+  // gramKeysJvm twin) hangs on there being exactly one definition
+  private[graft] def gramHash(gram: Column): Column =
     conv(substring(md5(gram.cast("binary")), 1, 14), 16, 10).cast("long")
 
   /** Train/test decontamination by token n-gram overlap (the GPT-3 /

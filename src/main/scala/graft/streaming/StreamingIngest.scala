@@ -25,13 +25,12 @@ case class IngestState(lastSeq: Int, lastEmbedding: Array[Float])
   * Delivery semantics: foreachBatch is at-least-once; a naive append would
   * duplicate a retried micro-batch's (content_id, seq) rows. [[start]] is
   * EXACTLY-ONCE on plain parquet via a staged commit:
-  *   1. skip if `<store>/_streaming_commits/<batchId>` exists (committed);
+  *   1. skip if `<store>_commits/<batchId>` exists (committed);
   *   2. ROLL BACK any root files carrying this batch's `b<id>-` prefix
   *      (uncommitted leftovers of a crashed attempt — the marker is the
   *      only commit point, so they are invisible to the protocol);
-  *   3. write the ingested batch under `_staging/<batchId>` (underscore-
-  *      prefixed: parquet readers never see it), computed against the
-  *      rolled-back store;
+  *   3. write the ingested batch under `<store>_staging/<batchId>`,
+  *      computed against the rolled-back store;
   *   4. rename each staged file into the table root under the batch
   *      prefix, then write the commit marker and drop the staging dir.
   * A crash ANYWHERE before the marker replays from step 2 with the same
@@ -72,9 +71,16 @@ object StreamingIngest {
     val root = new Path(db.path)
     val fs = root.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
-    val commits = new Path(root, "_streaming_commits")
+    // markers and staging live BESIDE the store (the indexDir
+    // convention), not inside it: a maintenance overwrite of the root
+    // (compaction, base promotion) then cannot touch them under ANY
+    // crash timing — keeping them inside and restoring after the
+    // overwrite would leave a window where a crash loses every marker
+    // and a checkpoint-recovery replay re-appends committed batches
+    val commits = new Path(db.path.stripSuffix("/") + "_commits")
     val marker = new Path(commits, batchId.toString)
-    val staging = new Path(new Path(root, "_staging"), batchId.toString)
+    val staging = new Path(
+      new Path(db.path.stripSuffix("/") + "_staging"), batchId.toString)
     if (fs.exists(marker)) { // committed: replay is a no-op
       if (fs.exists(staging)) fs.delete(staging, true) // lazy cleanup
       return
@@ -138,6 +144,15 @@ object StreamingIngest {
     * requires an event-time watermark, applied here on the ts field; rows
     * arriving later than `lateness` behind the max seen ts may be dropped
     * by the watermark, so size it to the source's disorder.
+    *
+    * SEEDED-STATE CAVEAT: Spark invokes the group function only for keys
+    * with batch data or a FIRED timeout, and a timeout can only be
+    * registered inside an invocation — so a key seeded via `initial`
+    * that never appears in the stream never registers one, and its
+    * embedding stays resident regardless of `evictAfter`. Eviction
+    * bounds the ACTIVE universe; it cannot shrink a never-touched seed.
+    * When the store's content universe vastly exceeds the live stream's,
+    * seed the active subset (filter the seed frame), not the full store.
     * The emitted Dataset appends to the versions table via any sink. */
   def statefulIngest(
       stream: Dataset[(String, java.sql.Timestamp, Array[Float])],
@@ -235,20 +250,39 @@ object StreamingIngest {
     * the first streamed delta diffs against the stored latest state (the
     * reference's add-to-existing-timeline semantics,
     * temporal_database.py:107-135, in streaming form). One reconstruction
-    * job at stream start; no store reads afterwards. */
+    * job at stream start; no store reads afterwards.
+    *
+    * `onlyContents` restricts the seed to the given content ids — the
+    * large-store escape hatch: a full-store seed pins every content's
+    * embedding in the state store, and eviction cannot touch seeded keys
+    * the stream never mentions (see [[statefulIngest]]'s seeded-state
+    * caveat). CONTRACT: the stream must then carry ONLY those contents —
+    * a store-existing content that arrives unseeded restarts its seq
+    * counter at 1 and collides with its stored rows (filter or route
+    * the stream accordingly; the foreachBatch [[start]] path has no such
+    * restriction since it reads offsets from the store each batch).
+    * `evictAfter`/`lateness` pass through. */
   def statefulIngestFrom(
       stream: Dataset[(String, java.sql.Timestamp, Array[Float])],
-      db: TemporalVectorDB): Dataset[VersionRecord] = {
+      db: TemporalVectorDB,
+      onlyContents: Option[DataFrame] = None,
+      evictAfter: Option[java.time.Duration] = None,
+      lateness: String = "1 hour"): Dataset[VersionRecord] = {
     val spark = stream.sparkSession
     import spark.implicits._
-    val latest = db.versions.groupBy("content_id")
+    val scoped = onlyContents match {
+      case None => db.versions
+      case Some(ids) => db.versions.join(
+        ids.select(col("content_id")), Seq("content_id"), "left_semi")
+    }
+    val latest = scoped.groupBy("content_id")
       .agg(max("seq").as("seq"))
     val seed = graft.operators.Reconstruction
-      .reconstruct(db.versions, latest)
+      .reconstruct(scoped, latest)
       .select(col("content_id"), col("seq"), col("embedding"))
       .as[(String, Int, Array[Float])]
       .map { case (c, s, e) => (c, IngestState(s, e)) }
-    statefulIngest(stream, db.cfg, Some(seed))
+    statefulIngest(stream, db.cfg, Some(seed), evictAfter, lateness)
   }
 
   /** Streaming exact deduplication: drop rows whose dedup key was already
@@ -267,12 +301,19 @@ object StreamingIngest {
     * the margin is a pure column fold (exact long arithmetic), so the
     * filter is stateless, watermark-free, and agrees bit-for-bit with
     * the batch scorer on every row (gated in StreamingSpec).
-    * `invert = true` emits the REJECT stream instead. */
+    * `invert = true` emits the REJECT stream instead.
+    *
+    * NULL-text rows REJECT (there is nothing to score — garbage in a
+    * quality gate): without the explicit coalesce a null margin would
+    * fail BOTH the pass and the invert predicate and the row would
+    * vanish from both streams, silently un-partitioning the input. */
   def streamingQualityFilter(stream: DataFrame, minMargin: Long = 0L,
                              nBuckets: Int = 256, textCol: String = "text",
                              invert: Boolean = false): DataFrame = {
-    val pass = graft.operators.QualityModels
-      .marginExpr(col(textCol), nBuckets) >= minMargin
+    val pass = coalesce(
+      graft.operators.QualityModels
+        .marginExpr(col(textCol), nBuckets) >= minMargin,
+      lit(false))
     stream.filter(if (invert) !pass else pass)
   }
 
@@ -299,8 +340,7 @@ object StreamingIngest {
     import graft.operators.TextAnalysis
     val keys: Set[Long] = test
       .select(explode(TextAnalysis.ngrams(col(textCol), n)).as("_g"))
-      .select(conv(substring(md5(col("_g").cast("binary")), 1, 14), 16, 10)
-        .cast("long").as("_gk"))
+      .select(TextAnalysis.gramHash(col("_g")).as("_gk"))
       .distinct().collect().map(_.getLong(0)).toSet
     val bKeys = stream.sparkSession.sparkContext.broadcast(keys)
     val idx = stream.schema.fieldIndex(textCol)

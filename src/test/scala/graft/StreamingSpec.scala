@@ -416,7 +416,8 @@ class StreamingSpec extends SparkSpec {
     "run on a stream and agree with the batch operators") {
     implicit val sqlCtx = spark.sqlContext
     val docsData = (0 until 40).map(i =>
-      (i.toLong, s"doc $i filler tok${i % 7} mail user$i@example.com"))
+      (i.toLong, s"doc $i filler tok${i % 7} mail user$i@example.com")) :+
+      (99L, null.asInstanceOf[String]) // null text must REJECT, not vanish
     val stream = MemoryStream[(Long, String)]
     val in = stream.toDF().toDF("doc_id", "text")
     // quality guard (margin >= 0) feeding the PII scrubber — the hygiene
@@ -436,14 +437,17 @@ class StreamingSpec extends SparkSpec {
     val kept = spark.table("qual_scrub")
     val rejected = spark.table("qual_reject")
       .select("doc_id").as[Long].collect().toSet
-    // pass + reject partition the input, split exactly as the batch
-    // scorer's labels
+    // pass + reject partition the input (null text lands in reject —
+    // nothing to score in a quality gate), split exactly as the batch
+    // scorer's labels on the scoreable rows
     val batchLabels = graft.operators.QualityModels
-      .hashedLinearScore(docsData.toDF("doc_id", "text"))
+      .hashedLinearScore(docsData.filter(_._2 != null)
+        .toDF("doc_id", "text"))
       .select("doc_id", "label").as[(Long, Int)].collect().toMap
     val keptIds = kept.select("doc_id").as[Long].collect().toSet
     assert(keptIds.union(rejected) == docsData.map(_._1).toSet)
     assert(keptIds.intersect(rejected).isEmpty)
+    assert(rejected.contains(99L) && !keptIds.contains(99L))
     assert(keptIds == batchLabels.filter(_._2 == 1).keySet)
     assert(keptIds.nonEmpty && rejected.nonEmpty) // both regimes exercised
     // the scrubber redacted every kept doc's address on the stream
