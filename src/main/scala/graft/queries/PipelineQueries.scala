@@ -34,9 +34,12 @@ object PipelineQueries {
           col("text").as("qtext"))
       val lex = Retrieval.bm25(docs, qdocs, 20)
         .select("query_id", "doc_id", "rank")
-      // par(): the corpus side of the exact-kNN cross join must not run
-      // on the source's single row-group partition
-      val emb = par(Tables.embeddings(s, d))
+      // NO par() here, matching the exact-kNN siblings (q15/q40): the
+      // broadcast-side cross join gives each corpus partition the whole
+      // query set, so single-source-partition parallelism only matters
+      // when the corpus scan itself is the bottleneck — measured at
+      // bench scale the repartition costs ~0.9s and buys nothing
+      val emb = Tables.embeddings(s, d)
       val vq = emb.where(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       val corpus = emb.select(col("vec_id").as("id"),
