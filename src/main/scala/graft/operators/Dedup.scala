@@ -103,15 +103,23 @@ object Dedup {
     * bucket. Shared by [[minhashCandidates]] and [[nearDupPairs]]; exposed
     * `private[graft]` so DedupSpec can gate candidate-count linearity on
     * exact-dup-heavy corpora directly. */
-  private[graft] def bandCandidates(sig: DataFrame, numHashes: Int,
-                                    bands: Int): DataFrame = {
+  /** (id, band, band-hash) explode of a signature frame — the LSH bucket
+    * key stream both the self-join ([[bandCandidates]]) and the
+    * cross-corpus join ([[crossNearDupPairs]]) consume. */
+  private[graft] def bandedProjection(sig: DataFrame, numHashes: Int,
+                                      bands: Int): DataFrame = {
     val r = numHashes / bands
-    val banded = sig.select(col("_id"),
+    sig.select(col("_id"),
       posexplode(array((0 until bands).map { b =>
         md5(concat_ws(",",
           (b * r until (b + 1) * r).map(j => col(s"_m$j").cast("string")): _*)
           .cast("binary"))
       }: _*)).as(Seq("_band", "_bhash")))
+  }
+
+  private[graft] def bandCandidates(sig: DataFrame, numHashes: Int,
+                                    bands: Int): DataFrame = {
+    val banded = bandedProjection(sig, numHashes, bands)
     banded.as("l").join(banded.as("r"),
         col("l._band") === col("r._band") &&
           col("l._bhash") === col("r._bhash") &&
@@ -185,6 +193,70 @@ object Dedup {
     repSig.unpersist(false)
     sig0.unpersist(false)
     out
+  }
+
+  /** Cross-corpus near-dup pairs: every `newDocs` document whose n-gram
+    * Jaccard against some `existing` document is >= tau — the INCREMENTAL
+    * dedup shape: each incoming crawl batch checks against the
+    * already-kept corpus instead of re-deduplicating the union from
+    * scratch (batch² → batch×corpus banding, and only bucket-mates
+    * score). Both sides collapse exact groups first (the same crawl
+    * safeguard as [[nearDupPairs]]); verified representative pairs
+    * expand back to member pairs on both sides. Byte-identical cross
+    * matches need no special case: identical texts share every band.
+    *
+    * Sides keep their identities — output (new_id, existing_id, jaccard);
+    * ids may be any type and may collide numerically across sides. At
+    * deployment scale, persist the existing side's signature table
+    * ([[minhashSignatures]]) next to the corpus and feed batches against
+    * it; building it here per call is the self-contained form. */
+  def crossNearDupPairs(newDocs: DataFrame, existing: DataFrame,
+                        idCol: String, textCol: String, tau: Double,
+                        n: Int = 3, numHashes: Int = 16,
+                        bands: Int = 4): DataFrame = {
+    val (sigN, memN, repN) = exactCollapsed(newDocs, idCol, textCol, n,
+      numHashes)
+    val (sigE, memE, repE) = exactCollapsed(existing, idCol, textCol, n,
+      numHashes)
+    val cand = bandedProjection(repN, numHashes, bands).as("l")
+      .join(bandedProjection(repE, numHashes, bands).as("r"),
+        col("l._band") === col("r._band") &&
+          col("l._bhash") === col("r._bhash"))
+      .select(col("l._id").as("_idn"), col("r._id").as("_ide"))
+      .distinct()
+    val verified = cand
+      .join(repN.select(col("_id").as("_idn"), col("_g").as("_gn"),
+        col("_h").as("_hn")), "_idn")
+      .join(repE.select(col("_id").as("_ide"), col("_g").as("_ge"),
+        col("_h").as("_he")), "_ide")
+      .withColumn("jaccard", jaccard(col("_hn"), col("_he")))
+      .where(col("jaccard") >= tau)
+      .select("_gn", "_ge", "jaccard")
+    // expand both sides' exact groups (members are byte-identical to
+    // their reps, so every member pair shares the rep pair's jaccard)
+    val out = verified
+      .join(memN.select(col("_g").as("_gn"), col("_id").as("new_id")),
+        "_gn")
+      .join(memE.select(col("_g").as("_ge"), col("_id").as("existing_id")),
+        "_ge")
+      .select("new_id", "existing_id", "jaccard")
+      .localCheckpoint(true)
+    Seq(sigN, repN, sigE, repE).foreach(_.unpersist(false))
+    out
+  }
+
+  /** Keep only the genuinely new documents of a batch: `newDocs` minus
+    * everything [[crossNearDupPairs]] matches into `existing` — one
+    * anti-join after the banded check. The per-batch hygiene step of an
+    * incremental corpus build. */
+  def dedupedAgainstCorpus(newDocs: DataFrame, existing: DataFrame,
+                           idCol: String, textCol: String, tau: Double,
+                           n: Int = 3, numHashes: Int = 16,
+                           bands: Int = 4): DataFrame = {
+    val dup = crossNearDupPairs(newDocs, existing, idCol, textCol, tau,
+        n, numHashes, bands)
+      .select(col("new_id").as("_dup_id")).distinct()
+    newDocs.join(dup, newDocs(idCol) === dup("_dup_id"), "left_anti")
   }
 
   /** The exact-dup collapse stage of [[nearDupPairs]], exposed

@@ -77,6 +77,21 @@ object DedupQueries {
         .select(col("id1"), col("id2"), r4(col("jaccard")).as("jaccard"))
         .orderBy("id1", "id2")),
 
+    // Q65: cross-corpus (incremental) dedup — the augmented rows
+    // (ids >= 10000: synthetic near-dups + exact copies) play the
+    // INCOMING batch, the raw corpus the kept side; the oracle replays
+    // the uncollapsed self-join chain restricted to cross-side pairs.
+    "q65_cross_dedup" -> ((s, d) => {
+      val aug = augDocs(s, d)
+      Dedup.crossNearDupPairs(
+          aug.where(col("doc_id") >= 10000),
+          aug.where(col("doc_id") < 10000),
+          "doc_id", "text", tau = 0.5)
+        .select(col("new_id"), col("existing_id"),
+          r4(col("jaccard")).as("jaccard"))
+        .orderBy("new_id", "existing_id")
+    }),
+
     // SimHash per doc (bulk explode+agg form — codegen'd).
     "q24_simhash" -> ((s, d) =>
       Dedup.simhashes(augDocs(s, d), "doc_id", "text")
@@ -305,6 +320,18 @@ object DedupQueries {
         |$minhashChainSql
         |SELECT id1, id2, ${r4sql("jaccard")} AS jaccard FROM jac
         |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+
+    // the same UNCOLLAPSED chain; aug ids are >= 10000 exactly for the
+    // synthetic rows, so the cross-side pairs are the (id1 < 10000 <= id2)
+    // slice of the self-join's pair set (id1 < id2 puts the existing side
+    // first)
+    "q65_cross_dedup" ->
+      s"""WITH $augDocsSql,
+        |$minhashChainSql
+        |SELECT id2 AS new_id, id1 AS existing_id,
+        |  ${r4sql("jaccard")} AS jaccard FROM jac
+        |WHERE jaccard >= 0.5 AND id1 < 10000 AND id2 >= 10000
+        |ORDER BY new_id, existing_id""".stripMargin,
 
     // q23b's chain over the exact-dup-heavy corpus — uncollapsed banding
     // (every member) vs the engine's rep-collapse + expansion

@@ -329,4 +329,36 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L, 5L))
   }
+
+  test("crossNearDupPairs / dedupedAgainstCorpus: incoming batch checks " +
+    "against the kept corpus; exact groups expand on both sides") {
+    val existing = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "totally unrelated existing text about storage engines"),
+      (11L + 1, "the quick brown fox jumps over the lazy dog again and again")
+    ).toDF("doc_id", "text") // 10 and 12 are byte-identical (one group)
+    val incoming = Seq(
+      // byte-identical to existing 10/12
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      // near-dup (first token dropped) of the same
+      (2L, "quick brown fox jumps over the lazy dog again and again"),
+      // genuinely new
+      (3L, "fresh content with nothing in common whatsoever here"),
+      // numeric id collision with an existing id — sides must stay apart
+      (10L, "another genuinely new document body entirely its own")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.crossNearDupPairs(incoming, existing,
+        "doc_id", "text", tau = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // doc 1 matches BOTH members of the existing exact group, jaccard 1;
+    // doc 2 matches both as a near-dup; docs 3 and 10 match nothing
+    assert(pairs.map(p => (p._1, p._2)) ==
+      Set((1L, 10L), (1L, 12L), (2L, 10L), (2L, 12L)))
+    assert(pairs.filter(_._1 == 1L).forall(_._3 == 1.0))
+    assert(pairs.filter(_._1 == 2L).forall(p => p._3 >= 0.5 && p._3 < 1.0))
+    val kept = Dedup.dedupedAgainstCorpus(incoming, existing,
+        "doc_id", "text", tau = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 10L))
+  }
 }
