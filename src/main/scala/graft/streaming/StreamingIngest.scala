@@ -317,6 +317,74 @@ object StreamingIngest {
     stream.filter(if (invert) !pass else pass)
   }
 
+  /** Streaming near-dup guard: quarantine stream documents whose MinHash
+    * band hashes collide with the STATIC kept corpus — the ingest-time
+    * PRE-FILTER of [[graft.operators.Dedup.crossNearDupPairs]]. A band
+    * collision is LSH candidacy, not verified similarity: every true
+    * near-dup of the corpus that the banding would catch in batch is
+    * quarantined (same bands, same hashes — agreement with the batch
+    * candidate set is spec-gated), along with banding's false positives;
+    * route the quarantine stream to the batch jaccard verify instead of
+    * dropping it. Clean means "shares no band bucket with the corpus" —
+    * safe to ingest without any batch-side re-check.
+    *
+    * Stateless like the other guards: the corpus's (band, hash) keys
+    * collapse once into a broadcast set (4 strings per DISTINCT corpus
+    * text at the defaults), each stream row pays one in-JVM signature
+    * (the same compiled [[graft.functions.MinHashExpr]] kernel the
+    * column side runs, so stream and batch hashes are bit-identical by
+    * construction) + `bands` set probes. Docs with fewer than `n` tokens
+    * (or null text) have no shingles, hence no bands — always clean. */
+  def streamingNearDupGuard(stream: DataFrame, existing: DataFrame,
+                            idCol: String = "doc_id",
+                            textCol: String = "text",
+                            n: Int = 3, numHashes: Int = 16,
+                            bands: Int = 4,
+                            invert: Boolean = false): DataFrame = {
+    import graft.operators.Dedup
+    val keys: Set[String] = Dedup.bandedProjection(
+        Dedup.minhashSignatures(existing, idCol, textCol, n, numHashes),
+        numHashes, bands)
+      .select(concat_ws(":", col("_band"), col("_bhash")).as("_k"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val bKeys = stream.sparkSession.sparkContext.broadcast(keys)
+    val idx = stream.schema.fieldIndex(textCol)
+    stream.filter { row =>
+      val collides = !row.isNullAt(idx) &&
+        bandHashesJvm(row.getString(idx), n, numHashes, bands)
+          .exists(bKeys.value.contains)
+      collides == invert
+    }
+  }
+
+  /** JVM twin of the column-side band hashing ([[graft.operators
+    * .Dedup.bandedProjection]] over [[graft.functions.MinHashExpr]]
+    * signatures): the SAME compiled kernel computes the signature, and
+    * the band key replays md5(comma-joined minima) exactly — returns
+    * "band:hex" strings, empty for docs with no shingles. */
+  private[graft] def bandHashesJvm(text: String, n: Int, numHashes: Int,
+                                   bands: Int): Seq[String] = {
+    val computed = graft.functions.MinHashExpr.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text),
+      n, numHashes)
+    val sig = computed.asInstanceOf[
+      org.apache.spark.sql.catalyst.InternalRow].getArray(0)
+    if (sig.numElements() == 0) Seq.empty
+    else {
+      val r = numHashes / bands
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until bands).map { b =>
+        val joined = (b * r until (b + 1) * r)
+          .map(j => sig.getLong(j).toString).mkString(",")
+        md.reset()
+        val hex = md.digest(joined
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(x => f"$x%02x").mkString
+        s"$b:$hex"
+      }
+    }
+  }
+
   /** Streaming decontamination guard: drop stream documents sharing any
     * token n-gram with a STATIC held-out set (the batch
     * [[graft.operators.TextAnalysis.decontaminate]] as an ingest-time

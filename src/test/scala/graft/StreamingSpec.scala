@@ -412,6 +412,60 @@ class StreamingSpec extends SparkSpec {
     assert(sparkKeys == jvmKeys)
   }
 
+  test("streaming near-dup guard: quarantine equals the batch banding " +
+    "candidate set; short/null docs are clean; JVM bands bit-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val existing = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "totally unrelated existing text about storage engines and io"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "quick brown fox jumps over the lazy dog again and again"),
+      (3L, "fresh content with nothing in common whatsoever here at all"),
+      (4L, "hi there"),                    // < 3 tokens: no shingles
+      (5L, null.asInstanceOf[String]))     // null text: clean
+    val stream = MemoryStream[(Long, String)]
+    val in = stream.toDF().toDF("doc_id", "text")
+    val qc = StreamingIngest.streamingNearDupGuard(in, existing)
+      .writeStream.format("memory").queryName("ndg_clean")
+      .outputMode("append").start()
+    val qq = StreamingIngest.streamingNearDupGuard(in, existing,
+        invert = true)
+      .writeStream.format("memory").queryName("ndg_quar")
+      .outputMode("append").start()
+    try {
+      stream.addData(incoming: _*)
+      qc.processAllAvailable(); qq.processAllAvailable()
+    } finally { qc.stop(); qq.stop() }
+    val clean = spark.table("ndg_clean")
+      .select("doc_id").as[Long].collect().toSet
+    val quarantined = spark.table("ndg_quar")
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean.union(quarantined) == incoming.map(_._1).toSet)
+    assert(clean.intersect(quarantined).isEmpty)
+    assert(Set(4L, 5L).subsetOf(clean)) // shingle-less docs always clean
+    // agreement with the BATCH candidate set: tau = 0 keeps every banded
+    // candidate (jaccard >= 0 always), i.e. exactly the collision set
+    val batchCands = graft.operators.Dedup.crossNearDupPairs(
+        incoming.filter(_._2 != null).toDF("doc_id", "text"), existing,
+        "doc_id", "text", tau = 0.0)
+      .select("new_id").as[Long].collect().toSet
+    assert(quarantined == batchCands)
+    assert(quarantined.contains(1L)) // the exact copy must be caught
+    // JVM band hashes are bit-identical to the column-side projection
+    val docsDf = incoming.filter(_._2 != null).toDF("doc_id", "text")
+    val colBands = graft.operators.Dedup.bandedProjection(
+        graft.operators.Dedup.minhashSignatures(docsDf, "doc_id", "text",
+          3, 16), 16, 4)
+      .select(concat_ws(":", col("_band"), col("_bhash")))
+      .as[String].collect().sorted.toSeq
+    val jvmBands = incoming.filter(_._2 != null)
+      .flatMap(d => StreamingIngest.bandHashesJvm(d._2, 3, 16, 4))
+      .sorted
+    assert(colBands == jvmBands)
+  }
+
   test("streaming quality filter + PII scrub: stateless column guards " +
     "run on a stream and agree with the batch operators") {
     implicit val sqlCtx = spark.sqlContext
