@@ -362,17 +362,24 @@ object StreamingIngest {
     * signatures): the SAME compiled kernel computes the signature, and
     * the band key replays md5(comma-joined minima) exactly — returns
     * "band:hex" strings, empty for docs with no shingles. */
+  // per-thread digest: the guard runs per ROW on the ingest hot path —
+  // a JCA provider lookup + allocation per row would dominate the probe
+  // (the MinHashExpr.digest pattern)
+  private val bandDigest =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   private[graft] def bandHashesJvm(text: String, n: Int, numHashes: Int,
                                    bands: Int): Seq[String] = {
-    val computed = graft.functions.MinHashExpr.compute(
+    val sig = graft.functions.MinHashExpr.compute(
       org.apache.spark.unsafe.types.UTF8String.fromString(text),
-      n, numHashes)
-    val sig = computed.asInstanceOf[
-      org.apache.spark.sql.catalyst.InternalRow].getArray(0)
+      n, numHashes).getArray(0)
     if (sig.numElements() == 0) Seq.empty
     else {
       val r = numHashes / bands
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = bandDigest.get()
       (0 until bands).map { b =>
         val joined = (b * r until (b + 1) * r)
           .map(j => sig.getLong(j).toString).mkString(",")
