@@ -259,6 +259,52 @@ object Dedup {
     newDocs.join(dup, newDocs(idCol) === dup("_dup_id"), "left_anti")
   }
 
+  /** Banding-recall harness — the dedup counterpart of
+    * [[SimilaritySearch.annRecall]]: on a BOUNDED sample, compare the
+    * banded pipeline's verified pairs against ALL-PAIRS n-gram Jaccard
+    * ground truth at the same tau. Banding's precision is 1 by
+    * construction (every candidate is jaccard-verified); what it can
+    * lose is RECALL — true pairs whose signatures never share a band
+    * (probability (1−j^r)^b per pair at jaccard j). This measures that
+    * loss on a sample you can afford, so the `numHashes`/`bands` knobs
+    * are tuned with evidence instead of the formula alone.
+    *
+    * Sample = the `sampleN` lowest-md5(id) docs (deterministic,
+    * unbiased by id assignment order). Output: one row —
+    * (n_sample, n_true_pairs, n_found_pairs, recall); recall is 1.0
+    * when the sample has no true pairs (nothing to miss). */
+  def bandingRecall(docs: DataFrame, idCol: String, textCol: String,
+                    tau: Double, sampleN: Int = 512, n: Int = 3,
+                    numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val sample = docs
+      .orderBy(md5Long(col(idCol).cast("string")), col(idCol))
+      .limit(sampleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ground truth: all-pairs jaccard on the sample's distinct shingle
+    // sets (quadratic — the sample bound is the point)
+    val sh = sample.select(col(idCol).as("_id"),
+        array_distinct(transform(shingles(col(textCol), n),
+          s => md5Long(s) % P)).as("_h"))
+      .where(size(col("_h")) > 0)
+    val truth = sh.as("l").join(sh.as("r"), col("l._id") < col("r._id"))
+      .withColumn("jaccard", jaccard(col("l._h"), col("r._h")))
+      .where(col("jaccard") >= tau)
+      .select(col("l._id").as("id1"), col("r._id").as("id2"))
+    val found = nearDupPairs(sample, idCol, textCol, tau, n, numHashes,
+        bands)
+      .select("id1", "id2")
+    val nTrue = truth.count()
+    val nFound = found.count()
+    val nHit = truth.join(found, Seq("id1", "id2")).count()
+    val nSample = sample.count()
+    sample.unpersist(false)
+    val recall = if (nTrue == 0) 1.0 else nHit.toDouble / nTrue.toDouble
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((nSample, nTrue, nFound, recall))
+      .toDF("n_sample", "n_true_pairs", "n_found_pairs", "recall")
+  }
+
   /** The exact-dup collapse stage of [[nearDupPairs]], exposed
     * `private[graft]` so DedupSpec can gate its linearity promise (the
     * band join sees ONE row per byte-identical text group, so e exact

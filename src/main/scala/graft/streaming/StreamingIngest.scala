@@ -441,7 +441,7 @@ object StreamingIngest {
     val toks = s.split("\\s+", -1)
     if (toks.length < n) Iterator.empty
     else {
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = bandDigest.get() // per-thread; per-row lookup+alloc is hot
       (0 to toks.length - n).iterator.map { i =>
         md.reset()
         val d = md.digest(
