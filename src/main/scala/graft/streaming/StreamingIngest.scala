@@ -328,40 +328,107 @@ object StreamingIngest {
     * dropping it. Clean means "shares no band bucket with the corpus" —
     * safe to ingest without any batch-side re-check.
     *
-    * Stateless like the other guards: the corpus's (band, hash) keys
-    * collapse once into a broadcast set (4 strings per DISTINCT corpus
-    * text at the defaults), each stream row pays one in-JVM signature
-    * (the same compiled [[graft.functions.MinHashExpr]] kernel the
-    * column side runs, so stream and batch hashes are bit-identical by
-    * construction) + `bands` set probes. Docs with fewer than `n` tokens
-    * (or null text) have no shingles, hence no bands — always clean. */
+    * MEMORY CONTRACT: the corpus's distinct (band, hash) keys are packed
+    * to 64-bit longs (band in the top byte, 56-bit md5 prefix below) and
+    * either collected into a sorted array (8 B/key, up to
+    * `exactKeyLimit` keys) or — past the limit — folded DISTRIBUTEDLY
+    * into a Bloom filter whose broadcast payload is
+    * O(nKeys · ln(1/fpp)) BITS, independent of text sizes and ~10 bits
+    * per distinct corpus text ×bands at the 1% default. The driver never
+    * materializes the key universe on the Bloom path. Both probe paths
+    * admit false POSITIVES only (packing truncation / Bloom fpp), which
+    * quarantine a clean doc — the benign direction; no true collision is
+    * ever missed.
+    *
+    * Stateless like the other guards: each stream row pays one in-JVM
+    * signature (the same compiled [[graft.functions.MinHashExpr]] kernel
+    * the column side runs, so stream and batch hashes are bit-identical
+    * by construction) + `bands` index probes. Docs with fewer than `n`
+    * tokens (or null text) have no shingles, hence no bands — always
+    * clean. */
   def streamingNearDupGuard(stream: DataFrame, existing: DataFrame,
                             idCol: String = "doc_id",
                             textCol: String = "text",
                             n: Int = 3, numHashes: Int = 16,
                             bands: Int = 4,
-                            invert: Boolean = false): DataFrame = {
-    import graft.operators.Dedup
-    val keys: Set[String] = Dedup.bandedProjection(
-        Dedup.minhashSignatures(existing, idCol, textCol, n, numHashes),
-        numHashes, bands)
-      .select(concat_ws(":", col("_band"), col("_bhash")).as("_k"))
-      .distinct().collect().map(_.getString(0)).toSet
-    val bKeys = stream.sparkSession.sparkContext.broadcast(keys)
+                            invert: Boolean = false,
+                            exactKeyLimit: Long = 4L * 1000 * 1000,
+                            bloomFpp: Double = 0.01): DataFrame = {
+    val index = corpusBandIndex(existing, idCol, textCol, n, numHashes,
+      bands, exactKeyLimit, bloomFpp)
+    val bIdx = stream.sparkSession.sparkContext.broadcast(index)
     val idx = stream.schema.fieldIndex(textCol)
     stream.filter { row =>
       val collides = !row.isNullAt(idx) &&
-        bandHashesJvm(row.getString(idx), n, numHashes, bands)
-          .exists(bKeys.value.contains)
+        bandKeysJvm(row.getString(idx), n, numHashes, bands)
+          .exists(bIdx.value.mightContain)
       collides == invert
     }
+  }
+
+  /** Probe index over the corpus's packed band keys — the broadcast
+    * payload of [[streamingNearDupGuard]]. `payloadBytes` is the
+    * serialized probe size the memory-contract spec gates on. */
+  private[graft] sealed trait BandKeyIndex extends Serializable {
+    def mightContain(k: Long): Boolean
+    def payloadBytes: Long
+  }
+  private[graft] final class ExactBandKeys(keys: Array[Long])
+      extends BandKeyIndex {
+    def mightContain(k: Long): Boolean =
+      java.util.Arrays.binarySearch(keys, k) >= 0
+    def payloadBytes: Long = 8L * keys.length
+  }
+  private[graft] final class BloomBandKeys(
+      bf: org.apache.spark.util.sketch.BloomFilter) extends BandKeyIndex {
+    def mightContain(k: Long): Boolean = bf.mightContainLong(k)
+    def payloadBytes: Long = (bf.bitSize() + 7) / 8
+  }
+
+  /** Column-side packed band key over a [[graft.operators.Dedup
+    * .bandedProjection]] frame: band in the top byte, the md5 band
+    * hash's leading 56 bits below — the same packing [[bandKeysJvm]]
+    * computes from digest bytes, so column and JVM keys are
+    * bit-identical (spec-gated). */
+  private[graft] def packedBandKey: org.apache.spark.sql.Column =
+    shiftleft(col("_band").cast("long"), 56).bitwiseOR(
+      conv(substring(col("_bhash"), 1, 14), 16, 10).cast("long"))
+
+  /** Build the guard's probe index: one distributed distinct over the
+    * corpus's packed band keys, then EITHER a bounded collect (sorted
+    * long array, exact probes) or a `DataFrameStatFunctions.bloomFilter`
+    * fold (per-partition filters merged on the driver — the driver holds
+    * bloom BITS, never the key universe). */
+  private[graft] def corpusBandIndex(existing: DataFrame, idCol: String,
+                                     textCol: String, n: Int,
+                                     numHashes: Int, bands: Int,
+                                     exactKeyLimit: Long,
+                                     bloomFpp: Double): BandKeyIndex = {
+    require(bands <= 255, s"bands must fit the key's top byte (got $bands)")
+    import graft.operators.Dedup
+    val keys = Dedup.bandedProjection(
+        Dedup.minhashSignatures(existing, idCol, textCol, n, numHashes),
+        numHashes, bands)
+      .select(packedBandKey.as("_k"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nKeys = keys.count()
+      if (nKeys <= exactKeyLimit) {
+        val arr = keys.collect().map(_.getLong(0))
+        java.util.Arrays.sort(arr)
+        new ExactBandKeys(arr)
+      } else {
+        new BloomBandKeys(keys.stat.bloomFilter("_k", nKeys, bloomFpp))
+      }
+    } finally keys.unpersist()
   }
 
   /** JVM twin of the column-side band hashing ([[graft.operators
     * .Dedup.bandedProjection]] over [[graft.functions.MinHashExpr]]
     * signatures): the SAME compiled kernel computes the signature, and
-    * the band key replays md5(comma-joined minima) exactly — returns
-    * "band:hex" strings, empty for docs with no shingles. */
+    * the packed key replays md5(comma-joined minima) exactly
+    * ([[packedBandKey]]) — empty for docs with no shingles. */
   // per-thread digest: the guard runs per ROW on the ingest hot path —
   // a JCA provider lookup + allocation per row would dominate the probe
   // (the MinHashExpr.digest pattern)
@@ -371,8 +438,8 @@ object StreamingIngest {
         java.security.MessageDigest.getInstance("MD5")
     }
 
-  private[graft] def bandHashesJvm(text: String, n: Int, numHashes: Int,
-                                   bands: Int): Seq[String] = {
+  private[graft] def bandKeysJvm(text: String, n: Int, numHashes: Int,
+                                 bands: Int): Seq[Long] = {
     val sig = graft.functions.MinHashExpr.compute(
       org.apache.spark.unsafe.types.UTF8String.fromString(text),
       n, numHashes).getArray(0)
@@ -384,10 +451,12 @@ object StreamingIngest {
         val joined = (b * r until (b + 1) * r)
           .map(j => sig.getLong(j).toString).mkString(",")
         md.reset()
-        val hex = md.digest(joined
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          .map(x => f"$x%02x").mkString
-        s"$b:$hex"
+        val d = md.digest(joined
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var v = 0L
+        var j = 0
+        while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+        (b.toLong << 56) | v
       }
     }
   }

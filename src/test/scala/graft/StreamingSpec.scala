@@ -453,17 +453,73 @@ class StreamingSpec extends SparkSpec {
       .select("new_id").as[Long].collect().toSet
     assert(quarantined == batchCands)
     assert(quarantined.contains(1L)) // the exact copy must be caught
-    // JVM band hashes are bit-identical to the column-side projection
+    // JVM packed band keys are bit-identical to the column-side packing
     val docsDf = incoming.filter(_._2 != null).toDF("doc_id", "text")
     val colBands = graft.operators.Dedup.bandedProjection(
         graft.operators.Dedup.minhashSignatures(docsDf, "doc_id", "text",
           3, 16), 16, 4)
-      .select(concat_ws(":", col("_band"), col("_bhash")))
-      .as[String].collect().sorted.toSeq
+      .select(StreamingIngest.packedBandKey)
+      .as[Long].collect().sorted.toSeq
     val jvmBands = incoming.filter(_._2 != null)
-      .flatMap(d => StreamingIngest.bandHashesJvm(d._2, 3, 16, 4))
+      .flatMap(d => StreamingIngest.bandKeysJvm(d._2, 3, 16, 4))
       .sorted
     assert(colBands == jvmBands)
+  }
+
+  test("near-dup guard memory contract: Bloom payload is O(bloom bits) " +
+    "not O(corpus); Bloom path misses no true collision") {
+    implicit val sqlCtx = spark.sqlContext
+    // two corpora, the second 8x the rows AND 50x the text bytes — the
+    // Bloom payload must track nKeys*ln(1/fpp) bits, never text size
+    def corpus(rows: Int, pad: Int): org.apache.spark.sql.DataFrame =
+      spark.range(rows).selectExpr("id as doc_id",
+        s"concat_ws(' ', transform(sequence(0, 11), " +
+          s"j -> concat('tok', pmod(id * 13 + j * 7, $pad)))) as text")
+    val small = corpus(50, 1000)
+    val big = corpus(400, 50000)
+    def bloomIdx(df: org.apache.spark.sql.DataFrame) =
+      StreamingIngest.corpusBandIndex(df, "doc_id", "text", 3, 16, 4,
+        exactKeyLimit = 0L, bloomFpp = 0.01) // force the Bloom path
+    val (iSmall, iBig) = (bloomIdx(small), bloomIdx(big))
+    // payload matches the Bloom sizing formula for its own key count —
+    // bits ~= ceil(-n*ln(p)/ln(2)^2), NOT the ~100 B/key a string set pays
+    def expectedBytes(df: org.apache.spark.sql.DataFrame): Long = {
+      val n = graft.operators.Dedup.bandedProjection(
+          graft.operators.Dedup.minhashSignatures(df, "doc_id", "text",
+            3, 16), 16, 4)
+        .select(StreamingIngest.packedBandKey).distinct().count()
+      (org.apache.spark.util.sketch.BloomFilter
+        .create(n, 0.01).bitSize() + 7) / 8
+    }
+    assert(iSmall.payloadBytes == expectedBytes(small))
+    assert(iBig.payloadBytes == expectedBytes(big))
+    // ~10 bits/key at 1% fpp: payload stays far below the corpus bytes
+    val bigTextBytes = big.selectExpr("sum(length(text))")
+      .collect()(0).getLong(0)
+    assert(iBig.payloadBytes < bigTextBytes / 4)
+    // exact path for comparison: 8 B/key
+    val exact = StreamingIngest.corpusBandIndex(small, "doc_id", "text",
+      3, 16, 4, exactKeyLimit = Long.MaxValue, bloomFpp = 0.01)
+    assert(exact.isInstanceOf[StreamingIngest.ExactBandKeys])
+    // no false negatives: every key the exact index holds, Bloom admits
+    val smallKeys = small.collect().flatMap(r =>
+      StreamingIngest.bandKeysJvm(r.getString(1), 3, 16, 4))
+    assert(smallKeys.forall(k => exact.mightContain(k)))
+    assert(smallKeys.forall(k => iSmall.mightContain(k)))
+    // guard-level agreement: the Bloom guard's CLEAN set is a subset of
+    // the exact guard's (fpp only ever moves clean docs to quarantine)
+    val incoming = (0 until 30).map(i =>
+      (1000L + i, s"fresh tok${i} unrelated text with nothing shared " +
+        s"whatsoever number ${i * 31}")).toDF("doc_id", "text")
+    val exactClean = incoming.filter { r =>
+      !StreamingIngest.bandKeysJvm(r.getString(1), 3, 16, 4)
+        .exists(exact.mightContain)
+    }.select("doc_id").as[Long].collect().toSet
+    val bloomClean = incoming.filter { r =>
+      !StreamingIngest.bandKeysJvm(r.getString(1), 3, 16, 4)
+        .exists(iSmall.mightContain)
+    }.select("doc_id").as[Long].collect().toSet
+    assert(bloomClean.subsetOf(exactClean))
   }
 
   test("streaming quality filter + PII scrub: stateless column guards " +
