@@ -45,4 +45,73 @@ object Sketches {
             col("_hk").cast("double")))
       .select(col(groupCol), col("n_kept"), col("estimate"))
   }
+
+  /** Fixed-boundary histogram per group: `nBuckets` equal-width buckets
+    * over [lo, hi), EXACT long counts, out-of-range values clamped into
+    * the edge buckets. The deterministic replacement for a t-digest /
+    * `percentile_approx` profile: boundaries are closed-form, counts are
+    * exact, so any engine replays it bit-for-bit.
+    *
+    * Scale shape: ONE aggregation keyed by (group, bucket) — map-side
+    * partial combine collapses each partition to ≤ nGroups·nBuckets rows
+    * before anything shuffles; the output is bounded by the same product
+    * regardless of corpus size. Output: (group, bucket, lo_edge, hi_edge,
+    * cnt), only non-empty buckets. */
+  def histogram(df: DataFrame, groupCol: String, value: Column,
+                lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && hi > lo,
+      s"need nBuckets > 0 and hi > lo (got $nBuckets, [$lo, $hi))")
+    // identical expression ORDER to the oracle replay: (v-lo)/(hi-lo)*nB
+    val b = least(lit(nBuckets - 1), greatest(lit(0),
+        floor((value.cast("double") - lit(lo)) / lit(hi - lo)
+          * lit(nBuckets.toDouble))))
+      .cast("int")
+    df.select(col(groupCol), b.as("bucket"))
+      .groupBy(groupCol, "bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("lo_edge", lit(lo) + lit(hi - lo) * col("bucket")
+        / lit(nBuckets.toDouble))
+      .withColumn("hi_edge", lit(lo) + lit(hi - lo) * (col("bucket") + 1)
+        / lit(nBuckets.toDouble))
+      .select(col(groupCol), col("bucket"), col("lo_edge"), col("hi_edge"),
+        col("cnt"))
+  }
+
+  /** Quantiles read off a [[histogram]]: for each requested quantile q,
+    * the first bucket whose cumulative count reaches ceil(q · total),
+    * reported as that bucket's UPPER edge (the conservative "q of values
+    * are ≤ this" bound; error ≤ one bucket width by construction).
+    *
+    * Determinism recipe: q rides as a 1e-6-quantized long and the rank
+    * target is computed in INTEGER arithmetic — (q_q·total + 999999)
+    * div 1e6 — so no engine's double rounding can shift a target across
+    * a count boundary. Everything after the histogram's one aggregation
+    * runs on ≤ nGroups·nBuckets rows (the window and quantile probe are
+    * driver-scale, not corpus-scale). Output: (group, q, bucket,
+    * value_le, cum, total). */
+  def histogramQuantiles(df: DataFrame, groupCol: String, value: Column,
+                         lo: Double, hi: Double, nBuckets: Int,
+                         qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1], got $qs")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = histogram(df, groupCol, value, lo, hi, nBuckets)
+    val cum = h
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy(groupCol).orderBy("bucket")))
+      .withColumn("total", sum("cnt").over(Window.partitionBy(groupCol)))
+    val qdf = qs.map(q => math.floor(q * 1e6 + 0.5).toLong).toDF("q_q")
+    cum.crossJoin(broadcast(qdf))
+      .where(col("cum") >= expr("(q_q * total + 999999L) div 1000000L"))
+      .groupBy(col(groupCol), col("q_q"))
+      .agg(min("bucket").as("bucket"), first("total").as("total"))
+      .withColumn("q", col("q_q").cast("double") / lit(1000000.0))
+      .withColumn("value_le", lit(lo) + lit(hi - lo) * (col("bucket") + 1)
+        / lit(nBuckets.toDouble))
+      .join(cum.select(col(groupCol), col("bucket"), col("cum")),
+        Seq(groupCol, "bucket"))
+      .select(col(groupCol), col("q"), col("bucket"), col("value_le"),
+        col("cum"), col("total"))
+  }
 }

@@ -91,8 +91,36 @@ object PipelineQueries {
       Sketches.kmvDistinct(par(Tables.documents(s, d)), "lang",
           col("text"), k = 64)
         .withColumn("estimate", r4(col("estimate")))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // Q67: deterministic histogram-quantile profile — text-length
+    // quantiles per language via fixed 8-px buckets + exact counts +
+    // integer rank targets (the t-digest replacement an oracle CAN
+    // replay; percentile_approx never could).
+    "q67_hist_quantiles" -> ((s, d) =>
+      Sketches.histogramQuantiles(par(Tables.documents(s, d)), "lang",
+          length(col("text")), 0.0, 2048.0, 256,
+          Seq(0.25, 0.5, 0.9, 0.99))
+        .orderBy("lang", "q")),
+
+    // Q66: BM25 over the PERSISTED postings index — certifies the whole
+    // maintained-postings lifecycle in one key: bucketed build from half
+    // the corpus, incremental append of the other half, then search
+    // serving purely from the catalog table (zero corpus re-tokenize).
+    // The oracle replays the same scoring over the full corpus, so a
+    // build/append path that lost or doubled any posting hash-mismatches.
+    "q66_bm25_postings" -> ((s, d) => {
+      import s.implicits._
+      val docs = par(Tables.documents(s, d))
+      val idx = new Retrieval.PostingsIndex(s, "graft_q66_postings")
+      idx.build(docs.where(pmod(col("doc_id"), lit(2)) === 0))
+      idx.append(docs.where(pmod(col("doc_id"), lit(2)) === 1))
+      val qs = Seq((0L, "dup scan fast"), (1L, "agg merge window"),
+        (2L, "spark vector join")).toDF("query_id", "qtext")
+      idx.search(qs, 10).orderBy("query_id", "rank")
+    })
   )
+
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
   private def key56(e: String): String =
@@ -175,12 +203,54 @@ object PipelineQueries {
       |  FROM c${t - 1} p LEFT JOIN m$t m ON m.cell = p.cell)""".stripMargin
   }
 
+  private val q66Qt: String =
+    """SELECT CAST(v.query_id AS BIGINT) AS query_id, v.term
+      |  FROM (VALUES (0, 'dup'), (0, 'scan'), (0, 'fast'),
+      |    (1, 'agg'), (1, 'merge'), (1, 'window'),
+      |    (2, 'spark'), (2, 'vector'), (2, 'join')) v(query_id, term)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q58_bm25" ->
       s"""WITH ${bm25Ctes(q58Qt)}
         |SELECT query_id, rank, doc_id,
         |  CAST(score_q AS DOUBLE) / 1000000.0 AS score
         |FROM bm WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // q66: the oracle is persistence-blind — it rebuilds the identical
+    // postings from the full corpus; the Spark side must reproduce them
+    // through build(half) + append(half) + catalog reload
+    "q66_bm25_postings" ->
+      s"""WITH ${bm25Ctes(q66Qt)}
+        |SELECT query_id, rank, doc_id,
+        |  CAST(score_q AS DOUBLE) / 1000000.0 AS score
+        |FROM bm WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // q67: replay the fixed-boundary buckets, exact cumulative counts
+    // and INTEGER rank targets — every arithmetic step identical
+    "q67_hist_quantiles" ->
+      """WITH h AS (
+        |  SELECT lang,
+        |    CAST(least(255, greatest(0,
+        |      floor((CAST(length(text) AS DOUBLE) - 0.0) / 2048.0 * 256.0)))
+        |      AS INTEGER) AS bucket,
+        |    count(*) AS cnt
+        |  FROM documents GROUP BY lang, bucket),
+        |c AS (SELECT lang, bucket, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY bucket)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS total
+        |  FROM h),
+        |q AS (SELECT unnest([250000, 500000, 900000, 990000]) AS q_q),
+        |sel AS (
+        |  SELECT c.lang, q.q_q, min(c.bucket) AS bucket
+        |  FROM c, q
+        |  WHERE c.cum >= (q.q_q * c.total + 999999) // 1000000
+        |  GROUP BY c.lang, q.q_q),
+        |j AS (SELECT s.lang, s.q_q, s.bucket, c.cum, c.total
+        |  FROM sel s JOIN c ON c.lang = s.lang AND c.bucket = s.bucket)
+        |SELECT lang, CAST(q_q AS DOUBLE) / 1000000.0 AS q, bucket,
+        |  0.0 + 2048.0 * (bucket + 1) / 256.0 AS value_le, cum, total
+        |FROM j ORDER BY lang, q""".stripMargin,
 
     "q59_hybrid_rrf" ->
       s"""WITH ${bm25Ctes(

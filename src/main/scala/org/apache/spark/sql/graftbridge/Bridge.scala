@@ -25,6 +25,16 @@ object Bridge {
       case _ => ()
     }
 
+  /** The catalog's default (managed) location for a default-database
+    * table name — where `saveAsTable` would put it. Lets callers clear a
+    * stale location left by a DIFFERENT session's managed table (the
+    * catalog forgets across sessions, the filesystem doesn't, and
+    * saveAsTable refuses to adopt an existing directory). */
+  def defaultTablePath(spark: org.apache.spark.sql.SparkSession,
+                       table: String): java.net.URI =
+    spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+
   /** Register a custom expression under `name` in the session's function
     * registry so it is callable from Spark SQL text. */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,

@@ -105,6 +105,84 @@ class PipelineOpsSpec extends SparkSpec {
     post.unpersist()
   }
 
+  test("PostingsIndex: build + incremental append equals direct postings; " +
+    "search serves with the corpus DELETED; bucketing kills the term_key " +
+    "exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_postidx")
+    val corpusPath = s"$dir/docs"
+    (0 until 60).map(i =>
+        (i.toLong, s"tok${i % 7} tok${i % 11} shared word filler${i % 3}"))
+      .toDF("doc_id", "text")
+      .write.parquet(corpusPath)
+    val docs = spark.read.parquet(corpusPath)
+    val qs = Seq((1L, "shared tok2"), (2L, "filler1 word"))
+      .toDF("query_id", "qtext")
+    val direct = Retrieval.bm25(docs, qs, 5)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val idx = new Retrieval.PostingsIndex(spark, "postidx_spec")
+    try {
+      // build half, append the other half — the incremental lifecycle
+      idx.build(docs.where(pmod(col("doc_id"), lit(2)) === 0))
+      idx.append(docs.where(pmod(col("doc_id"), lit(2)) === 1))
+      // the persisted table IS the direct postings frame, row for row
+      val persisted = idx.postingsTable
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val fresh = Retrieval.postings(docs)
+        .select("doc_id", "dl", "term_key", "tf")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(persisted == fresh)
+      // zero-corpus-read proof (the q49 discipline): delete the corpus,
+      // search anyway — results identical to the pre-deletion direct run
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      val fromIdx = idx.search(qs, 5)
+        .select("query_id", "rank", "doc_id", "score")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(fromIdx == direct)
+      // the bucket layout carries the hash distribution: a term_key
+      // aggregation over the persisted table plans WITHOUT an exchange
+      val aggPlan = idx.postingsTable.groupBy("term_key")
+        .agg(count(lit(1))).queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"),
+        s"bucketed term_key agg should not shuffle:\n$aggPlan")
+    } finally idx.drop()
+  }
+
+  test("histogram + histogramQuantiles: exact counts, clamped edges, " +
+    "quantiles within one bucket width of the true order statistic, " +
+    "partitioning-invariant") {
+    import graft.operators.Sketches
+    val vals = (1 to 997).map(i => ("g", (i * 37) % 500 - 10)) ++
+      Seq(("g", -999), ("g", 99999)) // out-of-range -> edge buckets
+    val df = vals.toDF("grp", "v")
+    val h = Sketches.histogram(df, "grp", col("v"), 0.0, 512.0, 64)
+    // exact counts: bucket sums must equal the row count
+    assert(h.agg(sum("cnt")).head().getLong(0) == vals.length)
+    // the clamp: bucket 0 holds every v < 0, bucket 63 every v >= 512
+    val byBucket = h.select("bucket", "cnt")
+      .as[(Int, Long)].collect().toMap
+    val below = vals.count(_._2 < 8) // v in (-inf, 8) -> bucket 0
+    assert(byBucket(0) == below)
+    assert(byBucket(63) == vals.count(_._2 >= 504))
+    // quantile bound: value_le >= true q-th order statistic, and within
+    // one bucket width (8.0) above it for in-range quantiles
+    val qs = Seq(0.5, 0.9)
+    val got = Sketches.histogramQuantiles(df, "grp", col("v"),
+        0.0, 512.0, 64, qs)
+      .select("q", "value_le").as[(Double, Double)].collect().toMap
+    val sorted = vals.map(_._2).sorted
+    for (q <- qs) {
+      val trueQ = sorted(math.ceil(q * sorted.length).toInt - 1)
+      assert(got(q) >= trueQ, s"q=$q: ${got(q)} < $trueQ")
+      assert(got(q) <= trueQ + 8.0, s"q=$q: ${got(q)} > $trueQ + width")
+    }
+    // partitioning invariance (exact counts + integer targets)
+    val rep = Sketches.histogramQuantiles(df.repartition(13), "grp",
+        col("v"), 0.0, 512.0, 64, qs)
+      .select("q", "value_le").as[(Double, Double)].collect().toMap
+    assert(rep == got)
+  }
+
   test("text-family edge cases: empty, whitespace-only and symbol-heavy " +
     "docs flow through retrieval and scoring without errors") {
     val docs = Seq((1L, ""), (2L, "   "), (3L, "!!! ??? ..."),

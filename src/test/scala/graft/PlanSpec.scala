@@ -28,7 +28,12 @@ class PlanSpec extends SparkSpec {
     "q61_lm_score",         // 1-row vocab-size broadcast: the
                             // scalar-subquery plan shape (build side is
                             // one row — not a corpus cartesian)
-    "q63_source_mixture"    // same: 1-row Σ-sqrt denominator broadcast
+    "q63_source_mixture",   // same: 1-row Σ-sqrt denominator broadcast
+    "q66_bm25_postings",    // the q58 shape served lazily from the
+                            // postings table (q58 hides it behind the
+                            // checkpoint): 1-row corpus-stats broadcast
+    "q67_hist_quantiles"    // nBuckets-row histogram × 4-row quantile
+                            // frame — both sides bounded by construction
   )
 
   test("no unintentional cartesian/nested-loop joins in any declared query") {
