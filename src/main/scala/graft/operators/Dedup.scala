@@ -151,46 +151,90 @@ object Dedup {
     * emit directly with jaccard 1.0 (identical texts ⇒ identical shingle
     * sets). Output is IDENTICAL to banding every member — members band
     * together iff their reps do — but candidate generation and the
-    * jaccard verify see each group once. */
+    * jaccard verify see each group once.
+    *
+    * The collapse is pure overhead (a rep-selection window + two
+    * expansion joins) on corpora without sizable exact-dup groups, so it
+    * is GATED: `collapseExactDups = None` (default) probes the LARGEST
+    * exact group's size on the already-persisted signature frame — one
+    * cheap group-count aggregation — and collapses only when it exceeds
+    * [[collapseGroupThreshold]]. The hazard the collapse guards against
+    * is quadratic in the largest group (e copies → C(e,2)·bands band
+    * candidates), not in the dup COUNT: a handful of pairs is noise the
+    * direct path absorbs, while one text duplicated 100k times is the
+    * blowup — which is why the probe is an EXACT max (any approximate
+    * distinct-count could miss a single huge group in a clean corpus).
+    * `Some(true)`/`Some(false)` skips the probe for callers that know
+    * their corpus shape (a crawl pipeline forces true; a
+    * pre-deduplicated corpus forces false). Either branch returns
+    * identical pairs (spec-gated). */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    tau: Double, n: Int = 3, numHashes: Int = 16,
-                   bands: Int = 4): DataFrame = {
-    val (sig0, mem, repSig) = exactCollapsed(docs, idCol, textCol, n,
-      numHashes)
-    val cand = bandCandidates(repSig, numHashes, bands)
+                   bands: Int = 4,
+                   collapseExactDups: Option[Boolean] = None): DataFrame = {
+    // one corpus text scan either way: both the probe and both branches
+    // read this persisted signature frame
+    val sig0 = signatures0(docs, idCol, textCol, n, numHashes)
+    val doCollapse = collapseExactDups.getOrElse {
+      val maxE = sig0.groupBy("_g").agg(count(lit(1)).as("_e"))
+        .agg(max(col("_e"))).head().getLong(0)
+      maxE > collapseGroupThreshold
+    }
 
-    val hashed = repSig.select(col("_id"), col("_g"), col("_h"))
-    val repPairs = cand
-      .join(hashed.select(col("_id").as("id1"), col("_g").as("_g1"),
-        col("_h").as("_h1")), "id1")
-      .join(hashed.select(col("_id").as("id2"), col("_g").as("_g2"),
-        col("_h").as("_h2")), "id2")
-      .withColumn("jaccard", jaccard(col("_h1"), col("_h2")))
-      .where(col("jaccard") >= tau)
-      .select("_g1", "_g2", "jaccard")
+    val out =
+      if (!doCollapse) {
+        // dup-free corpus: band every signature directly — no rep window,
+        // no expansion joins (the shape r4 shipped)
+        val cand = bandCandidates(sig0, numHashes, bands)
+        val hashed = sig0.select(col("_id"), col("_h"))
+        cand
+          .join(hashed.select(col("_id").as("id1"), col("_h").as("_h1")),
+            "id1")
+          .join(hashed.select(col("_id").as("id2"), col("_h").as("_h2")),
+            "id2")
+          .withColumn("jaccard", jaccard(col("_h1"), col("_h2")))
+          .where(col("jaccard") >= tau)
+          .select("id1", "id2", "jaccard")
+          .localCheckpoint(true)
+      } else {
+        val (mem, repSig) = collapseFromSignatures(sig0)
+        val cand = bandCandidates(repSig, numHashes, bands)
 
-    // cross-group expansion: every member pair of a verified rep pair is
-    // a near-dup pair with the SAME jaccard (members are byte-identical
-    // to their reps); groups are disjoint so least/greatest never ties
-    val cross = repPairs
-      .join(mem.select(col("_g").as("_g1"), col("_id").as("_a")), "_g1")
-      .join(mem.select(col("_g").as("_g2"), col("_id").as("_b")), "_g2")
-      .select(least(col("_a"), col("_b")).as("id1"),
-        greatest(col("_a"), col("_b")).as("id2"), col("jaccard"))
-    // within-group pairs: identical shingle sets, jaccard exactly 1.0
-    // (identical signatures share every band, so the uncollapsed form
-    // always banded and verified them)
-    val within = mem.as("l").join(mem.as("r"),
-        col("l._g") === col("r._g") && col("l._id") < col("r._id"))
-      .select(col("l._id").as("id1"), col("r._id").as("id2"),
-        lit(1.0).as("jaccard"))
-      .where(lit(1.0) >= tau)
+        val hashed = repSig.select(col("_id"), col("_g"), col("_h"))
+        val repPairs = cand
+          .join(hashed.select(col("_id").as("id1"), col("_g").as("_g1"),
+            col("_h").as("_h1")), "id1")
+          .join(hashed.select(col("_id").as("id2"), col("_g").as("_g2"),
+            col("_h").as("_h2")), "id2")
+          .withColumn("jaccard", jaccard(col("_h1"), col("_h2")))
+          .where(col("jaccard") >= tau)
+          .select("_g1", "_g2", "jaccard")
 
-    // pairs are tiny next to the corpus: materialize them so both caches
-    // free NOW (same lifetime contract as connectedComponents — the
-    // result is checkpoint-backed)
-    val out = cross.unionByName(within).localCheckpoint(true)
-    repSig.unpersist(false)
+        // cross-group expansion: every member pair of a verified rep pair
+        // is a near-dup pair with the SAME jaccard (members are
+        // byte-identical to their reps); groups are disjoint so
+        // least/greatest never ties
+        val cross = repPairs
+          .join(mem.select(col("_g").as("_g1"), col("_id").as("_a")), "_g1")
+          .join(mem.select(col("_g").as("_g2"), col("_id").as("_b")), "_g2")
+          .select(least(col("_a"), col("_b")).as("id1"),
+            greatest(col("_a"), col("_b")).as("id2"), col("jaccard"))
+        // within-group pairs: identical shingle sets, jaccard exactly 1.0
+        // (identical signatures share every band, so the uncollapsed form
+        // always banded and verified them)
+        val within = mem.as("l").join(mem.as("r"),
+            col("l._g") === col("r._g") && col("l._id") < col("r._id"))
+          .select(col("l._id").as("id1"), col("r._id").as("id2"),
+            lit(1.0).as("jaccard"))
+          .where(lit(1.0) >= tau)
+
+        // pairs are tiny next to the corpus: materialize them so both
+        // caches free NOW (same lifetime contract as connectedComponents
+        // — the result is checkpoint-backed)
+        val paired = cross.unionByName(within).localCheckpoint(true)
+        repSig.unpersist(false)
+        paired
+      }
     sig0.unpersist(false)
     out
   }
@@ -317,11 +361,18 @@ object Dedup {
     *  - `repSig`: ONE signature row per group (min-id representative;
     *    persisted — feeds the band join and the jaccard verify).
     * The caller unpersists sig0 and repSig when done. */
-  private[graft] def exactCollapsed(docs: DataFrame, idCol: String,
-                                    textCol: String, n: Int, numHashes: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val sig0 = docs.select(col(idCol).as("_id"),
+  /** Largest exact-dup group size above which [[nearDupPairs]]'s auto
+    * probe turns the collapse on. At e = 8 a group adds C(8,2)·bands =
+    * 112 band candidates — noise; the collapse's window + expansion
+    * joins cost more than that until groups reach the tens. */
+  private[graft] val collapseGroupThreshold = 8L
+
+  /** Per-doc signature frame (_id, _g = md5(text), _m0.._m{k-1}, _h):
+    * the one corpus text scan every near-dup path shares. Persisted —
+    * the caller unpersists. */
+  private def signatures0(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, numHashes: Int): DataFrame =
+    docs.select(col(idCol).as("_id"),
         md5(col(textCol).cast("binary")).as("_g"),
         minhashNative(col(textCol), n, numHashes).as("_mh"))
       .where(size(col("_mh.hashes")) > 0)
@@ -330,6 +381,21 @@ object Dedup {
           col("_mh.sig").getItem(j).as(s"_m$j")) :+
         col("_mh.hashes").as("_h"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private[graft] def exactCollapsed(docs: DataFrame, idCol: String,
+                                    textCol: String, n: Int, numHashes: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val sig0 = signatures0(docs, idCol, textCol, n, numHashes)
+    val (mem, repSig) = collapseFromSignatures(sig0)
+    (sig0, mem, repSig)
+  }
+
+  /** The collapse stage over a prebuilt signature frame: (id -> group)
+    * membership plus ONE persisted signature row per exact text group
+    * (min-id representative). Caller unpersists repSig. */
+  private def collapseFromSignatures(sig0: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val mem = sig0.select(col("_id"), col("_g"))
     // rep selection via rank-1 window: Spark's WindowGroupLimit pushes a
     // PARTIAL top-1-per-group below the exchange, so only ~one row per
@@ -341,7 +407,7 @@ object Dedup {
         row_number().over(Window.partitionBy("_g").orderBy("_id")))
       .where(col("_rn") === 1).drop("_rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (sig0, mem, repSig)
+    (mem, repSig)
   }
 
   /** Materialize a deduplicated corpus: drop every doc that appears as the

@@ -67,6 +67,22 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall { case (a, b, j) => a < b && b <= e && j == 1.0 })
   }
 
+  test("collapse gate: forced collapse, forced direct and the auto " +
+    "probe return identical pairs on dup-heavy AND dup-free corpora") {
+    val noDups = docs.where(col("doc_id") =!= 4L) // drop the exact dup
+    for (corpus <- Seq(docs, noDups)) {
+      def run(flag: Option[Boolean]) =
+        Dedup.nearDupPairs(corpus, "doc_id", "text", tau = 0.5,
+            collapseExactDups = flag)
+          .select("id1", "id2", "jaccard")
+          .as[(Long, Long, Double)].collect().toSet
+      val auto = run(None)
+      assert(run(Some(true)) == auto)   // collapse branch
+      assert(run(Some(false)) == auto)  // direct branch
+      assert(auto.nonEmpty)             // (1,2) at least
+    }
+  }
+
   test("jaccard of exact dup is 1.0") {
     val h = docs.where(col("doc_id").isin(1, 4))
       .select(array_distinct(Dedup.shingleHashes(col("text"), 3)).as("h"))
