@@ -47,6 +47,29 @@ object TextAnalysis {
   def subtokenCount(text: Column): Column =
     regexp_count(text, lit(SubtokenPattern)).cast("long")
 
+  /** Demo subword vocabulary for [[bpeTokenCount]] — common English
+    * subwords, multi-char ONLY (single chars are the implicit UNK
+    * fallback, so listing them would change nothing). A deployment
+    * passes its tokenizer's vocab instead; greedy maxmatch over it is
+    * deterministic, so budgets stay engine-replayable. */
+  val BpeVocabDefault: Seq[String] = Seq(
+    "the", "tion", "ation", "ing", "ent", "and", "er", "re", "at", "st",
+    "en", "on", "an", "or", "te", "ed", "es", "is", "it", "al", "ar",
+    "le", "ou", "nt", "data", "spark", "row", "col", "par")
+
+  /** REAL-tokenizer token count: vocab-driven greedy longest-match-first
+    * subword encoding ([[graft.functions.BpeCountExpr]] — compiled,
+    * map-only), the budget unit [[subtokenCount]] only approximates.
+    * Same whitespace pretokenization as [[tokens]]; unmatched characters
+    * consume one unit each (UNK). Thread through [[packShards]] /
+    * [[selectByTokenBudget]] via their `counter` parameter to budget in
+    * these units. */
+  def bpeTokenCount(text: Column,
+                    vocab: Seq[String] = BpeVocabDefault): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BpeCountExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), vocab))
+
   /** doc_id, n_tokens, n_subtokens, text_len, alpha_ratio. */
   def textStats(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
@@ -109,16 +132,17 @@ object TextAnalysis {
     * frame: N/bucketSize rows (a 1B-doc corpus at the default is ~244k
     * rows on the driver-adjacent path — fine), never the corpus. */
   def packShards(docs: DataFrame, tokenBudget: Long,
-                 bucketSize: Int = 4096): DataFrame = {
+                 bucketSize: Int = 4096,
+                 counter: Column => Column = subtokenCount): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tokenBudget > 0 && bucketSize > 0)
-    // persisted: the regexp-heavy token-count scan feeds BOTH the
+    // persisted: the (regex- or vocab-) token-count scan feeds BOTH the
     // windowed branch and the totals aggregate — without this the
-    // dominant cost (the regex pass over all text) runs twice; the
+    // dominant cost (the counting pass over all text) runs twice; the
     // persisted projection is (doc_id, count, bucket) longs only,
     // ~1000× smaller than the text it derives from
     val d = docs.select(col("doc_id"),
-        subtokenCount(col("text")).as("n_subtokens"))
+        counter(col("text")).as("n_subtokens"))
       .withColumn("_b",
         expr(s"CAST(doc_id AS BIGINT) div $bucketSize"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -391,13 +415,15 @@ object TextAnalysis {
     * value, and the tie-break inside the bucket is doc_id — the same
     * order the one-window form would use. */
   def selectByTokenBudget(docs: DataFrame, budget: Long,
-                          strataCol: String = "lang"): DataFrame = {
-    // persisted: the regex-heavy scoring scan feeds THREE consumers
-    // (bucket totals, the pass-through branch, the boundary branch) —
-    // the projection is 5 narrow columns, ~1000× smaller than the text
-    // it derives from (same lifetime contract as packShards: result is
-    // checkpoint-backed, temp freed before returning)
-    val bucketed = scoredBuckets(docs, strataCol)
+                          strataCol: String = "lang",
+                          counter: Column => Column = subtokenCount)
+      : DataFrame = {
+    // persisted: the (regex- or vocab-) scoring scan feeds THREE
+    // consumers (bucket totals, the pass-through branch, the boundary
+    // branch) — the projection is 5 narrow columns, ~1000× smaller than
+    // the text it derives from (same lifetime contract as packShards:
+    // result is checkpoint-backed, temp freed before returning)
+    val bucketed = scoredBuckets(docs, strataCol, counter)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = selectFromBuckets(bucketed, budget, strataCol)
       .localCheckpoint(true)
@@ -410,14 +436,16 @@ object TextAnalysis {
     * threshold structure (the checkpoint hides it from the public plan). */
   private[graft] def selectByTokenBudgetPlan(docs: DataFrame, budget: Long,
       strataCol: String = "lang"): DataFrame =
-    selectFromBuckets(scoredBuckets(docs, strataCol), budget, strataCol)
+    selectFromBuckets(scoredBuckets(docs, strataCol, subtokenCount),
+      budget, strataCol)
 
   /** (doc_id, stratum, quality, n_subtokens, _qb): integer quality bucket
     * = quality·10000 (bijective — quality has 4 decimals). */
-  private def scoredBuckets(docs: DataFrame, strataCol: String): DataFrame =
+  private def scoredBuckets(docs: DataFrame, strataCol: String,
+                            counter: Column => Column): DataFrame =
     docs.select(col("doc_id"), col(strataCol),
         qualityExpr(col("text")).as("quality"),
-        subtokenCount(col("text")).as("n_subtokens"))
+        counter(col("text")).as("n_subtokens"))
       .withColumn("_qb", round(col("quality") * 10000).cast("long"))
 
   private def selectFromBuckets(bucketed: DataFrame, budget: Long,

@@ -92,6 +92,17 @@ object TextQueries {
           budget = 4000)
         .orderBy("doc_id")),
 
+    // Q68: REAL-tokenizer accounting — vocab-driven greedy maxmatch BPE
+    // counts (compiled map-only kernel) next to the regex approximation;
+    // the oracle replays the greedy encode with a recursive CTE over
+    // DISTINCT pretokens.
+    "q68_bpe_count" -> ((s, d) =>
+      par(Tables.documents(s, d))
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+          TextAnalysis.subtokenCount(col("text")).as("n_subtokens"))
+        .orderBy("doc_id")),
+
     // Q55: PII scrubbing over a corpus with deterministically injected
     // emails/phones/IPs (the raw corpus is PII-free by construction, so
     // the redaction pass must be exercised on augmented text).
@@ -157,6 +168,36 @@ object TextQueries {
         |       WHEN fr_cnt >= es_cnt THEN 'fr'
         |       ELSE 'es' END AS pred_lang
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // q68: greedy longest-match-first replay — one recursive-CTE step
+    // per emitted unit, run over DISTINCT pretokens only (the encode is
+    // a pure function of the word); vocab interpolated from the SAME
+    // constant the engine's kernel compiles, so they cannot drift
+    "q68_bpe_count" ->
+      s"""WITH RECURSIVE voc(tok) AS (VALUES ${
+            graft.operators.TextAnalysis.BpeVocabDefault
+              .map(v => s"('$v')").mkString(", ")}),
+        |wd AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+        |dw AS (SELECT DISTINCT w FROM wd),
+        |enc AS (
+        |  SELECT w, w AS rest, 0 AS cnt FROM dw
+        |  UNION ALL
+        |  SELECT w,
+        |    substr(rest, 1 + coalesce((SELECT max(len(v.tok)) FROM voc v
+        |      WHERE substr(rest, 1, len(v.tok)) = v.tok), 1)),
+        |    cnt + 1
+        |  FROM enc WHERE rest <> ''),
+        |wc AS (SELECT w, max(cnt) AS units FROM enc
+        |  WHERE rest = '' GROUP BY w),
+        |b AS (SELECT wd.doc_id, CAST(sum(wc.units) AS BIGINT) AS n_bpe
+        |  FROM wd JOIN wc USING (w) GROUP BY wd.doc_id),
+        |sub AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_subtokens
+        |  FROM documents)
+        |SELECT b.doc_id, b.n_bpe, s.n_subtokens
+        |FROM b JOIN sub s ON s.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     "q22_fingerprint" ->
       s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents)

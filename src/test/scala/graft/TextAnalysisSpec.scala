@@ -30,6 +30,66 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bpeTokenCount: compiled greedy maxmatch equals a naive " +
+    "reimplementation; UNK fallback, empty/whitespace/unicode edges; " +
+    "budget operators accept the BPE counter") {
+    val vocab = TextAnalysis.BpeVocabDefault
+    // naive reference: per word, repeatedly take the longest vocab
+    // prefix, else consume one char
+    def naive(text: String): Long = {
+      val vs = vocab.toSet
+      val maxLen = vocab.map(_.length).max
+      var total = 0L
+      for (word <- text.trim.split("\\s+", -1)) {
+        var i = 0
+        while (i < word.length) {
+          val m = (math.min(maxLen, word.length - i) to 2 by -1)
+            .find(l => vs.contains(word.substring(i, i + l)))
+            .getOrElse(1)
+          i += m; total += 1
+        }
+      }
+      total
+    }
+    val docs = Seq(
+      (1L, "the theory of spark partitioning and data stations"),
+      (2L, "zzz qqq"),                      // pure UNK: 1 unit per char
+      (3L, ""),                             // empty: 0 units
+      (4L, "   "),                          // whitespace-only: 0 units
+      (5L, "ingestion"),                    // 'ing'+'es'+'tion' = 3
+      (6L, "héllo wörld 東京"),             // unicode falls back per char
+      (7L, "the the the"))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val docsLocal = Seq(
+      1L -> "the theory of spark partitioning and data stations",
+      2L -> "zzz qqq", 3L -> "", 4L -> "   ", 5L -> "ingestion",
+      6L -> "héllo wörld 東京", 7L -> "the the the")
+    for ((id, t) <- docsLocal)
+      assert(got(id) == naive(t), s"doc $id: ${got(id)} != ${naive(t)}")
+    assert(got(2L) == 6)  // 3 + 3 single-char UNK units
+    assert(got(3L) == 0 && got(4L) == 0)
+    assert(got(5L) == 3)  // ing + es + tion
+    assert(got(7L) == 3)  // 'the' is one vocab unit
+    // the budget operators accept the BPE counter: shard sums and the
+    // selection's token column are in BPE units
+    val corpus = (0 until 50).map(i =>
+      (i.toLong, "en", s"the ingestion of spark data number $i"))
+      .toDF("doc_id", "lang", "text")
+    val shards = TextAnalysis.packShards(corpus, tokenBudget = 40,
+        counter = TextAnalysis.bpeTokenCount(_))
+      .select("doc_id", "n_subtokens").as[(Long, Long)].collect().toMap
+    val perDoc = naive("the ingestion of spark data number 7")
+    assert(shards(7L) == perDoc)
+    val sel = TextAnalysis.selectByTokenBudget(corpus, budget = 100,
+        counter = TextAnalysis.bpeTokenCount(_))
+      .select("doc_id", "n_subtokens").as[(Long, Long)].collect()
+    assert(sel.nonEmpty && sel.forall(_._2 > 0))
+    assert(sel.map(_._2).sum <= 100) // budget respected in BPE units
+  }
+
   test("chunkTokens: overlapping windows cover the token stream exactly") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
