@@ -39,6 +39,10 @@ class TemporalVectorDB(
   private var pqCodes: Option[DataFrame] = None
   // raw (m, ks, trainSample, nCells, fullCells) as passed to cachePqIndex
   private var pqParams: Option[(Int, Int, Int, Int, Boolean)] = None
+  // staleness bookkeeping: corpus rows at codebook-train time, and rows
+  // re-encoded with those (fixed) codebooks since
+  private var pqTrainedN: Long = 0L
+  private var pqRefreshedSinceTrain: Long = 0L
 
   /** Drop zero-norm rows and unit-normalize `c` in place — THE normalize
     * pipeline (one definition; bases/latest/query variants below only
@@ -141,8 +145,9 @@ class TemporalVectorDB(
     }
     // compressed index: re-ENCODE only the touched contents' new latest
     // rows with the EXISTING codebooks and coarse centroids (both train
-    // once; retraining cadence is a caller policy, as with any deployed
-    // PQ index) and carry everything else
+    // once; retraining cadence is a caller policy — [[pqStaleness]] +
+    // [[retrainPqIndexIfStale]] put a number and a gate on it) and carry
+    // everything else
     pqCodes = pqCodes.map { old =>
       val books = pqBooks.get
       val cents = pqCents.get
@@ -156,8 +161,37 @@ class TemporalVectorDB(
       val carried = old.join(touched, Seq("content_id"), "left_anti")
       val merged = pin(carried.unionByName(encoded))
       org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(old)
+      // one count on the CALLER's (small, already-materialized) touched
+      // frame — the price of knowing how far the books have drifted
+      pqRefreshedSinceTrain += touched.count()
       merged
     }
+  }
+
+  /** How far the live PQ/IVF codebooks have drifted: rows re-encoded
+    * with train-time codebooks since they were trained, as a fraction of
+    * the train-time corpus. 0 right after (re)train; grows with every
+    * append batch that touched a live index. A heuristic, not a recall
+    * measure — it counts re-encodes (including same-content updates), so
+    * it overestimates drift for update-heavy workloads; the streaming
+    * contract test pins what it guarantees (retrain at any moment equals
+    * a cold rebuild). 0 when no PQ index is live. */
+  def pqStaleness(): Double = synchronized {
+    if (pqCodes.isEmpty) 0.0
+    else pqRefreshedSinceTrain.toDouble / math.max(pqTrainedN, 1L).toDouble
+  }
+
+  /** The staleness gate for streaming deployments: retrain codebooks +
+    * coarse centroids when [[pqStaleness]] reaches `threshold` (e.g.
+    * 0.1 = retrain after drift touches 10% of the train-time corpus).
+    * Call it from the ingest loop (e.g. after each foreachBatch commit);
+    * retrains are full-corpus jobs, so the threshold IS the
+    * freshness/cost trade. Returns true when a retrain ran. */
+  def retrainPqIndexIfStale(threshold: Double): Boolean = synchronized {
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    if (pqCodes.nonEmpty && pqStaleness() >= threshold) {
+      retrainPqIndex(); true
+    } else false
   }
 
   private def normalizedLatest(latest: DataFrame): DataFrame =
@@ -244,6 +278,10 @@ class TemporalVectorDB(
     pqCents = Some(cents)
     pqCodes = Some(codes)
     pqParams = Some((m, ks, trainSample, nCells, fullCells))
+    // fresh books: reset the drift clock (codes is pinned — count is a
+    // storage-local action, not a recompute)
+    pqTrainedN = codes.count()
+    pqRefreshedSinceTrain = 0L
     codes
   }
 
@@ -426,6 +464,11 @@ class TemporalVectorDB(
       pqParams = Some((meta.getAs[Int]("m"), meta.getAs[Int]("ks"),
         meta.getAs[Int]("train_sample"), meta.getAs[Int]("n_cells"),
         meta.getAs[Boolean]("full_cells")))
+      // drift clock restarts at the loaded snapshot (drift accumulated
+      // before the persist is not recoverable from the files — the
+      // persist-after-every-append discipline above keeps it ~0 anyway)
+      pqTrainedN = newCodes.count()
+      pqRefreshedSinceTrain = 0L
       true
     }
   }

@@ -77,6 +77,29 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(db.searchLatestVersionsPq(vec(55), k = 1, refine = 4)
         .select("id").as[String].collect().head == "s03#2")
+
+      // staleness contract: the appends above re-encoded rows with the
+      // train-time books, so the drift clock is positive; the gate
+      // retrains at a threshold below it and resets the clock
+      assert(db.pqStaleness() > 0.0)
+      assert(!db.retrainPqIndexIfStale(threshold = 100.0)) // below: no-op
+      assert(db.retrainPqIndexIfStale(threshold = 1e-9))
+      assert(db.pqStaleness() == 0.0)
+      // retrained mid-stream state EQUALS a cold rebuild over the same
+      // store: a fresh facade trains on the identical corpus with the
+      // identical deterministic trainers
+      val cold = new TemporalVectorDB(spark, dir.getAbsolutePath,
+        VersionStore.Config(baseInterval = 5))
+      def codeSet(d: TemporalVectorDB) = d.pqIndex()
+        .select(col("content_id"), col("seq"), col("_cell"),
+          col("_codes").cast("string"))
+        .as[(String, Int, Int, String)].collect().toSet
+      assert(codeSet(db) == codeSet(cold))
+      val warmHit = db.searchLatestVersionsPq(vec(55), k = 3, refine = 4)
+        .select("rank", "id").as[(Int, String)].collect().toSeq
+      val coldHit = cold.searchLatestVersionsPq(vec(55), k = 3, refine = 4)
+        .select("rank", "id").as[(Int, String)].collect().toSeq
+      assert(warmHit == coldHit)
     } finally q.stop()
   }
 
