@@ -635,15 +635,22 @@ object Dedup {
     * join) while shuffling only bucket-mates. Keep maxHamming <= 3 at scale
     * so bands stay >= 14 bits wide (see [[SimhashBits]]). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String = "text",
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    hashPairs(simhashes(docs, idCol, textCol), maxHamming)
+
+  /** The banded Hamming pair machinery over ANY 56-bit fingerprint frame
+    * (_id, simhash) — text SimHash ([[simhashPairs]]) and perceptual
+    * image dHash ([[Multimodal.dHashes]]) both feed it. Pigeonhole-exact
+    * within `maxHamming` (same result as the N² brute join) while
+    * shuffling only bucket-mates. */
+  def hashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val base = SimhashBits / nBands
     val extra = SimhashBits % nBands // first `extra` bands get an extra bit
     val offsets = (0 until nBands).scanLeft(0) { (off, b) =>
       off + base + (if (b < extra) 1 else 0)
     }
-    val sh = simhashes(docs, idCol, textCol)
-      .withColumnRenamed("simhash", "_sh")
+    val sh = hashes.withColumnRenamed("simhash", "_sh")
     val banded = sh.select(col("_id"), col("_sh"),
       posexplode(array((0 until nBands).map { b =>
         val width = base + (if (b < extra) 1 else 0)

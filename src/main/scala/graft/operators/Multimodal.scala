@@ -192,4 +192,128 @@ object Multimodal {
         greatest(floor((length(col("payload")) - lit(1))
           / lit(stride.toDouble)).cast("int"), lit(0))))
         .as("frame_idx"))
+
+  /** Decode a payload to an integer-luma pixel grid: (w, h, luma) with
+    * luma(y·w + x) = 299·R + 587·G + 114·B (the Rec.601 weights scaled
+    * ×1000 — INTEGER, so every downstream comparison is exact and
+    * engine-replayable). Tries the JDK's javax.imageio first (PNG/JPEG/
+    * BMP/GIF), then binary PPM (P6, 1-byte samples); None for anything
+    * undecodable — corrupt media must not kill a scan. */
+  private[graft] def decodeLumaGrid(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Long])] = {
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+        val w = img.getWidth; val h = img.getHeight
+        val luma = new Array[Long](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            luma(y * w + x) = 299L * ((rgb >> 16) & 0xff) +
+              587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        return Some((w, h, luma))
+      }
+    } catch { case _: Throwable => () }
+    try { // PPM P6 fallback (the PpmFeaturizer header grammar)
+      require(bytes.length > 2 && bytes(0) == 'P' && bytes(1) == '6')
+      var pos = 2
+      def nextInt(): Int = {
+        while (pos < bytes.length &&
+          (bytes(pos).toChar.isWhitespace ||
+            bytes(pos) == '#' && {
+              while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+              true
+            })) pos += 1
+        var v = 0
+        while (pos < bytes.length && bytes(pos).toChar.isDigit) {
+          v = v * 10 + (bytes(pos) - '0'); pos += 1
+        }
+        v
+      }
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      pos += 1
+      require(w > 0 && h > 0 && maxval > 0 && maxval <= 255)
+      require(3L * w * h <= bytes.length.toLong - pos)
+      val luma = new Array[Long](w * h)
+      var i = 0
+      while (i < w * h) {
+        luma(i) = 299L * (bytes(pos + 3 * i) & 0xff) +
+          587L * (bytes(pos + 3 * i + 1) & 0xff) +
+          114L * (bytes(pos + 3 * i + 2) & 0xff)
+        i += 1
+      }
+      Some((w, h, luma))
+    } catch { case _: Throwable => None }
+  }
+
+  /** 56-bit perceptual dHash (difference hash): decode to the luma grid,
+    * pool into an 8×8 cell grid, set bit ky·7+kx iff the mean luma of
+    * cell (kx+1, ky) exceeds cell (kx, ky) — 7 column-adjacent
+    * comparisons × 8 rows = 56 bits, the engine's [[Dedup.SimhashBits]]
+    * fingerprint width (BIGINT-safe for oracle replay). Pixel x belongs
+    * to cell ⌊x·8/w⌋ (exact integer binning; cells may differ in pixel
+    * count for w,h not divisible by 8, so means compare CROSS-MULTIPLIED
+    * — sum_a·n_b > sum_b·n_a — never through doubles). Robust to
+    * uniform brightness shifts and to small perturbations: e flipped
+    * pixels move ≤ e cell comparisons, so near-identical images land
+    * within small Hamming distance — exactly the banded
+    * [[Dedup]] pigeonhole-pair machinery's input contract.
+    * Returns null (never a sentinel hash) for undecodable payloads. */
+  def dHash56(bytes: Array[Byte]): java.lang.Long =
+    decodeLumaGrid(bytes) match {
+      case None => null
+      case Some((w, h, luma)) =>
+        val sums = new Array[Long](64)
+        val counts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val ky = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val kx = x * 8 / w
+            sums(ky * 8 + kx) += luma(y * w + x)
+            counts(ky * 8 + kx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        var ky = 0
+        while (ky < 8) {
+          var kx = 0
+          while (kx < 7) {
+            val a = ky * 8 + kx
+            val b = a + 1
+            // mean_b > mean_a, exact: sums fit 1000·255·(w·h) << 2^63
+            if (sums(b) * counts(a) > sums(a) * counts(b))
+              hash |= 1L << (ky * 7 + kx)
+            kx += 1
+          }
+          ky += 1
+        }
+        hash
+    }
+
+  /** Bulk perceptual hashing: (media_id, payload) -> (_id, simhash), one
+    * decode per row at the codec boundary (mapPartitions — the justified
+    * imperative island, same plan shape as [[decodeAndFeaturize]]);
+    * undecodable payloads drop out. The output column names feed
+    * straight into [[Dedup]]'s banded Hamming pair machinery. */
+  def dHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        Option(dHash56(payload)).map(h => (id, h.longValue()))
+      })
+      .toDF("_id", "simhash")
+  }
 }

@@ -77,6 +77,43 @@ object DedupQueries {
         .select(col("id1"), col("id2"), r4(col("jaccard")).as("jaccard"))
         .orderBy("id1", "id2")),
 
+    // Q69: perceptual-hash IMAGE dedup — deterministic 32×32 grayscale
+    // PPM payloads (pixel value a closed-form function of (doc_id, x, y);
+    // docs sharing doc_id % 25 are near-identical, differing only in a
+    // per-tier shift on the two left pixel columns), decoded by the REAL
+    // PPM codec, dHashed, and paired through the banded Hamming join.
+    // The oracle never decodes bytes: it replays the pixel formula, the
+    // 4×4 cell sums, the 56 comparisons and a brute-force pair check
+    // (pigeonhole banding is exact, so brute force IS the contract).
+    "q69_image_dedup" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { i =>
+          val w = 32; val h = 32
+          val p = (i % 25).toInt
+          val q = ((i / 25) % 7).toInt
+          val header = s"P6\n$w $h\n255\n"
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val body = new Array[Byte](3 * w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = (3 * x + 5 * y + 7 * p + x * y +
+                (if (x < 2) q else 0)) % 256
+              var c = 0
+              while (c < 3) { body(3 * (y * w + x) + c) = v.toByte; c += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          (i, header ++ body)
+        }.toDF("media_id", "payload").transform(par)
+      Dedup.hashPairs(graft.operators.Multimodal.dHashes(media),
+          maxHamming = 3)
+        .orderBy("id1", "id2")
+    }),
+
     // Q65: cross-corpus (incremental) dedup — the augmented rows
     // (ids >= 10000: synthetic near-dups + exact copies) play the
     // INCOMING batch, the raw corpus the kept side; the oracle replays
@@ -291,6 +328,34 @@ object DedupQueries {
         |  min(doc_id) AS keep_doc, max(doc_id) AS drop_doc
         |FROM aug GROUP BY md5(text) HAVING count(*) > 1
         |ORDER BY text_hash""".stripMargin,
+
+    // q69: pixel formula -> 4x4 cell sums -> 56 dHash comparisons ->
+    // brute-force Hamming pairs (banding is pigeonhole-exact, so brute
+    // force replays it). Grayscale cancels the x1000 luma scale.
+    "q69_image_dedup" ->
+      """WITH px AS (
+        |  SELECT doc_id AS id, x.range AS x, y.range AS y,
+        |    (3 * x.range + 5 * y.range + 7 * (doc_id % 25)
+        |      + x.range * y.range
+        |      + CASE WHEN x.range < 2 THEN (doc_id // 25) % 7 ELSE 0 END)
+        |      % 256 AS v
+        |  FROM documents, range(0, 32) x, range(0, 32) y),
+        |cells AS (SELECT id, x // 4 AS kx, y // 4 AS ky,
+        |    CAST(sum(v) AS BIGINT) AS s
+        |  FROM px GROUP BY id, kx, ky),
+        |bits AS (SELECT a.id, a.ky * 7 + a.kx AS b,
+        |    CASE WHEN n.s > a.s THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells n
+        |    ON n.id = a.id AND n.ky = a.ky AND n.kx = a.kx + 1
+        |  WHERE a.kx < 7),
+        |h AS (SELECT id,
+        |    CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS sh
+        |  FROM bits GROUP BY id)
+        |SELECT a.id AS id1, b.id AS id2,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY id1, id2""".stripMargin,
 
     // replay of spanDedupStats: the q47 chunk-hash recipe at window 16 /
     // stride 8, full windows only, occurrence >= 2 marks a repeated span

@@ -111,6 +111,70 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).feature.forall(_ == 0.0f)) // corrupt row survives
   }
 
+  test("dHash56: perceptual hash is brightness-shift invariant, " +
+    "perturbed-pixel pairs stay within small Hamming, distinct images " +
+    "are far, PNG/BMP/PPM encodings of the same pixels agree") {
+    // a deterministic gradient image (per-pixel gray values)
+    def gray(w: Int, h: Int)(g: (Int, Int) => Int)
+        : java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = g(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    def ppm(w: Int, h: Int)(g: (Int, Int) => Int): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val body = new Array[Byte](3 * w * h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        body(3 * (y * w + x) + c) = (g(x, y) & 0xff).toByte
+      header ++ body
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = (x: Int, y: Int) => (5 * x + 3 * y + x * y / 4) % 200
+    val hBase = Multimodal.dHash56(enc(gray(32, 32)(base), "png"))
+    // encoding invariance: PNG, BMP and raw PPM of identical pixels
+    assert(hBase == Multimodal.dHash56(enc(gray(32, 32)(base), "bmp")))
+    assert(hBase == Multimodal.dHash56(ppm(32, 32)(base)))
+    // brightness-shift invariance: +40 on every pixel flips no comparison
+    assert(hBase == Multimodal.dHash56(
+      ppm(32, 32)((x, y) => base(x, y) + 40)))
+    // a FEW perturbed pixels: near-dup within small Hamming distance
+    val perturbed = (x: Int, y: Int) =>
+      if (x == 5 && y < 3) 255 else base(x, y)
+    val hNear = Multimodal.dHash56(ppm(32, 32)(perturbed))
+    assert(ham(hBase, hNear) <= 3, s"hamming ${ham(hBase, hNear)}")
+    // a genuinely different image: far away
+    val hFar = Multimodal.dHash56(
+      ppm(32, 32)((x, y) => (251 * x * x + 131 * y + 17 * x * y) % 256))
+    assert(ham(hBase, hFar) > 10, s"hamming ${ham(hBase, hFar)}")
+    // undecodable -> null; non-divisible dims use exact cross-multiplied
+    // means (no crash, deterministic)
+    assert(Multimodal.dHash56("not an image".getBytes) == null)
+    assert(Multimodal.dHash56(ppm(30, 22)(base)) ==
+      Multimodal.dHash56(ppm(30, 22)(base)))
+    // the bulk path: perturbed pair found, distinct pair rejected, the
+    // corrupt row drops out
+    val media = Seq(
+      (1L, enc(gray(32, 32)(base), "png")),
+      (2L, ppm(32, 32)(perturbed)),
+      (3L, ppm(32, 32)((x, y) => (251 * x * x + 131 * y + 17 * x * y) % 256)),
+      (4L, "garbage".getBytes))
+      .toDF("media_id", "payload")
+    val hashes = Multimodal.dHashes(media)
+    assert(hashes.count() == 3) // corrupt payload dropped
+    val pairs = graft.operators.Dedup.hashPairs(hashes, maxHamming = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("decodeAndFeaturize accepts a pluggable codec (same Spark plan)") {
     import graft.operators.PpmFeaturizer
     val pixels = Array.fill[Byte](3 * 6)(100.toByte)
