@@ -50,6 +50,23 @@ object Clustering {
     out
   }
 
+  /** [[kmeansAssign]] keeping the dequantized unit vector alongside the
+    * assignment: (vec_id, cell, sim, dv). The column a downstream
+    * within-cell pair join needs ([[Dedup.semanticDupPairs]]) without
+    * re-scanning and re-normalizing the corpus — cosines computed over
+    * `dv` run in the SAME exact 1/1024 metric space the trainer assigned
+    * in, so they replay bit-for-bit in any engine. */
+  def kmeansAssignVec(corpus: DataFrame, nCells: Int = 8,
+                      iters: Int = 3): DataFrame = {
+    val (nrm, cents) = train(corpus, nCells, iters)
+    val out = withCellD(nrm, cents)
+      .withColumn("sim", array_max(col("_sims")))
+      .select("vec_id", "cell", "sim", "dv")
+      .localCheckpoint(true)
+    nrm.unpersist(false)
+    out
+  }
+
   /** The trained centroids alone (assignment skipped) — the full-corpus
     * IVF coarse-quantizer training path: feed these to
     * [[SimilaritySearch.withCell]]-style assignment in place of the

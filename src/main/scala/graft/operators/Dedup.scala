@@ -839,4 +839,58 @@ object Dedup {
                           targetBucketSize: Long = 1024L): DataFrame =
     nearDupPairsLshMulti(df, idCol, vecCol, tau,
       autoBits(df.count(), targetBucketSize), nTables)
+
+  /** SemDeDup-shape semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the FULL-corpus k-means
+    * ([[Clustering.kmeansAssignVec]]), then pair only WITHIN a cluster and
+    * keep pairs with cosine >= tau. The cluster partition is what makes
+    * semantic dedup tractable — the pair join is keyed by `cell`, so cost
+    * is Σ cell² not N², and at deployment scale `nCells` grows with the
+    * corpus exactly like [[autoBits]] sizes LSH buckets (the paper runs
+    * ~100k clusters over LAION). Cosines are computed over the trainer's
+    * own dequantized 1/1024 unit vectors — the SAME exact metric space the
+    * assignment used, replayable bit-for-bit by an external engine.
+    *
+    * Output: (id1, id2, cell, cosine). Unlike [[nearDupPairsLshMulti]]
+    * (random hyperplanes, recall < 1), the cluster partition is a learned
+    * structure: a cross-cell near-dup pair is invisible by design — that
+    * is the paper's own approximation, priced by its cluster count. */
+  def semanticDupPairs(corpus: DataFrame, nCells: Int = 8, iters: Int = 3,
+                       tau: Double = 0.95): DataFrame = {
+    val asg = Clustering.kmeansAssignVec(corpus, nCells, iters)
+    asg.as("a").join(asg.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", dotNativeD(col("a.dv"), col("b.dv")))
+      .where(col("cosine") >= tau)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        col("a.cell").as("cell"), col("cosine"))
+  }
+
+  /** SemDeDup keep policy over [[semanticDupPairs]]: connect the pair
+    * graph ([[connectedComponents]] — components never span cells, since
+    * pairs don't) and keep, per near-dup group, the member LEAST similar
+    * to its cluster centroid (the paper's choice: the most typical
+    * examples are the redundant ones; ties break to the lowest id).
+    * Unpaired rows pass through. Returns the kept corpus rows. */
+  def semanticDeduped(corpus: DataFrame, nCells: Int = 8, iters: Int = 3,
+                      tau: Double = 0.95): DataFrame = {
+    val asg = Clustering.kmeansAssignVec(corpus, nCells, iters)
+    val pairs = asg.as("a").join(asg.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", dotNativeD(col("a.dv"), col("b.dv")))
+      .where(col("cosine") >= tau)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+    val drop = connectedComponents(pairs)
+      .join(asg.select(col("vec_id"), col("sim")),
+        col("id") === col("vec_id"))
+      .withColumn("_rnk", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("component").orderBy(col("sim").asc,
+          col("id").asc)))
+      .where(col("_rnk") > 1)
+      .select(col("id").as("_drop_id"))
+    corpus.join(drop, corpus("vec_id").cast("long") === drop("_drop_id"),
+      "left_anti")
+  }
 }

@@ -114,6 +114,18 @@ object DedupQueries {
         .orderBy("id1", "id2")
     }),
 
+    // Q70: SemDeDup-shape semantic dedup — full-corpus k-means (8 cells,
+    // 3 Lloyd rounds, the q62 trainer) over the AUGMENTED embeddings,
+    // then within-cluster cosine pairs at tau = 0.95. The oracle replays
+    // the whole chain: normalize, 1/1024 grid, 3 unrolled iterations,
+    // final assignment, within-cell pair join over the SAME grid vectors.
+    "q70_semantic_dedup" -> ((s, d) =>
+      Dedup.semanticDupPairs(augEmb(s, d), nCells = 8, iters = 3,
+          tau = 0.95)
+        .select(col("id1"), col("id2"), col("cell"),
+          r4(col("cosine")).as("cosine"))
+        .orderBy("id1", "id2")),
+
     // Q65: cross-corpus (incremental) dedup — the augmented rows
     // (ids >= 10000: synthetic near-dups + exact copies) play the
     // INCOMING batch, the raw corpus the kept side; the oracle replays
@@ -356,6 +368,44 @@ object DedupQueries {
         |FROM h a JOIN h b ON a.id < b.id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
         |ORDER BY id1, id2""".stripMargin,
+
+    // q70: the q62 k-means replay (normalize -> 1/1024 grid -> c0 = 8
+    // lowest ids -> 3 unrolled Lloyd rounds -> final argmax assignment)
+    // over the AUGMENTED embeddings, then within-cell pairs with the dot
+    // over the same dequantized grid vectors
+    "q70_semantic_dedup" -> {
+      val pcos =
+        "list_sum(list_transform(range(0, 64), i -> da.dv[i+1] * db.dv[i+1]))"
+      s"""WITH $augEmbSql,
+        |$normEmbSql,
+        |dz AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv,
+        |    list_transform(list_transform(v, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)),
+        |      q -> CAST(q AS DOUBLE) / 1024.0) AS dv
+        |  FROM nv),
+        |c0 AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, dv AS cv
+        |  FROM (SELECT vec_id, dv FROM dz ORDER BY vec_id LIMIT 8)),
+        |${(1 to 3).map(PipelineQueries.kmeansIter).mkString(",\n")},
+        |af AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT d.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY d.vec_id
+        |        ORDER BY list_sum(list_transform(range(0, 64), i ->
+        |          d.dv[i+1] * c.cv[i+1])) DESC, c.cell) AS rnk
+        |    FROM dz d CROSS JOIN c3 c) x
+        |  WHERE rnk = 1)
+        |SELECT fa.vec_id AS id1, fb.vec_id AS id2,
+        |  CAST(fa.cell AS INTEGER) AS cell, ${r4sql(pcos)} AS cosine
+        |FROM af fa JOIN af fb ON fa.cell = fb.cell AND fa.vec_id < fb.vec_id
+        |JOIN dz da ON da.vec_id = fa.vec_id
+        |JOIN dz db ON db.vec_id = fb.vec_id
+        |WHERE $pcos >= 0.95
+        |ORDER BY id1, id2""".stripMargin
+    },
 
     // replay of spanDedupStats: the q47 chunk-hash recipe at window 16 /
     // stride 8, full windows only, occurrence >= 2 marks a repeated span

@@ -172,7 +172,7 @@ object PipelineQueries {
       |    (2, 'vector'), (2, 'join'), (2, 'fast')) v(query_id, term)""".stripMargin
 
   /** q62 iteration CTEs, q35-style but over the FULL corpus `dz`. */
-  private def kmeansIter(t: Int): String = {
+  private[queries] def kmeansIter(t: Int): String = {
     val dot = (a: String, b: String) =>
       s"list_sum(list_transform(range(0, 64), i -> $a[i+1] * $b[i+1]))"
     s"""a$t AS (

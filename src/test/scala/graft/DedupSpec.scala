@@ -267,6 +267,46 @@ class DedupSpec extends SparkSpec {
     assert(single.subsetOf(multi))
   }
 
+  test("semanticDupPairs: within-cluster cosine pairs via full-corpus " +
+    "k-means; semanticDeduped drops the centroid-closest member per group") {
+    // three orthogonal cluster directions; per group g the ids are
+    // g + 10k (so k-means' lowest-3-ids init lands one seed per group):
+    // k=0/1 near-identical (the semantic-dup pair), k=2/3 perturbed
+    // enough to stay below tau
+    val emb = (for (g <- 0 until 3; k <- 0 until 4) yield {
+      val v = Array.tabulate(16) { j =>
+        val base = if (j >= 5 * g && j < 5 * g + 5) 1.0 else 0.0
+        val jit = k match {
+          case 0 => 0.0
+          case 1 => 0.001 * math.sin(j + g)
+          case 2 => 0.3 * math.sin(j + g)
+          case _ => 0.3 * math.cos(j * 2 + g)
+        }
+        (base + jit).toFloat
+      }
+      ((g + 10 * k).toLong, v)
+    }).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticDupPairs(emb, nCells = 3, iters = 3,
+        tau = 0.999)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 10L), (1L, 11L), (2L, 12L)),
+      s"got $pairs")
+    // keep policy: per pair the member LEAST similar to its centroid
+    // survives (ties to lowest id); unpaired rows all pass through
+    val asg = graft.operators.Clustering
+      .kmeansAssignVec(emb, nCells = 3, iters = 3)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toMap
+    val expectDrop = pairs.map { case (a, b) =>
+      if (asg(a) < asg(b) || (asg(a) == asg(b) && a < b)) b else a
+    }
+    val kept = Dedup.semanticDeduped(emb, nCells = 3, iters = 3,
+        tau = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == (0 until 3).flatMap(g =>
+      (0 until 4).map(k => (g + 10 * k).toLong)).toSet -- expectDrop,
+      s"kept $kept, expected drop $expectDrop")
+  }
+
   test("connected components: transitive chains close, islands stay apart") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
       .toDF("id1", "id2")
