@@ -11,16 +11,6 @@ object Verify {
       .builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val sel = // optional trailing names: dev-only single-query iteration
-      if (only.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => only.contains(n) }
-    sel.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -33,9 +23,28 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Oracle map FIRST: if a query dump dies (OOM / timeout kill), the
+    // driver still holds the full oracle map and the completed dumps yield
+    // partial correctness rows instead of zeroing the round.
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val sel = // optional trailing names: dev-only single-query iteration
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only.contains(n) }
+    sel.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(
+          f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch { case e: Throwable =>
+        System.err.println(
+          f"[verify] $name failed ${(System.nanoTime() - t0) / 1e9}%.1fs: " +
+            e.getMessage)
+      }
+    }
     spark.stop()
   }
 }

@@ -74,7 +74,12 @@ object SyntheticVersions {
   /** Shared DuckDB CTE prefix reproducing [[build]] + the ingest kind
     * decision — prepended to the oracle SQL of every versioned-store query.
     * REAL casts sit at exactly the points where the Spark pipeline casts to
-    * float, keeping both engines bit-identical pre-rounding. */
+    * float, keeping both engines bit-identical pre-rounding.
+    *
+    * `d`/`vk` carry MATERIALIZED hints: DuckDB 1.0 inlines CTEs per
+    * consumer by default, and every downstream oracle references `vk` 2-4
+    * times — without the hint the whole synthetic-history replay re-runs
+    * per reference (the round-6 oracle-cost blowup). */
   val oracleCte: String =
     """WITH v AS (
       |  SELECT printf('c%04d', vec_id) AS content_id, CAST(t.k AS INTEGER) AS seq,
@@ -88,7 +93,7 @@ object SyntheticVersions {
       |  SELECT content_id, seq, emb,
       |         lag(emb) OVER (PARTITION BY content_id ORDER BY seq) AS prev
       |  FROM v),
-      |d AS (
+      |d AS MATERIALIZED (
       |  SELECT content_id, seq, emb, prev,
       |    CASE WHEN prev IS NULL THEN NULL ELSE
       |      len(list_filter(list_transform(range(0,64),
@@ -105,7 +110,7 @@ object SyntheticVersions {
       |             THEN CAST(CAST(emb[i+1] AS DOUBLE) - CAST(prev[i+1] AS DOUBLE) AS REAL)
       |             ELSE CAST(0.0 AS REAL) END) END AS dstored
       |  FROM p),
-      |vk AS (
+      |vk AS MATERIALIZED (
       |  SELECT content_id, seq, emb, n_changed, mag, dstored,
       |    CASE WHEN seq = 1 THEN 'base'
       |         WHEN (seq - 1) % 5 = 0 THEN 'base'

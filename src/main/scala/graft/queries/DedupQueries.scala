@@ -378,7 +378,7 @@ object DedupQueries {
         "list_sum(list_transform(range(0, 64), i -> da.dv[i+1] * db.dv[i+1]))"
       s"""WITH $augEmbSql,
         |$normEmbSql,
-        |dz AS (
+        |dz AS MATERIALIZED (
         |  SELECT vec_id,
         |    list_transform(v, x ->
         |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv,
@@ -386,11 +386,11 @@ object DedupQueries {
         |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)),
         |      q -> CAST(q AS DOUBLE) / 1024.0) AS dv
         |  FROM nv),
-        |c0 AS (
+        |c0 AS MATERIALIZED (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, dv AS cv
         |  FROM (SELECT vec_id, dv FROM dz ORDER BY vec_id LIMIT 8)),
         |${(1 to 3).map(PipelineQueries.kmeansIter).mkString(",\n")},
-        |af AS (
+        |af AS MATERIALIZED (
         |  SELECT vec_id, cell FROM (
         |    SELECT d.vec_id, c.cell,
         |      row_number() OVER (PARTITION BY d.vec_id

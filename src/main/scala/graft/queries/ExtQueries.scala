@@ -252,7 +252,7 @@ object ExtQueries {
         |    list(CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE) / 1024.0
         |      ORDER BY i) AS mv
         |  FROM s$t GROUP BY cell),
-        |c$t AS (
+        |c$t AS MATERIALIZED (
         |  SELECT p.cell,
         |    CASE WHEN m.cell IS NULL
         |           OR sqrt(list_sum(list_transform(m.mv, x -> x * x))) = 0
@@ -261,7 +261,7 @@ object ExtQueries {
         |        x / sqrt(list_sum(list_transform(m.mv, y -> y * y))))
         |    END AS cv
         |  FROM c${t - 1} p LEFT JOIN m$t m ON m.cell = p.cell)""".stripMargin
-    s"""WITH nrm AS (
+    s"""WITH nrm AS MATERIALIZED (
       |  SELECT vec_id, list_transform(range(0, 64), i ->
       |    CAST(CAST(embedding[i+1] AS DOUBLE)
       |      / sqrt(list_sum(list_transform(range(0, 64), j ->
@@ -270,26 +270,28 @@ object ExtQueries {
       |  FROM embeddings
       |  WHERE sqrt(list_sum(list_transform(range(0, 64), j ->
       |    CAST(embedding[j+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE)))) > 0),
-      |sampq AS (SELECT vec_id, v FROM nrm ORDER BY vec_id LIMIT 4096),
-      |samp AS (
+      |sampq AS MATERIALIZED (
+      |  SELECT vec_id, v FROM nrm ORDER BY vec_id LIMIT 4096),
+      |samp AS MATERIALIZED (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn,
       |    list_transform(v, x ->
       |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv
       |  FROM sampq),
-      |sampd AS (
+      |sampd AS MATERIALIZED (
       |  SELECT rn, qv,
       |    list_transform(qv, q -> CAST(q AS DOUBLE) / 1024.0) AS dv
       |  FROM samp),
-      |sz AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |sz AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
       |  CAST(least(16, count(*)) AS BIGINT) AS k FROM samp),
-      |c0 AS (
+      |c0 AS MATERIALIZED (
       |  SELECT cl.cell, s.dv AS cv
       |  FROM (SELECT unnest(range(16)) AS cell) cl, sz, sampd s
       |  WHERE cl.cell < sz.k AND s.rn = (cl.cell * sz.n) // sz.k),
       |${(1 to 5).map(iter).mkString(",\n")},
-      |cf AS (SELECT cell, list_transform(cv, x -> CAST(x AS REAL)) AS cvf
+      |cf AS MATERIALIZED (
+      |  SELECT cell, list_transform(cv, x -> CAST(x AS REAL)) AS cvf
       |  FROM c5),
-      |asgn AS (
+      |asgn AS MATERIALIZED (
       |  SELECT vec_id, v, cell FROM (
       |    SELECT vec_id, v, cell,
       |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rnk
@@ -323,19 +325,25 @@ object ExtQueries {
     * whatever `nrm(vec_id, v)` the composition provides (embeddings for
     * q41/q43/q44; the reconstructed-latest corpus for q49). */
   private val sampCtes: String =
-    """sampq AS (SELECT vec_id, v FROM nrm ORDER BY vec_id LIMIT 4096),
-      |samp AS (
+    """sampq AS MATERIALIZED (
+      |  SELECT vec_id, v FROM nrm ORDER BY vec_id LIMIT 4096),
+      |samp AS MATERIALIZED (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn,
       |    list_transform(v, x ->
       |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv
       |  FROM sampq),
-      |sz AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |sz AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
       |  CAST(least(16, count(*)) AS BIGINT) AS k FROM samp)""".stripMargin
 
   /** Shared normalization + quantized-sample CTEs (q35-proven shapes):
-    * `nrm` (REAL-normalized vectors from `embeddings`), then [[sampCtes]]. */
+    * `nrm` (REAL-normalized vectors from `embeddings`), then [[sampCtes]].
+    * Multiply-referenced CTEs carry MATERIALIZED hints throughout the ANN
+    * oracle family: DuckDB 1.0 inlines by default, and the 5-iteration
+    * trainer chains reference each predecessor twice (assign + fallback) —
+    * inlined, that is a 2^5 replay of everything beneath, which is what
+    * made the round-6 oracle sweep non-terminating on q49. */
   private val annPrefixCtes: String =
-    """nrm AS (
+    """nrm AS MATERIALIZED (
       |  SELECT vec_id, list_transform(range(0, 64), i ->
       |    CAST(CAST(embedding[i+1] AS DOUBLE)
       |      / sqrt(list_sum(list_transform(range(0, 64), j ->
@@ -375,7 +383,7 @@ object ExtQueries {
         |    list(CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE) / 1024.0 ORDER BY i)
         |      AS mv
         |  FROM ps$t GROUP BY sub, cell),
-        |pc$t AS (
+        |pc$t AS MATERIALIZED (
         |  SELECT p.sub, p.cell,
         |    CASE WHEN m.cell IS NULL THEN p.cv ELSE m.mv END AS cv
         |  FROM pc${t - 1} p LEFT JOIN pm$t m
@@ -384,13 +392,13 @@ object ExtQueries {
       """list_sum(list_transform(range(0, 8), i ->
         |          CAST(n.v[c.sub * 8 + i + 1] AS DOUBLE)
         |          * CAST(c.cvf[i+1] AS DOUBLE)))""".stripMargin
-    s"""subs AS (
+    s"""subs AS MATERIALIZED (
       |  SELECT s.rn, ss.sub,
       |    list_slice(s.qv, ss.sub * 8 + 1, ss.sub * 8 + 8) AS q8,
       |    list_transform(list_slice(s.qv, ss.sub * 8 + 1, ss.sub * 8 + 8),
       |      q -> CAST(q AS DOUBLE) / 1024.0) AS d8
       |  FROM samp s, (SELECT unnest(range(0, 8)) AS sub) ss),
-      |pc0 AS (
+      |pc0 AS MATERIALIZED (
       |  SELECT sd.sub, cl.cell, sd.d8 AS cv
       |  FROM (SELECT unnest(range(16)) AS cell) cl, sz, subs sd
       |  WHERE cl.cell < sz.k AND sd.rn = (cl.cell * sz.n) // sz.k),
@@ -398,12 +406,12 @@ object ExtQueries {
       |pcf AS (
       |  SELECT sub, cell, list_transform(cv, x -> CAST(x AS REAL)) AS cvf
       |  FROM pc5),
-      |pcfd AS (
+      |pcfd AS MATERIALIZED (
       |  SELECT sub, cell, cvf,
       |    list_sum(list_transform(cvf, x ->
       |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
       |  FROM pcf),
-      |enc AS (
+      |enc AS MATERIALIZED (
       |  SELECT vec_id, sub, cell AS code FROM (
       |    SELECT vec_id, sub, cell,
       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cell)
@@ -490,7 +498,7 @@ object ExtQueries {
         |    list(CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE) / 1024.0
         |      ORDER BY i) AS mv
         |  FROM s$t GROUP BY cell),
-        |c$t AS (
+        |c$t AS MATERIALIZED (
         |  SELECT p.cell,
         |    CASE WHEN m.cell IS NULL
         |           OR sqrt(list_sum(list_transform(m.mv, x -> x * x))) = 0
@@ -499,18 +507,19 @@ object ExtQueries {
         |        x / sqrt(list_sum(list_transform(m.mv, y -> y * y))))
         |    END AS cv
         |  FROM c${t - 1} p LEFT JOIN m$t m ON m.cell = p.cell)""".stripMargin
-    s"""sampd AS (
+    s"""sampd AS MATERIALIZED (
       |  SELECT rn, qv,
       |    list_transform(qv, q -> CAST(q AS DOUBLE) / 1024.0) AS dv
       |  FROM samp),
-      |c0 AS (
+      |c0 AS MATERIALIZED (
       |  SELECT cl.cell, s.dv AS cv
       |  FROM (SELECT unnest(range(16)) AS cell) cl, sz, sampd s
       |  WHERE cl.cell < sz.k AND s.rn = (cl.cell * sz.n) // sz.k),
       |${(1 to 5).map(iter).mkString(",\n")},
-      |cf AS (SELECT cell, list_transform(cv, x -> CAST(x AS REAL)) AS cvf
+      |cf AS MATERIALIZED (
+      |  SELECT cell, list_transform(cv, x -> CAST(x AS REAL)) AS cvf
       |  FROM c5),
-      |asgn AS (
+      |asgn AS MATERIALIZED (
       |  SELECT vec_id, cell FROM (
       |    SELECT vec_id, cell,
       |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rnk
@@ -555,7 +564,7 @@ object ExtQueries {
   private def q49OracleSql: String =
     q40ReconCte +
       s""",
-      |nrm AS (SELECT id AS vec_id, v FROM n),
+      |nrm AS MATERIALIZED (SELECT id AS vec_id, v FROM n),
       |$sampCtes,
       |${ivfPqBodySql("n.vec_id < 3")}""".stripMargin
 
@@ -633,13 +642,13 @@ object ExtQueries {
       |  FROM b LEFT JOIN vk kd ON kd.content_id = b.content_id
       |    AND kd.kind = 'delta' AND kd.seq > b.base_seq AND kd.seq <= b.seq
       |  GROUP BY b.content_id, b.seq, b.base_seq),
-      |rec AS (
+      |rec AS MATERIALIZED (
       |  SELECT CAST(substr(ag.content_id, 2) AS INTEGER) AS id,
       |    list_value(
       |      $dims) AS emb
       |  FROM ag JOIN vk bv ON bv.content_id = ag.content_id
       |    AND bv.seq = ag.base_seq),
-      |n AS (
+      |n AS MATERIALIZED (
       |  SELECT id, list_transform(range(0, 64), i ->
       |    CAST(CAST(emb[i+1] AS DOUBLE)
       |      / sqrt(list_sum(list_transform(range(0, 64), j ->

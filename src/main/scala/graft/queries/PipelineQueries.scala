@@ -192,7 +192,7 @@ object PipelineQueries {
       |    list(CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE) / 1024.0
       |      ORDER BY i) AS mv
       |  FROM s$t GROUP BY cell),
-      |c$t AS (
+      |c$t AS MATERIALIZED (
       |  SELECT p.cell,
       |    CASE WHEN m.cell IS NULL
       |           OR sqrt(list_sum(list_transform(m.mv, x -> x * x))) = 0
@@ -329,7 +329,7 @@ object PipelineQueries {
         |FROM a ORDER BY doc_id""".stripMargin,
 
     "q62_kmeans" ->
-      s"""WITH nrm AS (
+      s"""WITH nrm AS MATERIALIZED (
         |  SELECT vec_id, list_transform(range(0, 64), i ->
         |    CAST(CAST(embedding[i+1] AS DOUBLE)
         |      / sqrt(list_sum(list_transform(range(0, 64), j ->
@@ -338,7 +338,7 @@ object PipelineQueries {
         |  FROM embeddings
         |  WHERE sqrt(list_sum(list_transform(range(0, 64), j ->
         |    CAST(embedding[j+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE)))) > 0),
-        |dz AS (
+        |dz AS MATERIALIZED (
         |  SELECT vec_id,
         |    list_transform(v, x ->
         |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv,
@@ -346,7 +346,7 @@ object PipelineQueries {
         |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)),
         |      q -> CAST(q AS DOUBLE) / 1024.0) AS dv
         |  FROM nrm),
-        |c0 AS (
+        |c0 AS MATERIALIZED (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, dv AS cv
         |  FROM (SELECT vec_id, dv FROM dz ORDER BY vec_id LIMIT 8)),
         |${(1 to 3).map(kmeansIter).mkString(",\n")},

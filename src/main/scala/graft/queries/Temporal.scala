@@ -8,18 +8,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Versioned-store + temporal oracle queries Q12-Q17 (SURVEY §2.10).
   *
-  * Event timestamps are parquet TIMESTAMP(NANOS), which Spark 4 cannot read
-  * natively; `Tables.events` reads them as epoch-nano BIGINT
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and queries work in epoch
-  * MICROseconds (`ts div 1000`) because DuckDB truncates the same parquet
-  * column to microsecond TIMESTAMP — int64 microseconds compare identically
-  * in both engines, sidestepping sub-microsecond ordering divergence.
+  * Event timestamps: the driver has generated `events.ts` as parquet
+  * TIMESTAMP(NANOS) in some fixture generations and `timestamp[us]` in
+  * others, so the loader adapts to whatever physical type the current
+  * fixtures carry instead of assuming one encoding. All queries work in
+  * epoch MICROseconds (`ts_us`) because DuckDB's `epoch_us(ts)` oracle side
+  * is encoding-agnostic — int64 microseconds compare identically in both
+  * engines, sidestepping sub-microsecond ordering divergence.
   */
 object Temporal {
 
-  private def eventsUs(s: SparkSession, d: String): DataFrame = {
+  /** Events with an epoch-microsecond `ts_us` column, whatever the fixture's
+    * physical ts encoding:
+    *  - TIMESTAMP(NANOS) → read as epoch-nano BIGINT via
+    *    `spark.sql.legacy.parquet.nanosAsLong`, then `div 1000`;
+    *  - timestamp[us] (isAdjustedToUTC=false → TIMESTAMP_NTZ, or =true →
+    *    TIMESTAMP_LTZ) → `unix_micros` (NTZ cast through the session TZ,
+    *    which GraftSession pins to UTC — same wall-clock DuckDB assumes). */
+  private[queries] def eventsUs(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+    val ev = Tables.events(s, d)
+    import org.apache.spark.sql.types._
+    val tsUs = ev.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case TimestampType    => unix_micros(col("ts"))
+      case other => throw new IllegalStateException(
+        s"unsupported events.ts type: $other")
+    }
+    ev.withColumn("ts_us", tsUs)
   }
 
   private val targetSeqs = Seq(4, 9, 12)

@@ -74,7 +74,12 @@ def vary_copy(name, c, i):
     if name == "events":
         idx = c.schema.get_field_index("ts")
         ts = c.column("ts")
-        shifted = pc.add(ts.cast(pa.int64()), i * DAY_NS).cast(ts.type)
+        # day length in the column's own unit: fixtures have shipped both
+        # TIMESTAMP(NANOS) and timestamp[us] generations (TESTDATA r6)
+        unit = getattr(ts.type, "unit", None)
+        day = {"s": 86_400, "ms": 86_400_000, "us": 86_400_000_000,
+               "ns": DAY_NS}.get(unit, DAY_NS)
+        shifted = pc.add(ts.cast(pa.int64()), i * day).cast(ts.type)
         return c.set_column(idx, c.schema.field("ts"), shifted)
     return c
 
