@@ -856,15 +856,75 @@ object Dedup {
     * structure: a cross-cell near-dup pair is invisible by design — that
     * is the paper's own approximation, priced by its cluster count. */
   def semanticDupPairs(corpus: DataFrame, nCells: Int = 8, iters: Int = 3,
-                       tau: Double = 0.95): DataFrame = {
+                       tau: Double = 0.95,
+                       collapseIdentical: Option[Boolean] = None)
+      : DataFrame = {
     val asg = Clustering.kmeansAssignVec(corpus, nCells, iters)
-    asg.as("a").join(asg.as("b"),
-        col("a.cell") === col("b.cell") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine", dotNativeD(col("a.dv"), col("b.dv")))
-      .where(col("cosine") >= tau)
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        col("a.cell").as("cell"), col("cosine"))
+    val (grp, mem) = semanticGroups(asg)
+    val doCollapse = collapseIdentical.getOrElse {
+      grp.agg(max(col("_e"))).head().getLong(0) > collapseGroupThreshold
+    }
+    if (!doCollapse)
+      asg.as("a").join(asg.as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cosine", dotNativeD(col("a.dv"), col("b.dv")))
+        .where(col("cosine") >= tau)
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+          col("a.cell").as("cell"), col("cosine"))
+    else {
+      // identical-vector mass (the pathological SemDeDup corpus: one text
+      // embedded e times lands e IDENTICAL dv rows in one cell — e² pair
+      // work): pair REPRESENTATIVES only, then expand. Same guard shape
+      // as the MinHash exact-dup collapse; output identical (identical dv
+      // ⇒ identical cell, identical cosine against any third vector).
+      val reps = grp.select(col("_rep").as("_rid"), col("cell"), col("dv"))
+      val repPairs = reps.as("a").join(reps.as("b"),
+          col("a.cell") === col("b.cell") && col("a._rid") < col("b._rid"))
+        .withColumn("cosine", dotNativeD(col("a.dv"), col("b.dv")))
+        .where(col("cosine") >= tau)
+        .select(col("a._rid").as("_g1"), col("b._rid").as("_g2"),
+          col("a.cell").as("cell"), col("cosine"))
+      val cross = repPairs
+        .join(mem.select(col("_rep").as("_g1"), col("vec_id").as("_a")),
+          "_g1")
+        .join(mem.select(col("_rep").as("_g2"), col("vec_id").as("_b")),
+          "_g2")
+        .select(least(col("_a"), col("_b")).as("id1"),
+          greatest(col("_a"), col("_b")).as("id2"), col("cell"),
+          col("cosine"))
+      // within-group pairs: cosine = dot(dv, dv) of the shared vector
+      // (≈1 on the quantized grid, not exactly 1) — emitted only when it
+      // clears tau, exactly as the direct path would
+      val qualifying = grp.where(col("_e") > 1 && col("_self") >= tau)
+        .select(col("_rep").as("_grep"), col("cell").as("_wc"),
+          col("_self").as("cosine"))
+      val within = mem.as("l").join(mem.as("r"),
+          col("l._rep") === col("r._rep") &&
+            col("l.vec_id") < col("r.vec_id"))
+        .join(qualifying, col("l._rep") === col("_grep"))
+        .select(col("l.vec_id").as("id1"), col("r.vec_id").as("id2"),
+          col("_wc").as("cell"), col("cosine"))
+      cross.unionByName(within)
+    }
+  }
+
+  /** Identical-vector groups within cells: `grp` one row per (cell, dv)
+    * group — representative = min vec_id, member count, self-dot on the
+    * quantized grid — and `mem` every assignment row tagged with its
+    * group's representative. Identical dv rows ALWAYS share a cell (same
+    * dots against every centroid, same argmax tie-break), so grouping by
+    * (cell, dv) is grouping by dv; the dv values are exact multiples of
+    * 1/1024, so array equality is exact. */
+  private[graft] def semanticGroups(asg: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val grp = asg.groupBy(col("cell"), col("dv"))
+      .agg(min(col("vec_id")).as("_rep"), count(lit(1)).as("_e"))
+      .withColumn("_self", dotNativeD(col("dv"), col("dv")))
+    val mem = asg.join(grp.select(col("cell"), col("dv"), col("_rep")),
+        Seq("cell", "dv"))
+      .select(col("vec_id"), col("_rep"), col("cell"), col("sim"))
+    (grp, mem)
   }
 
   /** SemDeDup keep policy over [[semanticDupPairs]]: connect the pair
@@ -874,23 +934,96 @@ object Dedup {
     * examples are the redundant ones; ties break to the lowest id).
     * Unpaired rows pass through. Returns the kept corpus rows. */
   def semanticDeduped(corpus: DataFrame, nCells: Int = 8, iters: Int = 3,
-                      tau: Double = 0.95): DataFrame = {
+                      tau: Double = 0.95,
+                      collapseIdentical: Option[Boolean] = None,
+                      maxCellSize: Option[Int] = None): DataFrame = {
     val asg = Clustering.kmeansAssignVec(corpus, nCells, iters)
-    val pairs = asg.as("a").join(asg.as("b"),
-        col("a.cell") === col("b.cell") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine", dotNativeD(col("a.dv"), col("b.dv")))
-      .where(col("cosine") >= tau)
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
-    val drop = connectedComponents(pairs)
-      .join(asg.select(col("vec_id"), col("sim")),
-        col("id") === col("vec_id"))
-      .withColumn("_rnk", row_number().over(org.apache.spark.sql.expressions
-        .Window.partitionBy("component").orderBy(col("sim").asc,
-          col("id").asc)))
-      .where(col("_rnk") > 1)
-      .select(col("id").as("_drop_id"))
-    corpus.join(drop, corpus("vec_id").cast("long") === drop("_drop_id"),
-      "left_anti")
+    val (grp, mem) = semanticGroups(asg)
+    val doCollapse = collapseIdentical.getOrElse {
+      grp.agg(max(col("_e"))).head().getLong(0) > collapseGroupThreshold
+    }
+    if (!doCollapse && maxCellSize.isEmpty) {
+      val pairs = asg.as("a").join(asg.as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cosine", dotNativeD(col("a.dv"), col("b.dv")))
+        .where(col("cosine") >= tau)
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      val drop = connectedComponents(pairs)
+        .join(asg.select(col("vec_id"), col("sim")),
+          col("id") === col("vec_id"))
+        .withColumn("_rnk", row_number().over(org.apache.spark.sql
+          .expressions.Window.partitionBy("component").orderBy(
+            col("sim").asc, col("id").asc)))
+        .where(col("_rnk") > 1)
+        .select(col("id").as("_drop_id"))
+      corpus.join(drop, corpus("vec_id").cast("long") === drop("_drop_id"),
+        "left_anti")
+    } else {
+      // GUARDED path. Unlike the pairs API (whose output is the pair set
+      // itself), the dedup output is linear in the corpus, so the
+      // identical-vector collapse here avoids ever materializing a
+      // clique's member pairs: components run over REPRESENTATIVES and
+      // members inherit their group's component. Exact — identical dv
+      // rows share sim (ranking unchanged) and component labels are min
+      // reachable ids, which collapse preserves (reps ARE group minima).
+      val reps = grp.select(col("_rep").as("_rid"), col("cell"), col("dv"))
+      // optional cell-size cap for DISTINCT-vector mass: re-cluster an
+      // oversized cell's representatives with a secondary k-means, and
+      // key the pair join by (cell, subcell). This is SemDeDup's own
+      // cluster-count knob applied adaptively — a cross-subcell pair is
+      // invisible by design, priced exactly like the paper prices its
+      // cluster count (dropping edges only splits components, so the
+      // guarded output keeps a SUPERSET of the unguarded rows).
+      val refined = maxCellSize match {
+        case None => reps.withColumn("subcell", lit(0))
+        case Some(cap) =>
+          require(cap > 1, s"maxCellSize must be > 1, got $cap")
+          val over = reps.groupBy("cell").agg(count(lit(1)).as("_n"))
+            .where(col("_n") > cap)
+            .select(col("cell"), col("_n")).collect()
+          if (over.isEmpty) reps.withColumn("subcell", lit(0))
+          else {
+            val subAsg = over.map { r =>
+              val cellId = r.getInt(0); val n = r.getLong(1)
+              val k2 = math.min(64, ((n + cap - 1) / cap).toInt max 2)
+              val ids = reps.where(col("cell") === cellId)
+                .select(col("_rid").as("vec_id"))
+              Clustering.kmeansAssignVec(
+                  corpus.join(ids, "vec_id"), k2, iters)
+                .select(col("vec_id").as("_rid"),
+                  (col("cell") + 1).as("subcell"))
+            }.reduce(_ unionByName _)
+            reps.join(subAsg, Seq("_rid"), "left")
+              .withColumn("subcell", coalesce(col("subcell"), lit(0)))
+          }
+      }
+      val repPairs = refined.as("a").join(refined.as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("a.subcell") === col("b.subcell") &&
+            col("a._rid") < col("b._rid"))
+        .withColumn("cosine", dotNativeD(col("a.dv"), col("b.dv")))
+        .where(col("cosine") >= tau)
+        .select(col("a._rid").as("id1"), col("b._rid").as("id2"))
+      val repComp = connectedComponents(repPairs)
+      // isolated multi-member groups whose members still pair with each
+      // other (self-dot clears tau): a clique with no external edge is
+      // its own component, labeled by its minimum member id = the rep
+      val cliqueOnly = grp
+        .where(col("_e") > 1 && col("_self") >= tau)
+        .select(col("_rep").cast("long").as("id"),
+          col("_rep").cast("long").as("component"))
+        .join(repComp.select(col("id")), Seq("id"), "left_anti")
+      val allComp = repComp.unionByName(cliqueOnly)
+      val drop = mem
+        .join(allComp, mem("_rep").cast("long") === allComp("id"))
+        .withColumn("_rnk", row_number().over(org.apache.spark.sql
+          .expressions.Window.partitionBy("component").orderBy(
+            col("sim").asc, col("vec_id").asc)))
+        .where(col("_rnk") > 1)
+        .select(col("vec_id").cast("long").as("_drop_id"))
+      corpus.join(drop, corpus("vec_id").cast("long") === drop("_drop_id"),
+        "left_anti")
+    }
   }
 }

