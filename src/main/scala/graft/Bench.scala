@@ -56,7 +56,15 @@ object Bench {
       .mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = medians.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"repeats":$repeats,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"repeats":$repeats,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout line can exceed log-capture truncation limits (~2000
+    // chars with 84 queries), which round 6 showed leaves consumers with
+    // an unparseable tail — persist the full record beside the repo too
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_last_run.json"), line + "\n")
+    catch { case _: Throwable => () } // read-only cwd: stdout still has it
     spark.stop()
   }
 }

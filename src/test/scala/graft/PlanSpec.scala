@@ -50,6 +50,28 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unintentional cross joins in: $offenders")
   }
 
+  test("guarded semantic dedup: rep-collapsed pair join plans without " +
+    "cartesian/nested-loop joins") {
+    import spark.implicits._
+    val emb = (0 until 30).map(i =>
+      (i.toLong, Array.tabulate(16)(j => if (j < 5) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    // forced-collapse pairs AND capped dedup: both guarded branches must
+    // stay equi-join shaped (the whole point of the guard is the join)
+    val pairsPlan = graft.operators.Dedup
+      .semanticDupPairs(emb, nCells = 2, iters = 1, tau = 0.9,
+        collapseIdentical = Some(true))
+      .queryExecution.executedPlan.toString
+    assert(!pairsPlan.contains("CartesianProduct") &&
+      !pairsPlan.contains("BroadcastNestedLoopJoin"), pairsPlan.take(3000))
+    val dedupPlan = graft.operators.Dedup
+      .semanticDeduped(emb, nCells = 2, iters = 1, tau = 0.9,
+        collapseIdentical = Some(true), maxCellSize = Some(5))
+      .queryExecution.executedPlan.toString
+    assert(!dedupPlan.contains("CartesianProduct") &&
+      !dedupPlan.contains("BroadcastNestedLoopJoin"), dedupPlan.take(3000))
+  }
+
   test("IVF q35: map-only assignment — exchanges are the two rank phases") {
     val plan = SparkEntry.queries("q35_ann_ivf_topk")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
