@@ -909,6 +909,26 @@ object Dedup {
     }
   }
 
+  /** [[semanticDeduped]] with `nCells` sized from the actual corpus
+    * count — the production entry point, mirroring how [[autoBits]] sizes
+    * LSH buckets: SemDeDup's cluster count must grow with the corpus
+    * (the paper runs ~100k clusters over LAION; a fixed small k turns
+    * every cell into a quadratic pair join at scale). nCells =
+    * clamp(corpus / targetCellSize, 2, 2^14) — one count job, then the
+    * guarded pipeline with the skew cap armed at 8× the target (the
+    * trip-wire for cells k-means under-splits). Driver centroid state is
+    * bounded: 2^14 cells × dim doubles. */
+  def semanticDedupedAuto(corpus: DataFrame, targetCellSize: Long = 4096L,
+                          iters: Int = 3, tau: Double = 0.95): DataFrame = {
+    require(targetCellSize >= 1, s"targetCellSize must be >= 1")
+    val n = corpus.count()
+    val cells = math.max(2L,
+      math.min(1L << 14, n / targetCellSize)).toInt
+    val cap = (targetCellSize * 8).min(Int.MaxValue.toLong).toInt
+    semanticDeduped(corpus, cells, iters, tau,
+      maxCellSize = Some(math.max(2, cap)))
+  }
+
   /** Identical-vector groups within cells: `grp` one row per (cell, dv)
     * group — representative = min vec_id, member count, self-dot on the
     * quantized grid — and `mem` every assignment row tagged with its

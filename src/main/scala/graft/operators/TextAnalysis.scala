@@ -237,6 +237,67 @@ object TextAnalysis {
     out
   }
 
+  /** Repeated-span REMOVAL — the acting half of [[spanDedupStats]]'s
+    * reporting (Lee et al. 2022 remove all but one occurrence of every
+    * duplicated span; the stats operator only thresholds on them). Docs
+    * tile into consecutive `window`-token spans (non-overlapping — unlike
+    * the stats operator's strided windows, removal needs each token owned
+    * by exactly ONE span so dropping spans never double-removes); a tile
+    * is dropped when its hash occurs >= 2 times corpus-wide AND the
+    * occurrence is not the canonical one — canonical = lexicographically
+    * least (doc_id, tile index), so exactly one copy of every repeated
+    * span survives the corpus, deterministically. The partial tail tile
+    * never hashes full-window and is always kept.
+    *
+    * Output: (doc_id, text, n_tiles_removed, n_tokens_before,
+    * n_tokens_after) with `text` rebuilt from the kept tiles in TOKEN
+    * space (single-space joined — the representation the downstream
+    * tokenizing pipeline consumes; original inter-token whitespace is not
+    * preserved, same contract as [[packShards]] chunk text).
+    *
+    * Scale shape: tile hashing reuses [[chunkTokens]] (map-only explode,
+    * text never shuffles); the canonical pick is ONE hash-keyed
+    * aggregation (min_by struct — no window function over the corpus);
+    * removals roll up per doc (16-byte rows) and join back to the full
+    * docs by doc_id — docs with nothing to remove stream through the
+    * left join untouched. */
+  def spanDeduped(docs: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val spans = chunkTokens(docs, window, 0)
+      .where(col("n_chunk_tokens") === window)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_hash"))
+    val canon = spans.groupBy("chunk_hash")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("_keep"),
+        count(lit(1)).as("_occ"))
+      .where(col("_occ") >= 2)
+    val removed = spans.join(canon, Seq("chunk_hash"))
+      .where(!(col("doc_id") === col("_keep.doc_id") &&
+        col("chunk_id") === col("_keep.chunk_id")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("chunk_id"))).as("_removed"))
+    val toks = tokens(col("text"))
+    val starts = sequence(lit(1), size(toks), lit(window))
+    val keptToks = flatten(zip_with(
+      starts, sequence(lit(0), size(starts) - 1),
+      (st, idx) => when(array_contains(col("_removed"), idx),
+          array().cast("array<string>"))
+        .otherwise(slice(toks, st, lit(window)))))
+    docs.join(removed, Seq("doc_id"), "left")
+      .withColumn("_removed",
+        coalesce(col("_removed"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        when(size(toks) === 0, trim(col("text")))
+          .otherwise(concat_ws(" ", keptToks)).as("text"),
+        size(col("_removed")).cast("long").as("n_tiles_removed"),
+        size(toks).cast("long").as("n_tokens_before"),
+        // arithmetic, not size(keptToks): removed tiles are always FULL
+        // windows (partial tails never hash), so the identity is exact —
+        // and a size() over the rebuilt array would re-evaluate the whole
+        // zip_with/flatten tree per row for a number we already know
+        (size(toks) - lit(window) * size(col("_removed")))
+          .cast("long").as("n_tokens_after"))
+  }
+
   /** Deterministic hash sampling: keep a row iff
     * md5(key:seed) mod 1e6 < rate·1e6 — reproducible across runs,
     * engines, and partitionings (no RNG state), map-only, and stable

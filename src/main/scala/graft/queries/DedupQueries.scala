@@ -217,6 +217,16 @@ object DedupQueries {
         .select(col("id1"), col("id2"), r4(col("jaccard")).as("jaccard"))
         .orderBy("id1", "id2")),
 
+    // Q71: repeated-span REMOVAL (the acting half of q57's reporting —
+    // Lee et al. 2022 drop all but one occurrence of every duplicated
+    // span): 16-token tiles, canonical occurrence = least
+    // (doc_id, tile); exact copies lose their full text tile-by-tile to
+    // the original, near-dup copies realign after the dropped first
+    // token and keep theirs. Output text is rebuilt in token space.
+    "q71_span_dedup" -> ((s, d) =>
+      TextAnalysis.spanDeduped(augDocs(s, d), window = 16)
+        .orderBy("doc_id")),
+
     // The cluster-exact deduplicated corpus: drop every non-minimum
     // member of each q42 component, keep everything unpaired.
     "q45_dedup_corpus_cc" -> ((s, d) => {
@@ -441,6 +451,43 @@ object DedupQueries {
         |    AS repeated_frac
         |FROM sp LEFT JOIN rep USING (h)
         |GROUP BY sp.doc_id ORDER BY doc_id""".stripMargin,
+
+    // replay of spanDeduped: 16-token tiling, canonical occurrence =
+    // least (doc_id, tile) via a per-hash row_number, removal list per
+    // doc, text rebuilt from the kept tiles (token space, single-space
+    // joined — the engine's concat_ws contract)
+    "q71_span_dedup" ->
+      s"""WITH $augDocsSql,
+        |tk AS (SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\\s+') AS toks FROM aug),
+        |st AS (SELECT doc_id, toks,
+        |    unnest(range(1, len(toks) + 1, 16)) AS start
+        |  FROM tk WHERE len(toks) > 0),
+        |sp AS (SELECT doc_id, CAST((start - 1) // 16 AS INTEGER) AS chunk_id,
+        |    md5(array_to_string(list_slice(toks, start, start + 15), ' '))
+        |      AS h
+        |  FROM st WHERE len(toks) - start + 1 >= 16),
+        |mk AS (SELECT doc_id, chunk_id,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY h) AS occ
+        |  FROM sp),
+        |rem AS (SELECT doc_id, list(chunk_id ORDER BY chunk_id) AS removed
+        |  FROM mk WHERE occ >= 2 AND rn > 1 GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(array_to_string(flatten(list_transform(
+        |    range(1, len(t.toks) + 1, 16), s ->
+        |    CASE WHEN list_contains(
+        |        coalesce(rem.removed, CAST([] AS INTEGER[])),
+        |        CAST((s - 1) // 16 AS INTEGER))
+        |      THEN CAST([] AS VARCHAR[])
+        |      ELSE list_slice(t.toks, s, s + 15) END)), ' '), '') AS text,
+        |  CAST(coalesce(len(rem.removed), 0) AS BIGINT) AS n_tiles_removed,
+        |  CAST(len(t.toks) AS BIGINT) AS n_tokens_before,
+        |  CAST(len(t.toks) - 16 * coalesce(len(rem.removed), 0) AS BIGINT)
+        |    AS n_tokens_after
+        |FROM tk t LEFT JOIN rem ON rem.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q23b_dedup_minhash_lsh" ->
       s"""WITH $augDocsSql,

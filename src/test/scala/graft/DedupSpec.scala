@@ -380,6 +380,24 @@ class DedupSpec extends SparkSpec {
     assert(keptC.size >= keptU.size)
   }
 
+  test("semanticDedupedAuto: corpus-sized cells, equal to the explicit " +
+    "call at the derived knobs") {
+    val emb = (for (g <- 0 until 3; k <- 0 until 4) yield {
+      ((g + 10 * k).toLong, Array.tabulate(16) { j =>
+        val base = if (j >= 5 * g && j < 5 * g + 5) 1.0 else 0.0
+        (base + (if (k == 0) 0.0 else 0.001 * k * math.sin(j + g))).toFloat
+      })
+    }).toDF("vec_id", "embedding")
+    // 12 rows / target 4 -> 3 cells, cap 32; must equal the explicit call
+    val auto = Dedup.semanticDedupedAuto(emb, targetCellSize = 4L,
+        iters = 3, tau = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    val explicit = Dedup.semanticDeduped(emb, nCells = 3, iters = 3,
+        tau = 0.999, maxCellSize = Some(32))
+      .select("vec_id").as[Long].collect().toSet
+    assert(auto == explicit && auto.nonEmpty)
+  }
+
   test("connected components: transitive chains close, islands stay apart") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
       .toDF("id1", "id2")

@@ -245,6 +245,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(t.toSeq == Seq((9L, 1L, 0L, 0.0)))
   }
 
+  test("spanDeduped: one canonical occurrence of every repeated tile " +
+    "survives; partial tails and distinct docs untouched") {
+    val passage = (1 to 20).map(i => s"w$i").mkString(" ") // 2 full + tail
+    val docs = Seq(
+      (1L, passage),                          // canonical holder (min id)
+      (2L, passage),                          // exact copy: loses tiles
+      (3L, (1 to 20).map(i => s"u$i").mkString(" ")), // distinct: kept
+      // within-doc boilerplate: the same 8-token block twice, then tail
+      (4L, (Seq.fill(2)((1 to 8).map(i => s"b$i").mkString(" ")) :+ "z1 z2")
+        .mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.spanDeduped(docs, window = 8)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1 canonical: everything kept, text byte-identical in token space
+    assert(got(1L) == (1L, passage, 0L, 20L, 20L))
+    // doc 2 loses both full tiles to doc 1, keeps the 4-token tail
+    assert(got(2L) == (2L, (17 to 20).map(i => s"w$i").mkString(" "),
+      2L, 20L, 4L))
+    // doc 3 untouched
+    assert(got(3L)._2 == (1 to 20).map(i => s"u$i").mkString(" "))
+    assert(got(3L)._3 == 0L)
+    // doc 4: second boilerplate tile removed (canonical = tile 0),
+    // tail z1 z2 kept
+    assert(got(4L) == (4L,
+      ((1 to 8).map(i => s"b$i") ++ Seq("z1", "z2")).mkString(" "),
+      1L, 18L, 10L))
+    // idempotence: a second pass removes nothing more
+    val again = TextAnalysis.spanDeduped(
+        TextAnalysis.spanDeduped(docs, 8).select("doc_id", "text"), 8)
+      .agg(sum("n_tiles_removed")).as[Long].head()
+    assert(again == 0L)
+  }
+
   test("scrubPii: typed redactions with counts") {
     val docs = Seq(
       (1L, "reach me at bob.smith+x@mail.example.org or 555-123-4567"),
