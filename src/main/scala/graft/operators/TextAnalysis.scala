@@ -282,12 +282,20 @@ object TextAnalysis {
       (st, idx) => when(array_contains(col("_removed"), idx),
           array().cast("array<string>"))
         .otherwise(slice(toks, st, lit(window)))))
+    // The rebuilt text lands under a TEMP alias and renames at the end:
+    // aliasing an output to an input column's name ("text") while SIBLING
+    // select items still reference that input is ambiguous — the analyzer
+    // materializes both attributes under the same name and later
+    // references can bind to the REBUILT column (verified against Spark
+    // 4.1: size() over the kept tiles bound half its subtree to the new
+    // alias and returned 0). The rename keeps every sibling reference
+    // unambiguously on the input.
     docs.join(removed, Seq("doc_id"), "left")
       .withColumn("_removed",
         coalesce(col("_removed"), array().cast("array<int>")))
       .select(col("doc_id"),
         when(size(toks) === 0, trim(col("text")))
-          .otherwise(concat_ws(" ", keptToks)).as("text"),
+          .otherwise(concat_ws(" ", keptToks)).as("_rebuilt"),
         size(col("_removed")).cast("long").as("n_tiles_removed"),
         size(toks).cast("long").as("n_tokens_before"),
         // arithmetic, not size(keptToks): removed tiles are always FULL
@@ -296,6 +304,7 @@ object TextAnalysis {
         // zip_with/flatten tree per row for a number we already know
         (size(toks) - lit(window) * size(col("_removed")))
           .cast("long").as("n_tokens_after"))
+      .withColumnRenamed("_rebuilt", "text")
   }
 
   /** Deterministic hash sampling: keep a row iff
