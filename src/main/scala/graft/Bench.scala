@@ -1,6 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Shared by the bench mains (Bench/BenchAttr/BenchStream); 0 on empty. */
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -40,11 +48,6 @@ object Bench {
     // repetitions are spread across the run and share load conditions
     val samples: Seq[Map[String, Option[Double]]] =
       (1 to repeats).map(_ => names.map(n => n -> runOnce(n)).toMap)
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
     val medians = names.flatMap { n =>
       val ok = samples.flatMap(_(n))
       if (ok.isEmpty) None else Some(n -> median(ok))

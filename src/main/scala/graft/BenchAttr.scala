@@ -27,11 +27,7 @@ object BenchAttr {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
+    import Bench.median
     val configs = Seq("probe" -> None, "direct" -> Some(false),
       "collapse" -> Some(true))
     // pass-major order, same load-spreading rationale as Bench

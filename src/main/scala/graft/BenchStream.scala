@@ -29,8 +29,10 @@ object BenchStream {
     val db = new TemporalVectorDB(spark, dir.getAbsolutePath,
       VersionStore.Config(baseInterval = 5))
     def asBatch(ver: Int) = Tables.embeddings(spark, sfDir)
-      // update slice: every batch touches the vec_id % 20 == ver cohort
-      .where(if (ver == 0) lit(true) else pmod(col("vec_id"), lit(20)) === (ver - 1))
+      // update slice: batch b touches the vec_id % 20 == (b-1) % 20 cohort
+      // (wrapped, so batch counts beyond 20 keep producing real updates)
+      .where(if (ver == 0) lit(true)
+        else pmod(col("vec_id"), lit(20)) === ((ver - 1) % 20))
       .select(format_string("c%07d", col("vec_id")).as("content_id"),
         expr(s"timestamp'2025-01-01' + make_interval(0,0,0,$ver,0,0,0)")
           .as("ts"),
@@ -56,12 +58,7 @@ object BenchStream {
       val g = (System.nanoTime() - tg) / 1e9
       if (fired) retrains ::= (b, g) else gateSecs ::= g
     }
-    def med(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.isEmpty) 0.0
-      else if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
+    import Bench.{median => med}
     val rts = retrains.reverse.map { case (b, s) => s"""[$b,$s]""" }
       .mkString("[", ",", "]")
     println(s"""{"metric":"stream_staleness","unit":"sec","seed":$seedSec,"initial_train":$trainSec,"apply_median":${med(applySecs)},"gate_noop_median":${med(gateSecs)},"retrains":$rts,"threshold":$threshold,"batches":$nBatches,"sf":"$sfDir"}""")

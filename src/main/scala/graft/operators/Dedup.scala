@@ -959,7 +959,11 @@ object Dedup {
                       maxCellSize: Option[Int] = None): DataFrame = {
     val asg = Clustering.kmeansAssignVec(corpus, nCells, iters)
     val (grp, mem) = semanticGroups(asg)
-    val doCollapse = collapseIdentical.getOrElse {
+    // probe only when its answer can change the branch: with a cell cap
+    // set the guarded path runs regardless, so paying a corpus-scale
+    // aggregation for an unused answer would tax every
+    // semanticDedupedAuto call
+    val doCollapse = maxCellSize.nonEmpty || collapseIdentical.getOrElse {
       grp.agg(max(col("_e"))).head().getLong(0) > collapseGroupThreshold
     }
     if (!doCollapse && maxCellSize.isEmpty) {

@@ -290,12 +290,16 @@ object TextAnalysis {
     // 4.1: size() over the kept tiles bound half its subtree to the new
     // alias and returned 0). The rename keeps every sibling reference
     // unambiguously on the input.
+    // No special empty-doc branch: split(trim(text)) yields [""] (size 1)
+    // for empty/whitespace-only text — such docs tile to one sub-window
+    // span that never hashes, so the rebuild returns "" via concat_ws and
+    // the token counts report the [""]-artifact 1, matching the DuckDB
+    // oracle's regexp_split_to_array behavior exactly.
     docs.join(removed, Seq("doc_id"), "left")
       .withColumn("_removed",
         coalesce(col("_removed"), array().cast("array<int>")))
       .select(col("doc_id"),
-        when(size(toks) === 0, trim(col("text")))
-          .otherwise(concat_ws(" ", keptToks)).as("_rebuilt"),
+        concat_ws(" ", keptToks).as("_rebuilt"),
         size(col("_removed")).cast("long").as("n_tiles_removed"),
         size(toks).cast("long").as("n_tokens_before"),
         // arithmetic, not size(keptToks): removed tiles are always FULL

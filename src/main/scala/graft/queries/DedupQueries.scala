@@ -394,7 +394,13 @@ object DedupQueries {
     // q70: the q62 k-means replay (normalize -> 1/1024 grid -> c0 = 8
     // lowest ids -> 3 unrolled Lloyd rounds -> final argmax assignment)
     // over the AUGMENTED embeddings, then within-cell pairs with the dot
-    // over the same dequantized grid vectors
+    // over the same dequantized grid vectors.
+    // Unlike q23b, q70 KEEPS the collapse probe (default None): augEmb is
+    // dup-light at driver fixtures (copies are perturbed) but turns
+    // dup-HEAVY under replica-flood scale fixtures (byte-identical
+    // embeddings, groups ~= replication factor) — the probe flipping the
+    // branch at scale is exactly the production behavior the scale probe
+    // exercises (BENCH_LOCAL_r07.md).
     "q70_semantic_dedup" -> {
       val pcos =
         "list_sum(list_transform(range(0, 64), i -> da.dv[i+1] * db.dv[i+1]))"

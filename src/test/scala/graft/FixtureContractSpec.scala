@@ -70,27 +70,45 @@ class FixtureContractSpec extends SparkSpec {
       s"embedding dims not uniform/positive: ${dims.toSeq}")
   }
 
-  test("eventsUs yields identical micros for long-nanos and timestamp encodings") {
+  test("eventsUs yields identical micros for long-nanos, timestamp, and " +
+    "timestamp_ntz encodings") {
     val base = Seq(
       (1L, 1735689600000000L, 10L, "click", 1.5, "{}"),
       (2L, 1735689600123456L, 10L, "view", 2.5, "{}"),
       (3L, 1735693200999999L, 11L, "click", 3.5, "{}"))
     val dirA = Files.createTempDirectory("graft-ev-long").toString
     val dirB = Files.createTempDirectory("graft-ev-ts").toString
+    val dirC = Files.createTempDirectory("graft-ev-ntz").toString
     // encoding A: raw int64 nanos (what nanosAsLong yields for NANOS files)
     base.map { case (id, us, u, et, v, p) => (id, us * 1000L, u, et, v, p) }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dirA/events.parquet")
-    // encoding B: native TIMESTAMP micros (the round-6 regenerated shape)
-    base.map { case (id, us, u, et, v, p) => (id, us, u, et, v, p) }
-      .toDF("event_id", "ts_us_raw", "user_id", "event_type", "value", "props")
-      .withColumn("ts", timestamp_micros(col("ts_us_raw"))).drop("ts_us_raw")
+    // encoding B: TIMESTAMP (LTZ) micros
+    val withUs = base
+      .map { case (id, us, u, et, v, p) => (id, us, u, et, v, p) }
+      .toDF("event_id", "ts_us_raw", "user_id", "event_type", "value",
+        "props")
+    withUs.withColumn("ts", timestamp_micros(col("ts_us_raw")))
+      .drop("ts_us_raw")
       .write.mode("overwrite").parquet(s"$dirB/events.parquet")
+    // encoding C: TIMESTAMP_NTZ (isAdjustedToUTC=false) — the round-6
+    // regenerated shape, whose correctness depends on the session TZ
+    // staying pinned to UTC for the cast-through-LTZ micros extraction
+    withUs.withColumn("ts",
+        timestamp_micros(col("ts_us_raw")).cast("timestamp_ntz"))
+      .drop("ts_us_raw")
+      .write.mode("overwrite").parquet(s"$dirC/events.parquet")
     def run(d: String): Map[Long, Double] =
       graft.queries.Temporal.queries("q12_lag")(spark, d)
         .na.fill(-999.0, Seq("value_diff")) // null lag → sentinel (NaN != NaN)
         .as[(Long, Long, Double)].collect()
         .map(r => r._1 -> r._3).toMap
-    assert(run(dirA) == run(dirB))
+    val a = run(dirA)
+    assert(a == run(dirB))
+    assert(a == run(dirC))
+    // and C really exercised the NTZ branch
+    import org.apache.spark.sql.types.TimestampNTZType
+    assert(graft.sources.Tables.events(spark, dirC)
+      .schema("ts").dataType == TimestampNTZType)
   }
 }
