@@ -43,6 +43,38 @@ object DedupQueries {
     }
   }
 
+  /** Deterministic 32×32 grayscale PPM payloads for the image-dedup
+    * queries (q69/q69b): pixel value a closed-form function of
+    * (doc_id, x, y) — docs sharing doc_id % 25 are near-identical,
+    * differing only in a per-tier shift on the two left pixel columns —
+    * so the DuckDB oracle replays the pixel formula instead of decoding
+    * bytes. */
+  def mediaFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { i =>
+        val w = 32; val h = 32
+        val p = (i % 25).toInt
+        val q = ((i / 25) % 7).toInt
+        val header = s"P6\n$w $h\n255\n"
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val body = new Array[Byte](3 * w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (3 * x + 5 * y + 7 * p + x * y +
+              (if (x < 2) q else 0)) % 256
+            var c = 0
+            while (c < 3) { body(3 * (y * w + x) + c) = v.toByte; c += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        (i, header ++ body)
+      }.toDF("media_id", "payload").transform(par)
+  }
+
   /** embeddings + perturbed copies (+10000): +0.01 on dims i%16==0. */
   def augEmb(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
@@ -92,33 +124,26 @@ object DedupQueries {
     // The oracle never decodes bytes: it replays the pixel formula, the
     // 4×4 cell sums, the 56 comparisons and a brute-force pair check
     // (pigeonhole banding is exact, so brute force IS the contract).
-    "q69_image_dedup" -> ((s, d) => {
-      import s.implicits._
-      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
-        .map { i =>
-          val w = 32; val h = 32
-          val p = (i % 25).toInt
-          val q = ((i / 25) % 7).toInt
-          val header = s"P6\n$w $h\n255\n"
-            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-          val body = new Array[Byte](3 * w * h)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val v = (3 * x + 5 * y + 7 * p + x * y +
-                (if (x < 2) q else 0)) % 256
-              var c = 0
-              while (c < 3) { body(3 * (y * w + x) + c) = v.toByte; c += 1 }
-              x += 1
-            }
-            y += 1
-          }
-          (i, header ++ body)
-        }.toDF("media_id", "payload").transform(par)
-      Dedup.hashPairs(graft.operators.Multimodal.dHashes(media),
+    "q69_image_dedup" -> ((s, d) =>
+      Dedup.hashPairs(graft.operators.Multimodal.dHashes(mediaFrame(s, d)),
           maxHamming = 3)
-        .orderBy("id1", "id2")
+        .orderBy("id1", "id2")),
+
+    // Q69b: the linear-OUTPUT image dedup shape — q69's pair graph closed
+    // into components (label propagation) and collapsed to one kept image
+    // per component, unpaired images passing through. The pair set is
+    // quadratic in near-identical group size (BENCH_LOCAL_r07.md measures
+    // 100x pairs at 10x replicas); THIS is the query a pipeline runs at
+    // corpus scale, because its output is one row per KEPT image.
+    "q69b_image_corpus_dedup" -> ((s, d) => {
+      val media = mediaFrame(s, d)
+      val pairs = Dedup.hashPairs(
+        graft.operators.Multimodal.dHashes(media), maxHamming = 3)
+      Dedup.dedupedCorpusCC(
+          media.select(col("media_id").as("doc_id")), "doc_id",
+          pairs.select(col("id1"), col("id2")))
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .orderBy("doc_id")
     }),
 
     // Q70: SemDeDup-shape semantic dedup — full-corpus k-means (8 cells,
@@ -340,6 +365,29 @@ object DedupQueries {
        |    > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
   }.mkString(" + ")
 
+  /** The q69/q69b image-hash CTEs: pixel formula → 4×4 cell sums → 56
+    * dHash comparisons → `h(id, sh)`. MATERIALIZED: `h` feeds the pair
+    * self-join (2 refs) and the closure chain in q69b. */
+  private val imageHashSql: String =
+    """px AS (
+      |  SELECT doc_id AS id, x.range AS x, y.range AS y,
+      |    (3 * x.range + 5 * y.range + 7 * (doc_id % 25)
+      |      + x.range * y.range
+      |      + CASE WHEN x.range < 2 THEN (doc_id // 25) % 7 ELSE 0 END)
+      |      % 256 AS v
+      |  FROM documents, range(0, 32) x, range(0, 32) y),
+      |cells AS (SELECT id, x // 4 AS kx, y // 4 AS ky,
+      |    CAST(sum(v) AS BIGINT) AS s
+      |  FROM px GROUP BY id, kx, ky),
+      |bits AS (SELECT a.id, a.ky * 7 + a.kx AS b,
+      |    CASE WHEN n.s > a.s THEN 1 ELSE 0 END AS bit
+      |  FROM cells a JOIN cells n
+      |    ON n.id = a.id AND n.ky = a.ky AND n.kx = a.kx + 1
+      |  WHERE a.kx < 7),
+      |h AS MATERIALIZED (SELECT id,
+      |    CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS sh
+      |  FROM bits GROUP BY id)""".stripMargin
+
   /** DuckDB closure of the q23b pair graph — the shared q42/q42b oracle. */
   private lazy val ccClosureSql: String =
     s"""WITH RECURSIVE $augDocsSql,
@@ -367,29 +415,33 @@ object DedupQueries {
     // brute-force Hamming pairs (banding is pigeonhole-exact, so brute
     // force replays it). Grayscale cancels the x1000 luma scale.
     "q69_image_dedup" ->
-      """WITH px AS (
-        |  SELECT doc_id AS id, x.range AS x, y.range AS y,
-        |    (3 * x.range + 5 * y.range + 7 * (doc_id % 25)
-        |      + x.range * y.range
-        |      + CASE WHEN x.range < 2 THEN (doc_id // 25) % 7 ELSE 0 END)
-        |      % 256 AS v
-        |  FROM documents, range(0, 32) x, range(0, 32) y),
-        |cells AS (SELECT id, x // 4 AS kx, y // 4 AS ky,
-        |    CAST(sum(v) AS BIGINT) AS s
-        |  FROM px GROUP BY id, kx, ky),
-        |bits AS (SELECT a.id, a.ky * 7 + a.kx AS b,
-        |    CASE WHEN n.s > a.s THEN 1 ELSE 0 END AS bit
-        |  FROM cells a JOIN cells n
-        |    ON n.id = a.id AND n.ky = a.ky AND n.kx = a.kx + 1
-        |  WHERE a.kx < 7),
-        |h AS (SELECT id,
-        |    CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS sh
-        |  FROM bits GROUP BY id)
+      s"""WITH $imageHashSql
         |SELECT a.id AS id1, b.id AS id2,
         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
         |FROM h a JOIN h b ON a.id < b.id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
         |ORDER BY id1, id2""".stripMargin,
+
+    // q69b: the q69 pair graph closed with the recursive label-prop CTE
+    // (q42's closure shape), one kept image per component (= the min id,
+    // since labels are min reachable ids), unpaired images kept
+    "q69b_image_corpus_dedup" ->
+      s"""WITH RECURSIVE $imageHashSql,
+        |pr AS (SELECT a.id AS id1, b.id AS id2
+        |  FROM h a JOIN h b ON a.id < b.id
+        |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+        |e AS (SELECT id1 AS s, id2 AS t FROM pr
+        |      UNION SELECT id2, id1 FROM pr),
+        |reach AS (
+        |  SELECT s AS id, s AS lab FROM e
+        |  UNION
+        |  SELECT e.t AS id, r.lab FROM reach r JOIN e ON e.s = r.id),
+        |drp AS (SELECT id FROM reach GROUP BY id
+        |        HAVING id <> min(lab))
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+        |FROM documents d LEFT JOIN drp ON drp.id = d.doc_id
+        |WHERE drp.id IS NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // q70: the q62 k-means replay (normalize -> 1/1024 grid -> c0 = 8
     // lowest ids -> 3 unrolled Lloyd rounds -> final argmax assignment)

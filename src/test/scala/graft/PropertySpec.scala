@@ -76,6 +76,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("spanDeduped invariants on random collision-heavy corpora: " +
+    "token conservation, canonical survivorship, idempotence") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val w = 4 // small window so random 3-token-alphabet docs collide a lot
+    for (seed <- Seq(1, 7, 42)) {
+      val r = new scala.util.Random(seed)
+      val docs = (0 until 30).map { i =>
+        (i.toLong, Seq.fill(4 + r.nextInt(12))(s"t${r.nextInt(3)}")
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val out = graft.operators.TextAnalysis.spanDeduped(docs, w)
+        .as[(Long, String, Long, Long, Long)].collect()
+      // conservation: after = before - w*removed, and the rebuilt text
+      // has exactly `after` tokens
+      assert(out.forall(r0 => r0._5 == r0._4 - w * r0._3))
+      assert(out.forall(r0 =>
+        r0._2.split("\\s+").count(_.nonEmpty) ==
+          (if (r0._2.trim.isEmpty) 0 else r0._5)))
+      // canonical survivorship: each distinct full tile of the INPUT
+      // corpus survives in at least one output doc's full-tile set is
+      // too strong after re-tiling; instead assert the global removal
+      // count matches occurrences-minus-distinct over input full tiles
+      val tiles = docs.as[(Long, String)].collect().flatMap {
+        case (_, t) =>
+          val toks = t.trim.split("\\s+")
+          toks.grouped(w).filter(_.length == w).map(_.mkString(" "))
+      }
+      val expectRemoved = tiles.length - tiles.distinct.length
+      assert(out.map(_._3).sum == expectRemoved)
+      // idempotence: a second pass finds nothing (kept tiles are all
+      // distinct corpus-wide, and re-tiling only shifts boundaries for
+      // docs whose removals were interior — both passes agree here
+      // because removals leave distinct tile multisets)
+      val again = graft.operators.TextAnalysis
+        .spanDeduped(out.toSeq.map(r0 => (r0._1, r0._2))
+          .toDF("doc_id", "text"), w)
+        .agg(sum("n_tiles_removed")).as[Long].head()
+      assert(again == 0L, s"seed $seed: second pass removed $again")
+    }
+  }
+
   test("PQ codebooks: subspace slices train independently") {
     import graft.operators.SimilaritySearch
     val r = new scala.util.Random(99)
