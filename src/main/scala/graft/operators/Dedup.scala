@@ -643,14 +643,67 @@ object Dedup {
     * image dHash ([[Multimodal.dHashes]]) both feed it. Pigeonhole-exact
     * within `maxHamming` (same result as the N² brute join) while
     * shuffling only bucket-mates. */
-  def hashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def hashPairs(hashes: DataFrame, maxHamming: Int = 3,
+                collapseIdentical: Option[Boolean] = None): DataFrame = {
+    // persist across the probe + both join sides: the upstream hash
+    // computation can be expensive (image decode for dHashes) and a
+    // self-join alone evaluates it twice — same lifetime contract as
+    // nearDupPairs' signature frame (result checkpoint-backed, temp
+    // freed before returning)
+    val sh = hashes.withColumnRenamed("simhash", "_sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grp = hashGroups(sh)
+    val doCollapse = collapseIdentical.getOrElse {
+      grp.agg(max(col("_e"))).head().getLong(0) > collapseGroupThreshold
+    }
+    val out =
+      if (!doCollapse) bandedHashPairs(sh, maxHamming)
+      else {
+        // identical-hash mass (replica-heavy image/text corpora: one
+        // fingerprint carried by e rows turns the band join into e² work
+        // per bucket): band REPRESENTATIVES only, expand after. Identical
+        // hashes are hamming-0 to each other (always ≤ maxHamming) and
+        // hamming-equal against any third hash, so output is identical.
+        val mem = sh.join(grp.select(col("_sh"), col("_rep")), Seq("_sh"))
+          .select(col("_id"), col("_rep"))
+        val reps = grp.select(col("_rep").as("_id"), col("_sh"))
+        val repPairs = bandedHashPairs(reps, maxHamming)
+        val cross = repPairs
+          .join(mem.select(col("_rep").as("id1"), col("_id").as("_a")),
+            "id1")
+          .join(mem.select(col("_rep").as("id2"), col("_id").as("_b")),
+            "id2")
+          .select(least(col("_a"), col("_b")).as("id1"),
+            greatest(col("_a"), col("_b")).as("id2"), col("hamming"))
+        val within = mem.as("l").join(mem.as("r"),
+            col("l._rep") === col("r._rep") &&
+              col("l._id") < col("r._id"))
+          .select(col("l._id").as("id1"), col("r._id").as("id2"),
+            lit(0).as("hamming"))
+        cross.unionByName(within)
+      }
+    val pinned = out.localCheckpoint(true)
+    sh.unpersist(false)
+    pinned
+  }
+
+  /** One row per distinct hash value: representative = min id, member
+    * count. Shared by [[hashPairs]]' collapse gate and [[hashDeduped]]. */
+  private def hashGroups(sh: DataFrame): DataFrame =
+    sh.groupBy("_sh").agg(min(col("_id")).as("_rep"),
+      count(lit(1)).as("_e"))
+
+  /** The direct banded pipeline over a (_id, _sh) frame: pigeonhole bands
+    * (maxHamming+1 bands — a pair within maxHamming shares at least one),
+    * bucket equi-join, exact Hamming verify. Returns distinct
+    * (id1, id2, hamming). */
+  private def bandedHashPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
     val base = SimhashBits / nBands
     val extra = SimhashBits % nBands // first `extra` bands get an extra bit
     val offsets = (0 until nBands).scanLeft(0) { (off, b) =>
       off + base + (if (b < extra) 1 else 0)
     }
-    val sh = hashes.withColumnRenamed("simhash", "_sh")
     val banded = sh.select(col("_id"), col("_sh"),
       posexplode(array((0 until nBands).map { b =>
         val width = base + (if (b < extra) 1 else 0)
@@ -667,6 +720,51 @@ object Dedup {
       // can be ~100× more numerous than matches)
       .where(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Linear-output Hamming-hash corpus dedup, FUSED with the identical-
+    * hash collapse: components run over distinct-hash REPRESENTATIVES
+    * (identical-hash members are a hamming-0 clique, so they inherit the
+    * rep's component), keep = each component's minimum id, unpaired rows
+    * pass through. Output-identical to
+    * `dedupedCorpusCC(corpus, hashPairs(hashes, maxHamming))` — the
+    * component label is the min member id either way, since reps ARE
+    * their groups' minima — but the pair graph, the closure, and the
+    * drop set never materialize member pairs: a replica-heavy corpus
+    * (fingerprint groups ~ replication factor) closes over distinct
+    * hashes, not rows. */
+  def hashDeduped(corpus: DataFrame, idCol: String, hashes: DataFrame,
+                  maxHamming: Int = 3): DataFrame = {
+    val dt = corpus.schema(idCol).dataType
+    require(dt == org.apache.spark.sql.types.LongType ||
+      dt == org.apache.spark.sql.types.IntegerType ||
+      dt == org.apache.spark.sql.types.ShortType,
+      s"hashDeduped needs an integral $idCol; got $dt")
+    val sh = hashes.withColumnRenamed("simhash", "_sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grp = hashGroups(sh)
+    val mem = sh.join(grp.select(col("_sh"), col("_rep")), Seq("_sh"))
+      .select(col("_id"), col("_rep"))
+    val reps = grp.select(col("_rep").as("_id"), col("_sh"))
+    val repComp = connectedComponents(
+      bandedHashPairs(reps, maxHamming).select(col("id1"), col("id2")))
+    // isolated multi-member groups: a hamming-0 clique with no external
+    // edge is its own component, labeled by its minimum member id = rep
+    val cliqueOnly = grp.where(col("_e") > 1)
+      .select(col("_rep").cast("long").as("id"),
+        col("_rep").cast("long").as("component"))
+      .join(repComp.select(col("id")), Seq("id"), "left_anti")
+    val allComp = repComp.unionByName(cliqueOnly)
+    // drop set pinned so the hash frame frees NOW (the returned anti-join
+    // would otherwise re-decode the corpus per downstream action)
+    val drop = mem
+      .join(allComp, mem("_rep").cast("long") === allComp("id"))
+      .where(col("_id").cast("long") =!= col("component"))
+      .select(col("_id").cast("long").as("_drop_id"))
+      .localCheckpoint(true)
+    sh.unpersist(false)
+    corpus.join(drop, corpus(idCol).cast("long") === drop("_drop_id"),
+      "left_anti")
   }
 
   /** 56-bit SimHash over word tokens: bit j is set iff the majority of

@@ -137,11 +137,12 @@ object DedupQueries {
     // corpus scale, because its output is one row per KEPT image.
     "q69b_image_corpus_dedup" -> ((s, d) => {
       val media = mediaFrame(s, d)
-      val pairs = Dedup.hashPairs(
-        graft.operators.Multimodal.dHashes(media), maxHamming = 3)
-      Dedup.dedupedCorpusCC(
+      // fused collapse+closure: components over DISTINCT dHashes (the
+      // pixel formula keys hashes by (doc_id%25, doc_id/25%7), so a
+      // replica-scaled corpus closes over ~175 reps, not N rows)
+      Dedup.hashDeduped(
           media.select(col("media_id").as("doc_id")), "doc_id",
-          pairs.select(col("id1"), col("id2")))
+          graft.operators.Multimodal.dHashes(media), maxHamming = 3)
         .select(col("doc_id").cast("long").as("doc_id"))
         .orderBy("doc_id")
     }),

@@ -172,6 +172,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("hashPairs identical-hash collapse: probe/forced/direct outputs " +
+    "equal, and hashDeduped equals the pair-expanded corpus dedup") {
+    // replica-heavy fingerprints: 3 hash classes carried by 12/10/8 rows
+    // (groups > threshold 8 -> probe collapses) + near classes at
+    // hamming 1-2 + isolated hashes
+    val rows = (
+      (0 until 12).map(i => (i.toLong, 0x0F0F0F0FL)) ++
+      (100 until 110).map(i => (i.toLong, 0x0F0F0F0EL)) ++ // hamming 1
+      (200 until 208).map(i => (i.toLong, 0x70F0F0F0L)) ++
+      Seq((300L, 0x123456789AL), (301L, 0x123456789BL),     // hamming 1
+        (400L, 0x7FFFFFFFFFFFFFL))                          // isolated
+    )
+    val hashes = rows.toDF("_id", "simhash")
+    def pairSet(gate: Option[Boolean]) =
+      Dedup.hashPairs(hashes, maxHamming = 3, collapseIdentical = gate)
+        .as[(Long, Long, Int)].collect().toSet
+    val direct = pairSet(Some(false))
+    assert(pairSet(None) == direct)
+    assert(pairSet(Some(true)) == direct)
+    // the 12-clique + 10-clique merge through the hamming-1 rep pair
+    assert(direct.exists(p => p._1 < 12 && p._2 >= 100 && p._3 == 1))
+
+    val corpus = rows.map(_._1).toDF("doc_id")
+    val viaPairs = Dedup.dedupedCorpusCC(corpus, "doc_id",
+        Dedup.hashPairs(hashes, 3).select("id1", "id2"))
+      .as[Long].collect().toSet
+    val fused = Dedup.hashDeduped(corpus, "doc_id", hashes, 3)
+      .as[Long].collect().toSet
+    assert(fused == viaPairs)
+    // one survivor for the merged 0/100 mass, one for the 200 clique,
+    // one for the 300/301 pair, the isolated row untouched
+    assert(fused == Set(0L, 200L, 300L, 400L))
+  }
+
   test("simhash band value-space >= 2^14 at the default maxHamming (scale gate)") {
     // the banded self-join stays near-linear only if each band has enough
     // distinct values to keep bucket population ~N/2^width; the default
