@@ -45,8 +45,10 @@ object BenchRecall {
         "ivf_p8" -> ((q, c, kk) => SS.topKIvf(q, c, kk, nProbe = 8)),
         "pq_refine_r100" -> ((q, c, kk) =>
           SS.topKPqRefine(q, c, kk, refine = 100)),
-        "ivfpq_p8_ks64" -> ((q, c, kk) =>
-          SS.topKIvfPq(q, c, kk, nProbe = 8, ks = 64)))
+        "ivfpq_p8" -> ((q, c, kk) =>
+          SS.topKIvfPq(q, c, kk, nProbe = 8)),
+        "ivfpq_p8_r100" -> ((q, c, kk) =>
+          SS.topKIvfPq(q, c, kk, nProbe = 8, refine = 100)))
     val recalls = (paths ++ tuned).map { case (name, fn) =>
       val r = SS.annRecallSummary(queries, corpus, k, fn)
         .select(col("avg_recall"), col("min_recall")).head()

@@ -39,6 +39,10 @@ class TemporalVectorDB(
   private var pqCodes: Option[DataFrame] = None
   // raw (m, ks, trainSample, nCells, fullCells) as passed to cachePqIndex
   private var pqParams: Option[(Int, Int, Int, Int, Boolean)] = None
+  // whether the live codes are RESIDUAL-encoded (every index built here
+  // is; false only after loading a pre-residual persisted index, whose
+  // raw-encoded codes must keep scoring with the raw ADC formula)
+  private var pqResidual: Boolean = true
   // staleness bookkeeping: corpus rows at codebook-train time, and rows
   // re-encoded with those (fixed) codebooks since
   private var pqTrainedN: Long = 0L
@@ -153,11 +157,9 @@ class TemporalVectorDB(
       val cents = pqCents.get
       val fresh = latestCache.get
         .join(touched, Seq("content_id"), "left_semi")
-      val encoded = SimilaritySearch
-        .withCell(normalizedLatest(fresh), cents, col("vec"))
-        .withColumn("_codes",
-          SimilaritySearch.pqEncodeExpr(books, col("vec")))
-        .drop("vec")
+      val encoded = encodeWithLiveBooks(
+        SimilaritySearch.withCell(normalizedLatest(fresh), cents,
+          col("vec")), books, cents)
       val carried = old.join(touched, Seq("content_id"), "left_anti")
       val merged = pin(carried.unionByName(encoded))
       org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(old)
@@ -198,6 +200,24 @@ class TemporalVectorDB(
     normalized(latest.select(col("content_id"), col("seq"),
       col("embedding").as("vec")), "vec")
 
+  /** Byte-encode a cell-assigned (`_cell`) normalized frame with the LIVE
+    * codebooks: residual encode for indexes built here, raw encode only
+    * for a loaded pre-residual index (whose books were trained raw). */
+  private def encodeWithLiveBooks(assigned: DataFrame,
+                                  books: Array[Array[Array[Float]]],
+                                  cents: Array[Array[Float]]): DataFrame =
+    if (pqResidual)
+      assigned
+        .withColumn("_resid",
+          SimilaritySearch.residualExpr(cents, col("vec"), col("_cell")))
+        .withColumn("_codes",
+          SimilaritySearch.pqEncodeExpr(books, col("_resid")))
+        .drop("vec", "_resid")
+    else
+      assigned
+        .withColumn("_codes", SimilaritySearch.pqEncodeExpr(books, col("vec")))
+        .drop("vec")
+
   /** Compressed (IVF-PQ) latest-state index: codebooks AND coarse (IVF)
     * centroids trained ONCE on a bounded sample of the materialized latest
     * corpus, then every latest vector assigned its nearest coarse cell and
@@ -210,8 +230,8 @@ class TemporalVectorDB(
     * index — the reference's FAISS-flat has exactly that shape,
     * storage_engine.py:85, 459-461). Maintained incrementally per append
     * like the other indexes: touched contents re-assign + re-encode, the
-    * rest carries. `m <= 0` picks the largest subspace count ≤ 8 dividing
-    * the dimension.
+    * rest carries. `m <= 0` picks [[SimilaritySearch.autoM]]'s subspace
+    * count (largest ≤ 16 keeping subvectors ≥ 2 wide).
     *
     * An explicit call whose (m, ks, trainSample, nCells, fullCells)
     * differ from the live index REBUILDS it with the requested
@@ -227,7 +247,7 @@ class TemporalVectorDB(
     * Codebooks stay sample-trained either way (per-subspace quantization
     * error is a local property the sample captures; cell GEOMETRY is a
     * global one it doesn't). */
-  def cachePqIndex(m: Int = 0, ks: Int = 16, trainSample: Int = 4096,
+  def cachePqIndex(m: Int = 0, ks: Int = 256, trainSample: Int = 4096,
                    nCells: Int = 16, fullCells: Boolean = false)
       : DataFrame = synchronized {
     pqCodes match {
@@ -245,7 +265,7 @@ class TemporalVectorDB(
     * remedy after many appends (incremental refresh deliberately keeps
     * books fixed). */
   def retrainPqIndex(): DataFrame = synchronized {
-    val (m, ks, ts, nc, fc) = pqParams.getOrElse((0, 16, 4096, 16, false))
+    val (m, ks, ts, nc, fc) = pqParams.getOrElse((0, 256, 4096, 16, false))
     buildPqIndex(m, ks, ts, nc, fc)
   }
 
@@ -257,11 +277,8 @@ class TemporalVectorDB(
       .map(_.getAs[scala.collection.Seq[Float]]("vec").toArray)
     require(sample.nonEmpty, "PQ index: empty latest corpus")
     val dim = sample.head.length
-    val mm =
-      if (m > 0) m
-      else (math.min(8, dim) to 1 by -1).find(dim % _ == 0).getOrElse(1)
+    val mm = if (m > 0) m else SimilaritySearch.autoM(dim)
     require(dim % mm == 0, s"dim $dim not divisible by m=$mm subspaces")
-    val books = SimilaritySearch.pqCodebooks(sample, mm, ks, iters = 5)
     val cents =
       if (fullCells)
         Clustering.kmeansCentroids(
@@ -269,9 +286,15 @@ class TemporalVectorDB(
             col("vec").as("embedding")),
           nCells, iters = 5)
       else SimilaritySearch.lloydQuantized(sample, nCells, iters = 5)
-    val codes = pin(SimilaritySearch.withCell(corpus, cents, col("vec"))
-      .withColumn("_codes", SimilaritySearch.pqEncodeExpr(books, col("vec")))
-      .drop("vec"))
+    // codebooks train on RESIDUALS vs the coarse cells (FAISS IVFPQ
+    // composition — see SimilaritySearch.topKIvfPq): same code budget,
+    // far finer quantization, which is what holds recall at 32×
+    // compression
+    val books = SimilaritySearch.pqCodebooks(
+      SimilaritySearch.sampleResiduals(sample, cents), mm, ks, iters = 5)
+    pqResidual = true
+    val codes = pin(encodeWithLiveBooks(
+      SimilaritySearch.withCell(corpus, cents, col("vec")), books, cents))
     pqCodes.foreach(
       org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint)
     pqBooks = Some(books)
@@ -293,10 +316,11 @@ class TemporalVectorDB(
     * [[cachePqIndex]]/[[retrainPqIndex]] pair new codebooks with the old
     * codes frame (wrong widths → wrong sims). */
   private def currentPqIndex()
-      : (DataFrame, Array[Array[Array[Float]]], Array[Array[Float]]) =
+      : (DataFrame, Array[Array[Array[Float]]], Array[Array[Float]],
+         Boolean) =
     synchronized {
-      if (pqCodes.isEmpty) buildPqIndex(0, 16, 4096, 16, fullCells = false)
-      (pqCodes.get, pqBooks.get, pqCents.get)
+      if (pqCodes.isEmpty) buildPqIndex(0, 256, 4096, 16, fullCells = false)
+      (pqCodes.get, pqBooks.get, pqCents.get, pqResidual)
     }
 
   /** Parameterless GETTER for the live compressed index — returns whatever
@@ -304,6 +328,30 @@ class TemporalVectorDB(
     * rebuilds a configured index. Use this to inspect; use
     * [[cachePqIndex]](m, ks, trainSample, nCells) to (re)configure. */
   def pqIndex(): DataFrame = currentPqIndex()._1
+
+  /** Query-side probe frame for the live index: (query_id, _lut, _cell[,
+    * _csim]) — the LUT and probed cells (with their ⟨q, centroid⟩ sims
+    * when the index is residual-encoded) computed once per query, below
+    * any broadcast. */
+  private def probeFrame(qn: DataFrame, books: Array[Array[Array[Float]]],
+                         cents: Array[Array[Float]], probeN: Int,
+                         residual: Boolean): DataFrame = {
+    val withLut =
+      qn.withColumn("_lut", SimilaritySearch.pqLutExpr(books, col("qvec")))
+    if (residual)
+      withLut
+        .withColumn("_pc",
+          SimilaritySearch.probeCellsWithSimExpr(cents, col("qvec"), probeN))
+        .select(col("query_id"), col("_lut"), explode(col("_pc")).as("_p"))
+        .select(col("query_id"), col("_lut"),
+          col("_p.c").as("_cell"), col("_p.s").as("_csim"))
+    else
+      withLut
+        .withColumn("_probes",
+          SimilaritySearch.probeCellsExpr(cents, col("qvec"), probeN))
+        .select(col("query_id"), col("_lut"),
+          explode(col("_probes")).as("_cell"))
+  }
 
   /** Approximate latest-state search over the COMPRESSED index: the query
     * probes its `nProbe` nearest coarse cells — an EQUI-JOIN on the
@@ -354,19 +402,15 @@ class TemporalVectorDB(
     import org.apache.spark.sql.expressions.Window
     val bc: DataFrame => DataFrame =
       if (broadcastQueries) broadcast else identity
-    val (codes, books, cents) = currentPqIndex()
+    val (codes, books, cents, residual) = currentPqIndex()
     val probeN =
       if (nProbe <= 0) cents.length else math.min(nProbe, cents.length)
     val qn = normQueries(queries)
     // LUT + probe cells computed below the broadcast: once per query
-    val probes = qn
-      .withColumn("_lut", SimilaritySearch.pqLutExpr(books, col("qvec")))
-      .withColumn("_probes",
-        SimilaritySearch.probeCellsExpr(cents, col("qvec"), probeN))
-      .select(col("query_id"), col("_lut"),
-        explode(col("_probes")).as("_cell"))
+    val probes = probeFrame(qn, books, cents, probeN, residual)
+    val adc = SimilaritySearch.adcSimExpr(books.length)
     val scored = codes.join(bc(probes), Seq("_cell"))
-      .withColumn("sim", SimilaritySearch.adcSimExpr(books.length))
+      .withColumn("sim", if (residual) col("_csim") + adc else adc)
       .withColumn("id",
         concat_ws("#", col("content_id"), col("seq")))
     if (refine <= 0)
@@ -413,16 +457,16 @@ class TemporalVectorDB(
     import spark.implicits._
     val bases = cacheBases()
     val latest = cacheLatest()
-    val (codes, books, cents) = currentPqIndex()
+    val (codes, books, cents, residual) = currentPqIndex()
     val (m, ks, ts, nc, fc) = pqParams.get
     bases.write.mode("overwrite").parquet(s"$indexDir/bases")
     latest.write.mode("overwrite").parquet(s"$indexDir/latest")
     codes.write.mode("overwrite").parquet(s"$indexDir/codes")
-    Seq((m, ks, ts, nc, fc,
+    Seq((m, ks, ts, nc, fc, residual,
         books.map(_.map(_.toSeq).toSeq).toSeq,
         cents.map(_.toSeq).toSeq))
       .toDF("m", "ks", "train_sample", "n_cells", "full_cells",
-        "books", "cents")
+        "residual", "books", "cents")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
@@ -464,6 +508,10 @@ class TemporalVectorDB(
       pqParams = Some((meta.getAs[Int]("m"), meta.getAs[Int]("ks"),
         meta.getAs[Int]("train_sample"), meta.getAs[Int]("n_cells"),
         meta.getAs[Boolean]("full_cells")))
+      // pre-residual persisted indexes (no `residual` column) carry
+      // raw-encoded codes: keep scoring them with the raw ADC formula
+      pqResidual = meta.schema.fieldNames.contains("residual") &&
+        meta.getAs[Boolean]("residual")
       // drift clock restarts at the loaded snapshot (drift accumulated
       // before the persist is not recoverable from the files — the
       // persist-after-every-append discipline above keeps it ~0 anyway)

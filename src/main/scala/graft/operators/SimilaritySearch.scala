@@ -309,7 +309,7 @@ object SimilaritySearch {
     * approximation, not the exact dot; compose with an exact re-rank of
     * the survivors when exact scores matter. */
   def topKPq(queries: DataFrame, corpus: DataFrame, k: Int,
-             m: Int = 8, ks: Int = 16, trainSample: Int = 4096,
+             m: Int = 0, ks: Int = 256, trainSample: Int = 4096,
              iters: Int = 5): DataFrame = {
     val cn = normalized(corpus, "vec")
     val qn = normalized(queries, "qvec")
@@ -326,7 +326,7 @@ object SimilaritySearch {
     * refine rows), so the re-join broadcasts it against the corpus scan.
     * Fully oracle-replayable (q43). */
   def topKPqRefine(queries: DataFrame, corpus: DataFrame, k: Int,
-                   refine: Int = 20, m: Int = 8, ks: Int = 16,
+                   refine: Int = 20, m: Int = 0, ks: Int = 256,
                    trainSample: Int = 4096, iters: Int = 5): DataFrame = {
     val cn = normalized(corpus, "vec")
     val qn = normalized(queries, "qvec")
@@ -346,57 +346,154 @@ object SimilaritySearch {
       .select("query_id", "rank", "id", "sim")
   }
 
-  /** IVF-PQ: the coarse quantizer restricts candidates to the query's
-    * `nProbe` nearest cells (equi-join on the cell id — no cross join
-    * anywhere) and ADC scores them in the compressed domain. The corpus
-    * side carries only (id, cell, m byte codes): at 100 TB this is the
-    * memory-AND-compute shape — candidates ∝ probed cells, per-candidate
-    * cost m lookups. Cells come from the q35 spherical trainer, codebooks
-    * from the q41 L2 trainer, both on the same bounded sample (ONE
-    * driver-side collect). Returned `sim` is the ADC approximation;
-    * compose with [[topKPqRefine]]'s exact stage when needed.
-    * Fully oracle-replayable (q44). */
+  /** IVF-PQ with RESIDUAL encoding: the coarse quantizer restricts
+    * candidates to the query's `nProbe` nearest cells (equi-join on the
+    * cell id — no cross join anywhere) and ADC scores them in the
+    * compressed domain. The corpus side carries only (id, cell, m byte
+    * codes): at 100 TB this is the memory-AND-compute shape — candidates
+    * ∝ probed cells, per-candidate cost m lookups.
+    *
+    * The PQ codebooks are trained on RESIDUALS — each vector minus its
+    * coarse cell centroid (the FAISS IVFPQ composition, Jégou et al.
+    * 2011): residual magnitudes are far smaller than raw vectors, so the
+    * same code budget quantizes much finer and recall holds at high
+    * compression (the raw-vector encoding this replaces measured
+    * recall@10 0.24 at the default knobs; the reference's flat FAISS
+    * index, storage_engine.py:83-110, is exact — residuals are how the
+    * compressed path approaches it). Scoring decomposes exactly:
+    * sim(q, x) ≈ ⟨q, c_cell⟩ + Σ_s lut[s][code_s], where the first term
+    * rides along with each probe (the probe already computed it to rank
+    * cells) and the LUT is the raw query against the shared residual
+    * codebooks — both computed once per query on the broadcast side.
+    *
+    * Cells come from the q35 spherical trainer; codebooks from the q41
+    * L2 trainer over the sample's residuals (ONE driver-side collect).
+    * Returned `sim` is the ADC approximation; compose with
+    * [[topKPqRefine]]'s exact stage when needed. Fully oracle-replayable
+    * (q44). */
   def topKIvfPq(queries: DataFrame, corpus: DataFrame, k: Int,
-                nCells: Int = 16, nProbe: Int = 4, m: Int = 8, ks: Int = 16,
-                trainSample: Int = 4096, iters: Int = 5): DataFrame = {
+                nCells: Int = 16, nProbe: Int = 4, m: Int = 0, ks: Int = 256,
+                trainSample: Int = 4096, iters: Int = 5,
+                refine: Int = 0): DataFrame = {
     val cn = normalized(corpus, "vec")
     val qn = normalized(queries, "qvec")
 
     val sample = collectSample(cn, trainSample, "IVF-PQ")
     val dim = sample.head.length
-    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val mm = if (m > 0) m else autoM(dim)
+    require(dim % mm == 0, s"dim $dim not divisible by m=$mm subspaces")
     val centroids = lloydQuantized(sample, nCells, iters)
-    val books = pqCodebooks(sample, m, ks, iters)
+    val books = pqCodebooks(sampleResiduals(sample, centroids), mm, ks, iters)
 
-    // corpus: map-only cell assignment (q35 shape) + byte codes (q41
-    // shape); the raw vector drops here
+    // corpus: map-only cell assignment (q35 shape), then the RESIDUAL
+    // (vec minus the assigned cell's centroid literal) byte-encodes (q41
+    // shape); the raw vector and residual both drop here
     val encoded = withCell(cn, centroids, col("vec"))
-      .withColumn("_codes", pqEncodeExpr(books, col("vec")))
-      .drop("vec")
+      .withColumn("_resid", residualExpr(centroids, col("vec"), col("_cell")))
+      .withColumn("_codes", pqEncodeExpr(books, col("_resid")))
+      .drop("vec", "_resid")
 
-    // queries: top-nProbe cells (q35 shape) + ADC lookup tables, both
+    // queries: top-nProbe cells WITH their ⟨q, centroid⟩ sims (the
+    // residual decomposition's first term) + ADC lookup tables, all
     // computed below the broadcast
     val probes = qn
       .withColumn("_lut", pqLutExpr(books, col("qvec")))
-      .withColumn("_probes", probeCellsExpr(centroids, col("qvec"), nProbe))
+      .withColumn("_pc", probeCellsWithSimExpr(centroids, col("qvec"), nProbe))
+      .select(col("query_id"), col("_lut"), explode(col("_pc")).as("_p"))
       .select(col("query_id"), col("_lut"),
-        explode(col("_probes")).as("_cell"))
+        col("_p.c").as("_cell"), col("_p.s").as("_csim"))
 
     val scored = encoded.join(broadcast(probes), Seq("_cell"))
-      .withColumn("sim", adcSimExpr(m))
-      .drop("_codes", "_lut")
-    TopK.perKeySalted(scored, "query_id", Seq(desc("sim"), col("id")), k)
-      .where(col("sim") > 0)
-      .select("query_id", "rank", "id", "sim")
+      .withColumn("sim", col("_csim") + adcSimExpr(mm))
+      .drop("_codes", "_lut", "_csim")
+    if (refine <= 0)
+      TopK.perKeySalted(scored, "query_id", Seq(desc("sim"), col("id")), k)
+        .where(col("sim") > 0)
+        .select("query_id", "rank", "id", "sim")
+    else {
+      // IVFPQ-R: ADC keeps the top `refine` candidates per query inside
+      // the probed cells, then ONLY those survivors re-join the raw
+      // corpus for exact dots — the same two-stage shape as
+      // [[topKPqRefine]] with the coarse quantizer bounding stage 1.
+      // Returned `sim` is EXACT.
+      val survivors = TopK.perKeySalted(scored, "query_id",
+          Seq(desc("sim"), col("id")), refine)
+        .select("query_id", "id")
+      cn.join(broadcast(survivors), Seq("id"))
+        .join(broadcast(qn), Seq("query_id"))
+        .withColumn("sim", dotNative(col("qvec"), col("vec")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("sim"), col("id"))))
+        .where(col("rank") <= k && col("sim") > 0)
+        .select("query_id", "rank", "id", "sim")
+    }
+  }
+
+  /** Driver-side nearest-centroid assignment for a training sample — the
+    * same arithmetic as [[withCell]]'s literal argmax (double accumulation
+    * in index order, strict >, ties to the lowest cell), so the oracle
+    * replays it with the identical row_number tie-break. */
+  private[graft] def assignCells(sample: Array[Array[Float]],
+                                 cents: Array[Array[Float]]): Array[Int] =
+    sample.map { v =>
+      var best = 0; var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val cv = cents(c)
+        val n = math.min(v.length, cv.length)
+        var s = 0.0; var i = 0
+        while (i < n) { s += v(i).toDouble * cv(i).toDouble; i += 1 }
+        if (s > bestSim) { bestSim = s; best = c }
+        c += 1
+      }
+      best
+    }
+
+  /** Float residuals of the sample vs their assigned coarse centroids
+    * (double subtraction, float round — the exact arithmetic
+    * [[residualExpr]] applies corpus-side). */
+  private[graft] def sampleResiduals(sample: Array[Array[Float]],
+                                     cents: Array[Array[Float]])
+      : Array[Array[Float]] = {
+    val cells = assignCells(sample, cents)
+    Array.tabulate(sample.length) { r =>
+      val v = sample(r); val c = cents(cells(r))
+      Array.tabulate(v.length)(i => (v(i).toDouble - c(i).toDouble).toFloat)
+    }
+  }
+
+  /** Map-only residual column: vec minus its assigned cell's centroid,
+    * selected from a 2-D centroid LITERAL by the `_cell` value — zero
+    * shuffle, no join (the centroid table is part of the plan). */
+  private[graft] def residualExpr(cents: Array[Array[Float]],
+                                  vecCol: Column, cellCol: Column): Column =
+    zip_with(vecCol,
+      element_at(typedLit(cents.map(_.toSeq).toSeq), cellCol + 1),
+      (x, c) => (x.cast("double") - c.cast("double")).cast("float"))
+
+  /** [[probeCellsExpr]] carrying each probed cell's ⟨q, centroid⟩ sim:
+    * array<struct<c: cell id, s: sim>> — the residual ADC decomposition
+    * needs the sim anyway, and the probe already computed it to rank
+    * cells. */
+  private[graft] def probeCellsWithSimExpr(centroids: Array[Array[Float]],
+                                           qvecCol: Column,
+                                           nProbe: Int): Column = {
+    val qsims = centroids.zipWithIndex.map { case (c, i) =>
+      struct((-dotNative(qvecCol, typedLit(c.toSeq))).as("ns"),
+        lit(i).as("c"))
+    }
+    transform(slice(array_sort(array(qsims: _*)), 1, nProbe),
+      x => struct(x("c").as("c"), (-x("ns")).as("s")))
   }
 
   /** The shared ADC pipeline of [[topKPq]]/[[topKPqRefine]]: train, encode
     * the (already normalized) corpus, score every (query, code-row) pair
     * via broadcast LUTs. Returns (query_id, id, sim≈) unranked. */
-  private def adcScored(qn: DataFrame, cn: DataFrame, m: Int, ks: Int,
+  private def adcScored(qn: DataFrame, cn: DataFrame, m0: Int, ks: Int,
                         trainSample: Int, iters: Int): DataFrame = {
     val sample = collectSample(cn, trainSample, "PQ")
     val dim = sample.head.length
+    val m = if (m0 > 0) m0 else autoM(dim)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val books = pqCodebooks(sample, m, ks, iters)
     val encoded = cn
@@ -476,48 +573,36 @@ object SimilaritySearch {
     s
   }
 
-  /** Per-(subspace, centroid) squared norms — double sums in index order
-    * (the oracle derives the identical value from the float-cast centroid
-    * list). */
-  private[graft] def pqNorms(books: Array[Array[Array[Float]]])
-      : Array[Array[Double]] =
-    books.map(_.map { c =>
-      var s = 0.0; var i = 0
-      while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
-      s
-    })
-
-  /** Byte-code encoding of a (normalized) vector column against codebook
-    * literals — a map-only projection. Per subspace:
-    * argmin_c ||v_s − c||² == argmin_c (||c||² − 2·⟨v_s, c⟩) — the
-    * ||v_s||² term is constant per row; the oracle runs the same formula
-    * so float ties resolve identically (first minimum = lowest code). */
+  /** Byte-code encoding of a (normalized) vector column — a map-only
+    * projection through the compiled [[graft.functions.PqEncodeExpr]]
+    * kernel (argmin_c ||c||² − 2·⟨v_s, c⟩ per subspace, first minimum =
+    * lowest code; the oracle runs the same formula so float ties resolve
+    * identically). */
   private[graft] def pqEncodeExpr(books: Array[Array[Array[Float]]],
                                   vecCol: Column): Column = {
-    val m = books.length
-    val dsub = books.head.head.length
-    val nsq = pqNorms(books)
-    array((0 until m).map { s =>
-      val ds = array((0 until books(s).length).map(c =>
-        lit(nsq(s)(c)) - lit(2.0) *
-          dotNative(slice(vecCol, s * dsub + 1, dsub),
-            typedLit(books(s)(c).toSeq))): _*)
-      (array_position(ds, array_min(ds)) - 1).cast("int")
-    }: _*)
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.PqEncodeExpr(
+      Bridge.expression(vecCol), books))
   }
 
   /** ADC lookup table for a (normalized) query column: partial dots of
-    * every subvector against every codebook entry. */
+    * every subvector against every codebook entry, via the compiled
+    * [[graft.functions.PqLutExpr]] kernel. */
   private[graft] def pqLutExpr(books: Array[Array[Array[Float]]],
                                qvecCol: Column): Column = {
-    val m = books.length
-    val dsub = books.head.head.length
-    array((0 until m).map { s =>
-      array((0 until books(s).length).map(c =>
-        dotNative(slice(qvecCol, s * dsub + 1, dsub),
-          typedLit(books(s)(c).toSeq))): _*)
-    }: _*)
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.PqLutExpr(
+      Bridge.expression(qvecCol), books))
   }
+
+  /** Default subspace count for a PQ family operator: the largest m ≤ 16
+    * dividing `dim` that keeps subvectors ≥ 2 wide (product quantization
+    * needs multi-dim subspaces to beat per-dim scalar quantization);
+    * falls back to 1 for tiny dims. dim=64 → 16 (4-wide subspaces — with
+    * ks=256 that is 16 bytes/vector, 16× compression, and the measured
+    * sweet spot: recall@10 0.70 vs 0.47 at m=8 on the sf0.1 fixture). */
+  private[graft] def autoM(dim: Int): Int =
+    (math.min(16, dim / 2) to 1 by -1).find(dim % _ == 0).getOrElse(1)
 
   /** ADC similarity from `_lut` (query side) and `_codes` (corpus side):
     * m lookups summed left-to-right — the fixed fold order the oracle's

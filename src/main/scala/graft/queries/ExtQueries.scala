@@ -356,27 +356,38 @@ object ExtQueries {
 
   /** The PQ pipeline as reusable CTEs (names prefixed `p`/distinct so the
     * IVF chain can coexist in q44): per-subspace L2 k-means keyed by
-    * (sub, cell) — 8 independent trainers as ONE unrolled iteration chain
-    * — then the argmin encode (||c||² − 2·dot, ties to lowest code) and
-    * ADC sims via ordered-list sum (list(pd ORDER BY sub) = Spark's fixed
-    * left-to-right fold). Assumes [[annPrefixCtes]]. Ends with
-    * `adcsc(query_id, id, sim)`. */
+    * (sub, cell) — `m` independent trainers as ONE unrolled iteration
+    * chain — then the argmin encode (||c||² − 2·dot, ties to lowest code)
+    * and ADC sims via ordered-list sum (list(pd ORDER BY sub) = Spark's
+    * fixed left-to-right fold). Assumes [[annPrefixCtes]]. Ends with
+    * `adcsc(query_id, id, sim)`. Knobs mirror the Scala defaults for
+    * dim 64: m=16 subspaces of dsub=4, ks=256 codes. */
   private def pqChainCtes: String = pqChainCtes("n.vec_id < 10")
 
-  private def pqChainCtes(queryPred: String): String = {
+  private def pqChainCtes(queryPred: String): String =
+    pqChainCtes(queryPred, "samp", "nrm", "v")
+
+  /** `sampSrc(rn, qv)` feeds the trainer; `encSrc(vec_id, encVec)` is the
+    * frame the corpus ENCODE scans (raw normalized vectors for q41/q43;
+    * per-cell RESIDUALS for the q44/q49 IVF-PQ composition — the LUT side
+    * always scores the raw query against the codebooks). */
+  private def pqChainCtes(queryPred: String, sampSrc: String,
+                          encSrc: String, encVec: String,
+                          m: Int = 16, dsub: Int = 4,
+                          ks: Int = 256): String = {
     val iter = (t: Int) =>
       s"""pa$t AS (
         |  SELECT rn, sub, q8, cell FROM (
         |    SELECT rn, sub, q8, cell,
         |      row_number() OVER (PARTITION BY rn, sub ORDER BY d ASC, cell) AS rnk
         |    FROM (SELECT s.rn, s.sub, s.q8, c.cell,
-        |        list_sum(list_transform(range(0, 8), i ->
+        |        list_sum(list_transform(range(0, $dsub), i ->
         |          (s.d8[i+1] - c.cv[i+1]) * (s.d8[i+1] - c.cv[i+1]))) AS d
         |      FROM subs s JOIN pc${t - 1} c ON c.sub = s.sub) y) x
         |  WHERE rnk = 1),
         |ps$t AS (
         |  SELECT sub, cell, ii.i, sum(q8[ii.i + 1]) AS sq, count(*) AS cnt
-        |  FROM pa$t, (SELECT unnest(range(0, 8)) AS i) ii
+        |  FROM pa$t, (SELECT unnest(range(0, $dsub)) AS i) ii
         |  GROUP BY sub, cell, ii.i),
         |pm$t AS (
         |  SELECT sub, cell,
@@ -388,20 +399,23 @@ object ExtQueries {
         |    CASE WHEN m.cell IS NULL THEN p.cv ELSE m.mv END AS cv
         |  FROM pc${t - 1} p LEFT JOIN pm$t m
         |    ON m.sub = p.sub AND m.cell = p.cell)""".stripMargin
-    val pdot =
-      """list_sum(list_transform(range(0, 8), i ->
-        |          CAST(n.v[c.sub * 8 + i + 1] AS DOUBLE)
+    val pdotOf = (vec: String) =>
+      s"""list_sum(list_transform(range(0, $dsub), i ->
+        |          CAST(n.$vec[c.sub * $dsub + i + 1] AS DOUBLE)
         |          * CAST(c.cvf[i+1] AS DOUBLE)))""".stripMargin
+    val pdot = pdotOf("v")
     s"""subs AS MATERIALIZED (
       |  SELECT s.rn, ss.sub,
-      |    list_slice(s.qv, ss.sub * 8 + 1, ss.sub * 8 + 8) AS q8,
-      |    list_transform(list_slice(s.qv, ss.sub * 8 + 1, ss.sub * 8 + 8),
+      |    list_slice(s.qv, ss.sub * $dsub + 1, ss.sub * $dsub + $dsub) AS q8,
+      |    list_transform(list_slice(s.qv, ss.sub * $dsub + 1, ss.sub * $dsub + $dsub),
       |      q -> CAST(q AS DOUBLE) / 1024.0) AS d8
-      |  FROM samp s, (SELECT unnest(range(0, 8)) AS sub) ss),
+      |  FROM $sampSrc s, (SELECT unnest(range(0, $m)) AS sub) ss),
+      |szp AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(least($ks, count(*)) AS BIGINT) AS k FROM $sampSrc),
       |pc0 AS MATERIALIZED (
       |  SELECT sd.sub, cl.cell, sd.d8 AS cv
-      |  FROM (SELECT unnest(range(16)) AS cell) cl, sz, subs sd
-      |  WHERE cl.cell < sz.k AND sd.rn = (cl.cell * sz.n) // sz.k),
+      |  FROM (SELECT unnest(range($ks)) AS cell) cl, szp, subs sd
+      |  WHERE cl.cell < szp.k AND sd.rn = (cl.cell * szp.n) // szp.k),
       |${(1 to 5).map(iter).mkString(",\n")},
       |pcf AS (
       |  SELECT sub, cell, list_transform(cv, x -> CAST(x AS REAL)) AS cvf
@@ -417,8 +431,8 @@ object ExtQueries {
       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cell)
       |        AS rnk
       |    FROM (SELECT n.vec_id, c.sub, c.cell,
-      |        c.nsq - 2.0 * $pdot AS d
-      |      FROM nrm n CROSS JOIN pcfd c) y) x
+      |        c.nsq - 2.0 * ${pdotOf(encVec)} AS d
+      |      FROM $encSrc n CROSS JOIN pcfd c) y) x
       |  WHERE rnk = 1),
       |lut AS (
       |  SELECT n.vec_id AS query_id, c.sub, c.cell, $pdot AS pd
@@ -470,10 +484,14 @@ object ExtQueries {
 
   /** DuckDB replay of [[graft.operators.SimilaritySearch.topKIvfPq]] over
     * whatever `nrm(vec_id, v)` and sample CTEs precede it: the q35
-    * spherical-Lloyd cell chain (c0..c5/cf/asgn/pr, verbatim shapes) + the
-    * q41 PQ chain (p-prefixed), joined so ADC sims are computed only for
-    * candidates whose cell the query probes. `queryPred` selects the query
-    * rows (q44: embeddings ids < 10; q49: reconstructed ids < 3). */
+    * spherical-Lloyd cell chain (c0..c5/cf/asgn, verbatim shapes), then the
+    * RESIDUAL composition — sample rows re-assigned to their final cells
+    * (sasgn), residuals quantized to the 1024 grid (rsamp) to feed the q41
+    * PQ chain, corpus residuals (cres) byte-encoded against the residual
+    * codebooks — and finally ADC sims ⟨q,centroid⟩ + Σ lut only for
+    * candidates whose cell the query probes (pr carries the centroid sim).
+    * `queryPred` selects the query rows (q44: embeddings ids < 10; q49:
+    * reconstructed ids < 3). */
   private def ivfPqBodySql(queryPred: String): String = {
     val dot64 = (a: String, b: String) =>
       s"list_sum(list_transform(range(0, 64), i -> $a[i+1] * $b[i+1]))"
@@ -527,23 +545,45 @@ object ExtQueries {
       |        ${dotReal("n.v", "c.cvf")} AS d
       |      FROM nrm n CROSS JOIN cf c) y) x
       |  WHERE rnk = 1),
+      |sampr AS MATERIALIZED (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn, v FROM sampq),
+      |sasgn AS MATERIALIZED (
+      |  SELECT rn, v, cell FROM (
+      |    SELECT rn, v, cell,
+      |      row_number() OVER (PARTITION BY rn ORDER BY d DESC, cell) AS rnk
+      |    FROM (SELECT s.rn, s.v, c.cell,
+      |        ${dotReal("s.v", "c.cvf")} AS d
+      |      FROM sampr s CROSS JOIN cf c) y) x
+      |  WHERE rnk = 1),
+      |rsamp AS MATERIALIZED (
+      |  SELECT s.rn, list_transform(range(0, 64), i ->
+      |    CAST(floor(CAST(CAST(CAST(s.v[i+1] AS DOUBLE)
+      |      - CAST(c.cvf[i+1] AS DOUBLE) AS REAL) AS DOUBLE) * 1024.0 + 0.5)
+      |      AS BIGINT)) AS qv
+      |  FROM sasgn s JOIN cf c ON c.cell = s.cell),
+      |cres AS MATERIALIZED (
+      |  SELECT n.vec_id, list_transform(range(0, 64), i ->
+      |    CAST(CAST(n.v[i+1] AS DOUBLE) - CAST(c.cvf[i+1] AS DOUBLE) AS REAL))
+      |      AS rv
+      |  FROM nrm n JOIN asgn a ON a.vec_id = n.vec_id
+      |  JOIN cf c ON c.cell = a.cell),
       |pr AS (
-      |  SELECT query_id, cell FROM (
-      |    SELECT vec_id AS query_id, cell,
+      |  SELECT query_id, cell, csim FROM (
+      |    SELECT vec_id AS query_id, cell, d AS csim,
       |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rnk
       |    FROM (SELECT n.vec_id, c.cell,
       |        ${dotReal("n.v", "c.cvf")} AS d
       |      FROM nrm n CROSS JOIN cf c
       |      WHERE $queryPred) y) x
       |  WHERE rnk <= 4),
-      |${pqChainCtes(queryPred)},
+      |${pqChainCtes(queryPred, "rsamp", "cres", "rv")},
       |sc AS (
       |  SELECT l.query_id, e.vec_id AS id,
-      |    list_sum(list(l.pd ORDER BY l.sub)) AS sim
+      |    p.csim + list_sum(list(l.pd ORDER BY l.sub)) AS sim
       |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.cell = e.code
       |  JOIN asgn a ON a.vec_id = e.vec_id
       |  JOIN pr p ON p.query_id = l.query_id AND p.cell = a.cell
-      |  GROUP BY l.query_id, e.vec_id),
+      |  GROUP BY l.query_id, e.vec_id, p.csim),
       |r AS (
       |  SELECT query_id, id, sim, CAST(row_number() OVER (
       |    PARTITION BY query_id ORDER BY sim DESC, id) AS INTEGER) AS rank

@@ -23,6 +23,17 @@ class ApiSpec extends SparkSpec {
       VersionStore.Config(baseInterval = 5))
   }
 
+  /** Deterministic per-content random vector for the PQ index tests:
+    * genuinely separated contents (pairwise |cos| ≈ 1/√dim), unlike a
+    * phase-shifted sine family whose phases can collide mod 2π (i·17 made
+    * c22 a 0.9997-cosine near-duplicate of c05 — a gap below ADC
+    * quantization error, so the approximate path legitimately could not
+    * rank the self-match first). */
+  private def fleetVec(i: Int): Array[Float] = {
+    val r = new scala.util.Random(i * 1000 + 7)
+    Array.fill(dim)(r.nextFloat() - 0.5f)
+  }
+
   private def mkHistory(n: Int): Seq[(String, Timestamp, Array[Float])] = {
     var cur = Array.fill(dim)(0.5f)
     (1 to n).map { k =>
@@ -186,7 +197,7 @@ class ApiSpec extends SparkSpec {
     // 24 well-separated contents so the codebooks (trained once on the
     // latest corpus; dim 50 -> auto m=5 subspaces) are meaningful
     val fleet = (0 until 24).map(i => (f"c$i%02d", ts(1),
-      Array.tabulate(dim)(j => math.sin(i * 17 + j).toFloat)))
+      fleetVec(i)))
     db.addVersions(fleet.toDF("content_id", "ts", "embedding"))
     val v5 = fleet(5)._3
     // exact-refine search: top hit is the self vector with EXACT sim 1
@@ -223,7 +234,7 @@ class ApiSpec extends SparkSpec {
     assert(probedHit == "c05#1")
     // append a new content: it re-encodes with the EXISTING codebooks and
     // becomes searchable; carried rows are not re-encoded
-    val vz = Array.tabulate(dim)(j => math.sin(99 * 17 + j).toFloat)
+    val vz = fleetVec(99)
     db.addVersions(Seq(("zz", ts(2), vz))
       .toDF("content_id", "ts", "embedding"))
     val hit2 = db.searchLatestVersionsPq(vz, k = 1, refine = 8)
@@ -244,7 +255,7 @@ class ApiSpec extends SparkSpec {
     "agrees with the single-query path") {
     val db = freshDb()
     val fleet = (0 until 24).map(i => (f"c$i%02d", ts(1),
-      Array.tabulate(dim)(j => math.sin(i * 17 + j).toFloat)))
+      fleetVec(i)))
     db.addVersions(fleet.toDF("content_id", "ts", "embedding"))
     val batch = Seq((5L, fleet(5)._3), (11L, fleet(11)._3))
       .toDF("query_id", "qvec")
@@ -273,7 +284,7 @@ class ApiSpec extends SparkSpec {
     "codes and search results with ZERO store reads or retraining") {
     val db = freshDb()
     val fleet = (0 until 24).map(i => (f"c$i%02d", ts(1),
-      Array.tabulate(dim)(j => math.sin(i * 17 + j).toFloat)))
+      fleetVec(i)))
     db.addVersions(fleet.toDF("content_id", "ts", "embedding"))
     val v5 = fleet(5)._3
     val before = db.searchLatestVersionsPq(v5, k = 3, refine = 8)
@@ -308,7 +319,7 @@ class ApiSpec extends SparkSpec {
     val db3 = new TemporalVectorDB(spark, db.path,
       VersionStore.Config(baseInterval = 5))
     assert(db3.loadIndexes())
-    val vz = Array.tabulate(dim)(j => math.sin(99 * 17 + j).toFloat)
+    val vz = fleetVec(99)
     db3.addVersions(Seq(("zz", ts(2), vz))
       .toDF("content_id", "ts", "embedding"))
     assert(db3.searchLatestVersionsPq(vz, k = 1, refine = 8)
@@ -324,7 +335,7 @@ class ApiSpec extends SparkSpec {
     "append and persist/reload all carry the configuration") {
     val db = freshDb()
     val fleet = (0 until 24).map(i => (f"c$i%02d", ts(1),
-      Array.tabulate(dim)(j => math.sin(i * 17 + j).toFloat)))
+      fleetVec(i)))
     db.addVersions(fleet.toDF("content_id", "ts", "embedding"))
     val codes = db.cachePqIndex(nCells = 4, fullCells = true)
     assert(codes.columns.toSeq == Seq("content_id", "seq", "_cell", "_codes"))
@@ -338,7 +349,7 @@ class ApiSpec extends SparkSpec {
     assert(before.head._2 == "c05#1" && math.abs(before.head._3 - 1.0) < 1e-6)
     // a default-argument search never discards the configuration, and an
     // append re-assigns + re-encodes with the CORPUS-trained centroids
-    val vz = Array.tabulate(dim)(j => math.sin(99 * 17 + j).toFloat)
+    val vz = fleetVec(99)
     db.addVersions(Seq(("zz", ts(2), vz)).toDF("content_id", "ts", "embedding"))
     assert(db.pqIndex().count() == 25)
     assert(db.searchLatestVersionsPq(vz, k = 1, refine = 8)
