@@ -61,7 +61,12 @@ object BenchStream {
     import Bench.{median => med}
     val rts = retrains.reverse.map { case (b, s) => s"""[$b,$s]""" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"stream_staleness","unit":"sec","seed":$seedSec,"initial_train":$trainSec,"apply_median":${med(applySecs)},"gate_noop_median":${med(gateSecs)},"retrains":$rts,"threshold":$threshold,"batches":$nBatches,"sf":"$sfDir"}""")
+    // null (not 0.0) when every batch fired a retrain: a median over zero
+    // no-op samples is indistinguishable from a genuinely free gate check;
+    // the sample count makes the distinction readable either way
+    val gateNoop =
+      if (gateSecs.isEmpty) "null" else med(gateSecs).toString
+    println(s"""{"metric":"stream_staleness","unit":"sec","seed":$seedSec,"initial_train":$trainSec,"apply_median":${med(applySecs)},"gate_noop_median":$gateNoop,"gate_noop_samples":${gateSecs.length},"retrains":$rts,"threshold":$threshold,"batches":$nBatches,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

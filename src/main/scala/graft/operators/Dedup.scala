@@ -177,7 +177,7 @@ object Dedup {
     val sig0 = signatures0(docs, idCol, textCol, n, numHashes)
     val doCollapse = collapseExactDups.getOrElse {
       val maxE = sig0.groupBy("_g").agg(count(lit(1)).as("_e"))
-        .agg(max(col("_e"))).head().getLong(0)
+        .agg(coalesce(max(col("_e")), lit(0L))).head().getLong(0)
       maxE > collapseGroupThreshold
     }
 
@@ -642,7 +642,15 @@ object Dedup {
     * (_id, simhash) — text SimHash ([[simhashPairs]]) and perceptual
     * image dHash ([[Multimodal.dHashes]]) both feed it. Pigeonhole-exact
     * within `maxHamming` (same result as the N² brute join) while
-    * shuffling only bucket-mates. */
+    * shuffling only bucket-mates.
+    *
+    * EAGER: the call itself runs jobs — it persists the hash frame,
+    * probes the largest identical-hash group (unless `collapseIdentical`
+    * pre-answers it), and MATERIALIZES the full pair set before
+    * returning (checkpoint-backed result, same lifetime contract as
+    * [[nearDupPairs]]). Callers that would compose lazily and prune
+    * before an action should filter the INPUT frame instead — pruning
+    * the returned frame happens after the pairs exist. */
   def hashPairs(hashes: DataFrame, maxHamming: Int = 3,
                 collapseIdentical: Option[Boolean] = None): DataFrame = {
     // persist across the probe + both join sides: the upstream hash
@@ -654,7 +662,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grp = hashGroups(sh)
     val doCollapse = collapseIdentical.getOrElse {
-      grp.agg(max(col("_e"))).head().getLong(0) > collapseGroupThreshold
+      grp.agg(coalesce(max(col("_e")), lit(0L))).head().getLong(0) >
+        collapseGroupThreshold
     }
     val out =
       if (!doCollapse) bandedHashPairs(sh, maxHamming)
@@ -960,7 +969,8 @@ object Dedup {
     val asg = Clustering.kmeansAssignVec(corpus, nCells, iters)
     val (grp, mem) = semanticGroups(asg)
     val doCollapse = collapseIdentical.getOrElse {
-      grp.agg(max(col("_e"))).head().getLong(0) > collapseGroupThreshold
+      grp.agg(coalesce(max(col("_e")), lit(0L))).head().getLong(0) >
+        collapseGroupThreshold
     }
     if (!doCollapse)
       asg.as("a").join(asg.as("b"),
@@ -1015,16 +1025,93 @@ object Dedup {
     * clamp(corpus / targetCellSize, 2, 2^14) — one count job, then the
     * guarded pipeline with the skew cap armed at 8× the target (the
     * trip-wire for cells k-means under-splits). Driver centroid state is
-    * bounded: 2^14 cells × dim doubles. */
+    * bounded: 2^14 cells × dim doubles. Pass `knownCount` when the
+    * caller already holds the corpus size (a catalog row count, a
+    * previous stage's metric) — it skips the sizing scan, a non-trivial
+    * extra pass at the corpus scales this entry point targets. */
   def semanticDedupedAuto(corpus: DataFrame, targetCellSize: Long = 4096L,
-                          iters: Int = 3, tau: Double = 0.95): DataFrame = {
+                          iters: Int = 3, tau: Double = 0.95,
+                          knownCount: Option[Long] = None): DataFrame = {
     require(targetCellSize >= 1, s"targetCellSize must be >= 1")
-    val n = corpus.count()
+    val n = knownCount.getOrElse(corpus.count())
     val cells = math.max(2L,
       math.min(1L << 14, n / targetCellSize)).toInt
     val cap = (targetCellSize * 8).min(Int.MaxValue.toLong).toInt
     semanticDeduped(corpus, cells, iters, tau,
       maxCellSize = Some(math.max(2, cap)))
+  }
+
+  /** Secondary k-means over EVERY oversized cell in ONE grouped pipeline
+    * (not a per-cell job loop — at 100 TB a skewed corpus trips hundreds
+    * of cells, and hundreds of sequential Spark jobs with a plan growing
+    * linearly in cell count was the round-7 scale defect here): init is
+    * each cell's k2(cell) lowest-id members (a window over (cell, _rid)),
+    * then `iters` cell-keyed Lloyd rounds — each round ONE join+window
+    * assignment job and ONE exact-long centroid aggregation — so the job
+    * count is O(iters), independent of the oversized-cell count.
+    *
+    * The arithmetic replays [[Clustering.kmeansAssignVec]]'s exactly
+    * (members' `dv` are the outer trainer's dequantized 1/1024 unit
+    * vectors, so dv·1024 recovers the exact integer grid; double dots
+    * via the compiled kernel; assignment ties to the lowest subcluster;
+    * centroid = normalized mean, empty/zero-norm subclusters keep their
+    * previous centroid; init = the cell's k2 lowest ids in id order), so
+    * the grouped result is bit-identical to running the per-cell trainer
+    * cell by cell — spec-gated by DedupSpec's equivalence test.
+    *
+    * Input: (_rid, cell, dv) for members of oversized cells only;
+    * `k2ByCell` the subcluster count per cell. Output: (_rid, subcell)
+    * with subcell ≥ 1 (0 stays the not-re-clustered marker). */
+  private[graft] def groupedSubClusters(members: DataFrame,
+                                        k2ByCell: Map[Int, Int],
+                                        iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k2 = typedLit(k2ByCell)
+    val m = members
+      .withColumn("qv",
+        transform(col("dv"), x => (x * lit(1024.0)).cast("long")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = m
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy("cell").orderBy("_rid")) - 1)
+      .where(col("_rn") < element_at(k2, col("cell")))
+      .select(col("cell"), col("_rn").as("sub"), col("dv").as("cv"))
+      .localCheckpoint(true)
+    // nearest-subcentroid assignment: dot DESC with sub ASC tie-break ==
+    // the literal-argmax first-max rule every oracle replays
+    def assigned(cv: DataFrame): DataFrame = m.join(cv, Seq("cell"))
+      .withColumn("_d", dotNativeD(col("dv"), col("cv")))
+      .withColumn("_rnk", row_number().over(
+        Window.partitionBy("cell", "_rid")
+          .orderBy(col("_d").desc, col("sub").asc)))
+      .where(col("_rnk") === 1)
+    for (_ <- 1 to iters) {
+      val upd = assigned(cents)
+        .select(col("cell"), col("sub"),
+          posexplode(col("qv")).as(Seq("pos", "q")))
+        .groupBy("cell", "sub", "pos")
+        .agg(sum("q").as("sq"), count(lit(1)).as("cnt"))
+        .groupBy("cell", "sub")
+        .agg(array_sort(collect_list(
+          struct(col("pos"), col("sq"), col("cnt")))).as("_ps"))
+        .select(col("cell"), col("sub"),
+          transform(col("_ps"), s =>
+            s("sq").cast("double") / s("cnt").cast("double") / lit(1024.0))
+            .as("mv"))
+        .withColumn("_nn",
+          sqrt(aggregate(col("mv"), lit(0.0), (a, x) => a + x * x)))
+      cents = cents
+        .join(upd, Seq("cell", "sub"), "left")
+        .select(col("cell"), col("sub"),
+          when(col("_nn").isNull || col("_nn") === 0, col("cv"))
+            .otherwise(transform(col("mv"), x => x / col("_nn"))).as("cv"))
+        .localCheckpoint(true)
+    }
+    val out = assigned(cents)
+      .select(col("_rid"), (col("sub") + 1).as("subcell"))
+      .localCheckpoint(true)
+    m.unpersist(false)
+    out
   }
 
   /** Identical-vector groups within cells: `grp` one row per (cell, dv)
@@ -1062,7 +1149,8 @@ object Dedup {
     // aggregation for an unused answer would tax every
     // semanticDedupedAuto call
     val doCollapse = maxCellSize.nonEmpty || collapseIdentical.getOrElse {
-      grp.agg(max(col("_e"))).head().getLong(0) > collapseGroupThreshold
+      grp.agg(coalesce(max(col("_e")), lit(0L))).head().getLong(0) >
+        collapseGroupThreshold
     }
     if (!doCollapse && maxCellSize.isEmpty) {
       val pairs = asg.as("a").join(asg.as("b"),
@@ -1101,21 +1189,23 @@ object Dedup {
         case None => reps.withColumn("subcell", lit(0))
         case Some(cap) =>
           require(cap > 1, s"maxCellSize must be > 1, got $cap")
+          // the collect is bounded (≤ nCells ≤ 2^14 rows of counts); the
+          // sub-clustering itself is ONE grouped pipeline over every
+          // oversized cell at once — O(iters) jobs regardless of how many
+          // cells tripped the cap, never a per-cell job loop
           val over = reps.groupBy("cell").agg(count(lit(1)).as("_n"))
             .where(col("_n") > cap)
             .select(col("cell"), col("_n")).collect()
           if (over.isEmpty) reps.withColumn("subcell", lit(0))
           else {
-            val subAsg = over.map { r =>
-              val cellId = r.getInt(0); val n = r.getLong(1)
-              val k2 = math.min(64, ((n + cap - 1) / cap).toInt max 2)
-              val ids = reps.where(col("cell") === cellId)
-                .select(col("_rid").as("vec_id"))
-              Clustering.kmeansAssignVec(
-                  corpus.join(ids, "vec_id"), k2, iters)
-                .select(col("vec_id").as("_rid"),
-                  (col("cell") + 1).as("subcell"))
-            }.reduce(_ unionByName _)
+            val k2ByCell = over.map { r =>
+              r.getInt(0) ->
+                math.min(64, ((r.getLong(1) + cap - 1) / cap).toInt max 2)
+            }.toMap
+            val members = reps
+              .where(col("cell").isin(k2ByCell.keys.toSeq: _*))
+              .select(col("_rid"), col("cell"), col("dv"))
+            val subAsg = groupedSubClusters(members, k2ByCell, iters)
             reps.join(subAsg, Seq("_rid"), "left")
               .withColumn("subcell", coalesce(col("subcell"), lit(0)))
           }

@@ -477,15 +477,34 @@ object StreamingIngest {
     * shape that keeps the guard output-mode-agnostic and latency-free.
     * Row-for-row agreement with the batch operator is gated in
     * StreamingSpec. `invert = true` emits the QUARANTINE stream
-    * (contaminated docs only) instead. */
+    * (contaminated docs only) instead.
+    *
+    * The distinct gram-key set collects to the DRIVER (unlike the batch
+    * twin, which has a shuffled anti-join, a stream has no fallback
+    * shape — see the paragraph above), so the eval-suite-≪-corpus
+    * assumption is enforced, not assumed: more than `maxKeys` distinct
+    * grams fails FAST with a sizing message instead of quietly OOMing
+    * the driver mid-stream. The default (2^26 ≈ 67M keys ≈ 1 GiB as a
+    * broadcast long-set) covers any realistic eval suite; raise it
+    * deliberately, with driver memory to match, when a bigger held-out
+    * set is genuinely intended. */
   def streamingDecontaminate(stream: DataFrame, test: DataFrame, n: Int = 4,
                              textCol: String = "text",
-                             invert: Boolean = false): DataFrame = {
+                             invert: Boolean = false,
+                             maxKeys: Long = 1L << 26): DataFrame = {
     import graft.operators.TextAnalysis
-    val keys: Set[Long] = test
+    val distinctKeys = test
       .select(explode(TextAnalysis.ngrams(col(textCol), n)).as("_g"))
       .select(TextAnalysis.gramHash(col("_g")).as("_gk"))
-      .distinct().collect().map(_.getLong(0)).toSet
+      .distinct()
+    val nKeys = distinctKeys.count()
+    require(nKeys <= maxKeys,
+      s"streamingDecontaminate: held-out set has $nKeys distinct $n-gram " +
+        s"keys > maxKeys=$maxKeys — this guard broadcasts the whole key " +
+        "set from the driver; shrink the held-out set, raise n, or raise " +
+        "maxKeys (with driver memory to match)")
+    val keys: Set[Long] =
+      distinctKeys.collect().map(_.getLong(0)).toSet
     val bKeys = stream.sparkSession.sparkContext.broadcast(keys)
     val idx = stream.schema.fieldIndex(textCol)
     stream.filter { row =>

@@ -35,6 +35,12 @@ object Bridge {
     spark.sessionState.catalog.defaultTablePath(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
 
+  /** Drain the SparkListener event bus (private[spark]) — lets a spec
+    * count jobs through a SparkListener without racing the async event
+    * delivery. Test-support only. */
+  def waitListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** Register a custom expression under `name` in the session's function
     * registry so it is callable from Spark SQL text. */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,

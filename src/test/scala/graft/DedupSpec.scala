@@ -574,4 +574,87 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(3L, 10L))
   }
+
+  /** 24 well-separated directions × `perCell` distinct members each, with
+    * vec_ids arranged so the outer trainer's init (24 lowest ids) is one
+    * member of each direction — every direction converges to its own
+    * cell, so ALL 24 cells are oversized under a small cap. */
+  private def manyOversizedCells(perCell: Int) =
+    (for (g <- 0 until 24; m <- 0 until perCell) yield {
+      ((m * 24 + g).toLong, Array.tabulate(48)(j =>
+        (if (j / 2 == g) 1.0 + 0.01 * math.sin(m * 7 + j) else 0.0).toFloat))
+    }).toDF("vec_id", "embedding")
+
+  test("grouped sub-clustering is bit-identical to the per-cell trainer") {
+    import graft.operators.Clustering
+    val emb = manyOversizedCells(perCell = 9)
+    val iters = 2
+    val asg = Clustering.kmeansAssignVec(emb, nCells = 24, iters = iters)
+    val (grp, _) = Dedup.semanticGroups(asg)
+    val reps = grp.select(col("_rep").as("_rid"), col("cell"), col("dv"))
+    val counts = reps.groupBy("cell").agg(count(lit(1)).as("_n"))
+      .as[(Int, Long)].collect().toMap
+    val cap = 4
+    val k2ByCell = counts.filter(_._2 > cap).map { case (c, n) =>
+      c -> math.min(64, ((n + cap - 1) / cap).toInt max 2)
+    }
+    assert(k2ByCell.size >= 20, s"fixture gave ${k2ByCell.size} oversized")
+    val members = reps.where(col("cell").isin(k2ByCell.keys.toSeq: _*))
+      .select(col("_rid"), col("cell"), col("dv"))
+    val grouped = Dedup.groupedSubClusters(members, k2ByCell, iters)
+      .as[(Long, Int)].collect().toMap
+    // per-cell re-derivation with the standalone trainer must agree on
+    // EVERY member (same init, same grid arithmetic, same tie-breaks)
+    for ((cellId, k2) <- k2ByCell.take(5)) {
+      val ids = reps.where(col("cell") === cellId)
+        .select(col("_rid").as("vec_id"))
+      val expected = Clustering.kmeansAssignVec(
+          emb.join(ids, "vec_id"), k2, iters)
+        .select(col("vec_id"), (col("cell") + 1))
+        .as[(Long, Int)].collect().toMap
+      assert(expected.forall { case (id, sub) => grouped(id) == sub },
+        s"cell $cellId mismatch")
+    }
+  }
+
+  test("cell-size cap with 24 oversized cells runs O(iters) jobs, " +
+    "not O(cells) sequential trainer jobs") {
+    val emb = manyOversizedCells(perCell = 9)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val kept =
+      try {
+        val k = Dedup.semanticDeduped(emb, nCells = 24, iters = 2,
+            tau = 0.999, maxCellSize = Some(4))
+          .select("vec_id").as[Long].collect().toSet
+        org.apache.spark.sql.graftbridge.Bridge
+          .waitListenerBus(spark.sparkContext)
+        k
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(kept.nonEmpty)
+    // the round-7 per-cell loop ran ~6 jobs PER oversized cell (init
+    // collect + iters aggregation collects + checkpoint), so 24 cells
+    // would ADD ~145 jobs to the pipeline's own ~60 (outer trainer,
+    // grouped rounds, components closure, final collect). The grouped
+    // pipeline's count is independent of cell count — gate well below
+    // the per-cell regime while leaving headroom over the measured 60.
+    assert(jobs.get() < 90, s"ran ${jobs.get()} jobs for 24 oversized cells")
+  }
+
+  test("collapse probes are null-safe on empty inputs") {
+    // empty hash frame through the probe-gated banded pair path (the
+    // probe's max() aggregate is NULL on zero rows — it must read as 0,
+    // not NPE) and the same latent pattern in the semantic family
+    val noHashes = Seq.empty[(Long, Long)].toDF("_id", "simhash")
+    assert(Dedup.hashPairs(noHashes).count() == 0)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.nearDupPairs(noDocs, "doc_id", "text", tau = 0.5)
+      .count() == 0)
+  }
 }

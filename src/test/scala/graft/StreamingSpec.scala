@@ -389,6 +389,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("click", 2L, 2.0)))
   }
 
+  test("streaming decontamination refuses a held-out set past maxKeys " +
+    "instead of collecting it to the driver") {
+    implicit val sqlCtx = spark.sqlContext
+    // 8 docs x 6 tokens = 8 * 3 = 24 distinct 4-gram keys > maxKeys=10
+    val big = (0 until 8).map(i =>
+      (i.toLong, s"t${i}a t${i}b t${i}c t${i}d t${i}e t${i}f"))
+      .toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val in = stream.toDF().toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      StreamingIngest.streamingDecontaminate(in, big, maxKeys = 10L)
+    }
+    assert(e.getMessage.contains("maxKeys"), e.getMessage)
+    // the same set passes under the default bound
+    StreamingIngest.streamingDecontaminate(in, big)
+  }
+
   test("streaming decontamination: clean + quarantine streams partition " +
     "the input and agree row-for-row with the batch operator") {
     implicit val sqlCtx = spark.sqlContext
