@@ -3,13 +3,16 @@ package graft
 import graft.operators.Dedup
 import graft.queries.DedupQueries
 
-/** Attribution micro-bench for the q23b MinHash+LSH path (dev tool, not a
-  * declared query): decomposes nearDupPairs cost on the SAME corpus into
-  * the gate-probe share vs the banded-join share by timing the three gate
-  * configurations — `None` (probe then branch; what q23b declares),
-  * `Some(false)` (direct banding, no probe), `Some(true)` (collapse path,
-  * probe skipped). Per-config medians over SPARK_GRAFT_BENCH_REPEATS runs,
-  * one JSON line, same conventions as [[Bench]]. */
+/** Attribution micro-bench for the probe-gated dedup paths (dev tool, not
+  * a declared query): decomposes operator cost on the SAME corpus into the
+  * gate-probe share vs the join share by timing the three gate
+  * configurations — `None` (probe then branch; what the declared query
+  * runs), `Some(false)` (direct path, no probe), `Some(true)` (collapse
+  * path, probe skipped). Covers q23b (nearDupPairs over the augmented
+  * docs) and q70 (semanticDupPairs over the augmented embeddings at the
+  * declared knobs). Per-config medians AND best-of-N floors over
+  * SPARK_GRAFT_BENCH_REPEATS runs, one JSON line, same conventions as
+  * [[Bench]]. */
 object BenchAttr {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,23 +22,39 @@ object BenchAttr {
       .builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = DedupQueries.augDocs(spark, sfDir)
+    val emb = DedupQueries.augEmb(spark, sfDir)
     docs.write.format("noop").mode("overwrite").save() // warm scan + JIT
-    def once(gate: Option[Boolean]): Double = {
+    emb.write.format("noop").mode("overwrite").save()
+    def onceDocs(gate: Option[Boolean]): Double = {
       val t0 = System.nanoTime()
       Dedup.nearDupPairs(docs, "doc_id", "text", tau = 0.5,
           collapseExactDups = gate)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    def onceSem(gate: Option[Boolean]): Double = {
+      val t0 = System.nanoTime()
+      Dedup.semanticDupPairs(emb, nCells = 8, iters = 3, tau = 0.95,
+          collapseIdentical = gate)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     import Bench.median
-    val configs = Seq("probe" -> None, "direct" -> Some(false),
+    val gates = Seq("probe" -> None, "direct" -> Some(false),
       "collapse" -> Some(true))
+    val configs: Seq[(String, () => Double)] =
+      for ((q, once) <- Seq(
+             "q23b" -> (onceDocs _), "q70" -> (onceSem _));
+           (g, gate) <- gates)
+        yield s"${q}_$g" -> (() => once(gate))
     // pass-major order, same load-spreading rationale as Bench
     val samples = (1 to repeats).map(_ =>
-      configs.map { case (n, g) => n -> once(g) }.toMap)
+      configs.map { case (n, f) => n -> f() }.toMap)
     val med = configs.map { case (n, _) =>
       s""""$n":${median(samples.map(_(n)))}""" }.mkString(",")
-    println(s"""{"metric":"q23b_attr","unit":"sec",$med,"repeats":$repeats,"sf":"$sfDir"}""")
+    val floors = configs.map { case (n, _) =>
+      s""""$n":${samples.map(_(n)).min}""" }.mkString(",")
+    println(s"""{"metric":"dedup_attr","unit":"sec","medians":{$med},"floors":{$floors},"repeats":$repeats,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
