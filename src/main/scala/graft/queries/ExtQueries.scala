@@ -163,6 +163,23 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Q72: IVFPQ-R — the q44 cell-probed ADC stage keeps the top-20
+    // candidates per query, then ONLY those survivors re-join the raw
+    // corpus for exact dots (topKIvfPq's refine stage; the q43 two-stage
+    // shape with the coarse quantizer bounding stage 1). Returned sims
+    // are EXACT; the oracle replays both stages.
+    "q72_ann_ivfpq_refine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      SimilaritySearch.topKIvfPq(queries, corpus, 5, refine = 20)
+        .select(col("query_id"), col("rank"), col("id"),
+          r4(col("sim")).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Q49: the maintained-index search shape end-to-end — IVF-PQ over the
     // RECONSTRUCTED LATEST corpus (the facade's searchLatestVersionsPq
     // pipeline: reconstruction → coarse cells → byte codes → cell-probed
@@ -583,7 +600,12 @@ object ExtQueries {
       |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.cell = e.code
       |  JOIN asgn a ON a.vec_id = e.vec_id
       |  JOIN pr p ON p.query_id = l.query_id AND p.cell = a.cell
-      |  GROUP BY l.query_id, e.vec_id, p.csim),
+      |  GROUP BY l.query_id, e.vec_id, p.csim)""".stripMargin
+  }
+
+  /** Standard ADC-rank tail over `sc(query_id, id, sim)`. */
+  private val adcRankTail: String =
+    s""",
       |r AS (
       |  SELECT query_id, id, sim, CAST(row_number() OVER (
       |    PARTITION BY query_id ORDER BY sim DESC, id) AS INTEGER) AS rank
@@ -591,11 +613,35 @@ object ExtQueries {
       |SELECT query_id, rank, id, ${r4sql("sim")} AS sim
       |FROM r WHERE rank <= 5 AND sim > 0
       |ORDER BY query_id, rank""".stripMargin
-  }
 
   private def q44OracleSql: String =
     s"""WITH $annPrefixCtes,
-      |${ivfPqBodySql("n.vec_id < 10")}""".stripMargin
+      |${ivfPqBodySql("n.vec_id < 10")}$adcRankTail""".stripMargin
+
+  /** DuckDB replay of q72 (topKIvfPq with refine): the q44 scored chain,
+    * ADC top-20 survivors per query, exact dots over survivors only,
+    * re-ranked (q43's refine tail over the cell-probed stage 1). */
+  private def q72OracleSql: String =
+    s"""WITH $annPrefixCtes,
+      |${ivfPqBodySql("n.vec_id < 10")},
+      |ra AS (
+      |  SELECT query_id, id, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY sim DESC, id) AS rnk
+      |  FROM sc),
+      |cand AS (SELECT query_id, id FROM ra WHERE rnk <= 20),
+      |ex AS (
+      |  SELECT c.query_id, c.id,
+      |    list_sum(list_transform(range(0, 64), i ->
+      |      CAST(q.v[i+1] AS DOUBLE) * CAST(n.v[i+1] AS DOUBLE))) AS sim
+      |  FROM cand c JOIN nrm n ON n.vec_id = c.id
+      |  JOIN nrm q ON q.vec_id = c.query_id),
+      |r AS (
+      |  SELECT query_id, id, sim, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY sim DESC, id) AS INTEGER) AS rank
+      |  FROM ex)
+      |SELECT query_id, rank, id, ${r4sql("sim")} AS sim
+      |FROM r WHERE rank <= 5 AND sim > 0
+      |ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB replay of q49: the q40 reconstruction prefix supplies
     * `nrm` (the reconstructed-latest corpus), then the IDENTICAL IVF-PQ
@@ -606,7 +652,7 @@ object ExtQueries {
       s""",
       |nrm AS MATERIALIZED (SELECT id AS vec_id, v FROM n),
       |$sampCtes,
-      |${ivfPqBodySql("n.vec_id < 3")}""".stripMargin
+      |${ivfPqBodySql("n.vec_id < 3")}$adcRankTail""".stripMargin
 
   /** Multi-table LSH bucket bits for table `t` of a 6-bit scheme (global
     * plane index g = t·6 + j, mirroring Dedup.hyperplaneBucket). */
@@ -790,6 +836,7 @@ object ExtQueries {
     "q41_ann_pq_topk" -> q41OracleSql,
     "q43_ann_pq_refine" -> q43OracleSql,
     "q44_ann_ivfpq_topk" -> q44OracleSql,
+    "q72_ann_ivfpq_refine" -> q72OracleSql,
     "q49_search_latest_ivfpq" -> q49OracleSql,
     "q27b_ann_lsh_multi" -> q27bOracleSql,
     "q40_search_latest" -> q40OracleSql,

@@ -169,6 +169,19 @@ class SimilaritySpec extends SparkSpec {
     assert(refined == exact)
   }
 
+  test("IVF-PQ refine with full coverage equals exact topK bit-for-bit") {
+    // every cell probed + refine >= |corpus| makes stage 1 a no-op
+    // filter over the whole corpus: stage 2 then IS the exact search
+    val exact = SimilaritySearch.topK(queryDf, corpusDf, 5)
+      .select("query_id", "rank", "id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val refined = SimilaritySearch.topKIvfPq(queryDf, corpusDf, 5,
+        nCells = 4, nProbe = 4, m = 8, ks = 16, refine = 40)
+      .select("query_id", "rank", "id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(refined == exact)
+  }
+
   test("IVF-PQ: cluster recall vs exact; sims are ADC approximations") {
     val exact = SimilaritySearch.topK(queryDf, corpusDf, 10)
       .select("query_id", "id").as[(Long, Long)].collect().toSet
