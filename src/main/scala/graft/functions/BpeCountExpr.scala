@@ -30,9 +30,10 @@ private[functions] final class BpeVocab(entries: Seq[String])
   * .SubtokenPattern]] approximates: training pipelines budget shards and
   * selection in tokenizer tokens, and the regex count is off by the
   * vocabulary's fertility ratio. Greedy maxmatch is DETERMINISTIC and
-  * engine-replayable (a recursive CTE replays it in SQL, which a
-  * learned merges-order BPE would make impractical) — the same
-  * portability discipline as the engine's other kernels.
+  * engine-replayable (a recursive CTE replays it in SQL) — the same
+  * portability discipline as the engine's other kernels. For the real
+  * merge-rank application algorithm see [[BpeMergeCountExpr]] (also
+  * replayable, one merge per recursion step).
   *
   * Map-only: the compiled vocab rides the expression (codegen passes it
   * through the references array — executors never re-parse it), each

@@ -70,6 +70,45 @@ object TextAnalysis {
       graft.functions.BpeCountExpr(
         org.apache.spark.sql.graftbridge.Bridge.expression(text), vocab))
 
+  /** The shipped merge list for [[bpeMergeTokenCount]] — a fixed
+    * tokenizer artifact (like any production vocab file), ordered by
+    * rank and CREATION-ORDER VALID: every merge's parts are single
+    * characters or products of earlier merges (spec-enforced), which is
+    * what makes one-occurrence-at-a-time application equivalent to the
+    * classic all-occurrences pass (see
+    * [[graft.functions.BpeMergeCountExpr]]). */
+  val BpeMergesDefault: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e",                      // th, the
+    "i" -> "n", "a" -> "n", "o" -> "n",           // in, an, on
+    "r" -> "e", "a" -> "t", "e" -> "n",           // re, at, en
+    "o" -> "r", "e" -> "r", "e" -> "s",           // or, er, es
+    "in" -> "g", "an" -> "d",                     // ing, and
+    "t" -> "i", "ti" -> "on", "a" -> "tion",      // ti, tion, ation
+    "s" -> "t", "l" -> "e", "o" -> "u",           // st, le, ou
+    "a" -> "r", "a" -> "l", "i" -> "s",           // ar, al, is
+    "i" -> "t", "e" -> "d", "t" -> "e",           // it, ed, te
+    "n" -> "t", "e" -> "nt",                      // nt, ent
+    // "data" must build THROUGH "at" (rank 6 beats any d+a merge): the
+    // creation-order discipline shapes which chains are even reachable
+    "d" -> "at", "dat" -> "a",                    // dat, data
+    "s" -> "p", "sp" -> "ar", "spar" -> "k",      // sp, spar, spark
+    "r" -> "o", "ro" -> "w",                      // ro, row
+    "c" -> "o", "co" -> "l",                      // co, col
+    "p" -> "ar")                                  // par
+
+  /** Merge-rank BPE token count ([[graft.functions.BpeMergeCountExpr]] —
+    * compiled, map-only): the real tokenizer-application algorithm over
+    * a shipped merge list, closing the gap [[bpeTokenCount]]'s greedy
+    * maxmatch leaves (greedy and merge-rank disagree on words where a
+    * long vocab entry shadows a better segmentation). Fully
+    * oracle-replayable via a one-merge-per-step recursive CTE (q73). */
+  def bpeMergeTokenCount(text: Column,
+                         merges: Seq[(String, String)] = BpeMergesDefault)
+      : Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BpeMergeCountExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), merges))
+
   /** doc_id, n_tokens, n_subtokens, text_len, alpha_ratio. */
   def textStats(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

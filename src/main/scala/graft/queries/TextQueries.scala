@@ -103,6 +103,19 @@ object TextQueries {
           TextAnalysis.subtokenCount(col("text")).as("n_subtokens"))
         .orderBy("doc_id")),
 
+    // Q73: MERGE-RANK BPE accounting — the real tokenizer-application
+    // algorithm (lowest-rank merge first) over the shipped merge list,
+    // beside the greedy q68 count it corrects; the oracle replays the
+    // merge loop with a ONE-MERGE-PER-STEP recursive CTE over DISTINCT
+    // pretokens (the one-at-a-time form is provably equivalent for a
+    // creation-ordered merge list, and is what SQL can express).
+    "q73_bpe_merges" -> ((s, d) =>
+      par(Tables.documents(s, d))
+        .select(col("doc_id"),
+          TextAnalysis.bpeMergeTokenCount(col("text")).as("n_bpe_merge"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_greedy"))
+        .orderBy("doc_id")),
+
     // Q55: PII scrubbing over a corpus with deterministically injected
     // emails/phones/IPs (the raw corpus is PII-free by construction, so
     // the redaction pass must be exercised on augmented text).
@@ -198,6 +211,66 @@ object TextQueries {
         |SELECT b.doc_id, b.n_bpe, s.n_subtokens
         |FROM b JOIN sub s ON s.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+
+    // q73: merge-rank BPE replay — ONE MERGE PER recursive step (the
+    // lowest-rank pair's leftmost occurrence; rank·2^20 + pos encodes
+    // the (rank, pos) lexicographic min in one BIGINT), run over
+    // DISTINCT pretokens; terminal count per word = min token-list
+    // length over its states (each step shrinks the list by exactly 1).
+    // Merge list and greedy vocab both interpolate from the SAME
+    // constants the compiled kernels ship, so they cannot drift.
+    "q73_bpe_merges" ->
+      s"""WITH RECURSIVE rk AS (SELECT MAP(
+        |    [${graft.operators.TextAnalysis.BpeMergesDefault
+                 .map { case (a, b) => s"'$a $b'" }.mkString(", ")}],
+        |    [${graft.operators.TextAnalysis.BpeMergesDefault.indices
+                 .map(_.toString).mkString(", ")}]) AS m),
+        |voc(tok) AS (VALUES ${
+            graft.operators.TextAnalysis.BpeVocabDefault
+              .map(v => s"('$v')").mkString(", ")}),
+        |wd AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+        |dw AS (SELECT DISTINCT w FROM wd),
+        |st AS (
+        |  SELECT w,
+        |    list_transform(range(1, len(w) + 1), i -> w[i]) AS toks
+        |  FROM dw
+        |  UNION ALL
+        |  SELECT w,
+        |    toks[1:CAST(bk % 1048576 AS BIGINT) - 1]
+        |      || [toks[CAST(bk % 1048576 AS BIGINT)]
+        |          || toks[CAST(bk % 1048576 AS BIGINT) + 1]]
+        |      || toks[CAST(bk % 1048576 AS BIGINT) + 2:len(toks)] AS toks
+        |  FROM (
+        |    SELECT w, toks,
+        |      list_aggregate(list_transform(range(1, len(toks)), i ->
+        |        CASE WHEN len(map_extract(rk.m,
+        |            toks[i] || ' ' || toks[i + 1])) > 0
+        |          THEN CAST(map_extract(rk.m,
+        |            toks[i] || ' ' || toks[i + 1])[1] AS BIGINT)
+        |            * 1048576 + i
+        |          ELSE NULL END), 'min') AS bk
+        |    FROM st, rk) x
+        |  WHERE bk IS NOT NULL),
+        |mwc AS (SELECT w, min(len(toks)) AS units FROM st GROUP BY w),
+        |mb AS (SELECT wd.doc_id,
+        |    CAST(sum(mwc.units) AS BIGINT) AS n_bpe_merge
+        |  FROM wd JOIN mwc USING (w) GROUP BY wd.doc_id),
+        |genc AS (
+        |  SELECT w, w AS rest, 0 AS cnt FROM dw
+        |  UNION ALL
+        |  SELECT w,
+        |    substr(rest, 1 + coalesce((SELECT max(len(v.tok)) FROM voc v
+        |      WHERE substr(rest, 1, len(v.tok)) = v.tok), 1)),
+        |    cnt + 1
+        |  FROM genc WHERE rest <> ''),
+        |gwc AS (SELECT w, max(cnt) AS units FROM genc
+        |  WHERE rest = '' GROUP BY w),
+        |gb AS (SELECT wd.doc_id,
+        |    CAST(sum(gwc.units) AS BIGINT) AS n_bpe_greedy
+        |  FROM wd JOIN gwc USING (w) GROUP BY wd.doc_id)
+        |SELECT mb.doc_id, mb.n_bpe_merge, gb.n_bpe_greedy
+        |FROM mb JOIN gb ON gb.doc_id = mb.doc_id
+        |ORDER BY mb.doc_id""".stripMargin,
 
     "q22_fingerprint" ->
       s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents)

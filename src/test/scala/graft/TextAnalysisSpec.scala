@@ -315,4 +315,40 @@ class TextAnalysisSpec extends SparkSpec {
       .where(col("lang") === "en").count()
     assert(none == 0)
   }
+
+  test("merge-rank BPE: creation-ordered merge list, known segmentations, " +
+    "and the documented greedy/merge-rank disagreement") {
+    import graft.functions.{BpeMergeCountExpr, BpeMerges}
+    // CREATION ORDER: every merge part is a single code point or the
+    // product of an EARLIER merge — the property that makes one-merge-
+    // per-step application equal to the classic all-occurrences pass
+    // (and the oracle's recursive replay exact)
+    val merges = TextAnalysis.BpeMergesDefault
+    val produced = scala.collection.mutable.Set.empty[String]
+    merges.foreach { case (a, b) =>
+      for (p <- Seq(a, b))
+        assert(p.codePointCount(0, p.length) == 1 || produced.contains(p),
+          s"merge part '$p' used before being produced")
+      produced += (a + b)
+    }
+    val m = new BpeMerges(merges)
+    def toks(w: String) = BpeMergeCountExpr.wordTokens(m, w).toSeq
+    assert(toks("the") == Seq("the"))
+    assert(toks("data") == Seq("data"))
+    assert(toks("spark") == Seq("spark"))
+    assert(toks("zzz") == Seq("z", "z", "z")) // nothing merges
+    assert(toks("") == Seq.empty)
+    // rank order matters: in "ation", on(rank 4) fires before at(6), so
+    // a+tion can never form -> [at, i, on]; the GREEDY vocab path
+    // matches "ation" whole. The two counts genuinely differ — that
+    // fertility gap is what q73 measures next to q68.
+    assert(toks("ation") == Seq("at", "i", "on"))
+    val df = Seq((1L, "the spark data ation")).toDF("doc_id", "text")
+    val got = df.select(
+        TextAnalysis.bpeMergeTokenCount(col("text")).as("m"),
+        TextAnalysis.bpeTokenCount(col("text")).as("g"))
+      .as[(Long, Long)].collect().head
+    assert(got._1 == 6L, s"merge-rank count ${got._1}") // 1+1+1+3
+    assert(got._2 == 4L, s"greedy count ${got._2}")     // 1+1+1+1
+  }
 }
