@@ -368,9 +368,10 @@ object SimilaritySearch {
     *
     * Cells come from the q35 spherical trainer; codebooks from the q41
     * L2 trainer over the sample's residuals (ONE driver-side collect).
-    * Returned `sim` is the ADC approximation; compose with
-    * [[topKPqRefine]]'s exact stage when needed. Fully oracle-replayable
-    * (q44). */
+    * Returned `sim` is the ADC approximation, unless `refine > 0` adds
+    * the exact re-rank stage over the top-`refine` ADC survivors
+    * (IVFPQ-R, q72) — then `sim` is EXACT. Fully oracle-replayable
+    * (q44 ADC-only, q72 refined). */
   def topKIvfPq(queries: DataFrame, corpus: DataFrame, k: Int,
                 nCells: Int = 16, nProbe: Int = 4, m: Int = 0, ks: Int = 256,
                 trainSample: Int = 4096, iters: Int = 5,
