@@ -159,6 +159,20 @@ object DedupQueries {
           r4(col("cosine")).as("cosine"))
         .orderBy("id1", "id2")),
 
+    // Q70b: the ACTING half of q70 — semanticDeduped's kept corpus
+    // (pairs → component closure → keep the member LEAST similar to its
+    // centroid per group, ties to the lowest id; unpaired rows pass).
+    // The oracle replays the whole policy: q70's trainer + pair chain,
+    // the recursive component closure (q42's shape), and the
+    // least-similar-keep window. Runs the default probe gate — both
+    // branches are spec-proven output-identical, so the direct replay
+    // matches either.
+    "q70b_semantic_dedup_kept" -> ((s, d) =>
+      Dedup.semanticDeduped(augEmb(s, d), nCells = 8, iters = 3,
+          tau = 0.95)
+        .select(col("vec_id").cast("long").as("vec_id"))
+        .orderBy("vec_id")),
+
     // Q65: cross-corpus (incremental) dedup — the augmented rows
     // (ids >= 10000: synthetic near-dups + exact copies) play the
     // INCOMING batch, the raw corpus the kept side; the oracle replays
@@ -486,6 +500,63 @@ object DedupQueries {
         |JOIN dz db ON db.vec_id = fb.vec_id
         |WHERE $pcos >= 0.95
         |ORDER BY id1, id2""".stripMargin
+    },
+
+    // q70b: q70's trainer + pair chain, then the recursive label-prop
+    // closure (q42's shape) and the keep policy — per component, rank by
+    // (assignment sim ASC, id ASC) and drop every rank > 1; the final
+    // anti-join keeps unpaired AND zero-norm rows (they never enter the
+    // assignment, so they can never be dropped — same as the engine).
+    "q70b_semantic_dedup_kept" -> {
+      val pcos =
+        "list_sum(list_transform(range(0, 64), i -> da.dv[i+1] * db.dv[i+1]))"
+      s"""WITH RECURSIVE $augEmbSql,
+        |$normEmbSql,
+        |dz AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(v, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv,
+        |    list_transform(list_transform(v, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)),
+        |      q -> CAST(q AS DOUBLE) / 1024.0) AS dv
+        |  FROM nv),
+        |c0 AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, dv AS cv
+        |  FROM (SELECT vec_id, dv FROM dz ORDER BY vec_id LIMIT 8)),
+        |${(1 to 3).map(PipelineQueries.kmeansIter).mkString(",\n")},
+        |af AS MATERIALIZED (
+        |  SELECT vec_id, cell, d AS sim FROM (
+        |    SELECT d.vec_id, c.cell,
+        |      list_sum(list_transform(range(0, 64), i ->
+        |        d.dv[i+1] * c.cv[i+1])) AS d,
+        |      row_number() OVER (PARTITION BY d.vec_id
+        |        ORDER BY list_sum(list_transform(range(0, 64), i ->
+        |          d.dv[i+1] * c.cv[i+1])) DESC, c.cell) AS rnk
+        |    FROM dz d CROSS JOIN c3 c) x
+        |  WHERE rnk = 1),
+        |pr AS MATERIALIZED (
+        |  SELECT fa.vec_id AS id1, fb.vec_id AS id2
+        |  FROM af fa JOIN af fb ON fa.cell = fb.cell
+        |    AND fa.vec_id < fb.vec_id
+        |  JOIN dz da ON da.vec_id = fa.vec_id
+        |  JOIN dz db ON db.vec_id = fb.vec_id
+        |  WHERE $pcos >= 0.95),
+        |e AS (SELECT id1 AS s, id2 AS t FROM pr
+        |      UNION SELECT id2, id1 FROM pr),
+        |reach AS (
+        |  SELECT s AS id, s AS lab FROM e
+        |  UNION
+        |  SELECT e.t AS id, r.lab FROM reach r JOIN e ON e.s = r.id),
+        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+        |rk AS (SELECT c.id,
+        |    row_number() OVER (PARTITION BY c.component
+        |      ORDER BY a.sim ASC, c.id ASC) AS rnk
+        |  FROM comp c JOIN af a ON a.vec_id = c.id),
+        |drp AS (SELECT id FROM rk WHERE rnk > 1)
+        |SELECT CAST(v.vec_id AS BIGINT) AS vec_id
+        |FROM aug v LEFT JOIN drp ON drp.id = v.vec_id
+        |WHERE drp.id IS NULL
+        |ORDER BY vec_id""".stripMargin
     },
 
     // replay of spanDedupStats: the q47 chunk-hash recipe at window 16 /
