@@ -278,6 +278,21 @@ class ApiSpec extends SparkSpec {
     assert(exact.map(t => (t._1, t._2, t._3)) ==
       Seq((5L, 1, "c05#1"), (11L, 1, "c11#1")))
     assert(exact.forall(t => math.abs(t._4 - 1.0) < 1e-6))
+    // the MILLION-QUERY shape (broadcastQueries = false: the per-query
+    // LUT frame is gigabytes at that scale, past the broadcast limit)
+    // produces identical rows through shuffled hash joins, both with and
+    // without the refine stage
+    for (ref <- Seq(0, 8)) {
+      val hinted = db.searchLatestVersionsPqBatch(batch, k = 3,
+          refine = ref)
+        .select("query_id", "rank", "id", "sim")
+        .as[(Long, Int, String, Double)].collect().toSet
+      val unhinted = db.searchLatestVersionsPqBatch(batch, k = 3,
+          refine = ref, broadcastQueries = false)
+        .select("query_id", "rank", "id", "sim")
+        .as[(Long, Int, String, Double)].collect().toSet
+      assert(unhinted == hinted, s"refine=$ref broadcast/shuffle mismatch")
+    }
   }
 
   test("persisted indexes reload in a second facade instance: identical " +
