@@ -239,6 +239,75 @@ object Dedup {
     out
   }
 
+  /** Production banding knobs `(numHashes, bands)` for a corpus of
+    * `corpusSize` documents at near-dup threshold `tau` — the sizing rule
+    * that keeps RANDOM-collision candidate mass bounded as the corpus
+    * grows, where the declared queries pin (16, 4) for oracle determinism.
+    *
+    * Banding theory (Leskovec/Rajaraman/Ullman, MMDS ch. 3): with `r`
+    * rows per band and `b` bands, a pair at Jaccard `j` becomes a
+    * candidate with probability 1 − (1 − j^r)^b.
+    *
+    *  - Rows per band `r` bounds random mass: an UNRELATED pair (shingle
+    *    Jaccard ≈ `pRand`) collides in one band with probability ≈
+    *    pRand^r, so expected random candidate pairs stay ≤
+    *    `candPerDoc`·N when N²/2 · pRand^r ≤ candPerDoc·N, i.e.
+    *    r = ceil( ln(N / (2·candPerDoc)) / ln(1/pRand) ).
+    *  - But `r` is recall-capped: a TRUE pair at `tau` needs
+    *    b ≈ ln(1/missProb)/tau^r bands for miss probability
+    *    (1−tau^r)^b ≤ exp(−b·tau^r) ≤ missProb, and b is bounded by
+    *    `maxBands` (hash budget), so r ≤ ln(ln(1/missProb)/maxBands)
+    *    / ln(tau).
+    *
+    * The clamp order is deliberate: RECALL WINS. At low thresholds
+    * (tau ≲ 0.6) the (1−j^r)^b curve itself prices candidate generation
+    * — no knob setting gives both linear candidates and high recall;
+    * production dedup runs tau ≥ ~0.7 exactly for this reason (e.g.
+    * RefinedWeb: 9000 hashes = 450 bands × 20 rows at tau 0.8), and at
+    * those thresholds the two constraints are compatible through the
+    * billions of rows. Returned numHashes = b·r never exceeds
+    * maxBands·32. */
+  def autoMinhashKnobs(corpusSize: Long, tau: Double,
+                       candPerDoc: Long = 16L,
+                       pRand: Double = 0.1,
+                       missProb: Double = 0.05,
+                       maxBands: Int = 64): (Int, Int) = {
+    require(tau > 0 && tau < 1, s"tau must be in (0,1), got $tau")
+    require(pRand > 0 && pRand < 1, s"pRand must be in (0,1), got $pRand")
+    require(missProb > 0 && missProb < 1,
+      s"missProb must be in (0,1), got $missProb")
+    val lnMiss = math.log(1.0 / missProb)
+    // bucket-bound r: random candidate pairs <= candPerDoc per document
+    val excess = corpusSize.toDouble / math.max(1L, 2L * candPerDoc)
+    val rBucket =
+      if (excess <= 1.0) 2
+      else math.ceil(math.log(excess) / math.log(1.0 / pRand)).toInt
+    // recall-cap r: the band count the formula will ask for must fit
+    // the hash budget
+    val rRecall =
+      math.max(2, math.floor(math.log(lnMiss / maxBands) /
+        math.log(tau)).toInt)
+    val r = math.max(2, math.min(32, math.min(rBucket, rRecall)))
+    val b = math.max(2, math.min(maxBands,
+      math.ceil(lnMiss / math.pow(tau, r)).toInt))
+    (b * r, b)
+  }
+
+  /** [[nearDupPairs]] with `(numHashes, bands)` sized from the actual
+    * corpus count via [[autoMinhashKnobs]] — the production entry point
+    * (one count job, then the banded pipeline). Explicit-knob overloads
+    * remain for deterministic oracle queries. */
+  def nearDupPairsAuto(docs: DataFrame, idCol: String, textCol: String,
+                       tau: Double, n: Int = 3,
+                       candPerDoc: Long = 16L,
+                       collapseExactDups: Option[Boolean] = None)
+      : DataFrame = {
+    val (numHashes, bands) =
+      autoMinhashKnobs(docs.count(), tau, candPerDoc)
+    nearDupPairs(docs, idCol, textCol, tau, n, numHashes, bands,
+      collapseExactDups)
+  }
+
   /** Cross-corpus near-dup pairs: every `newDocs` document whose n-gram
     * Jaccard against some `existing` document is >= tau — the INCREMENTAL
     * dedup shape: each incoming crawl batch checks against the
@@ -877,7 +946,13 @@ object Dedup {
     * buckets); a fixed 8-bit default would make a 1B-row join ~N²/256. */
   def autoBits(corpusSize: Long, targetBucketSize: Long = 1024L): Int = {
     val buckets = math.max(1L, corpusSize / math.max(1L, targetBucketSize))
-    val bits = math.ceil(math.log(buckets.toDouble) / math.log(2.0)).toInt
+    // exact integer ceil-log2 (bit length of buckets-1) — float log at
+    // power-of-2 boundaries rounds differently across engines, and the
+    // sizing must be REPLAYABLE by an external oracle (q26c derives the
+    // same value in SQL from the same count)
+    val bits =
+      if (buckets <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1L)
     math.max(4, math.min(24, bits))
   }
 

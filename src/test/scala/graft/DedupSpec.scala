@@ -657,4 +657,36 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.nearDupPairs(noDocs, "doc_id", "text", tau = 0.5)
       .count() == 0)
   }
+
+  test("autoMinhashKnobs: recall bound holds, r grows with N, " +
+    "recall wins over the bucket bound at low tau") {
+    // production threshold, web-scale corpus: r is bucket-bound,
+    // b satisfies the (1 - tau^r)^b <= missProb miss bound
+    val (h, b) = Dedup.autoMinhashKnobs(1_000_000_000L, tau = 0.8)
+    val r = h / b
+    assert(h == b * r)
+    assert(math.pow(1.0 - math.pow(0.8, r), b) <= 0.05)
+    // one thousand times more docs -> strictly more rows per band
+    // (finer buckets), never fewer
+    val (h2, b2) = Dedup.autoMinhashKnobs(1_000_000L, tau = 0.8)
+    assert(h / b >= h2 / b2)
+    // low threshold: the recall cap binds r regardless of corpus size
+    // (no knob setting gives both linear candidates and recall at
+    // tau 0.5 -- the (1-j^r)^b curve itself prices it)
+    val (h3, b3) = Dedup.autoMinhashKnobs(1_000_000_000L, tau = 0.5)
+    val (h4, b4) = Dedup.autoMinhashKnobs(1_000_000_000_000L, tau = 0.5)
+    assert(h3 / b3 == h4 / b4) // r pinned by recall, not N
+    assert(math.pow(1.0 - math.pow(0.5, h3 / b3), b3) <= 0.05)
+    // hash budget: never more than maxBands * 32 hashes
+    assert(h <= 64 * 32 && h3 <= 64 * 32)
+  }
+
+  test("nearDupPairsAuto finds dup pairs with corpus-sized knobs") {
+    // identical texts share every band at ANY (numHashes, bands), so the
+    // auto-sized path must recover them; the unrelated doc stays out
+    val pairs = Dedup.nearDupPairsAuto(docs, "doc_id", "text", tau = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }
