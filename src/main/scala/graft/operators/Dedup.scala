@@ -1104,13 +1104,20 @@ object Dedup {
     * caller already holds the corpus size (a catalog row count, a
     * previous stage's metric) — it skips the sizing scan, a non-trivial
     * extra pass at the corpus scales this entry point targets. */
+  /** The cell-count sizing behind [[semanticDedupedAuto]] —
+    * clamp(corpusSize / targetCellSize, 2, 2^14). Pure integer arithmetic
+    * (like [[autoBits]]) so an external oracle derives the identical
+    * value from the same count (q70c). */
+  def autoCells(corpusSize: Long, targetCellSize: Long = 4096L): Int = {
+    require(targetCellSize >= 1, s"targetCellSize must be >= 1")
+    math.max(2L, math.min(1L << 14, corpusSize / targetCellSize)).toInt
+  }
+
   def semanticDedupedAuto(corpus: DataFrame, targetCellSize: Long = 4096L,
                           iters: Int = 3, tau: Double = 0.95,
                           knownCount: Option[Long] = None): DataFrame = {
-    require(targetCellSize >= 1, s"targetCellSize must be >= 1")
     val n = knownCount.getOrElse(corpus.count())
-    val cells = math.max(2L,
-      math.min(1L << 14, n / targetCellSize)).toInt
+    val cells = autoCells(n, targetCellSize)
     val cap = (targetCellSize * 8).min(Int.MaxValue.toLong).toInt
     semanticDeduped(corpus, cells, iters, tau,
       maxCellSize = Some(math.max(2, cap)))

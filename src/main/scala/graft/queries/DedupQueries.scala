@@ -173,6 +173,27 @@ object DedupQueries {
         .select(col("vec_id").cast("long").as("vec_id"))
         .orderBy("vec_id")),
 
+    // Q70c: q70b with PRODUCTION-SIZED cells — nCells from the corpus
+    // count via Dedup.autoCells (the semanticDedupedAuto sizing, the knob
+    // that kills the Σ cell² term the 100× probe measured at q70's pinned
+    // 8 cells: 27.3s auto vs 207.9s pinned, BENCH_LOCAL_r08.md). Sizing
+    // is a pure function of the count, so the oracle derives the same k
+    // in SQL and seeds the same k lowest-id centroids via a dynamic
+    // LIMIT. targetCellSize 64 keeps the sizing responsive at driver
+    // fixture scales (the 4096 default would clamp to the 2-cell floor).
+    // semanticDeduped directly (not the Auto wrapper): the wrapper also
+    // arms the maxCellSize skew cap, whose sub-clustering branch is
+    // deliberately outside the SQL surface — it only engages on
+    // under-split cells and is spec-gated instead (DedupSpec).
+    "q70c_semantic_dedup_auto" -> ((s, d) => {
+      val corpus = augEmb(s, d)
+      Dedup.semanticDeduped(corpus,
+          nCells = Dedup.autoCells(corpus.count(), 64L), iters = 3,
+          tau = 0.95)
+        .select(col("vec_id").cast("long").as("vec_id"))
+        .orderBy("vec_id")
+    }),
+
     // Q65: cross-corpus (incremental) dedup — the augmented rows
     // (ids >= 10000: synthetic near-dups + exact copies) play the
     // INCOMING batch, the raw corpus the kept side; the oracle replays
@@ -218,6 +239,21 @@ object DedupQueries {
     "q26b_neardup_lsh_multi" -> ((s, d) =>
       Dedup.nearDupPairsLshMulti(augEmb(s, d), "vec_id", "embedding", 0.95,
           nBits = 6, nTables = 2)
+        .select(col("id1"), col("id2"), r4(col("cosine")).as("cosine"))
+        .orderBy("id1", "id2")),
+
+    // Q26c: the PRODUCTION-SIZED variant of q26b — nBits derived from the
+    // actual corpus count (Dedup.autoBits, exact-integer ceil-log2), the
+    // sizing that kills the Σ bucket² creep the 100× probe measured at
+    // q26b's pinned 6 bits. Auto-sizing is still oracle-DETERMINISTIC:
+    // it is a pure function of the corpus count, so the oracle derives
+    // the identical bit count in SQL (length(bin(buckets-1))) and replays
+    // the same hyperplanes g = table·nBits + j. targetBucketSize 64 keeps
+    // the sizing responsive at driver fixture scales (1024 would clamp to
+    // the 4-bit floor everywhere below 16k rows).
+    "q26c_neardup_lsh_auto" -> ((s, d) =>
+      Dedup.nearDupPairsLshAuto(augEmb(s, d), "vec_id", "embedding", 0.95,
+          nTables = 2, targetBucketSize = 64L)
         .select(col("id1"), col("id2"), r4(col("cosine")).as("cosine"))
         .orderBy("id1", "id2")),
 
@@ -559,6 +595,66 @@ object DedupQueries {
         |ORDER BY vec_id""".stripMargin
     },
 
+    // q70c: q70b's replay with k derived from the corpus count —
+    // GREATEST(2, LEAST(16384, cnt // 64)) replays Dedup.autoCells'
+    // integer clamp, and the dynamic LIMIT seeds the same k lowest-id
+    // init centroids; the Lloyd rounds themselves are k-independent.
+    "q70c_semantic_dedup_auto" -> {
+      val pcos =
+        "list_sum(list_transform(range(0, 64), i -> da.dv[i+1] * db.dv[i+1]))"
+      s"""WITH RECURSIVE $augEmbSql,
+        |sz AS MATERIALIZED (
+        |  SELECT GREATEST(2, LEAST(16384, cnt // 64)) AS k
+        |  FROM (SELECT count(*) AS cnt FROM aug)),
+        |$normEmbSql,
+        |dz AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(v, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv,
+        |    list_transform(list_transform(v, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)),
+        |      q -> CAST(q AS DOUBLE) / 1024.0) AS dv
+        |  FROM nv),
+        |c0 AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, dv AS cv
+        |  FROM (SELECT vec_id, dv FROM dz ORDER BY vec_id
+        |        LIMIT (SELECT k FROM sz))),
+        |${(1 to 3).map(PipelineQueries.kmeansIter).mkString(",\n")},
+        |af AS MATERIALIZED (
+        |  SELECT vec_id, cell, d AS sim FROM (
+        |    SELECT d.vec_id, c.cell,
+        |      list_sum(list_transform(range(0, 64), i ->
+        |        d.dv[i+1] * c.cv[i+1])) AS d,
+        |      row_number() OVER (PARTITION BY d.vec_id
+        |        ORDER BY list_sum(list_transform(range(0, 64), i ->
+        |          d.dv[i+1] * c.cv[i+1])) DESC, c.cell) AS rnk
+        |    FROM dz d CROSS JOIN c3 c) x
+        |  WHERE rnk = 1),
+        |pr AS MATERIALIZED (
+        |  SELECT fa.vec_id AS id1, fb.vec_id AS id2
+        |  FROM af fa JOIN af fb ON fa.cell = fb.cell
+        |    AND fa.vec_id < fb.vec_id
+        |  JOIN dz da ON da.vec_id = fa.vec_id
+        |  JOIN dz db ON db.vec_id = fb.vec_id
+        |  WHERE $pcos >= 0.95),
+        |e AS (SELECT id1 AS s, id2 AS t FROM pr
+        |      UNION SELECT id2, id1 FROM pr),
+        |reach AS (
+        |  SELECT s AS id, s AS lab FROM e
+        |  UNION
+        |  SELECT e.t AS id, r.lab FROM reach r JOIN e ON e.s = r.id),
+        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+        |rk AS (SELECT c.id,
+        |    row_number() OVER (PARTITION BY c.component
+        |      ORDER BY a.sim ASC, c.id ASC) AS rnk
+        |  FROM comp c JOIN af a ON a.vec_id = c.id),
+        |drp AS (SELECT id FROM rk WHERE rnk > 1)
+        |SELECT CAST(v.vec_id AS BIGINT) AS vec_id
+        |FROM aug v LEFT JOIN drp ON drp.id = v.vec_id
+        |WHERE drp.id IS NULL
+        |ORDER BY vec_id""".stripMargin
+    },
+
     // replay of spanDedupStats: the q47 chunk-hash recipe at window 16 /
     // stride 8, full windows only, occurrence >= 2 marks a repeated span
     "q57_repeated_spans" ->
@@ -729,6 +825,40 @@ object DedupQueries {
         |  ${r4sql(cosSql)} AS cosine
         |FROM nb a JOIN nb b
         |  ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.vec_id < b.vec_id
+        |WHERE $cosSql >= 0.95
+        |ORDER BY id1, id2""".stripMargin,
+
+    // q26c: nBits from the corpus count — GREATEST(4, LEAST(24,
+    // bit_length(buckets-1))) replays Dedup.autoBits' exact-integer
+    // ceil-log2 (length(bin(b-1)) IS the bit length), and the plane
+    // index g = table·nBits + j makes the hyperplanes themselves a
+    // function of the derived bit count. Two tables; cross-table
+    // duplicate pairs collapse under DISTINCT exactly like the Scala
+    // side's distinct on (id1, id2, cosine).
+    "q26c_neardup_lsh_auto" ->
+      s"""WITH $augEmbSql,
+        |nbits AS MATERIALIZED (
+        |  SELECT GREATEST(4, LEAST(24,
+        |    CASE WHEN GREATEST(1, cnt // 64) <= 1 THEN 0
+        |         ELSE length(bin(GREATEST(1, cnt // 64) - 1)) END)) AS nb
+        |  FROM (SELECT count(*) AS cnt FROM aug)),
+        |$normEmbSql,
+        |bk AS MATERIALIZED (
+        |  SELECT a.vec_id, t.range AS tbl,
+        |    list_sum(list_transform(range(0, nbits.nb), j ->
+        |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
+        |          CAST(a.embedding[i+1] AS DOUBLE)
+        |          * (CAST((73 * i + 179 * (t.range * nbits.nb + j) + 11)
+        |               % 97 AS DOUBLE) / 97.0 - 0.5)))
+        |        > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+        |        ELSE CAST(0 AS BIGINT) END)) AS bucket
+        |  FROM aug a, range(0, 2) t, nbits),
+        |nb2 AS (SELECT nv.vec_id, nv.v, bk.tbl, bk.bucket FROM nv
+        |        JOIN bk ON bk.vec_id = nv.vec_id)
+        |SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+        |  ${r4sql(cosSql)} AS cosine
+        |FROM nb2 a JOIN nb2 b
+        |  ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
         |WHERE $cosSql >= 0.95
         |ORDER BY id1, id2""".stripMargin
   )
