@@ -48,18 +48,16 @@ object Bench {
     // repetitions are spread across the run and share load conditions
     val samples: Seq[Map[String, Option[Double]]] =
       (1 to repeats).map(_ => names.map(n => n -> runOnce(n)).toMap)
-    val medians = names.flatMap { n =>
-      val ok = samples.flatMap(_(n))
-      if (ok.isEmpty) None else Some(n -> median(ok))
-    }
     // best-of-N floors beside the medians: two rounds running, the
     // official window ran ~25% hot under external box load, and the
     // floor is what separates "operator regressed" from "box was busy"
     // without a separate controlled re-run
-    val floors = names.flatMap { n =>
+    val stats = names.flatMap { n =>
       val ok = samples.flatMap(_(n))
-      if (ok.isEmpty) None else Some(n -> ok.min)
+      if (ok.isEmpty) None else Some(n -> (median(ok), ok.min))
     }
+    val medians = stats.map { case (n, (m, _)) => n -> m }
+    val floors = stats.map { case (n, (_, f)) => n -> f }
     // a query is "failed" only if EVERY repetition failed; failures are a
     // separate array (never sign-encoded into the timings map)
     val failed = names.filter(n => samples.forall(_(n).isEmpty))

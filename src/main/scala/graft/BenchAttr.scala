@@ -50,10 +50,10 @@ object BenchAttr {
     // pass-major order, same load-spreading rationale as Bench
     val samples = (1 to repeats).map(_ =>
       configs.map { case (n, f) => n -> f() }.toMap)
-    val med = configs.map { case (n, _) =>
-      s""""$n":${median(samples.map(_(n)))}""" }.mkString(",")
-    val floors = configs.map { case (n, _) =>
-      s""""$n":${samples.map(_(n)).min}""" }.mkString(",")
+    val stats = configs.map { case (n, _) =>
+      val xs = samples.map(_(n)); (n, median(xs), xs.min) }
+    val med = stats.map { case (n, m, _) => s""""$n":$m""" }.mkString(",")
+    val floors = stats.map { case (n, _, f) => s""""$n":$f""" }.mkString(",")
     println(s"""{"metric":"dedup_attr","unit":"sec","medians":{$med},"floors":{$floors},"repeats":$repeats,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -37,7 +37,10 @@ object BenchAuto {
     }
 
     val out = scala.collection.mutable.LinkedHashMap[String, String]()
-    def put(k: String, v: Double): Unit = out += k -> f"$v%.3f"
+    // Locale.ROOT: f"" uses the JVM default locale, which renders 1.5 as
+    // "1,500" under comma-decimal locales — invalid JSON
+    def put(k: String, v: Double): Unit = out += k ->
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def putL(k: String, v: Long): Unit = out += k -> v.toString
 
     // ---- text corpus: the q23b/q42/q57 document prep -------------------

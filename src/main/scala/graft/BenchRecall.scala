@@ -49,17 +49,21 @@ object BenchRecall {
           SS.topKIvfPq(q, c, kk, nProbe = 8)),
         "ivfpq_p8_r100" -> ((q, c, kk) =>
           SS.topKIvfPq(q, c, kk, nProbe = 8, refine = 100)))
+    // Locale.ROOT: f"" renders under the JVM default locale — a
+    // comma-decimal locale would emit invalid JSON
+    def d4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val recalls = (paths ++ tuned).map { case (name, fn) =>
       val r = SS.annRecallSummary(queries, corpus, k, fn)
         .select(col("avg_recall"), col("min_recall")).head()
-      f""""$name":{"avg":${r.getDouble(0)}%.4f,"min":${r.getDouble(1)}%.4f}"""
+      s""""$name":{"avg":${d4(r.getDouble(0))},"min":${d4(r.getDouble(1))}}"""
     }
     // MinHash banding recall on the augmented doc corpus at the q23b knobs
     val banding = Dedup.bandingRecall(
       graft.queries.DedupQueries.augDocs(spark, sfDir), "doc_id", "text",
       tau = 0.5, sampleN = 400)
     val b = banding.head()
-    val bJson = f""""minhash_banding":{"recall":${b.getAs[Double]("recall")}%.4f,"n_true_pairs":${b.getAs[Long]("n_true_pairs")}}"""
+    val bJson = s""""minhash_banding":{"recall":${d4(b.getAs[Double]("recall"))},"n_true_pairs":${b.getAs[Long]("n_true_pairs")}}"""
     println(s"""{"metric":"recall","k":$k,${recalls.mkString(",")},$bJson,"sf":"$sfDir"}""")
     spark.stop()
   }

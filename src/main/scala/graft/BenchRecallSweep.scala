@@ -54,7 +54,11 @@ object BenchRecallSweep {
     combos.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       val r = rec(fn)
-      println(f"""{"combo":"$name","recall":$r%.4f,"sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+      // Locale.ROOT: comma-decimal locales would render invalid JSON
+      val rs = String.format(java.util.Locale.ROOT, "%.4f", Double.box(r))
+      val ts = String.format(java.util.Locale.ROOT, "%.1f",
+        Double.box((System.nanoTime() - t0) / 1e9))
+      println(s"""{"combo":"$name","recall":$rs,"sec":$ts}""")
     }
     spark.stop()
   }

@@ -296,14 +296,18 @@ object Dedup {
   /** [[nearDupPairs]] with `(numHashes, bands)` sized from the actual
     * corpus count via [[autoMinhashKnobs]] — the production entry point
     * (one count job, then the banded pipeline). Explicit-knob overloads
-    * remain for deterministic oracle queries. */
+    * remain for deterministic oracle queries. Pass `knownCount` when the
+    * caller already holds the corpus size (a catalog row count, a
+    * previous stage's metric) — skips the sizing scan, same contract as
+    * [[semanticDedupedAuto]]. */
   def nearDupPairsAuto(docs: DataFrame, idCol: String, textCol: String,
                        tau: Double, n: Int = 3,
                        candPerDoc: Long = 16L,
-                       collapseExactDups: Option[Boolean] = None)
+                       collapseExactDups: Option[Boolean] = None,
+                       knownCount: Option[Long] = None)
       : DataFrame = {
     val (numHashes, bands) =
-      autoMinhashKnobs(docs.count(), tau, candPerDoc)
+      autoMinhashKnobs(knownCount.getOrElse(docs.count()), tau, candPerDoc)
     nearDupPairs(docs, idCol, textCol, tau, n, numHashes, bands,
       collapseExactDups)
   }
@@ -1015,12 +1019,14 @@ object Dedup {
   /** [[nearDupPairsLshMulti]] with `nBits` sized from the actual corpus
     * count via [[autoBits]] — the production entry point (one count job,
     * then the bucketed pipeline). Explicit-bits overloads remain for
-    * deterministic oracle queries. */
+    * deterministic oracle queries; `knownCount` skips the sizing scan
+    * when the caller already holds the corpus size. */
   def nearDupPairsLshAuto(df: DataFrame, idCol: String, vecCol: String,
                           tau: Double, nTables: Int = 4,
-                          targetBucketSize: Long = 1024L): DataFrame =
+                          targetBucketSize: Long = 1024L,
+                          knownCount: Option[Long] = None): DataFrame =
     nearDupPairsLshMulti(df, idCol, vecCol, tau,
-      autoBits(df.count(), targetBucketSize), nTables)
+      autoBits(knownCount.getOrElse(df.count()), targetBucketSize), nTables)
 
   /** SemDeDup-shape semantic near-dup pairs (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with the FULL-corpus k-means

@@ -497,14 +497,18 @@ object StreamingIngest {
       .select(explode(TextAnalysis.ngrams(col(textCol), n)).as("_g"))
       .select(TextAnalysis.gramHash(col("_g")).as("_gk"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nKeys = distinctKeys.count()
     require(nKeys <= maxKeys,
       s"streamingDecontaminate: held-out set has $nKeys distinct $n-gram " +
         s"keys > maxKeys=$maxKeys — this guard broadcasts the whole key " +
         "set from the driver; shrink the held-out set, raise n, or raise " +
         "maxKeys (with driver memory to match)")
+    // persisted across the sizing count and this collect — the guard must
+    // not pay the explode+hash+distinct shuffle twice at stream start
     val keys: Set[Long] =
       distinctKeys.collect().map(_.getLong(0)).toSet
+    distinctKeys.unpersist(false)
     val bKeys = stream.sparkSession.sparkContext.broadcast(keys)
     val idx = stream.schema.fieldIndex(textCol)
     stream.filter { row =>

@@ -195,7 +195,7 @@ class ApiSpec extends SparkSpec {
     "incremental re-encode on append") {
     val db = freshDb()
     // 24 well-separated contents so the codebooks (trained once on the
-    // latest corpus; dim 50 -> auto m=5 subspaces) are meaningful
+    // latest corpus; dim 50 -> autoM picks 10 subspaces) are meaningful
     val fleet = (0 until 24).map(i => (f"c$i%02d", ts(1),
       fleetVec(i)))
     db.addVersions(fleet.toDF("content_id", "ts", "embedding"))
