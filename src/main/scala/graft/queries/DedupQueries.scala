@@ -75,6 +75,31 @@ object DedupQueries {
       }.toDF("media_id", "payload").transform(par)
   }
 
+  /** Synthetic WAV payloads per document (the audio analog of
+    * [[mediaFrame]]): 8-bit PCM mono, 1824 samples; sample t of doc i is
+    * 128 + (−1)^t · a with window k = t/32, family p = i%25, tier
+    * q = (i/25)%7, amplitude a = (3k + 5p + k·p) % 17, +1 on window k=q
+    * for tiers q>0. Docs sharing i%25 differ in ONE window's amplitude →
+    * near-identical energy profiles (fingerprint Hamming ≤ 2 vs tier 0).
+    * Decoded back through the REAL RIFF/WAVE parser; the oracle never
+    * parses bytes — it replays the sample formula (the q69 pattern). */
+  def audioFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Audio
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { i =>
+        val p = (i % 25).toInt
+        val q = ((i / 25) % 7).toInt
+        val samples = Array.tabulate(Audio.MinSamples) { t =>
+          val k = t / Audio.WindowSize
+          val a = (3 * k + 5 * p + k * p) % 17 +
+            (if (q > 0 && k == q) 1 else 0)
+          128 + (if (t % 2 == 0) a else -a)
+        }
+        (i, Audio.buildWavPcm8(samples))
+      }.toDF("media_id", "payload").transform(par)
+  }
+
   /** embeddings + perturbed copies (+10000): +0.01 on dims i%16==0. */
   def augEmb(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
@@ -128,6 +153,34 @@ object DedupQueries {
       Dedup.hashPairs(graft.operators.Multimodal.dHashes(mediaFrame(s, d)),
           maxHamming = 3)
         .orderBy("id1", "id2")),
+
+    // Q74: acoustic-fingerprint AUDIO dedup — synthetic RIFF/WAVE PCM
+    // payloads (sample value a closed-form function of (doc_id, t); docs
+    // sharing doc_id % 25 are near-identical, differing in one window's
+    // amplitude), decoded by the REAL WAV parser (spec-cross-checked
+    // against the JDK's javax.sound.sampled decode), energy-delta
+    // 56-bit fingerprints, paired through the same banded Hamming join
+    // as image dHash. The oracle replays the sample formula, the exact
+    // integer window energies, the 56 comparisons, and a brute-force
+    // pair check (pigeonhole banding is exact, so brute force IS the
+    // contract — the q69 pattern on the audio modality).
+    "q74_audio_dedup" -> ((s, d) =>
+      Dedup.hashPairs(graft.operators.Audio.fingerprints(audioFrame(s, d)),
+          maxHamming = 3)
+        .orderBy("id1", "id2")),
+
+    // Q74b: the linear-OUTPUT audio corpus dedup (q74's scale twin, as
+    // q69b is q69's): components over distinct fingerprints, one kept
+    // doc per cluster — the shape a deployment consumes, output linear
+    // in the corpus while q74's pair list grows with dup mass.
+    "q74b_audio_corpus_dedup" -> ((s, d) => {
+      val media = audioFrame(s, d)
+      Dedup.hashDeduped(
+          media.select(col("media_id").as("doc_id")), "doc_id",
+          graft.operators.Audio.fingerprints(media), maxHamming = 3)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .orderBy("doc_id")
+    }),
 
     // Q69b: the linear-OUTPUT image dedup shape — q69's pair graph closed
     // into components (label propagation) and collapsed to one kept image
@@ -416,6 +469,31 @@ object DedupQueries {
        |    > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
   }.mkString(" + ")
 
+  /** The q74/q74b audio-fingerprint CTEs: sample-deviation formula →
+    * exact integer window energies → 56 energy-delta comparisons →
+    * `ah(id, sh)`. MATERIALIZED for the same 2-consumer reason as the
+    * image chain below. */
+  private val audioHashSql: String =
+    """px AS (
+      |  SELECT d.doc_id AS id, t.range // 32 AS k,
+      |    (CASE WHEN t.range % 2 = 0 THEN 1 ELSE -1 END) *
+      |    ((3 * (t.range // 32) + 5 * (d.doc_id % 25)
+      |      + (t.range // 32) * (d.doc_id % 25)) % 17
+      |     + (CASE WHEN (d.doc_id // 25) % 7 > 0
+      |             AND t.range // 32 = (d.doc_id // 25) % 7
+      |        THEN 1 ELSE 0 END)) AS dv
+      |  FROM documents d, range(0, 1824) t),
+      |en AS (SELECT id, k,
+      |    SUM(CAST(dv AS BIGINT) * CAST(dv AS BIGINT)) AS e
+      |  FROM px GROUP BY id, k),
+      |el AS (SELECT id, list(e ORDER BY k) AS es FROM en GROUP BY id),
+      |ah AS MATERIALIZED (
+      |  SELECT id, list_sum(list_transform(range(0, 56), j ->
+      |    CASE WHEN es[j+2] > es[j+1]
+      |      THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+      |      ELSE CAST(0 AS BIGINT) END)) AS sh
+      |  FROM el)""".stripMargin
+
   /** The q69/q69b image-hash CTEs: pixel formula → 4×4 cell sums → 56
     * dHash comparisons → `h(id, sh)`. MATERIALIZED: `h` feeds the pair
     * self-join (2 refs) and the closure chain in q69b. */
@@ -472,6 +550,39 @@ object DedupQueries {
         |FROM h a JOIN h b ON a.id < b.id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
         |ORDER BY id1, id2""".stripMargin,
+
+    // q74: the audio chain replayed from the sample formula — signed
+    // deviation dv(t) = (−1)^t · a(k, p, q), exact integer window
+    // energies Σ dv², 56 energy-delta comparisons into the fingerprint,
+    // brute-force Hamming pair check (= the pigeonhole-banded engine
+    // output, as with q69's image hashes)
+    "q74_audio_dedup" ->
+      s"""WITH $audioHashSql
+        |SELECT a.id AS id1, b.id AS id2,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        |FROM ah a JOIN ah b ON a.id < b.id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY id1, id2""".stripMargin,
+
+    // q74b: the q74 pair graph closed with the recursive label-prop CTE
+    // (q69b's shape on the audio modality) — one kept doc per component
+    "q74b_audio_corpus_dedup" ->
+      s"""WITH RECURSIVE $audioHashSql,
+        |pr AS (SELECT a.id AS id1, b.id AS id2
+        |  FROM ah a JOIN ah b ON a.id < b.id
+        |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+        |e AS (SELECT id1 AS s, id2 AS t FROM pr
+        |      UNION SELECT id2, id1 FROM pr),
+        |reach AS (
+        |  SELECT s AS id, s AS lab FROM e
+        |  UNION
+        |  SELECT e.t AS id, r.lab FROM reach r JOIN e ON e.s = r.id),
+        |drp AS (SELECT id FROM reach GROUP BY id
+        |        HAVING id <> min(lab))
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+        |FROM documents d LEFT JOIN drp ON drp.id = d.doc_id
+        |WHERE drp.id IS NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // q69b: the q69 pair graph closed with the recursive label-prop CTE
     // (q42's closure shape), one kept image per component (= the min id,
