@@ -43,7 +43,7 @@ object Clustering {
                    iters: Int = 3): DataFrame = {
     val (nrm, cents) = train(corpus, nCells, iters)
     val out = withCellD(nrm, cents)
-      .withColumn("sim", array_max(col("_sims")))
+      .withColumn("sim", col("_sim"))
       .select("vec_id", "cell", "sim")
       .localCheckpoint(true)
     nrm.unpersist(false)
@@ -60,7 +60,7 @@ object Clustering {
                       iters: Int = 3): DataFrame = {
     val (nrm, cents) = train(corpus, nCells, iters)
     val out = withCellD(nrm, cents)
-      .withColumn("sim", array_max(col("_sims")))
+      .withColumn("sim", col("_sim"))
       .select("vec_id", "cell", "sim", "dv")
       .localCheckpoint(true)
     nrm.unpersist(false)
@@ -79,17 +79,39 @@ object Clustering {
     cents.map(_.map(_.toFloat))
   }
 
-  /** Map-only assignment against double-centroid literals: `_sims` =
-    * per-centroid dots, `cell` = argmax with first-max (lowest-cell)
-    * tie-break — the shape every oracle replays as
-    * `row_number() OVER (ORDER BY d DESC, cell) = 1`. */
-  private def withCellD(df: DataFrame,
-                        cents: Array[Array[Double]]): DataFrame =
+  /** Map-only assignment through the compiled
+    * [[graft.functions.CellArgmaxExpr]] kernel: `cell` = argmax with
+    * first-max (lowest-cell) tie-break, `sim` = its dot — the shape
+    * every oracle replays as
+    * `row_number() OVER (ORDER BY d DESC, cell) = 1`. One compiled loop
+    * regardless of nCells; the per-centroid literal tree this replaces
+    * walled at a few hundred cells (planning + codegen method size),
+    * which the 100 TB sizing (nCells ~√N, SemDeDup ~100k clusters)
+    * blows straight through. The pre-kernel literal formulation is
+    * retained as [[withCellDLiteral]], the cross-check twin
+    * (PipelineOpsSpec gates bit-identity, ties included). */
+  private[graft] def withCellD(df: DataFrame,
+                               cents: Array[Array[Double]]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    df.withColumn("_as", Bridge.column(graft.functions.CellArgmaxExpr(
+        Bridge.expression(col("dv")), cents)))
+      .withColumn("cell", col("_as.cell"))
+      .withColumn("_sim", col("_as.sim"))
+      .drop("_as")
+  }
+
+  /** The pre-kernel per-centroid literal formulation — the bit-identity
+    * cross-check reference for [[withCellD]] (ClusteringSpec). */
+  private[graft] def withCellDLiteral(df: DataFrame,
+                                      cents: Array[Array[Double]])
+      : DataFrame =
     df.withColumn("_sims", array(cents.map(c =>
         dotNativeD(col("dv"), typedLit(c.toSeq))): _*))
       .withColumn("cell",
         (array_position(col("_sims"), array_max(col("_sims"))) - 1)
           .cast("int"))
+      .withColumn("_sim", array_max(col("_sims")))
+      .drop("_sims")
 
   /** Shared pipeline: persisted quantized corpus projection + `iters`
     * aggregate-collect rounds. Caller owns unpersisting the frame. */

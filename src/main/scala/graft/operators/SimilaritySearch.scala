@@ -205,24 +205,37 @@ object SimilaritySearch {
     * the lowest cell (same as ORDER BY sim DESC, cell ASC LIMIT 1 — the
     * tie-break every oracle replays). */
   private[graft] def withCell(df: DataFrame, centroids: Array[Array[Float]],
-                              vecCol: Column): DataFrame =
-    df.withColumn("_sims",
-        array(centroids.map(c => dotNative(vecCol, typedLit(c.toSeq))): _*))
-      .withColumn("_cell",
-        (array_position(col("_sims"), array_max(col("_sims"))) - 1)
-          .cast("int"))
-      .drop("_sims")
+                              vecCol: Column): DataFrame = {
+    // compiled argmax kernel (one loop, any centroid count) in place of
+    // the per-centroid literal tree — float→double widening is exact, so
+    // double-stored centroids score float vectors identically to the old
+    // float-literal dots (spec-gated vs the literal twin)
+    import org.apache.spark.sql.graftbridge.Bridge
+    df.withColumn("_as", Bridge.column(graft.functions.CellArgmaxExpr(
+        Bridge.expression(vecCol), centroids.map(_.map(_.toDouble)))))
+      .withColumn("_cell", col("_as.cell"))
+      .drop("_as")
+  }
 
   /** Map-only top-`nProbe` cell ids for a (normalized) query column: sort
     * (−sim, cell) structs ascending = sim DESC with cell ASC tiebreak,
     * slice, project the cell ids. */
   private[graft] def probeCellsExpr(centroids: Array[Array[Float]],
-                                    qvecCol: Column, nProbe: Int): Column = {
+                                    qvecCol: Column, nProbe: Int): Column =
+    transform(probeCellsWithSimExpr(centroids, qvecCol, nProbe),
+      x => x("c"))
+
+  /** The pre-kernel literal probe formulation — the ordering cross-check
+    * twin for [[graft.functions.ProbeCellsExpr]] (SimilaritySpec). */
+  private[graft] def probeCellsLiteral(centroids: Array[Array[Float]],
+                                       qvecCol: Column, nProbe: Int)
+      : Column = {
     val qsims = centroids.zipWithIndex.map { case (c, i) =>
       struct((-dotNative(qvecCol, typedLit(c.toSeq))).as("ns"),
         lit(i).as("c"))
     }
-    transform(slice(array_sort(array(qsims: _*)), 1, nProbe), x => x("c"))
+    transform(slice(array_sort(array(qsims: _*)), 1, nProbe),
+      x => struct(x("c").as("c"), (-x("ns")).as("s")))
   }
 
   /** Driver-side Lloyd's for IVF training, designed for bit-exact replay in
@@ -475,16 +488,16 @@ object SimilaritySearch {
   /** [[probeCellsExpr]] carrying each probed cell's ⟨q, centroid⟩ sim:
     * array<struct<c: cell id, s: sim>> — the residual ADC decomposition
     * needs the sim anyway, and the probe already computed it to rank
-    * cells. */
+    * cells. Compiled ([[graft.functions.ProbeCellsExpr]], one pass over
+    * the centroid table) for the same any-nCells reason as the
+    * assignment kernel; ordering parity with the pre-kernel literal
+    * sort is spec-gated ([[probeCellsLiteral]]). */
   private[graft] def probeCellsWithSimExpr(centroids: Array[Array[Float]],
                                            qvecCol: Column,
                                            nProbe: Int): Column = {
-    val qsims = centroids.zipWithIndex.map { case (c, i) =>
-      struct((-dotNative(qvecCol, typedLit(c.toSeq))).as("ns"),
-        lit(i).as("c"))
-    }
-    transform(slice(array_sort(array(qsims: _*)), 1, nProbe),
-      x => struct(x("c").as("c"), (-x("ns")).as("s")))
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.ProbeCellsExpr(
+      Bridge.expression(qvecCol), centroids.map(_.map(_.toDouble)), nProbe))
   }
 
   /** The shared ADC pipeline of [[topKPq]]/[[topKPqRefine]]: train, encode

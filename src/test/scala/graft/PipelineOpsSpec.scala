@@ -415,4 +415,35 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Double, Double)].collect()
     assert(cmp.forall { case (f, r) => f == r })
   }
+
+  test("cell-argmax kernel is bit-identical to the literal tree, " +
+    "ties to the lowest cell, and takes a 512-centroid table") {
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val rows = (0 until 200).map(i => (i.toLong,
+      Seq.fill(dim)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "dv")
+    // duplicate centroid 0 at index 3: rows nearest to it must ALWAYS
+    // report cell 0 (first-max), never 3 — the tie rule the oracles
+    // replay as row_number ORDER BY d DESC, cell
+    val c0 = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+    val cents = Array(c0,
+      Array.fill(dim)(rnd.nextDouble() * 2 - 1),
+      Array.fill(dim)(rnd.nextDouble() * 2 - 1),
+      c0.clone())
+    val kern = Clustering.withCellD(rows, cents)
+      .select("vec_id", "cell", "_sim")
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    val lit0 = Clustering.withCellDLiteral(rows, cents)
+      .select("vec_id", "cell", "_sim")
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    assert(kern.toSeq == lit0.toSeq) // exact doubles, exact cells
+    assert(kern.forall(_._2 != 3)) // the duplicate never wins a tie
+    // the wall the kernel removes: a centroid table far past where the
+    // per-centroid literal tree stops planning in reasonable time
+    val big = Array.fill(512)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val bigAsg = Clustering.withCellD(rows, big)
+      .select("vec_id", "cell").as[(Long, Int)].collect()
+    assert(bigAsg.length == 200 && bigAsg.forall(r => r._2 >= 0 && r._2 < 512))
+  }
 }

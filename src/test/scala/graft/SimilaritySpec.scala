@@ -277,4 +277,39 @@ class SimilaritySpec extends SparkSpec {
       assert(sorted.head._3 == q) // same bucket as itself, sim 1.0
     }
   }
+
+  test("probe-cells kernel matches the literal sort order exactly, " +
+    "ties to the lowest cell, nProbe clamps to the cell count") {
+    val rnd = new scala.util.Random(31)
+    val dim = 12
+    val c0 = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    // duplicate centroid at index 4: its sims tie c0's EXACTLY — the
+    // probe order must list cell 0 before cell 4 every time
+    val cents = Array(c0,
+      Array.fill(dim)(rnd.nextFloat() * 2 - 1),
+      Array.fill(dim)(rnd.nextFloat() * 2 - 1),
+      Array.fill(dim)(rnd.nextFloat() * 2 - 1),
+      c0.clone())
+    val qs = (0 until 50).map(i => (i.toLong,
+      Seq.fill(dim)(rnd.nextFloat() * 2 - 1))).toDF("query_id", "qvec")
+      .withColumn("qvec", col("qvec").cast("array<float>"))
+    for (nProbe <- Seq(1, 3, 99)) {
+      val kern = qs.select(col("query_id"),
+          SimilaritySearch.probeCellsWithSimExpr(cents, col("qvec"), nProbe)
+            .as("p"))
+        .select(col("query_id"), col("p.c").as("cs"), col("p.s").as("ss"))
+        .as[(Long, Seq[Int], Seq[Double])].collect().sortBy(_._1)
+      val lit0 = qs.select(col("query_id"),
+          SimilaritySearch.probeCellsLiteral(cents, col("qvec"), nProbe)
+            .as("p"))
+        .select(col("query_id"), col("p.c").as("cs"), col("p.s").as("ss"))
+        .as[(Long, Seq[Int], Seq[Double])].collect().sortBy(_._1)
+      assert(kern.toSeq == lit0.toSeq) // cells AND sims, exact, in order
+      assert(kern.forall(_._2.length == math.min(nProbe, cents.length)))
+      // a tied duplicate is listed after the original, never before
+      kern.foreach { case (_, cs, _) =>
+        if (cs.contains(4)) assert(cs.indexOf(0) < cs.indexOf(4))
+      }
+    }
+  }
 }
