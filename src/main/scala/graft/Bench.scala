@@ -73,7 +73,8 @@ object Bench {
     val baselineOf = Map(
       "q25_neardup_embedding" -> "q26_neardup_lsh",
       "q69_image_dedup" -> "q69b_image_corpus_dedup",
-      "q74_audio_dedup" -> "q74b_audio_corpus_dedup")
+      "q74_audio_dedup" -> "q74b_audio_corpus_dedup",
+      "q75_video_dedup" -> "q75b_video_corpus_dedup")
     val bo = baselineOf.filter { case (k, _) => names.contains(k) }
       .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")

@@ -185,7 +185,8 @@ object Multimodal {
   /** Frame-sampling plumbing for video-like payloads: emit one row per
     * sampled frame index (every `stride` bytes as a stand-in for frame
     * boundaries). Demonstrates the explode-shaped decode path (1 input row
-    * -> N frame rows) without a real container parser. */
+    * -> N frame rows) for containers without a parser; for AVI payloads
+    * [[Video.frameHashes]] samples at REAL frame boundaries. */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame =
     media.select(col("media_id"),
       explode(sequence(lit(0),
@@ -269,37 +270,42 @@ object Multimodal {
   def dHash56(bytes: Array[Byte]): java.lang.Long =
     decodeLumaGrid(bytes) match {
       case None => null
-      case Some((w, h, luma)) =>
-        val sums = new Array[Long](64)
-        val counts = new Array[Long](64)
-        var y = 0
-        while (y < h) {
-          val ky = y * 8 / h
-          var x = 0
-          while (x < w) {
-            val kx = x * 8 / w
-            sums(ky * 8 + kx) += luma(y * w + x)
-            counts(ky * 8 + kx) += 1
-            x += 1
-          }
-          y += 1
-        }
-        var hash = 0L
-        var ky = 0
-        while (ky < 8) {
-          var kx = 0
-          while (kx < 7) {
-            val a = ky * 8 + kx
-            val b = a + 1
-            // mean_b > mean_a, exact: sums fit 1000·255·(w·h) << 2^63
-            if (sums(b) * counts(a) > sums(a) * counts(b))
-              hash |= 1L << (ky * 7 + kx)
-            kx += 1
-          }
-          ky += 1
-        }
-        hash
+      case Some((w, h, luma)) => dHashOfGrid(w, h, luma)
     }
+
+  /** The pooling + comparison half of [[dHash56]], shared with decoders
+    * that produce luma grids directly (video frames, [[Video]]). */
+  private[graft] def dHashOfGrid(w: Int, h: Int, luma: Array[Long]): Long = {
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val ky = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val kx = x * 8 / w
+        sums(ky * 8 + kx) += luma(y * w + x)
+        counts(ky * 8 + kx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var ky = 0
+    while (ky < 8) {
+      var kx = 0
+      while (kx < 7) {
+        val a = ky * 8 + kx
+        val b = a + 1
+        // mean_b > mean_a, exact: sums fit 1000·255·(w·h) << 2^63
+        if (sums(b) * counts(a) > sums(a) * counts(b))
+          hash |= 1L << (ky * 7 + kx)
+        kx += 1
+      }
+      ky += 1
+    }
+    hash
+  }
 
   /** Bulk perceptual hashing: (media_id, payload) -> (_id, simhash), one
     * decode per row at the codec boundary (mapPartitions — the justified

@@ -100,6 +100,36 @@ object DedupQueries {
       }.toDF("media_id", "payload").transform(par)
   }
 
+  /** Synthetic AVI payloads per document (the video analog of
+    * [[mediaFrame]]/[[audioFrame]]): 6 uncompressed 32×32 grayscale RGB24
+    * frames; pixel (t, x, y) of doc i is ((3x + 5y + 7p + x·y + 2·t·x
+    * + (x<2 ∧ t<4 ? q : 0)) mod 256) with family p = i%25 and tier
+    * q = (i/25)%7 — tiers differ only on the two left pixel columns of
+    * the first four frames, so the frame-sampled (step 2 → t ∈ {0,2,4})
+    * temporal-majority fingerprints of a family land within small
+    * Hamming distance. Decoded back through the REAL RIFF/AVI chunk
+    * walker; the oracle never parses bytes — it replays the pixel
+    * formula (the q69/q74 pattern on the video modality). */
+  def videoFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Video
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { i =>
+        val w = 32; val h = 32; val nf = 6
+        val p = (i % 25).toInt
+        val q = ((i / 25) % 7).toInt
+        val frames = Array.tabulate(nf) { t =>
+          Array.tabulate(w * h) { idx =>
+            val x = idx % w; val y = idx / w
+            val v = (3 * x + 5 * y + 7 * p + x * y + 2 * t * x +
+              (if (x < 2 && t < 4) q else 0)) % 256
+            v * 0x010101 // grayscale: R = G = B = v
+          }
+        }
+        (i, Video.buildAviRgb24(frames, w, h))
+      }.toDF("media_id", "payload").transform(par)
+  }
+
   /** embeddings + perturbed copies (+10000): +0.01 on dims i%16==0. */
   def augEmb(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
@@ -178,6 +208,38 @@ object DedupQueries {
       Dedup.hashDeduped(
           media.select(col("media_id").as("doc_id")), "doc_id",
           graft.operators.Audio.fingerprints(media), maxHamming = 3)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // Q75: temporal-majority VIDEO dedup — synthetic RIFF/AVI payloads
+    // (6 uncompressed DIB frames; pixel value a closed-form function of
+    // (doc_id, t, x, y); docs sharing doc_id % 25 are near-identical,
+    // differing on two pixel columns of the first four frames), decoded
+    // by the REAL AVI chunk walker (spec-cross-checked against the JDK's
+    // BMP decode of the same DIB payload), frame-sampled at REAL frame
+    // boundaries (step 2), per-frame dHash, strict-majority pooling into
+    // a 56-bit fingerprint, paired through the same banded Hamming join
+    // as image dHash and audio prints. The oracle replays the pixel
+    // formula, per-frame cell sums and dHash bits, the majority vote,
+    // and a brute-force pair check (pigeonhole banding is exact, so
+    // brute force IS the contract — the q69/q74 pattern on video).
+    "q75_video_dedup" -> ((s, d) =>
+      Dedup.hashPairs(
+          graft.operators.Video.fingerprints(videoFrame(s, d),
+            frameStep = 2),
+          maxHamming = 3)
+        .orderBy("id1", "id2")),
+
+    // Q75b: the linear-OUTPUT video corpus dedup (q75's scale twin, as
+    // q69b/q74b are for image/audio): components over distinct
+    // fingerprints, one kept doc per cluster.
+    "q75b_video_corpus_dedup" -> ((s, d) => {
+      val media = videoFrame(s, d)
+      Dedup.hashDeduped(
+          media.select(col("media_id").as("doc_id")), "doc_id",
+          graft.operators.Video.fingerprints(media, frameStep = 2),
+          maxHamming = 3)
         .select(col("doc_id").cast("long").as("doc_id"))
         .orderBy("doc_id")
     }),
@@ -494,6 +556,40 @@ object DedupQueries {
       |      ELSE CAST(0 AS BIGINT) END)) AS sh
       |  FROM el)""".stripMargin
 
+  /** The q75/q75b video-fingerprint CTEs: pixel formula over the SAMPLED
+    * frames (t % 2 = 0 → t ∈ {0,2,4} of 6 — the oracle replays the
+    * frame-sampling knob, not just the hash) → per-frame 4×4 cell sums →
+    * per-frame 56 dHash comparisons → strict-majority vote across the 3
+    * sampled frames → `vh(id, sh)`. Grayscale cancels the ×1000 luma
+    * scale, and all cells hold 16 pixels, so raw-value sums compare
+    * exactly like the engine's cross-multiplied luma means.
+    * MATERIALIZED for the same 2-consumer reason as the image chain. */
+  private val videoHashSql: String =
+    """vpx AS (
+      |  SELECT doc_id AS id, t.range AS t, x.range AS x, y.range AS y,
+      |    (3 * x.range + 5 * y.range + 7 * (doc_id % 25)
+      |      + x.range * y.range + 2 * t.range * x.range
+      |      + CASE WHEN x.range < 2 AND t.range < 4
+      |             THEN (doc_id // 25) % 7 ELSE 0 END) % 256 AS v
+      |  FROM documents, range(0, 6) t, range(0, 32) x, range(0, 32) y
+      |  WHERE t.range % 2 = 0),
+      |vcells AS (SELECT id, t, x // 4 AS kx, y // 4 AS ky,
+      |    CAST(sum(v) AS BIGINT) AS s
+      |  FROM vpx GROUP BY id, t, kx, ky),
+      |vbits AS (SELECT a.id, a.t, a.ky * 7 + a.kx AS b,
+      |    CASE WHEN n.s > a.s THEN 1 ELSE 0 END AS bit
+      |  FROM vcells a JOIN vcells n
+      |    ON n.id = a.id AND n.t = a.t AND n.ky = a.ky
+      |    AND n.kx = a.kx + 1
+      |  WHERE a.kx < 7),
+      |vmaj AS (SELECT id, b,
+      |    CASE WHEN 2 * sum(bit) > 3 THEN 1 ELSE 0 END AS bit
+      |  FROM vbits GROUP BY id, b),
+      |vh AS MATERIALIZED (SELECT id,
+      |    CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(b AS INTEGER)))
+      |      AS BIGINT) AS sh
+      |  FROM vmaj GROUP BY id)""".stripMargin
+
   /** The q69/q69b image-hash CTEs: pixel formula → 4×4 cell sums → 56
     * dHash comparisons → `h(id, sh)`. MATERIALIZED: `h` feeds the pair
     * self-join (2 refs) and the closure chain in q69b. */
@@ -563,6 +659,38 @@ object DedupQueries {
         |FROM ah a JOIN ah b ON a.id < b.id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
         |ORDER BY id1, id2""".stripMargin,
+
+    // q75: the video chain replayed from the pixel formula — sampled
+    // frames, per-frame cell sums + dHash bits, strict-majority pooling,
+    // brute-force Hamming pair check (= the pigeonhole-banded engine
+    // output, as with q69/q74)
+    "q75_video_dedup" ->
+      s"""WITH $videoHashSql
+        |SELECT a.id AS id1, b.id AS id2,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        |FROM vh a JOIN vh b ON a.id < b.id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY id1, id2""".stripMargin,
+
+    // q75b: the q75 pair graph closed with the recursive label-prop CTE
+    // (q69b's shape on the video modality) — one kept doc per component
+    "q75b_video_corpus_dedup" ->
+      s"""WITH RECURSIVE $videoHashSql,
+        |pr AS (SELECT a.id AS id1, b.id AS id2
+        |  FROM vh a JOIN vh b ON a.id < b.id
+        |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+        |e AS (SELECT id1 AS s, id2 AS t FROM pr
+        |      UNION SELECT id2, id1 FROM pr),
+        |reach AS (
+        |  SELECT s AS id, s AS lab FROM e
+        |  UNION
+        |  SELECT e.t AS id, r.lab FROM reach r JOIN e ON e.s = r.id),
+        |drp AS (SELECT id FROM reach GROUP BY id
+        |        HAVING id <> min(lab))
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+        |FROM documents d LEFT JOIN drp ON drp.id = d.doc_id
+        |WHERE drp.id IS NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // q74b: the q74 pair graph closed with the recursive label-prop CTE
     // (q69b's shape on the audio modality) — one kept doc per component
