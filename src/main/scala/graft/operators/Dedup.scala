@@ -779,17 +779,25 @@ object Dedup {
     * (maxHamming+1 bands — a pair within maxHamming shares at least one),
     * bucket equi-join, exact Hamming verify. Returns distinct
     * (id1, id2, hamming). */
-  private def bandedHashPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
+  /** (offset, width) of each pigeonhole band of a [[SimhashBits]]-bit
+    * hash at radius `maxHamming`: maxHamming+1 bands, the first
+    * `SimhashBits mod (maxHamming+1)` of them one bit wider. Shared by
+    * the batch banded join and the streaming fingerprint guard so their
+    * band keys are bit-identical by construction. */
+  private[graft] def hammingBandSpec(maxHamming: Int): Seq[(Int, Int)] = {
     val nBands = maxHamming + 1
     val base = SimhashBits / nBands
     val extra = SimhashBits % nBands // first `extra` bands get an extra bit
-    val offsets = (0 until nBands).scanLeft(0) { (off, b) =>
-      off + base + (if (b < extra) 1 else 0)
-    }
+    val widths = (0 until nBands).map(b => base + (if (b < extra) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  private def bandedHashPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
     val banded = sh.select(col("_id"), col("_sh"),
-      posexplode(array((0 until nBands).map { b =>
-        val width = base + (if (b < extra) 1 else 0)
-        shiftright(col("_sh"), offsets(b)).bitwiseAND(lit((1L << width) - 1))
+      posexplode(array(hammingBandSpec(maxHamming).map {
+        case (offset, width) =>
+          shiftright(col("_sh"), offset)
+            .bitwiseAND(lit((1L << width) - 1))
       }: _*)).as(Seq("_band", "_bval")))
     banded.as("l").join(banded.as("r"),
         col("l._band") === col("r._band") &&

@@ -46,6 +46,57 @@ object Sketches {
       .select(col(groupCol), col("n_kept"), col("estimate"))
   }
 
+  /** Count-min sketch (Cormode & Muthukrishnan 2005): `depth` hash rows ×
+    * `width` buckets of EXACT long counts; the estimate for any value is
+    * the minimum of its `depth` bucket counts — always ≥ the true count,
+    * within εN of it with high probability (ε ≈ e/width). Chosen over
+    * Spark's own `stat.countMinSketch` because this one is DETERMINISTIC
+    * and engine-replayable: the value hashes through the same md5-based
+    * 56-bit key and (a·h + b) mod P affine family the MinHash chain uses,
+    * so a SQL oracle rebuilds the identical sketch (q76). The
+    * conservative-update variant is deliberately absent — its counts
+    * depend on arrival order, which no distributed/replayable contract
+    * can honor.
+    *
+    * Scale shape: ONE aggregation keyed by (row, bucket) — map-side
+    * partial combine collapses each partition to ≤ depth·width rows
+    * before anything shuffles, and the output is bounded by depth·width
+    * REGARDLESS of corpus size (the whole point of a sketch at 100 TB:
+    * the frequency table of a trillion tokens travels as ≤ 4096 rows).
+    * Merge across corpora = unionByName + the same groupBy-sum, exactly
+    * counts' additivity. Output: (row, bucket, cnt), non-empty buckets
+    * only. */
+  def countMin(df: DataFrame, value: Column, depth: Int = 4,
+               width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2,
+      s"need depth >= 1 and width >= 2 (got $depth, $width)")
+    df.select(pmod(Dedup.md5Long(value), lit(Dedup.P)).as("_hv"))
+      .select(posexplode(array((0 until depth).map(j =>
+        pmod(lit(Dedup.hashA(j)) * col("_hv") + lit(Dedup.hashB(j)),
+          lit(Dedup.P)) % width): _*)).as(Seq("row", "bucket")))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query a [[countMin]] sketch: for each DISTINCT value of
+    * `valueCol` in `items`, the minimum over the sketch's rows of that
+    * value's bucket count (an absent bucket reads 0). The sketch is
+    * broadcast — it is ≤ depth·width rows by construction — so probing
+    * costs no shuffle beyond the final per-value min, and `items` can be
+    * a corpus-scale frame. `depth`/`width` must match the build call.
+    * Output: (valueCol, est_cnt). */
+  def countMinEstimate(sketch: DataFrame, items: DataFrame,
+                       valueCol: String, depth: Int = 4,
+                       width: Int = 1024): DataFrame = {
+    val probes = items.select(col(valueCol)).distinct()
+      .withColumn("_hv", pmod(Dedup.md5Long(col(valueCol)), lit(Dedup.P)))
+      .select(col(valueCol), posexplode(array((0 until depth).map(j =>
+        pmod(lit(Dedup.hashA(j)) * col("_hv") + lit(Dedup.hashB(j)),
+          lit(Dedup.P)) % width): _*)).as(Seq("row", "bucket")))
+    probes.join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(valueCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+
   /** Fixed-boundary histogram per group: `nBuckets` equal-width buckets
     * over [lo, hi), EXACT long counts, out-of-range values clamped into
     * the edge buckets. The deterministic replacement for a t-digest /

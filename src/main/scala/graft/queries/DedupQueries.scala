@@ -205,8 +205,10 @@ object DedupQueries {
     // in the corpus while q74's pair list grows with dup mass.
     "q74b_audio_corpus_dedup" -> ((s, d) => {
       val media = audioFrame(s, d)
+      // id list from the pruned parquet scan, not the fixture .map —
+      // see the q75b note
       Dedup.hashDeduped(
-          media.select(col("media_id").as("doc_id")), "doc_id",
+          Tables.documents(s, d).select(col("doc_id")), "doc_id",
           graft.operators.Audio.fingerprints(media), maxHamming = 3)
         .select(col("doc_id").cast("long").as("doc_id"))
         .orderBy("doc_id")
@@ -234,10 +236,15 @@ object DedupQueries {
     // Q75b: the linear-OUTPUT video corpus dedup (q75's scale twin, as
     // q69b/q74b are for image/audio): components over distinct
     // fingerprints, one kept doc per cluster.
+    // (the corpus arg comes from the PRUNED parquet scan, not the media
+    // frame: the id list must not pay the AVI encode the typed fixture
+    // .map would force — in production the media table is a parquet scan
+    // and column pruning gives this for free; the oracle reads kept ids
+    // FROM documents the same way)
     "q75b_video_corpus_dedup" -> ((s, d) => {
       val media = videoFrame(s, d)
       Dedup.hashDeduped(
-          media.select(col("media_id").as("doc_id")), "doc_id",
+          Tables.documents(s, d).select(col("doc_id")), "doc_id",
           graft.operators.Video.fingerprints(media, frameStep = 2),
           maxHamming = 3)
         .select(col("doc_id").cast("long").as("doc_id"))
@@ -256,7 +263,7 @@ object DedupQueries {
       // pixel formula keys hashes by (doc_id%25, doc_id/25%7), so a
       // replica-scaled corpus closes over ~175 reps, not N rows)
       Dedup.hashDeduped(
-          media.select(col("media_id").as("doc_id")), "doc_id",
+          Tables.documents(s, d).select(col("doc_id")), "doc_id",
           graft.operators.Multimodal.dHashes(media), maxHamming = 3)
         .select(col("doc_id").cast("long").as("doc_id"))
         .orderBy("doc_id")

@@ -93,6 +93,24 @@ object PipelineQueries {
         .withColumn("estimate", r4(col("estimate")))
         .orderBy("lang")),
 
+    // Q76: count-min heavy-hitter audit — build the (4 × 1024)-cell CMS
+    // over every token occurrence in the corpus, then point-query it for
+    // the 20 most frequent tokens and report estimate beside truth (the
+    // one-pass mergeable frequency table a 100 TB profile ships instead
+    // of a full token groupBy; est_cnt ≥ true_cnt always, and the oracle
+    // rebuilds the identical sketch from the same md5/affine hashes).
+    "q76_cms_heavy_hitters" -> ((s, d) => {
+      val toks = par(Tables.documents(s, d))
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      val sketch = Sketches.countMin(toks, col("w"))
+      val top = toks.groupBy("w").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("w")).limit(20)
+      Sketches.countMinEstimate(sketch, top, "w")
+        .join(top, Seq("w"))
+        .select(col("w").as("token"), col("true_cnt"), col("est_cnt"))
+        .orderBy("token")
+    }),
+
     // Q67: deterministic histogram-quantile profile — text-length
     // quantiles per language via fixed 8-px buckets + exact counts +
     // integer rank targets (the t-digest replacement an oracle CAN
@@ -384,6 +402,34 @@ object PipelineQueries {
         |WHERE ${key56("CAST(st.doc_id AS VARCHAR) || ':mix'")} % 1000000
         |  < r.rate_q
         |ORDER BY doc_id""".stripMargin,
+
+    // q76: rebuild the identical CMS in SQL — same md5-based 56-bit key,
+    // same (a·h + b) mod P affine family, same (row, bucket) sums — then
+    // probe it for the top-20 tokens (min over rows, absent bucket = 0)
+    "q76_cms_heavy_hitters" -> {
+      val p = 2147483647L // Dedup.P
+      // bucket of hash column `h` for sketch row j (DuckDB range alias)
+      val bucket = s"((((637543 + 104729 * j.range) % $p) * h" +
+        s" + (389287 + 982451 * j.range) % $p) % $p) % 1024"
+      s"""WITH tok AS (SELECT unnest($toksSql) AS w FROM documents),
+        |tc AS MATERIALIZED (SELECT w, count(*) AS true_cnt
+        |  FROM tok GROUP BY w),
+        |thv AS (SELECT ${key56("w")} % $p AS h FROM tok),
+        |cms AS MATERIALIZED (SELECT j.range AS row, $bucket AS bucket,
+        |    count(*) AS cnt
+        |  FROM thv, range(0, 4) j GROUP BY 1, 2),
+        |top AS (SELECT w, true_cnt FROM tc
+        |  ORDER BY true_cnt DESC, w LIMIT 20),
+        |probe AS (SELECT t.w, t.true_cnt, j.range AS row,
+        |    $bucket AS bucket
+        |  FROM (SELECT w, true_cnt, ${key56("w")} % $p AS h FROM top) t,
+        |    range(0, 4) j)
+        |SELECT probe.w AS token, probe.true_cnt,
+        |  min(coalesce(cms.cnt, 0)) AS est_cnt
+        |FROM probe LEFT JOIN cms USING (row, bucket)
+        |GROUP BY probe.w, probe.true_cnt
+        |ORDER BY token""".stripMargin
+    },
 
     "q64_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT lang, ${key56("text")} AS hv

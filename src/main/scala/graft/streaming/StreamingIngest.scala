@@ -406,11 +406,20 @@ object StreamingIngest {
                                      bloomFpp: Double): BandKeyIndex = {
     require(bands <= 255, s"bands must fit the key's top byte (got $bands)")
     import graft.operators.Dedup
-    val keys = Dedup.bandedProjection(
+    keyIndex(Dedup.bandedProjection(
         Dedup.minhashSignatures(existing, idCol, textCol, n, numHashes),
         numHashes, bands)
-      .select(packedBandKey.as("_k"))
-      .distinct()
+      .select(packedBandKey.as("_k")),
+      exactKeyLimit, bloomFpp)
+  }
+
+  /** Exact-or-bloom probe index over a single long key column `_k`: one
+    * distributed distinct, then a bounded collect (sorted array, exact
+    * probes) or a `stat.bloomFilter` fold past `exactKeyLimit`. Shared
+    * by the text band index and the fingerprint guard. */
+  private[graft] def keyIndex(keyFrame: DataFrame, exactKeyLimit: Long,
+                              bloomFpp: Double): BandKeyIndex = {
+    val keys = keyFrame.distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nKeys = keys.count()
@@ -422,6 +431,62 @@ object StreamingIngest {
         new BloomBandKeys(keys.stat.bloomFilter("_k", nKeys, bloomFpp))
       }
     } finally keys.unpersist()
+  }
+
+  /** Ingest-time duplicate guard for MEDIA payloads — the modality
+    * counterpart of [[streamingNearDupGuard]]: drop (default) or keep
+    * (`invert`) stream rows whose 56-bit perceptual fingerprint lands
+    * within the batch banding's reach of an already-ingested corpus.
+    * `existingHashes` is any `(_id, simhash)` frame ([[graft.operators
+    * .Multimodal.dHashes]], [[graft.operators.Audio.fingerprints]],
+    * [[graft.operators.Video.fingerprints]]); `hashFn` is the matching
+    * per-payload fingerprint (the SAME function the column side maps, so
+    * stream and batch hashes are bit-identical by construction).
+    *
+    * Pigeonhole contract, same as the batch join: Hamming ≤ maxHamming
+    * forces ≥ 1 of the maxHamming+1 bands equal, so a band collision is
+    * a conservative SUPERSET of true near-dups — a popular band may
+    * quarantine a clean payload (benign direction); no true near-dup is
+    * ever missed. Undecodable payloads have no fingerprint — always
+    * clean, mirroring the batch paths' drop semantics.
+    *
+    * Stateless: each stream row pays one in-JVM decode+fingerprint and
+    * maxHamming+1 index probes against a broadcast exact-or-bloom key
+    * set ([[keyIndex]] — bounded driver memory past `exactKeyLimit`). */
+  def streamingFingerprintGuard(stream: DataFrame,
+                                existingHashes: DataFrame,
+                                payloadCol: String = "payload",
+                                hashFn: Array[Byte] => java.lang.Long,
+                                maxHamming: Int = 3,
+                                invert: Boolean = false,
+                                exactKeyLimit: Long = 4L * 1000 * 1000,
+                                bloomFpp: Double = 0.01): DataFrame = {
+    import graft.operators.Dedup
+    val spec = Dedup.hammingBandSpec(maxHamming)
+    require(spec.size <= 255,
+      s"maxHamming + 1 bands must fit the key's top byte (got ${spec.size})")
+    val keyCols = spec.zipWithIndex.map { case ((offset, width), b) =>
+      shiftleft(lit(b.toLong), 56).bitwiseOR(
+        shiftright(col("simhash"), offset)
+          .bitwiseAND(lit((1L << width) - 1)))
+    }
+    val index = keyIndex(
+      existingHashes.select(explode(array(keyCols: _*)).as("_k")),
+      exactKeyLimit, bloomFpp)
+    val bIdx = stream.sparkSession.sparkContext.broadcast(index)
+    val idx = stream.schema.fieldIndex(payloadCol)
+    val bandSpec = spec.toArray
+    stream.filter { row =>
+      val h =
+        if (row.isNullAt(idx)) null
+        else hashFn(row.getAs[Array[Byte]](idx))
+      val collides = h != null && bandSpec.indices.exists { b =>
+        val (offset, width) = bandSpec(b)
+        bIdx.value.mightContain(
+          (b.toLong << 56) | ((h >> offset) & ((1L << width) - 1)))
+      }
+      collides == invert
+    }
   }
 
   /** JVM twin of the column-side band hashing ([[graft.operators

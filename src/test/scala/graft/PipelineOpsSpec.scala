@@ -446,4 +446,54 @@ class PipelineOpsSpec extends SparkSpec {
       .select("vec_id", "cell").as[(Long, Int)].collect()
     assert(bigAsg.length == 200 && bigAsg.forall(r => r._2 >= 0 && r._2 < 512))
   }
+
+  test("countMin: never under-counts, exact without collisions, merges " +
+    "by sum, partition-invariant, bounded by depth x width") {
+    import graft.operators.Sketches
+    val depth = 3; val width = 64
+    // 40 distinct tokens with skewed frequencies 1..40
+    val rows = (1 to 40).flatMap(i => Seq.fill(i)(s"tok$i"))
+    val df = rows.toDF("w")
+    val sketch = Sketches.countMin(df, col("w"), depth, width)
+    val cells = sketch.collect()
+    assert(cells.length <= depth * width)
+    // identical sketch regardless of physical layout (order-independence
+    // is the property that makes CMS distributable at all)
+    val rep = Sketches.countMin(df.repartition(13), col("w"), depth, width)
+    assert(rep.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(identity).toSeq ==
+      cells.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(identity).toSeq)
+    // point estimates: est >= truth for EVERY token (the CMS guarantee)
+    val est = Sketches.countMinEstimate(sketch, df, "w", depth, width)
+      .as[(String, Long)].collect().toMap
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(est.keySet == truth.keySet)
+    truth.foreach { case (w, t) => assert(est(w) >= t, s"$w: ${est(w)} < $t") }
+    // replay the hash chain in plain JVM arithmetic: tokens whose
+    // (row, bucket) cells collide with no other token must be EXACT
+    def hv(w: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 14), 16) % Dedup.P
+    }
+    def bucket(j: Int, h: Long): Long =
+      (Dedup.hashA(j) * h + Dedup.hashB(j)) % Dedup.P % width
+    val toks = truth.keySet.toSeq
+    val collisionFree = toks.filter { w =>
+      (0 until depth).exists(j =>
+        toks.forall(o => o == w || bucket(j, hv(o)) != bucket(j, hv(w))))
+    }
+    assert(collisionFree.nonEmpty)
+    collisionFree.foreach(w => assert(est(w) == truth(w), s"$w inexact"))
+    // mergeability: sketch(A union B) = cellwise sum of the halves
+    val (a, b) = rows.splitAt(300)
+    val merged = Sketches.countMin(a.toDF("w"), col("w"), depth, width)
+      .unionByName(Sketches.countMin(b.toDF("w"), col("w"), depth, width))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+      .as[(Int, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(merged.toSeq == cells
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq)
+  }
 }

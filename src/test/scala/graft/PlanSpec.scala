@@ -218,6 +218,21 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges")
   }
 
+  test("q76 CMS: probe join broadcasts the sketch, never shuffles it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 200).map(i => s"t${i % 40}").toDF("w")
+    val sketch = graft.operators.Sketches.countMin(df, col("w"), 4, 64)
+    val plan = graft.operators.Sketches
+      .countMinEstimate(sketch, df, "w", 4, 64)
+      .queryExecution.executedPlan.toString
+    // the sketch is <= depth*width rows by construction: probing it must
+    // never pay a sort-merge shuffle of the (corpus-scale) probe side
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan.take(3000))
+  }
+
   test("parquet-scan queries push filters and prune columns (q01 witness)") {
     val plan = SparkEntry.queries("q01_filter")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString

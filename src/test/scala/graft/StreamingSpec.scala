@@ -506,6 +506,63 @@ class StreamingSpec extends SparkSpec {
     assert(colBands == jvmBands)
   }
 
+  test("streaming fingerprint guard: media near-dups quarantine against " +
+    "an ingested corpus, undecodable payloads are clean, no true " +
+    "near-dup missed") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Video
+    def frame(p: Int, q: Int, t: Int): Array[Int] =
+      Array.tabulate(32 * 32) { idx =>
+        val x = idx % 32; val y = idx / 32
+        ((3 * x + 5 * y + 7 * p + x * y + 2 * t * x +
+          (if (x < 2 && t < 4) q else 0)) % 256) * 0x010101
+      }
+    def avi(p: Int, q: Int): Array[Byte] =
+      Video.buildAviRgb24(Array.tabulate(6)(frame(p, q, _)), 32, 32)
+    val existing = Seq((10L, avi(4, 0)), (11L, avi(9, 0)))
+      .toDF("media_id", "payload")
+    val existingPrints = Video.fingerprints(existing, frameStep = 2)
+    val incoming = Seq(
+      (1L, avi(4, 0)),  // exact copy of 10
+      (2L, avi(4, 2)),  // same-family tier: Hamming-close to 10
+      (3L, avi(17, 0)), // unrelated family
+      (4L, "not a video".getBytes("UTF-8"))) // undecodable: clean
+    val hashFn: Array[Byte] => java.lang.Long =
+      Video.fingerprint56(_, frameStep = 2)
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val in = stream.toDF().toDF("media_id", "payload")
+    val qc = StreamingIngest.streamingFingerprintGuard(in, existingPrints,
+        hashFn = hashFn)
+      .writeStream.format("memory").queryName("fpg_clean")
+      .outputMode("append").start()
+    val qq = StreamingIngest.streamingFingerprintGuard(in, existingPrints,
+        hashFn = hashFn, invert = true)
+      .writeStream.format("memory").queryName("fpg_quar")
+      .outputMode("append").start()
+    try {
+      stream.addData(incoming: _*)
+      qc.processAllAvailable(); qq.processAllAvailable()
+    } finally { qc.stop(); qq.stop() }
+    val clean = spark.table("fpg_clean")
+      .select("media_id").as[Long].collect().toSet
+    val quarantined = spark.table("fpg_quar")
+      .select("media_id").as[Long].collect().toSet
+    assert(clean.union(quarantined) == incoming.map(_._1).toSet)
+    assert(clean.intersect(quarantined).isEmpty)
+    assert(clean.contains(4L)) // no fingerprint -> always clean
+    // never-miss: every incoming payload whose TRUE Hamming vs some
+    // existing print is <= 3 must be quarantined (pigeonhole contract)
+    val exPrints = existingPrints.select("simhash").as[Long].collect()
+    val mustCatch = incoming.flatMap { case (id, payload) =>
+      Option(hashFn(payload)).filter(h =>
+        exPrints.exists(e => java.lang.Long.bitCount(e ^ h) <= 3))
+        .map(_ => id)
+    }.toSet
+    assert(mustCatch.subsetOf(quarantined))
+    assert(mustCatch.contains(1L) && mustCatch.contains(2L))
+    assert(clean.contains(3L)) // the unrelated family passes
+  }
+
   test("near-dup guard memory contract: Bloom payload is O(bloom bits) " +
     "not O(corpus); Bloom path misses no true collision") {
     implicit val sqlCtx = spark.sqlContext
