@@ -307,6 +307,51 @@ object Multimodal {
     hash
   }
 
+  /** Integer area-average resize of decoded payloads to an outW×outH
+    * luma grid — the explicit "resize" verb of the multimodal pipeline
+    * (decode / feature-extract / RESIZE / frame-sample). Input pixel x
+    * joins output cell ⌊x·outW/w⌋ (the same exact binning the dHash
+    * pooling uses, so cells may differ in pixel count for sizes not
+    * divisible by the target); each cell reports ⌊Σ luma / count⌋ in the
+    * ×1000 Rec.601 luma scale — all-integer arithmetic, so an external
+    * engine replays every output value exactly (q77). One row per
+    * (payload, output cell); undecodable payloads drop (corrupt media
+    * must not kill a scan). Partition-parallel decode, no shuffle. */
+  def resizedLuma(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1,
+      s"resize target must be positive, got ${outW}x$outH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeLumaGrid(payload).toSeq.flatMap { case (w, h, luma) =>
+          val sums = new Array[Long](outH * outW)
+          val counts = new Array[Long](outH * outW)
+          var y = 0
+          while (y < h) {
+            val ky = y * outH / h
+            var x = 0
+            while (x < w) {
+              val kx = x * outW / w
+              sums(ky * outW + kx) += luma(y * w + x)
+              counts(ky * outW + kx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          // only covered cells: upscaling past the source resolution
+          // leaves gaps (⌊x·outW/w⌋ skips cells when outW > w), and an
+          // uncovered cell has no defined mean
+          (0 until outH * outW).collect {
+            case c if counts(c) > 0 =>
+              (id, c / outW, c % outW, sums(c) / counts(c))
+          }
+        }
+      })
+      .toDF("media_id", "ky", "kx", "v")
+  }
+
   /** Bulk perceptual hashing: (media_id, payload) -> (_id, simhash), one
     * decode per row at the codec boundary (mapPartitions — the justified
     * imperative island, same plan shape as [[decodeAndFeaturize]]);

@@ -221,7 +221,17 @@ object ExtQueries {
       Multimodal.sampleFrames(media(s, d), stride = 64)
         .groupBy("media_id")
         .agg(count(lit(1)).as("n_frames"))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    // Q77: integer area-average RESIZE — the q69 image fixture (32×32
+    // PPM, pixel value a closed-form function of (doc_id, x, y)) decoded
+    // by the real codec and pooled to an 8×8 luma grid with exact
+    // integer means; the oracle replays the pixel formula, the cell
+    // sums, and the same floor division (grayscale: luma = 1000·v).
+    "q77_image_resize" -> ((s, d) =>
+      Multimodal.resizedLuma(DedupQueries.mediaFrame(s, d),
+          outW = 8, outH = 8)
+        .orderBy("media_id", "ky", "kx"))
   ) ++ sqlSurface
 
   private lazy val sqlSurface: Map[String, (SparkSession, String) => DataFrame] =
@@ -899,6 +909,24 @@ object ExtQueries {
       """SELECT doc_id AS media_id,
         |  CAST((octet_length(encode(text)) - 1) // 64 + 1 AS BIGINT)
         |    AS n_frames
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // q77: the q69 pixel formula (DedupQueries.mediaFrame is the source
+    // of truth) -> 4x4 cell sums -> floor(1000*sum / 16) exact integer
+    // means (every 32->8 cell holds exactly 16 pixels; grayscale makes
+    // luma = 1000*v)
+    "q77_image_resize" ->
+      """WITH px AS (
+        |  SELECT doc_id AS id, x.range AS x, y.range AS y,
+        |    (3 * x.range + 5 * y.range + 7 * (doc_id % 25)
+        |      + x.range * y.range
+        |      + CASE WHEN x.range < 2 THEN (doc_id // 25) % 7 ELSE 0 END)
+        |      % 256 AS v
+        |  FROM documents, range(0, 32) x, range(0, 32) y)
+        |SELECT id AS media_id, CAST(y // 4 AS INTEGER) AS ky,
+        |  CAST(x // 4 AS INTEGER) AS kx,
+        |  CAST((1000 * sum(v)) // 16 AS BIGINT) AS v
+        |FROM px GROUP BY id, y // 4, x // 4
+        |ORDER BY media_id, ky, kx""".stripMargin
   )
 }

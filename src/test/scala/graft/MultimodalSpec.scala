@@ -195,4 +195,40 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) == 4L)  // 200 bytes -> ceil(200/64) = 4
     assert(got(3L) == 3L)  // 130 bytes -> 3
   }
+
+  test("resizedLuma: exact integer area means, ragged cells, upscale " +
+    "covers only reachable cells, undecodable payloads drop") {
+    // 10x6 grayscale PPM resized to 4x4: ragged bins (10/4 and 6/4 are
+    // not integral), checked against a naive JVM reimplementation
+    val w = 10; val h = 6
+    val px = Array.tabulate(w * h)(i => (7 * i + 3) % 256)
+    val body = px.flatMap(v => Array(v.toByte, v.toByte, v.toByte))
+    val ppm = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ body
+    val media = Seq((1L, ppm), (2L, "garbage".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val got = Multimodal.resizedLuma(media, 4, 4)
+      .as[(Long, Int, Int, Long)].collect()
+    assert(got.forall(_._1 == 1L)) // the garbage payload dropped
+    assert(got.length == 16)
+    val sums = Array.ofDim[Long](16); val counts = Array.ofDim[Long](16)
+    for (y <- 0 until h; x <- 0 until w) {
+      val c = (y * 4 / h) * 4 + (x * 4 / w)
+      sums(c) += 1000L * px(y * w + x); counts(c) += 1
+    }
+    got.foreach { case (_, ky, kx, v) =>
+      val c = ky * 4 + kx
+      assert(v == sums(c) / counts(c), s"cell ($kx,$ky)")
+    }
+    // upscale past the source: only covered cells emit (2x2 -> 5x5
+    // reaches cells {0, 2} per axis: floor(x*5/2) = 0 or 2)
+    val tiny = "P6\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array.fill(12)(100.toByte)
+    val up = Multimodal.resizedLuma(
+        Seq((3L, tiny)).toDF("media_id", "payload"), 5, 5)
+      .as[(Long, Int, Int, Long)].collect()
+    assert(up.length == 4)
+    assert(up.map(r => (r._2, r._3)).toSet ==
+      Set((0, 0), (0, 2), (2, 0), (2, 2)))
+    assert(up.forall(_._4 == 100000L)) // 1000 x luma of a flat gray
+  }
 }
