@@ -433,6 +433,65 @@ object StreamingIngest {
     } finally keys.unpersist()
   }
 
+  /** Maintain a [[graft.operators.Sketches.countMin]] frequency sketch
+    * over a stream — the profile a 100 TB ingest keeps instead of a
+    * full token frequency table. Exploits the CMS's defining property:
+    * cellwise ADDITIVITY. Each micro-batch writes its own bounded
+    * (≤ depth·width rows) sketch DELTA under `sketchPath/batch=<id>`;
+    * the live sketch is the cellwise sum over all committed deltas
+    * ([[readCountMin]]), so maintenance never rewrites history and the
+    * merged sketch equals the batch build over the union BY THE MERGE
+    * IDENTITY (spec-gated).
+    *
+    * Exactly-once without the store's marker protocol: the batch delta
+    * is deterministic and keyed by batchId, staged under
+    * `_staging/b<id>` and RENAMED into place — the rename is the commit
+    * point, a replayed batch whose directory exists is a no-op, and a
+    * crash mid-stage leaves only staging litter that replay overwrites.
+    * Single-writer assumption, as with the store. */
+  def streamingCountMin(stream: DataFrame, valueCol: String,
+                        sketchPath: String, checkpoint: String,
+                        depth: Int = 4, width: Int = 1024)
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processSketchBatch(batch, batchId, sketchPath, valueCol, depth,
+          width)
+      }
+      .start()
+
+  /** One sketch micro-batch (exposed for replay/crash testing). */
+  private[graft] def processSketchBatch(batch: DataFrame, batchId: Long,
+                                        sketchPath: String,
+                                        valueCol: String, depth: Int,
+                                        width: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(s"$sketchPath/batch=$batchId")
+    val fs = dst.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(dst)) return // committed: replayed batch is a no-op
+    val stg = new Path(s"$sketchPath/_staging/b$batchId")
+    fs.delete(stg, true) // crashed earlier attempt's litter
+    graft.operators.Sketches.countMin(batch, col(valueCol), depth, width)
+      .coalesce(1) // <= depth*width rows: one file, no small-file spray
+      .write.mode("overwrite").parquet(stg.toString)
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(stg, dst))
+      sys.error(s"sketch commit rename failed: $stg -> $dst")
+  }
+
+  /** The live maintained sketch: cellwise sum over every committed
+    * micro-batch delta — same (row, bucket, cnt) shape as a batch
+    * [[graft.operators.Sketches.countMin]], so
+    * [[graft.operators.Sketches.countMinEstimate]] probes it
+    * unchanged. */
+  def readCountMin(spark: org.apache.spark.sql.SparkSession,
+                   sketchPath: String): DataFrame =
+    spark.read.parquet(sketchPath)
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+
   /** Ingest-time duplicate guard for MEDIA payloads — the modality
     * counterpart of [[streamingNearDupGuard]]: drop (default) or keep
     * (`invert`) stream rows whose 56-bit perceptual fingerprint lands

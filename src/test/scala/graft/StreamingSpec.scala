@@ -506,6 +506,51 @@ class StreamingSpec extends SparkSpec {
     assert(colBands == jvmBands)
   }
 
+  test("maintained count-min sketch: streamed deltas sum to the batch " +
+    "sketch of the union; replayed and crashed batches are absorbed") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketches
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cms").toString
+    val sketchPath = s"$dir/sketch"
+    val a = (1 to 30).map(i => s"tok${i % 7}")
+    val b = (1 to 50).map(i => s"tok${i % 11}")
+    val stream = MemoryStream[String]
+    val q = StreamingIngest.streamingCountMin(
+      stream.toDF().toDF("w"), "w", sketchPath, s"$dir/ckpt",
+      depth = 3, width = 32)
+    try {
+      stream.addData(a: _*); q.processAllAvailable()
+      stream.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val batchEquiv = Sketches.countMin((a ++ b).toDF("w"), col("w"), 3, 32)
+    val live = StreamingIngest.readCountMin(spark, sketchPath)
+    // the merge identity: streamed deltas sum EXACTLY to the batch build
+    assert(cells(live) == cells(batchEquiv))
+    // a replayed micro-batch (same id, even different data) is a no-op
+    StreamingIngest.processSketchBatch(
+      Seq.fill(99)("tokX").toDF("w"), 0L, sketchPath, "w", 3, 32)
+    assert(cells(StreamingIngest.readCountMin(spark, sketchPath)) ==
+      cells(batchEquiv))
+    // a crash mid-stage leaves only staging litter; replay absorbs it
+    val litter = new java.io.File(s"$sketchPath/_staging/b7/part-junk")
+    litter.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(litter.toPath, "partial")
+    StreamingIngest.processSketchBatch(
+      Seq("extra").toDF("w"), 7L, sketchPath, "w", 3, 32)
+    val withExtra = StreamingIngest.readCountMin(spark, sketchPath)
+    assert(cells(withExtra) == cells(
+      Sketches.countMin((a ++ b :+ "extra").toDF("w"), col("w"), 3, 32)))
+    // the maintained sketch probes through the standard estimator
+    val est = Sketches.countMinEstimate(withExtra,
+        Seq("tok1").toDF("w"), "w", 3, 32)
+      .as[(String, Long)].collect().head
+    val trueCnt = (a ++ b).count(_ == "tok1").toLong
+    assert(est._2 >= trueCnt)
+  }
+
   test("streaming fingerprint guard: media near-dups quarantine against " +
     "an ingested corpus, undecodable payloads are clean, no true " +
     "near-dup missed") {
