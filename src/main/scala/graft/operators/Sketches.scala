@@ -97,6 +97,49 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
+  /** Deterministic Bloom filter as a FRAME: the distinct bit positions
+    * set by hashing every value through `k` functions of the same
+    * md5/affine family as [[countMin]] (position_j = ((a_j·h + b_j)
+    * mod P) mod mBits). Unlike `DataFrameStatFunctions.bloomFilter`
+    * (implementation-defined seeds, opaque bytes), this filter is
+    * engine-replayable: any engine that can md5 builds the IDENTICAL
+    * bit set, so membership answers — including the false positives —
+    * hash-compare across engines (q78).
+    *
+    * Scale shape: one exploded scan + a distinct bounded by mBits rows;
+    * merge across corpora = union + distinct (bitwise OR). Output:
+    * single column (bit: long), sorted nothing — a set. */
+  def bloomBits(df: DataFrame, value: Column, mBits: Int,
+                k: Int = 4): DataFrame = {
+    require(mBits >= 2 && k >= 1, s"need mBits >= 2, k >= 1 (got $mBits, $k)")
+    df.select(pmod(Dedup.md5Long(value), lit(Dedup.P)).as("_hv"))
+      .select(explode(array((0 until k).map(j =>
+        pmod(lit(Dedup.hashA(j)) * col("_hv") + lit(Dedup.hashB(j)),
+          lit(Dedup.P)) % mBits): _*)).as("bit"))
+      .distinct()
+  }
+
+  /** Probe a [[bloomBits]] filter: for each DISTINCT value of `valueCol`
+    * in `items`, true iff ALL k bit positions are set (the Bloom
+    * contract: no false negatives; false positives at the classic
+    * (1−e^{−kn/m})^k rate, and DETERMINISTIC — the same values
+    * false-positive in every engine). The filter is broadcast (≤ mBits
+    * rows by construction); `mBits`/`k` must match the build call.
+    * Output: (valueCol, might_contain). */
+  def bloomMightContain(bloom: DataFrame, items: DataFrame,
+                        valueCol: String, mBits: Int,
+                        k: Int = 4): DataFrame = {
+    val probes = items.select(col(valueCol)).distinct()
+      .withColumn("_hv", pmod(Dedup.md5Long(col(valueCol)), lit(Dedup.P)))
+      .select(col(valueCol), explode(array((0 until k).map(j =>
+        pmod(lit(Dedup.hashA(j)) * col("_hv") + lit(Dedup.hashB(j)),
+          lit(Dedup.P)) % mBits): _*)).as("bit"))
+    probes.join(broadcast(bloom.select(col("bit"), lit(1).as("_set"))),
+        Seq("bit"), "left")
+      .groupBy(valueCol)
+      .agg((count(col("_set")) === lit(k.toLong)).as("might_contain"))
+  }
+
   /** Fixed-boundary histogram per group: `nBuckets` equal-width buckets
     * over [lo, hi), EXACT long counts, out-of-range values clamped into
     * the edge buckets. The deterministic replacement for a t-digest /

@@ -111,6 +111,23 @@ object PipelineQueries {
         .orderBy("token")
     }),
 
+    // Q78: deterministic Bloom membership — build the bit-set filter
+    // over a quarter of the corpus (doc_id % 4 = 0), probe EVERY doc.
+    // mBits = 512 / k = 3 is sized to force false positives, which are
+    // part of the contract here: the md5/affine hashes make the FP SET
+    // deterministic, so the oracle reproduces every answer bit-for-bit
+    // (spark.stat.bloomFilter's opaque seeds never could).
+    "q78_bloom_membership" -> ((s, d) => {
+      val docs = par(Tables.documents(s, d))
+      val bloom = Sketches.bloomBits(
+        docs.where(pmod(col("doc_id"), lit(4)) === 0), col("text"),
+        mBits = 512, k = 3)
+      Sketches.bloomMightContain(bloom, docs, "text", mBits = 512, k = 3)
+        .join(docs.select("doc_id", "text"), Seq("text"))
+        .select(col("doc_id"), col("might_contain"))
+        .orderBy("doc_id")
+    }),
+
     // Q67: deterministic histogram-quantile profile — text-length
     // quantiles per language via fixed 8-px buckets + exact counts +
     // integer rank targets (the t-digest replacement an oracle CAN
@@ -402,6 +419,24 @@ object PipelineQueries {
         |WHERE ${key56("CAST(st.doc_id AS VARCHAR) || ':mix'")} % 1000000
         |  < r.rate_q
         |ORDER BY doc_id""".stripMargin,
+
+    // q78: rebuild the identical Bloom bit set in SQL (same md5/affine
+    // chain as q76), probe every doc — members AND the deterministic
+    // false positives replay exactly
+    "q78_bloom_membership" -> {
+      val p = 2147483647L // Dedup.P
+      val bit = s"((((637543 + 104729 * j.range) % $p) * h" +
+        s" + (389287 + 982451 * j.range) % $p) % $p) % 512"
+      s"""WITH hv AS (SELECT doc_id, ${key56("text")} % $p AS h
+        |  FROM documents),
+        |bits AS MATERIALIZED (SELECT DISTINCT $bit AS bit
+        |  FROM hv, range(0, 3) j WHERE doc_id % 4 = 0),
+        |probe AS (SELECT doc_id, $bit AS bit
+        |  FROM hv, range(0, 3) j)
+        |SELECT p.doc_id, count(b.bit) = 3 AS might_contain
+        |FROM probe p LEFT JOIN bits b USING (bit)
+        |GROUP BY p.doc_id ORDER BY doc_id""".stripMargin
+    },
 
     // q76: rebuild the identical CMS in SQL — same md5-based 56-bit key,
     // same (a·h + b) mod P affine family, same (row, bucket) sums — then

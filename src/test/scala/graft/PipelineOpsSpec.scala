@@ -447,6 +447,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bigAsg.length == 200 && bigAsg.forall(r => r._2 >= 0 && r._2 < 512))
   }
 
+  test("bloomBits: no false negatives, deterministic false positives " +
+    "match the JVM hash replay, union merges bitwise, bounded by mBits") {
+    import graft.operators.Sketches
+    val mBits = 256; val k = 3
+    val members = (1 to 60).map(i => s"doc$i")
+    val others = (61 to 200).map(i => s"doc$i")
+    val bloom = Sketches.bloomBits(members.toDF("w"), col("w"), mBits, k)
+    val bits = bloom.as[Long].collect().toSet
+    assert(bits.size <= math.min(mBits, members.size * k))
+    val got = Sketches.bloomMightContain(bloom,
+        (members ++ others).toDF("w"), "w", mBits, k)
+      .as[(String, Boolean)].collect().toMap
+    // the Bloom contract: every member answers true
+    members.foreach(w => assert(got(w), s"$w: false negative"))
+    // false positives exist by sizing and match the JVM replay exactly
+    def hv(w: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 14), 16) % Dedup.P
+    }
+    def positions(w: String): Seq[Long] = (0 until k).map(j =>
+      (Dedup.hashA(j) * hv(w) + Dedup.hashB(j)) % Dedup.P % mBits)
+    others.foreach { w =>
+      assert(got(w) == positions(w).forall(bits), s"$w diverges")
+    }
+    assert(others.exists(got(_)) && others.exists(!got(_)))
+    // merge = union + distinct (bitwise OR of bit sets)
+    val (a, b) = members.splitAt(25)
+    val merged = Sketches.bloomBits(a.toDF("w"), col("w"), mBits, k)
+      .unionByName(Sketches.bloomBits(b.toDF("w"), col("w"), mBits, k))
+      .distinct().as[Long].collect().toSet
+    assert(merged == bits)
+  }
+
   test("countMin: never under-counts, exact without collisions, merges " +
     "by sum, partition-invariant, bounded by depth x width") {
     import graft.operators.Sketches

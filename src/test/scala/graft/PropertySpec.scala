@@ -132,4 +132,39 @@ class PropertySpec extends AnyFunSuite {
     assert(books.zip(direct).forall { case (bk, dr) =>
       bk.zip(dr).forall { case (x, y) => x.sameElements(y) } })
   }
+
+  test("video fingerprint properties: brightness-shift invariance, " +
+    "sampled-frame determinism, majority absorbs minority-frame edits") {
+    import graft.operators.Video
+    val rnd2 = new scala.util.Random(77)
+    for (_ <- 1 to 20) {
+      val w = 16; val h = 16; val nf = 5
+      val base = Array.fill(nf)(Array.fill(w * h)(rnd2.nextInt(200)))
+      def avi(frames: Array[Array[Int]]): Array[Byte] =
+        Video.buildAviRgb24(frames.map(_.map(v => v * 0x010101)), w, h)
+      val fp = Video.fingerprint56(avi(base))
+      assert(fp != null)
+      // dHash compares cell means, so a uniform +c (no wraparound)
+      // cannot flip any comparison — per frame, hence for the majority
+      val shifted = base.map(_.map(_ + 50))
+      assert(Video.fingerprint56(avi(shifted)) == fp)
+      // replacing ONE frame of five (a strict minority under full
+      // sampling) can flip a bit only where the vote was 3-2; flipping
+      // that single frame's contribution moves each bit's count by at
+      // most 1, so bits with a 4-1 or 5-0 vote are immovable — with
+      // 5 frames the fingerprint changes by at most the 3-2 bit count
+      val counts = (0 until graft.operators.Dedup.SimhashBits).map { j =>
+        base.count { f =>
+          val lum = f.map(v => 1000L * v)
+          ((graft.operators.Multimodal.dHashOfGrid(w, h, lum) >> j)
+            & 1L) == 1L
+        }
+      }
+      val contested = counts.count(c => c == 2 || c == 3)
+      val oneEdit = base.clone()
+      oneEdit(2) = Array.fill(w * h)(rnd2.nextInt(200))
+      val fpEdit = Video.fingerprint56(avi(oneEdit))
+      assert(java.lang.Long.bitCount(fp ^ fpEdit.longValue()) <= contested)
+    }
+  }
 }
