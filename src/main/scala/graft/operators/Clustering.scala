@@ -165,4 +165,19 @@ object Clustering {
     }
     (nrm, cents)
   }
+
+  /** Per-cell LEAST-prototypical members: the full-corpus k-means
+    * assignment, then each cell's bottom-`perCell` rows by centroid
+    * cosine — the embedding-curation filter that flags cluster outliers
+    * (the flip side of SemDeDup's prune-the-redundant: LOW centroid
+    * similarity marks the unusual/noisy members a pipeline reviews or
+    * drops before training). Ranking is the salted two-phase top-k (no
+    * single-task sorts); ties break by vec_id, and the similarity is
+    * the exact 1/1024-grid cosine the trainer assigned in, so the whole
+    * chain replays in SQL (q79). Output: (vec_id, cell, sim, rank),
+    * rank 1 = least prototypical. */
+  def cellOutliers(corpus: DataFrame, nCells: Int = 8, iters: Int = 3,
+                   perCell: Int = 5): DataFrame =
+    TopK.perKeySalted(kmeansAssign(corpus, nCells, iters), "cell",
+      Seq(col("sim").asc, col("vec_id").asc), perCell)
 }

@@ -76,6 +76,17 @@ object PipelineQueries {
         .select(col("vec_id"), col("cell"), r4(col("sim")).as("sim"))
         .orderBy("vec_id")),
 
+    // Q79: embedding outlier audit — the q62 clustering, then each
+    // cell's bottom-5 by centroid cosine (salted two-phase rank): the
+    // least-prototypical members a curation pass reviews or drops
+    // (the flip side of SemDeDup's prune-the-redundant).
+    "q79_embedding_outliers" -> ((s, d) =>
+      Clustering.cellOutliers(par(Tables.embeddings(s, d)),
+          nCells = 8, iters = 3, perCell = 5)
+        .select(col("vec_id"), col("cell"), r4(col("sim")).as("sim"),
+          col("rank"))
+        .orderBy("cell", "rank")),
+
     // Q63: temperature-0.5 source mixing under a 20k-subtoken budget —
     // deterministic md5-keyed keep test per source rate.
     "q63_source_mixture" -> ((s, d) =>
@@ -244,6 +255,43 @@ object PipelineQueries {
       |    (1, 'agg'), (1, 'merge'), (1, 'window'),
       |    (2, 'spark'), (2, 'vector'), (2, 'join')) v(query_id, term)""".stripMargin
 
+  /** The q62 k-means replay chain (normalize → 1/1024 grid → 8
+    * lowest-id init centroids → 3 unrolled Lloyd rounds → final argmax
+    * assignment `af(vec_id, cell, d)`) — shared by q62 and the q79
+    * outlier ranking. */
+  private val kmeansChainSql: String =
+    s"""nrm AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(range(0, 64), i ->
+        |    CAST(CAST(embedding[i+1] AS DOUBLE)
+        |      / sqrt(list_sum(list_transform(range(0, 64), j ->
+        |          CAST(embedding[j+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE))))
+        |      AS REAL)) AS v
+        |  FROM embeddings
+        |  WHERE sqrt(list_sum(list_transform(range(0, 64), j ->
+        |    CAST(embedding[j+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE)))) > 0),
+        |dz AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(v, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv,
+        |    list_transform(list_transform(v, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)),
+        |      q -> CAST(q AS DOUBLE) / 1024.0) AS dv
+        |  FROM nrm),
+        |c0 AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, dv AS cv
+        |  FROM (SELECT vec_id, dv FROM dz ORDER BY vec_id LIMIT 8)),
+        |${(1 to 3).map(kmeansIter).mkString(",\n")},
+        |af AS (
+        |  SELECT vec_id, cell, d FROM (
+        |    SELECT d.vec_id, c.cell,
+        |      list_sum(list_transform(range(0, 64), i ->
+        |        d.dv[i+1] * c.cv[i+1])) AS d,
+        |      row_number() OVER (PARTITION BY d.vec_id
+        |        ORDER BY list_sum(list_transform(range(0, 64), i ->
+        |          d.dv[i+1] * c.cv[i+1])) DESC, c.cell) AS rnk
+        |    FROM dz d CROSS JOIN c3 c) x
+        |  WHERE rnk = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q58_bm25" ->
       s"""WITH ${bm25Ctes(q58Qt)}
@@ -364,40 +412,22 @@ object PipelineQueries {
         |FROM a ORDER BY doc_id""".stripMargin,
 
     "q62_kmeans" ->
-      s"""WITH nrm AS MATERIALIZED (
-        |  SELECT vec_id, list_transform(range(0, 64), i ->
-        |    CAST(CAST(embedding[i+1] AS DOUBLE)
-        |      / sqrt(list_sum(list_transform(range(0, 64), j ->
-        |          CAST(embedding[j+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE))))
-        |      AS REAL)) AS v
-        |  FROM embeddings
-        |  WHERE sqrt(list_sum(list_transform(range(0, 64), j ->
-        |    CAST(embedding[j+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE)))) > 0),
-        |dz AS MATERIALIZED (
-        |  SELECT vec_id,
-        |    list_transform(v, x ->
-        |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv,
-        |    list_transform(list_transform(v, x ->
-        |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)),
-        |      q -> CAST(q AS DOUBLE) / 1024.0) AS dv
-        |  FROM nrm),
-        |c0 AS MATERIALIZED (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, dv AS cv
-        |  FROM (SELECT vec_id, dv FROM dz ORDER BY vec_id LIMIT 8)),
-        |${(1 to 3).map(kmeansIter).mkString(",\n")},
-        |af AS (
-        |  SELECT vec_id, cell, d FROM (
-        |    SELECT d.vec_id, c.cell,
-        |      list_sum(list_transform(range(0, 64), i ->
-        |        d.dv[i+1] * c.cv[i+1])) AS d,
-        |      row_number() OVER (PARTITION BY d.vec_id
-        |        ORDER BY list_sum(list_transform(range(0, 64), i ->
-        |          d.dv[i+1] * c.cv[i+1])) DESC, c.cell) AS rnk
-        |    FROM dz d CROSS JOIN c3 c) x
-        |  WHERE rnk = 1)
+      s"""WITH $kmeansChainSql
         |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
         |  ${r4sql("d")} AS sim
         |FROM af ORDER BY vec_id""".stripMargin,
+
+    // q79: the same chain, then each cell's bottom-5 by (sim, vec_id) —
+    // the least-prototypical outlier set, rank 1 = most anomalous
+    "q79_embedding_outliers" ->
+      s"""WITH $kmeansChainSql,
+        |r AS (SELECT vec_id, cell, d, row_number() OVER (
+        |    PARTITION BY cell ORDER BY d ASC, vec_id) AS rank
+        |  FROM af)
+        |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+        |  ${r4sql("d")} AS sim, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 5
+        |ORDER BY cell, rank""".stripMargin,
 
     "q63_source_mixture" ->
       s"""WITH st AS (SELECT doc_id, source,

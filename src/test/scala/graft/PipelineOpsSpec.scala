@@ -447,6 +447,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bigAsg.length == 200 && bigAsg.forall(r => r._2 >= 0 && r._2 < 512))
   }
 
+  test("cellOutliers: bottom-k per cell by centroid cosine, ties by id, " +
+    "agrees with a naive re-rank of the assignment") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 120).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val got = Clustering.cellOutliers(rows, nCells = 4, iters = 2,
+        perCell = 3)
+      .select("vec_id", "cell", "sim", "rank")
+      .as[(Long, Int, Double, Int)].collect()
+    val asg = Clustering.kmeansAssign(rows, nCells = 4, iters = 2)
+      .as[(Long, Int, Double)].collect()
+    val naive = asg.groupBy(_._2).toSeq.flatMap { case (cell, members) =>
+      members.sortBy(m => (m._3, m._1)).take(3).zipWithIndex
+        .map { case ((id, c, sim), i) => (id, c, sim, i + 1) }
+    }
+    assert(got.sortBy(t => (t._2, t._4)).toSeq ==
+      naive.sortBy(t => (t._2, t._4)))
+    assert(got.groupBy(_._2).values.forall(_.length <= 3))
+  }
+
   test("bloomBits: no false negatives, deterministic false positives " +
     "match the JVM hash replay, union merges bitwise, bounded by mBits") {
     import graft.operators.Sketches
