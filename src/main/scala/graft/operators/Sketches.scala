@@ -46,6 +46,15 @@ object Sketches {
       .select(col(groupCol), col("n_kept"), col("estimate"))
   }
 
+  /** The shared md5/affine position family of [[countMin]] and
+    * [[bloomBits]]: n positions of the 56-bit key `hv` modulo `modulus`.
+    * Build and probe MUST stay bit-identical — this helper makes that
+    * invariant structural instead of copy-pasted. */
+  private def hashPositions(hv: Column, n: Int, modulus: Int): Seq[Column] =
+    (0 until n).map(j =>
+      pmod(lit(Dedup.hashA(j)) * hv + lit(Dedup.hashB(j)),
+        lit(Dedup.P)) % modulus)
+
   /** Count-min sketch (Cormode & Muthukrishnan 2005): `depth` hash rows ×
     * `width` buckets of EXACT long counts; the estimate for any value is
     * the minimum of its `depth` bucket counts — always ≥ the true count,
@@ -70,10 +79,13 @@ object Sketches {
                width: Int = 1024): DataFrame = {
     require(depth >= 1 && width >= 2,
       s"need depth >= 1 and width >= 2 (got $depth, $width)")
-    df.select(pmod(Dedup.md5Long(value), lit(Dedup.P)).as("_hv"))
-      .select(posexplode(array((0 until depth).map(j =>
-        pmod(lit(Dedup.hashA(j)) * col("_hv") + lit(Dedup.hashB(j)),
-          lit(Dedup.P)) % width): _*)).as(Seq("row", "bucket")))
+    // NULL values carry no occurrences (md5 of NULL is NULL, which
+    // would otherwise poison a bucket key and break the >=-true-count
+    // guarantee on the probe side) — dropped on BOTH build and probe
+    df.where(value.isNotNull)
+      .select(pmod(Dedup.md5Long(value), lit(Dedup.P)).as("_hv"))
+      .select(posexplode(array(hashPositions(col("_hv"), depth,
+        width): _*)).as(Seq("row", "bucket")))
       .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
@@ -88,10 +100,10 @@ object Sketches {
                        valueCol: String, depth: Int = 4,
                        width: Int = 1024): DataFrame = {
     val probes = items.select(col(valueCol)).distinct()
+      .where(col(valueCol).isNotNull) // the build never counted NULLs
       .withColumn("_hv", pmod(Dedup.md5Long(col(valueCol)), lit(Dedup.P)))
-      .select(col(valueCol), posexplode(array((0 until depth).map(j =>
-        pmod(lit(Dedup.hashA(j)) * col("_hv") + lit(Dedup.hashB(j)),
-          lit(Dedup.P)) % width): _*)).as(Seq("row", "bucket")))
+      .select(col(valueCol), posexplode(array(hashPositions(col("_hv"),
+        depth, width): _*)).as(Seq("row", "bucket")))
     probes.join(broadcast(sketch), Seq("row", "bucket"), "left")
       .groupBy(valueCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
@@ -112,10 +124,11 @@ object Sketches {
   def bloomBits(df: DataFrame, value: Column, mBits: Int,
                 k: Int = 4): DataFrame = {
     require(mBits >= 2 && k >= 1, s"need mBits >= 2, k >= 1 (got $mBits, $k)")
-    df.select(pmod(Dedup.md5Long(value), lit(Dedup.P)).as("_hv"))
-      .select(explode(array((0 until k).map(j =>
-        pmod(lit(Dedup.hashA(j)) * col("_hv") + lit(Dedup.hashB(j)),
-          lit(Dedup.P)) % mBits): _*)).as("bit"))
+    // NULLs never enter the filter (see countMin) — dropped both sides
+    df.where(value.isNotNull)
+      .select(pmod(Dedup.md5Long(value), lit(Dedup.P)).as("_hv"))
+      .select(explode(array(hashPositions(col("_hv"), k, mBits): _*))
+        .as("bit"))
       .distinct()
   }
 
@@ -130,10 +143,10 @@ object Sketches {
                         valueCol: String, mBits: Int,
                         k: Int = 4): DataFrame = {
     val probes = items.select(col(valueCol)).distinct()
+      .where(col(valueCol).isNotNull) // NULL was never inserted
       .withColumn("_hv", pmod(Dedup.md5Long(col(valueCol)), lit(Dedup.P)))
-      .select(col(valueCol), explode(array((0 until k).map(j =>
-        pmod(lit(Dedup.hashA(j)) * col("_hv") + lit(Dedup.hashB(j)),
-          lit(Dedup.P)) % mBits): _*)).as("bit"))
+      .select(col(valueCol), explode(array(hashPositions(col("_hv"), k,
+        mBits): _*)).as("bit"))
     probes.join(broadcast(bloom.select(col("bit"), lit(1).as("_set"))),
         Seq("bit"), "left")
       .groupBy(valueCol)

@@ -148,7 +148,20 @@ object Video {
     * frames in `movi` order. None for anything this parser does not own —
     * the bulk paths drop such rows (corrupt media must not kill a scan). */
   def decodeAviLuma(bytes: Array[Byte])
-      : Option[(Int, Int, Vector[Array[Long]])] = {
+      : Option[(Int, Int, Vector[Array[Long]])] =
+    decodeAviLumaSampled(bytes, 1).map { case (w, h, fs) =>
+      (w, h, fs.map(_._2))
+    }
+
+  /** [[decodeAviLuma]] restricted to every `frameStep`-th frame: the
+    * chunk walker SKIPS non-sampled `00db` chunks (position advance, no
+    * materialization, no luma conversion), so per-payload work and
+    * memory scale with nFrames/frameStep — the cost a real-video
+    * pipeline prices sampling at, not just a post-decode filter.
+    * Returns (frame index, top-down luma grid) pairs in movi order. */
+  def decodeAviLumaSampled(bytes: Array[Byte], frameStep: Int)
+      : Option[(Int, Int, Vector[(Int, Array[Long])])] = {
+    require(frameStep >= 1, s"frameStep must be >= 1, got $frameStep")
     try {
       if (bytes.length < 12) return None
       val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -160,7 +173,7 @@ object Video {
       bb.getInt // declared riff size; trust the buffer bound instead
       if (tag() != "AVI ") return None
       var w = 0; var h = 0
-      var frames = Vector.newBuilder[Array[Long]]
+      var frames = Vector.newBuilder[(Int, Array[Long])]
       var nFrames = 0
       def lumaOfDib(dib: Array[Byte]): Array[Long] = {
         val st = stride(w)
@@ -207,9 +220,11 @@ object Video {
             case "00db" =>
               if (w <= 0 || h <= 0) return false // strf must precede movi
               if (size != stride(w) * h) return false
-              val dib = new Array[Byte](size)
-              bb.get(dib)
-              frames += lumaOfDib(dib)
+              if (nFrames % frameStep == 0) {
+                val dib = new Array[Byte](size)
+                bb.get(dib)
+                frames += ((nFrames, lumaOfDib(dib)))
+              } // else: skip — the end-position seek below advances past
               nFrames += 1
             case _ => () // avih/strh/idx1/JUNK/...: skip
           }
@@ -236,10 +251,11 @@ object Video {
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
-        decodeAviLuma(payload).toSeq.flatMap { case (w, h, frames) =>
-          frames.indices.collect { case t if t % frameStep == 0 =>
-            (id, t, Multimodal.dHashOfGrid(w, h, frames(t)))
-          }
+        decodeAviLumaSampled(payload, frameStep).toSeq.flatMap {
+          case (w, h, frames) =>
+            frames.map { case (t, luma) =>
+              (id, t, Multimodal.dHashOfGrid(w, h, luma))
+            }
         }
       })
       .toDF("media_id", "frame_idx", "frame_hash")
@@ -252,14 +268,14 @@ object Video {
     * parser owns. */
   def fingerprint56(bytes: Array[Byte], frameStep: Int = 1)
       : java.lang.Long =
-    decodeAviLuma(bytes) match {
+    decodeAviLumaSampled(bytes, frameStep) match {
       case None => null
       case Some((w, h, frames)) =>
-        val sampled = frames.indices.filter(_ % frameStep == 0)
-        if (sampled.isEmpty) return null
+        // frames is non-empty by the decoder contract (nFrames == 0 ->
+        // None, and frame 0 is always sampled)
         val counts = new Array[Int](Dedup.SimhashBits)
-        sampled.foreach { t =>
-          val fh = Multimodal.dHashOfGrid(w, h, frames(t))
+        frames.foreach { case (_, luma) =>
+          val fh = Multimodal.dHashOfGrid(w, h, luma)
           var j = 0
           while (j < Dedup.SimhashBits) {
             if (((fh >> j) & 1L) == 1L) counts(j) += 1
@@ -269,7 +285,7 @@ object Video {
         var hash = 0L
         var j = 0
         while (j < Dedup.SimhashBits) {
-          if (2 * counts(j) > sampled.size) hash |= 1L << j
+          if (2 * counts(j) > frames.size) hash |= 1L << j
           j += 1
         }
         java.lang.Long.valueOf(hash)

@@ -111,11 +111,16 @@ object PipelineQueries {
     // of a full token groupBy; est_cnt ≥ true_cnt always, and the oracle
     // rebuilds the identical sketch from the same md5/affine hashes).
     "q76_cms_heavy_hitters" -> ((s, d) => {
+      // localCheckpoint: toks feeds the sketch build AND the true-count
+      // agg, and top is referenced twice — without pinning, the corpus
+      // scan + explode re-runs per subtree
       val toks = par(Tables.documents(s, d))
         .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .localCheckpoint(true)
       val sketch = Sketches.countMin(toks, col("w"))
       val top = toks.groupBy("w").agg(count(lit(1)).as("true_cnt"))
         .orderBy(col("true_cnt").desc, col("w")).limit(20)
+        .localCheckpoint(true)
       Sketches.countMinEstimate(sketch, top, "w")
         .join(top, Seq("w"))
         .select(col("w").as("token"), col("true_cnt"), col("est_cnt"))

@@ -488,9 +488,24 @@ object StreamingIngest {
     * [[graft.operators.Sketches.countMinEstimate]] probes it
     * unchanged. */
   def readCountMin(spark: org.apache.spark.sql.SparkSession,
-                   sketchPath: String): DataFrame =
-    spark.read.parquet(sketchPath)
-      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+                   sketchPath: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(sketchPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // before the first commit (or after a crash that left only staging
+    // litter) there is nothing visible: the live sketch is EMPTY, not an
+    // AnalysisException — a monitor may race the first rename
+    val hasCommits = fs.exists(root) && fs.listStatus(root)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+    if (!hasCommits) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("row", IntegerType),
+          StructField("bucket", LongType), StructField("cnt", LongType))))
+    } else
+      spark.read.parquet(sketchPath)
+        .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+  }
 
   /** Ingest-time duplicate guard for MEDIA payloads — the modality
     * counterpart of [[streamingNearDupGuard]]: drop (default) or keep

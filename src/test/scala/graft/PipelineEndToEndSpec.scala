@@ -89,4 +89,51 @@ class PipelineEndToEndSpec extends SparkSpec {
     val finalIds = selected.select("doc_id").as[Long].collect().toSet
     assert(hitIds.nonEmpty && hitIds.subsetOf(finalIds))
   }
+
+  test("multimodal leg: text dedup and media dedup compose into one " +
+    "drop set; the streaming guard agrees with the batch decision") {
+    import graft.operators.{Multimodal, Video}
+    import graft.queries.DedupQueries
+    import graft.streaming.StreamingIngest
+    val d = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text")
+    // each doc carries an image payload (the q69 fixture): a curation
+    // pass drops a doc if EITHER its text near-dups or its media
+    // fingerprint near-dups — the union of two kept-sets' complements
+    val textKept = Dedup.dedupedCorpusCC(docs, "doc_id",
+        Dedup.nearDupPairs(docs, "doc_id", "text", tau = 0.5)
+          .select(col("id1"), col("id2")))
+      .select("doc_id").as[Long].collect().toSet
+    val media = DedupQueries.mediaFrame(spark, d)
+    val mediaKept = Dedup.hashDeduped(
+        docs.select("doc_id"), "doc_id",
+        Multimodal.dHashes(media), maxHamming = 3)
+      .select(col("doc_id").cast("long")).as[Long].collect().toSet
+    val kept = textKept.intersect(mediaKept)
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert(kept.nonEmpty && kept.subsetOf(all))
+    // both modalities must actually bite on this corpus
+    assert(textKept != all && mediaKept != all)
+    // batch/stream agreement: a NEW batch of media rows screened by the
+    // streaming fingerprint guard quarantines exactly the rows whose
+    // fingerprint bands collide with the kept corpus's media index —
+    // and every true near-dup of a kept image is among them
+    val keptHashes = Multimodal.dHashes(media)
+      .where(col("_id").isin(kept.toSeq: _*))
+    val incoming = DedupQueries.videoFrame(spark, d)
+      .where(col("media_id") < 40) // a small fresh batch (AVI payloads)
+    val hashFn: Array[Byte] => java.lang.Long =
+      (b: Array[Byte]) => Video.fingerprint56(b, 2)
+    val quarantined = StreamingIngest.streamingFingerprintGuard(
+        incoming, keptHashes, hashFn = hashFn, invert = true)
+      .select("media_id").as[Long].collect().toSet
+    val keptPrints = keptHashes.select("simhash").as[Long].collect()
+    val incomingPrints = Video.fingerprints(incoming, 2)
+      .as[(Long, Long)].collect()
+    val trueDups = incomingPrints.filter { case (_, h) =>
+      keptPrints.exists(e => java.lang.Long.bitCount(e ^ h) <= 3)
+    }.map(_._1).toSet
+    assert(trueDups.subsetOf(quarantined)) // pigeonhole: never misses
+  }
 }

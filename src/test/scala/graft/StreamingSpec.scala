@@ -513,6 +513,9 @@ class StreamingSpec extends SparkSpec {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-cms").toString
     val sketchPath = s"$dir/sketch"
+    // before any commit the live sketch is EMPTY, not an exception (a
+    // monitor may race the first rename)
+    assert(StreamingIngest.readCountMin(spark, sketchPath).count() == 0)
     val a = (1 to 30).map(i => s"tok${i % 7}")
     val b = (1 to 50).map(i => s"tok${i % 11}")
     val stream = MemoryStream[String]

@@ -116,6 +116,15 @@ class VideoSpec extends SparkSpec {
     val sampled = Video.frameHashes(media, frameStep = 2)
       .as[(Long, Int, Long)].collect()
     assert(sampled.map(_._2).sorted.sameElements(Seq(0, 2, 4)))
+    // the sampled decoder skips (not post-filters) non-sampled chunks
+    // and its grids are byte-identical to the full decode's
+    val full = Video.decodeAviLuma(aviFor(2, 1)).get
+    val Some((sw, sh, sfs)) = Video.decodeAviLumaSampled(aviFor(2, 1), 2)
+    assert(sw == full._1 && sh == full._2)
+    assert(sfs.map(_._1) == Vector(0, 2, 4))
+    sfs.foreach { case (t, luma) =>
+      assert(luma.sameElements(full._3(t)))
+    }
     // per-frame hashes equal the image dHash of that frame's pixels
     val byIdx = all.map(t => t._2 -> t._3).toMap
     for (t <- 0 until 6) {
