@@ -154,6 +154,29 @@ object PipelineQueries {
           Seq(0.25, 0.5, 0.9, 0.99))
         .orderBy("lang", "q")),
 
+    // Q80: adaptive per-source quality gate (the CCNet-style per-domain
+    // cut): score every doc with the hashed classifier (exact long
+    // margins, the q60 chain), derive each source's P25 margin from the
+    // deterministic histogram-quantile sketch (bounded agg — no
+    // corpus-scale sort per stratum), and keep docs STRICTLY ABOVE the
+    // cutoff bucket's upper edge (deterministic to bucket granularity;
+    // integer margins vs exact-gridded edges, so the comparison replays
+    // bit-for-bit).
+    "q80_adaptive_quality" -> ((s, d) => {
+      val docs = par(Tables.documents(s, d))
+      val scored = QualityModels.hashedLinearScore(docs)
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .select("doc_id", "source", "margin_q")
+      val cuts = Sketches.histogramQuantiles(scored, "source",
+          col("margin_q"), -1.0e8, 1.0e8, 2000, Seq(0.25))
+        .select(col("source"), col("value_le").as("cutoff"))
+      scored.join(broadcast(cuts), Seq("source"))
+        .where(col("margin_q").cast("double") > col("cutoff"))
+        .select(col("doc_id"), col("source"), col("margin_q"),
+          col("cutoff"))
+        .orderBy("doc_id")
+    }),
+
     // Q66: BM25 over the PERSISTED postings index — certifies the whole
     // maintained-postings lifecycle in one key: bucketed build from half
     // the corpus, incremental append of the other half, then search
@@ -339,6 +362,42 @@ object PipelineQueries {
         |SELECT lang, CAST(q_q AS DOUBLE) / 1000000.0 AS q, bucket,
         |  0.0 + 2048.0 * (bucket + 1) / 256.0 AS value_le, cum, total
         |FROM j ORDER BY lang, q""".stripMargin,
+
+    // q80: the q60 margin chain joined to sources, the q67 histogram /
+    // integer-rank-target quantile replay at [-1e8, 1e8) x 2000 buckets,
+    // then the strictly-above-cutoff filter — every stage is a formula
+    // already proven by its own query; q80 proves the COMPOSITION
+    "q80_adaptive_quality" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+        |b AS (SELECT doc_id, ${key56("term")} % 256 AS bkt FROM t),
+        |w AS (SELECT doc_id,
+        |  (${key56("'w' || bkt")} % 2000001) - 1000000 AS wq FROM b),
+        |a AS (SELECT doc_id, CAST(sum(wq) AS BIGINT) AS margin_q
+        |  FROM w GROUP BY doc_id),
+        |sc AS MATERIALIZED (SELECT a.doc_id, d.source, a.margin_q
+        |  FROM a JOIN documents d USING (doc_id)),
+        |h AS (SELECT source,
+        |    CAST(least(1999, greatest(0,
+        |      floor((CAST(margin_q AS DOUBLE) + 100000000.0)
+        |        / 200000000.0 * 2000.0))) AS INTEGER) AS bucket,
+        |    count(*) AS cnt
+        |  FROM sc GROUP BY source, bucket),
+        |c AS (SELECT source, bucket,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY bucket)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS total
+        |  FROM h),
+        |sel AS (SELECT source, min(bucket) AS bucket
+        |  FROM c WHERE cum >= (250000 * total + 999999) // 1000000
+        |  GROUP BY source),
+        |cut AS (SELECT source,
+        |  -100000000.0 + 200000000.0 * (bucket + 1) / 2000.0 AS cutoff
+        |  FROM sel)
+        |SELECT sc.doc_id, sc.source, sc.margin_q, cut.cutoff
+        |FROM sc JOIN cut USING (source)
+        |WHERE CAST(sc.margin_q AS DOUBLE) > cut.cutoff
+        |ORDER BY doc_id""".stripMargin,
 
     "q59_hybrid_rrf" ->
       s"""WITH ${bm25Ctes(

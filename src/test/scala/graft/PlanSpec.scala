@@ -32,8 +32,11 @@ class PlanSpec extends SparkSpec {
     "q66_bm25_postings",    // the q58 shape served lazily from the
                             // postings table (q58 hides it behind the
                             // checkpoint): 1-row corpus-stats broadcast
-    "q67_hist_quantiles"    // nBuckets-row histogram × 4-row quantile
+    "q67_hist_quantiles",   // nBuckets-row histogram × 4-row quantile
                             // frame — both sides bounded by construction
+    "q80_adaptive_quality"  // the q67 quantile shape inside the per-source
+                            // cutoff derivation: histogram × 1-row q-frame,
+                            // both bounded; the corpus joins stay equi/bcast
   )
 
   test("no unintentional cartesian/nested-loop joins in any declared query") {
