@@ -158,6 +158,18 @@ object DedupQueries {
       TextAnalysis.spanDedupStats(augDocs(s, d), window = 16, step = 8)
         .orderBy("doc_id")),
 
+    // Q81: q57 at step = 1 — EVERY 16-token alignment, i.e. the EXACT
+    // rolling-hash reduction of substring dedup (Lee et al. 2022): any
+    // repeated substring of >= 16 tokens necessarily contains a repeated
+    // aligned window, so step=1 detects ALL of them (q57's step=8 is the
+    // 8x-cheaper approximation; this query retires the "approximation"
+    // caveat as a declared, oracle-checked configuration). Cost is
+    // tokens-per-doc windows per doc — linear, hash-keyed, text never
+    // shuffles.
+    "q81_repeated_spans_exact" -> ((s, d) =>
+      TextAnalysis.spanDedupStats(augDocs(s, d), window = 16, step = 1)
+        .orderBy("doc_id")),
+
     // MinHash + LSH banding + true-Jaccard verification. The corpus is
     // pinned dup-light (largest exact group 3 < the collapse threshold),
     // so the declared query skips the gate probe — `Some(false)` takes the
@@ -909,6 +921,28 @@ object DedupQueries {
         |    regexp_split_to_array(trim(text), '\\s+') AS toks FROM aug),
         |st AS (SELECT doc_id, toks,
         |    unnest(range(1, len(toks) + 1, 8)) AS start
+        |  FROM tk WHERE len(toks) > 0),
+        |sp AS (SELECT doc_id,
+        |    md5(array_to_string(list_slice(toks, start, start + 15), ' '))
+        |      AS h
+        |  FROM st WHERE len(toks) - start + 1 >= 16),
+        |rep AS (SELECT h FROM sp GROUP BY h HAVING count(*) >= 2)
+        |SELECT sp.doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN rep.h IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_repeated_spans,
+        |  floor(CAST(sum(CASE WHEN rep.h IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0
+        |    AS repeated_frac
+        |FROM sp LEFT JOIN rep USING (h)
+        |GROUP BY sp.doc_id ORDER BY doc_id""".stripMargin,
+
+    // q81: the q57 replay at step 1 (every alignment)
+    "q81_repeated_spans_exact" ->
+      s"""WITH $augDocsSql,
+        |tk AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\\s+') AS toks FROM aug),
+        |st AS (SELECT doc_id, toks,
+        |    unnest(range(1, len(toks) + 1, 1)) AS start
         |  FROM tk WHERE len(toks) > 0),
         |sp AS (SELECT doc_id,
         |    md5(array_to_string(list_slice(toks, start, start + 15), ' '))
