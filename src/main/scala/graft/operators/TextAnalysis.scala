@@ -616,4 +616,28 @@ object TextAnalysis {
       .withColumn("n_phones", nPhones)
       .withColumn(textCol, t3)
   }
+
+  /** Deterministic train/val/test split assignment: each row draws a
+    * ppm key from md5(id || ":split") and takes the first label whose
+    * cumulative ppm bound exceeds it — the same keyed-rate discipline
+    * as source mixing (q63), so re-runs, re-partitions, incremental
+    * appends and OTHER ENGINES assign the identical split (the property
+    * `randomSplit` cannot offer: its sampling is partition-layout
+    * dependent). Fractions are exact ppm longs summing to 1,000,000 —
+    * no float thresholds to round differently anywhere. Adds a `split`
+    * column; map-only, zero shuffle. */
+  def assignSplit(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Long)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) &&
+      splits.map(_._2).sum == 1000000L,
+      s"split ppm fractions must be positive and sum to 1000000, got $splits")
+    val key = pmod(Dedup.md5Long(
+      concat(col(idCol).cast("string"), lit(":split"))), lit(1000000L))
+    val cums = splits.scanLeft(0L)(_ + _._2).tail
+    val label = splits.dropRight(1).zip(cums).foldRight(
+        lit(splits.last._1): Column) { case (((name, _), cum), acc) =>
+      when(key < cum, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
 }

@@ -95,6 +95,17 @@ object PipelineQueries {
         .withColumn("rate", r4(col("rate")))
         .orderBy("doc_id")),
 
+    // Q82: deterministic 80/10/10 split assignment — the md5-keyed ppm
+    // draw (the q63 keyed-rate discipline), so any engine reproduces
+    // the identical train/val/test membership (randomSplit cannot: its
+    // sampling depends on partition layout).
+    "q82_split_assignment" -> ((s, d) =>
+      graft.operators.TextAnalysis.assignSplit(
+          par(Tables.documents(s, d)), "doc_id",
+          Seq(("train", 800000L), ("val", 100000L), ("test", 100000L)))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
+
     // Q64: KMV (bottom-k) distinct-count sketch — approximate distinct
     // texts per language with a DETERMINISTIC estimator any engine
     // replays (unlike HLL++), k = 64.
@@ -559,6 +570,16 @@ object PipelineQueries {
         |GROUP BY probe.w, probe.true_cnt
         |ORDER BY token""".stripMargin
     },
+
+    // q82: the same md5 ppm draw and cumulative bounds, replayed
+    "q82_split_assignment" ->
+      s"""SELECT doc_id,
+        |  CASE WHEN ${key56("CAST(doc_id AS VARCHAR) || ':split'")}
+        |         % 1000000 < 800000 THEN 'train'
+        |       WHEN ${key56("CAST(doc_id AS VARCHAR) || ':split'")}
+        |         % 1000000 < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q64_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT lang, ${key56("text")} AS hv

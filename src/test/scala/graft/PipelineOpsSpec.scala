@@ -447,6 +447,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bigAsg.length == 200 && bigAsg.forall(r => r._2 >= 0 && r._2 < 512))
   }
 
+  test("assignSplit: complete, disjoint, partition-invariant, " +
+    "append-stable, proportions near the ppm fractions") {
+    import graft.operators.TextAnalysis
+    val df = (0L until 2000L).toDF("doc_id")
+    val splits = Seq(("train", 800000L), ("val", 100000L),
+      ("test", 100000L))
+    val got = TextAnalysis.assignSplit(df, "doc_id", splits)
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 2000) // complete: one label per row
+    assert(got.values.toSet.subsetOf(Set("train", "val", "test")))
+    // proportions: binomial 4-sigma bands around 1600/200/200
+    val counts = got.values.groupBy(identity).view.mapValues(_.size)
+    assert(math.abs(counts("train") - 1600) < 4 * math.sqrt(2000 * .8 * .2))
+    assert(math.abs(counts("val") - 200) < 4 * math.sqrt(2000 * .1 * .9))
+    assert(math.abs(counts("test") - 200) < 4 * math.sqrt(2000 * .1 * .9))
+    // partition-invariant AND append-stable: the same row keeps its
+    // split regardless of physical layout or which batch it arrives in
+    val rep = TextAnalysis.assignSplit(df.repartition(17), "doc_id",
+      splits).as[(Long, String)].collect().toMap
+    assert(rep == got)
+    val half = TextAnalysis.assignSplit(
+      df.where(col("doc_id") < 1000), "doc_id", splits)
+      .as[(Long, String)].collect().toMap
+    assert(half.forall { case (id, sp) => got(id) == sp })
+    // bad fractions fail fast
+    intercept[IllegalArgumentException] {
+      TextAnalysis.assignSplit(df, "doc_id", Seq(("a", 1L), ("b", 2L)))
+    }
+  }
+
   test("cellOutliers: bottom-k per cell by centroid cosine, ties by id, " +
     "agrees with a naive re-rank of the assignment") {
     val rnd = new scala.util.Random(11)
