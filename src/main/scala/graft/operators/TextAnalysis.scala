@@ -638,6 +638,9 @@ object TextAnalysis {
         lit(splits.last._1): Column) { case (((name, _), cum), acc) =>
       when(key < cum, lit(name)).otherwise(acc)
     }
-    df.withColumn("split", label)
+    // a NULL id has no draw: its split is NULL (visible), never a silent
+    // fall-through into the last label
+    df.withColumn("split",
+      when(col(idCol).isNull, lit(null: String)).otherwise(label))
   }
 }

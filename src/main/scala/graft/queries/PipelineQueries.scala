@@ -175,9 +175,13 @@ object PipelineQueries {
     // bit-for-bit).
     "q80_adaptive_quality" -> ((s, d) => {
       val docs = par(Tables.documents(s, d))
+      // localCheckpoint: scored feeds the quantile sketch AND the final
+      // cutoff join — without pinning, the tokenize+explode+agg chain
+      // runs twice (the q76 lesson)
       val scored = QualityModels.hashedLinearScore(docs)
         .join(docs.select("doc_id", "source"), Seq("doc_id"))
         .select("doc_id", "source", "margin_q")
+        .localCheckpoint(true)
       val cuts = Sketches.histogramQuantiles(scored, "source",
           col("margin_q"), -1.0e8, 1.0e8, 2000, Seq(0.25))
         .select(col("source"), col("value_le").as("cutoff"))

@@ -498,10 +498,11 @@ object StreamingIngest {
     val hasCommits = fs.exists(root) && fs.listStatus(root)
       .exists(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
     if (!hasCommits) {
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("row", IntegerType),
-          StructField("bucket", LongType), StructField("cnt", LongType))))
+      // schema DERIVED from an empty countMin build (no jobs run), so
+      // this branch cannot drift from the real sketch layout
+      import spark.implicits._
+      graft.operators.Sketches.countMin(
+        Seq.empty[String].toDF("_v"), col("_v"))
     } else
       spark.read.parquet(sketchPath)
         .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))

@@ -475,6 +475,13 @@ class PipelineOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextAnalysis.assignSplit(df, "doc_id", Seq(("a", 1L), ("b", 2L)))
     }
+    // a NULL id has no draw: split is NULL, never a silent fall-through
+    // into the last label
+    val withNull = Seq(Some(1L), None).toDF("doc_id")
+    val ns = TextAnalysis.assignSplit(withNull, "doc_id", splits)
+      .select("split").collect().map(r =>
+        if (r.isNullAt(0)) null else r.getString(0))
+    assert(ns.count(_ == null) == 1 && ns.count(_ != null) == 1)
   }
 
   test("cellOutliers: bottom-k per cell by centroid cosine, ties by id, " +
