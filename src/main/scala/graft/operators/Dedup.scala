@@ -672,7 +672,18 @@ object Dedup {
     * member — the principled form of [[dedupedCorpus]]'s pair-based
     * policy (identical on most pair graphs; differs only when a pair's
     * id1 is itself a dropped member of another cluster, where the
-    * pair-based form can over-keep). One anti-join after the closure. */
+    * pair-based form can over-keep). One anti-join after the closure.
+    *
+    * The closure is [[connectedComponentsStar]] (O(log²) rounds
+    * regardless of component diameter): on a corpus-scale NEAR-DUP pair
+    * graph, banding chains document families into long components, and
+    * controlled 100× single-shots measured min-label propagation at
+    * 266 s where the star closure finished the SAME relation in ~102 s
+    * (2.6×; bench_r8_full_100x.json + the notes' re-runs). q45 itself is
+    * pair-generation-bound at that scale (241 → 237 s under the switch),
+    * so this is diameter INSURANCE at ~0.5 s oracle-scale cost, not a
+    * q45 speedup; the relations are identical (spec-gated equivalence),
+    * so the output — and the q45 oracle — are unchanged. */
   def dedupedCorpusCC(docs: DataFrame, idCol: String,
                       pairs: DataFrame): DataFrame = {
     // same integral-id contract as connectedComponents (which enforces it
@@ -684,7 +695,7 @@ object Dedup {
       dt == org.apache.spark.sql.types.ShortType,
       s"dedupedCorpusCC needs an integral $idCol; got $dt — " +
         "map ids to longs before calling")
-    val drop = connectedComponents(pairs)
+    val drop = connectedComponentsStar(pairs)
       .where(col("id") =!= col("component"))
       .select(col("id").as("_drop_id"))
     docs.join(drop, docs(idCol).cast("long") === drop("_drop_id"),
