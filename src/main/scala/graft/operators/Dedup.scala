@@ -702,6 +702,52 @@ object Dedup {
       "left_anti")
   }
 
+  /** Quality-aware canonical selection — the production near-dup KEEP
+    * policy: within each near-dup component keep the member with the
+    * HIGHEST quality (ties to the lowest id), not the lowest id
+    * ([[dedupedCorpusCC]]'s witness policy). A crawl pipeline dedups to
+    * the best-scored page of a clique — lowest-id keep discards quality
+    * mass for free. Unpaired docs survive as their own canonical.
+    *
+    * `qualityCol` must be integral (an exact long score such as
+    * [[QualityModels.marginExpr]]'s µ-unit margin) so the per-component
+    * argmax replays bit-for-bit across engines — a float score's
+    * near-ties would make the kept set engine-dependent.
+    *
+    * Shape: the closure runs over the PAIR graph only
+    * ([[connectedComponentsStar]], O(log²) rounds); the corpus then
+    * aggregates ONCE by component with a map-side-combinable
+    * max(struct(quality, -id)) argmax — no per-component sort window, no
+    * corpus self-join, one exchange keyed by component. Output: one row
+    * per KEPT doc — (<idCol>, component, <qualityCol>, n_members). */
+  def canonicalByQuality(docs: DataFrame, idCol: String,
+                         qualityCol: String, pairs: DataFrame): DataFrame = {
+    val dt = docs.schema(idCol).dataType
+    require(dt == org.apache.spark.sql.types.LongType ||
+      dt == org.apache.spark.sql.types.IntegerType ||
+      dt == org.apache.spark.sql.types.ShortType,
+      s"canonicalByQuality needs an integral $idCol; got $dt")
+    val qt = docs.schema(qualityCol).dataType
+    require(qt == org.apache.spark.sql.types.LongType ||
+      qt == org.apache.spark.sql.types.IntegerType ||
+      qt == org.apache.spark.sql.types.ShortType,
+      s"canonicalByQuality needs an integral $qualityCol (exact argmax); " +
+        s"got $qt — quantize float scores to µ-unit longs first")
+    val comp = connectedComponentsStar(pairs)
+    docs
+      .select(col(idCol).cast("long").as("_id"),
+        col(qualityCol).cast("long").as("_q"))
+      .join(comp, col("_id") === comp("id"), "left")
+      .select(col("_id"), col("_q"),
+        coalesce(col("component"), col("_id")).as("component"))
+      .groupBy("component")
+      .agg(max(struct(col("_q").as("q"), (-col("_id")).as("nid")))
+          .as("_best"),
+        count(lit(1)).as("n_members"))
+      .select((-col("_best.nid")).as(idCol), col("component"),
+        col("_best.q").as(qualityCol), col("n_members"))
+  }
+
   /** Fingerprint width for [[simhash56]]/[[simhashes]]: 56 bits — the full
     * range of [[md5Long]], and the widest fingerprint whose bit-masks and
     * vote-weighted sums stay BIGINT-safe for SQL portability. Width drives

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, QualityModels, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -444,6 +444,20 @@ object DedupQueries {
       val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", tau = 0.5)
       Dedup.dedupedCorpusCC(docs, "doc_id", pairs)
         .select(col("doc_id").cast("long").as("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // Q83: quality-aware canonical selection — q45's closure with the
+    // production KEEP policy: each near-dup component keeps its
+    // highest-margin member (exact µ-unit long margins, the q60 weight
+    // chain), ties to the lowest id; singletons keep themselves. The
+    // oracle replays closure + margin formula + a per-component
+    // best-rank window.
+    "q83_canonical_dedup" -> ((s, d) => {
+      val docs = augDocs(s, d)
+        .withColumn("margin_q", QualityModels.marginExpr(col("text")))
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", tau = 0.5)
+      Dedup.canonicalByQuality(docs, "doc_id", "margin_q", pairs)
         .orderBy("doc_id")
     })
   )
@@ -1045,6 +1059,41 @@ object DedupQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM comp c
         |  WHERE c.id = a.doc_id AND c.id <> c.component)
         |ORDER BY doc_id""".stripMargin,
+
+    // q83: the q45 closure with the quality-argmax keep policy — margin
+    // formula (q60 weight chain as a pure per-doc list fold), component
+    // assignment (singletons = own id), then rank-1 per component by
+    // (margin DESC, doc_id ASC).
+    "q83_canonical_dedup" ->
+      s"""WITH RECURSIVE $augDocsSql,
+        |$minhashChainSql,
+        |pr AS (SELECT id1, id2 FROM jac WHERE jaccard >= 0.5),
+        |e AS (SELECT id1 AS s, id2 AS t FROM pr
+        |      UNION SELECT id2, id1 FROM pr),
+        |reach AS (
+        |  SELECT s AS id, s AS lab FROM e
+        |  UNION
+        |  SELECT e.t AS id, r.lab FROM reach r JOIN e ON e.s = r.id),
+        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+        |mg AS (SELECT doc_id, CAST(coalesce(list_sum(list_transform(
+        |    regexp_split_to_array(trim(text), '\\s+'), t ->
+        |    (CAST(concat('0x', substr(md5('w' || CAST((CAST(concat('0x',
+        |      substr(md5(t), 1, 14)) AS BIGINT) % 256) AS VARCHAR)), 1, 14))
+        |      AS BIGINT) % 2000001) - 1000000)), 0) AS BIGINT) AS margin_q
+        |  FROM aug),
+        |asg AS (SELECT a.doc_id,
+        |    coalesce(c.component, a.doc_id) AS component, m.margin_q
+        |  FROM aug a JOIN mg m USING (doc_id)
+        |  LEFT JOIN comp c ON c.id = a.doc_id),
+        |rk AS (SELECT doc_id, component, margin_q,
+        |    row_number() OVER (PARTITION BY component
+        |      ORDER BY margin_q DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY component) AS n_members
+        |  FROM asg)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(component AS BIGINT) AS component, margin_q,
+        |  CAST(n_members AS BIGINT) AS n_members
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q24_simhash" ->
       s"""WITH $augDocsSql,

@@ -511,6 +511,30 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 5L))
   }
 
+  test("canonicalByQuality keeps the highest-quality member per cluster, " +
+    "ties to the lowest id, singletons keep themselves") {
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", tau = 0.5)
+    // cluster {1,2,4}: hand-picked qualities force a NON-minimum keep
+    val q = Seq((1L, 10L), (2L, 99L), (3L, 7L), (4L, 10L), (5L, 1L))
+      .toDF("doc_id", "q")
+    val keptRows = Dedup.canonicalByQuality(docs.join(q, "doc_id"),
+        "doc_id", "q", pairs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(keptRows == Seq((2L, 1L, 99L, 3L), (3L, 3L, 7L, 1L),
+      (5L, 5L, 1L, 1L)))
+    // all-equal qualities tie to the lowest id — exactly the
+    // dedupedCorpusCC keep set
+    val keptFlat = Dedup.canonicalByQuality(
+        docs.withColumn("q", lit(5L)), "doc_id", "q", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptFlat == Set(1L, 3L, 5L))
+    // float quality is rejected: near-tie argmax would be engine-dependent
+    intercept[IllegalArgumentException] {
+      Dedup.canonicalByQuality(docs.withColumn("q", lit(0.5)),
+        "doc_id", "q", pairs)
+    }
+  }
+
   test("bandingRecall: deterministic harness — precision-1 found set, " +
     "true pairs counted by brute force, fixture recall pinned") {
     val corpus = (0 until 60).map { i =>
