@@ -508,6 +508,51 @@ object TextAnalysis {
       .agg(count_distinct(col("_gk")).as("n_shared_ngrams"))
   }
 
+  /** Per-document contamination RATIO vs a held-out set — the graded form
+    * of [[decontaminate]]'s any-overlap flag (the GPT-3 appendix-C
+    * "dirty document" rule: a doc is dirty when a FRACTION of its n-grams
+    * leaks, not on first touch — one boilerplate gram shouldn't discard a
+    * long document). Emits EVERY train doc: (idCol, n_grams distinct,
+    * n_hit shared-distinct, dirty). The decision is integer-exact —
+    * `n_hit * 100 >= pctThreshold * n_grams` on longs, no float division
+    * — so the kept/dropped set replays bit-for-bit in any engine. Docs
+    * too short for an n-gram emit (0, 0, clean).
+    *
+    * Same scale shape as [[decontaminate]]: grams travel as 8-byte
+    * md5-derived keys; the held-out side collapses to a DISTINCT key set
+    * and broadcasts (`broadcastTest = false` falls back to a shuffled
+    * equi-join); both distinct counts come out of ONE doc-keyed
+    * aggregation over the left-marked gram stream, and the final
+    * left-join back to `train` ids only restores gram-less docs. */
+  def contaminationRatio(train: DataFrame, test: DataFrame, n: Int = 4,
+                         pctThreshold: Int = 10, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         broadcastTest: Boolean = true): DataFrame = {
+    require(pctThreshold >= 0 && pctThreshold <= 100,
+      s"pctThreshold is a percentage; got $pctThreshold")
+    val testGrams = test
+      .select(explode(ngrams(col(textCol), n)).as("_g"))
+      .select(gramHash(col("_g")).as("_gk")).distinct()
+      .withColumn("_hit", lit(1L))
+    val probe = if (broadcastTest) broadcast(testGrams) else testGrams
+    val agg = train
+      .select(col(idCol), explode(ngrams(col(textCol), n)).as("_g"))
+      .select(col(idCol), gramHash(col("_g")).as("_gk"))
+      .join(probe, Seq("_gk"), "left")
+      .groupBy(idCol)
+      .agg(count_distinct(col("_gk")).as("_ng"),
+        count_distinct(when(col("_hit") === 1L, col("_gk"))).as("_nh"))
+    train.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_ng"), lit(0L)).as("n_grams"),
+        coalesce(col("_nh"), lit(0L)).as("n_hit"))
+      .withColumn("dirty",
+        when(col("n_grams") > 0 &&
+          col("n_hit") * 100L >= lit(pctThreshold.toLong) * col("n_grams"),
+          lit(1)).otherwise(lit(0)))
+  }
+
   /** Greedy per-stratum corpus selection under a token budget: rank each
     * stratum's docs by (quality desc, doc_id), keep the prefix whose
     * cumulative subtoken count stays within `budget` (the data-mixing

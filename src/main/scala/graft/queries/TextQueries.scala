@@ -84,6 +84,17 @@ object TextQueries {
       TextAnalysis.decontaminate(train, test, n = 4).orderBy("doc_id")
     }),
 
+    // Q84: graded contamination — q53's gram overlap as a per-doc RATIO
+    // over EVERY train doc, with the integer-exact >=10% dirty flag
+    // (one leaked gram no longer condemns a long document).
+    "q84_contamination_ratio" -> ((s, d) => {
+      val docs = par(Tables.documents(s, d))
+      val test = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+      val train = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+      TextAnalysis.contaminationRatio(train, test, n = 4,
+        pctThreshold = 10).orderBy("doc_id")
+    }),
+
     // Q54: greedy per-language corpus selection under a 4000-subtoken
     // budget (quality-ranked prefix; engine uses the two-stage
     // threshold-bucket shape, oracle the one-window form).
@@ -362,6 +373,28 @@ object TextQueries {
         |FROM g JOIN test USING (gk)
         |WHERE g.doc_id % 97 <> 0
         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+
+    // q84: the q53 gram chain, kept as a per-doc ratio over ALL train
+    // docs; dirty = integer compare n_hit*100 >= 10*n_grams.
+    "q84_contamination_ratio" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+        |g AS MATERIALIZED (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(
+        |      list_aggregate(toks[i:i+3], 'string_agg', ' ')), 1, 14))
+        |      AS BIGINT) AS gk
+        |  FROM tk, UNNEST(range(1, len(toks) - 2)) AS t(i)),
+        |test AS MATERIALIZED (SELECT DISTINCT gk FROM g WHERE doc_id % 97 = 0),
+        |agg AS (SELECT doc_id, count(DISTINCT gk) AS n_grams,
+        |    count(DISTINCT CASE WHEN gk IN (SELECT gk FROM test)
+        |      THEN gk END) AS n_hit
+        |  FROM g WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams,
+        |  coalesce(a.n_hit, 0) AS n_hit,
+        |  CAST(CASE WHEN coalesce(a.n_grams, 0) > 0
+        |    AND coalesce(a.n_hit, 0) * 100 >= 10 * a.n_grams
+        |    THEN 1 ELSE 0 END AS INTEGER) AS dirty
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |WHERE d.doc_id % 97 <> 0 ORDER BY doc_id""".stripMargin,
 
     "q54_budget_select" ->
       s"""WITH scored AS (SELECT doc_id, lang,

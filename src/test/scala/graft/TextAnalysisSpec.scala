@@ -183,6 +183,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(shuffled == got)
   }
 
+  test("contaminationRatio: per-doc graded overlap, integer threshold, " +
+    "gram-less docs emitted clean") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),  // 3 distinct grams, 1 shared -> 33%
+      (2L, "totally different words here"),
+      (3L, "quick brown fox pad"),        // 2 grams, 1 shared -> 50%
+      (4L, "too short")                   // no 3-gram: (0, 0, clean)
+    ).toDF("doc_id", "text")
+    val test = Seq((100L, "a quick brown fox appears")).toDF("doc_id", "text")
+    val got = TextAnalysis.contaminationRatio(train, test, n = 3,
+        pctThreshold = 40)
+      .as[(Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 1L, 0)))  // 33% < 40%: kept despite a hit
+    assert(got(2L) == ((2L, 2L, 0L, 0)))
+    assert(got(3L) == ((3L, 2L, 1L, 1)))  // 50% >= 40%: dirty
+    assert(got(4L) == ((4L, 0L, 0L, 0)))
+    // shuffled fallback agrees; threshold 0 marks any doc WITH grams dirty
+    // only when it has >= 0% hits — i.e. every doc with grams
+    val t0 = TextAnalysis.contaminationRatio(train, test, n = 3,
+        pctThreshold = 0, broadcastTest = false)
+      .as[(Long, Long, Long, Int)].collect().map(r => r._1 -> r._4).toMap
+    assert(t0 == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 0))
+  }
+
   test("selectByTokenBudget: two-stage threshold equals the global greedy") {
     val rnd = new scala.util.Random(11)
     // strata with many quality ties (few distinct words -> few distinct
