@@ -378,6 +378,45 @@ object TextAnalysis {
     docs.where(hashBucket(col(keyCol), seed) < threshold)
   }
 
+  /** Deterministic weighted sampling without replacement — the
+    * Duffield–Lund–Thorup priority-sampling shape (DLT, JACM 2007):
+    * every row draws a uniform integer u ∈ [1, 2⁴⁰] from the md5 of its
+    * id (plus seed), gets priority = ⌊w·2⁴⁰ / u⌋, and the k LARGEST
+    * priorities are the sample. Exact long arithmetic end to end, so the
+    * sampled id set replays bit-for-bit in any engine (an RNG-based
+    * weighted sampler cannot), and — like [[hashSample]] /
+    * [[assignSplit]] — it is append-stable: a row's priority never
+    * changes, so corpus growth only displaces the tail of the sample.
+    *
+    * Contract: weights are positive longs < 2²³ (≈8.4M — char/token
+    * counts; rescale byte weights first). Rows with weight <= 0 are
+    * excluded (DLT requires positive weights); an overflowing weight
+    * raises rather than wrapping. Output: (idCol, weight, priority).
+    *
+    * Physical shape: map-only priority computation; the caller's
+    * ORDER BY priority LIMIT k compiles to TakeOrderedAndProject —
+    * per-partition top-k with a driver merge of k·partitions rows, no
+    * global sort shuffle. */
+  def prioritySample(docs: DataFrame, k: Int, weightCol: String,
+                     idCol: String = "doc_id", seed: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    val S = 1L << 40
+    val wMax = 1L << 23
+    docs.select(col(idCol), col(weightCol).cast("long").as("weight"))
+      .where(col("weight") > 0)
+      .withColumn("weight",
+        when(col("weight") >= wMax, raise_error(concat(
+          lit(s"prioritySample weight overflow (>= $wMax): "),
+          col("weight").cast("string")))).otherwise(col("weight")))
+      .withColumn("_u", pmod(graft.operators.Dedup.md5Long(
+        concat(lit(s"ps:$seed:"), col(idCol).cast("string"))),
+        lit(S)) + lit(1L))
+      .withColumn("priority", expr(s"(weight * ${S}L) div _u"))
+      .drop("_u")
+      .orderBy(desc("priority"), col(idCol))
+      .limit(k)
+  }
+
   /** md5-derived bucket in [0, 1e6) — the shared keep-test hash. */
   private def hashBucket(key: Column, seed: Int): Column =
     pmod(conv(substring(md5(

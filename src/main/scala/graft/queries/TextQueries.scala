@@ -84,6 +84,13 @@ object TextQueries {
       TextAnalysis.decontaminate(train, test, n = 4).orderBy("doc_id")
     }),
 
+    // Q85: Duffield–Lund–Thorup priority sampling — deterministic
+    // weighted top-k by exact integer priorities (weight = n_chars).
+    "q85_priority_sample" -> ((s, d) =>
+      TextAnalysis.prioritySample(par(Tables.documents(s, d)), k = 100,
+          weightCol = "n_chars")
+        .orderBy(desc("priority"), col("doc_id"))),
+
     // Q84: graded contamination — q53's gram overlap as a per-doc RATIO
     // over EVERY train doc, with the integer-exact >=10% dirty flag
     // (one leaked gram no longer condemns a long document).
@@ -373,6 +380,18 @@ object TextQueries {
         |FROM g JOIN test USING (gk)
         |WHERE g.doc_id % 97 <> 0
         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+
+    // q85: the DLT priority draw replayed verbatim — md5-uniform u,
+    // floor-divided integer priority, top-100.
+    "q85_priority_sample" ->
+      """WITH p AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |    (CAST(concat('0x', substr(md5('ps:0:' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+        |      % 1099511627776) + 1 AS u
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, weight,
+        |  (weight * 1099511627776) // u AS priority
+        |FROM p ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
 
     // q84: the q53 gram chain, kept as a per-doc ratio over ALL train
     // docs; dirty = integer compare n_hit*100 >= 10*n_grams.

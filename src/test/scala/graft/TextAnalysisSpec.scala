@@ -322,6 +322,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L)._2 == "<EMAIL> <EMAIL>" && got(4L)._3 == 2)
   }
 
+  test("prioritySample: JVM-replayed priorities, weight monotonicity, " +
+    "append stability, overflow guard") {
+    def md5Long(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(7).map(b => f"$b%02x").mkString, 16)
+    }
+    val S = 1L << 40
+    def expectPriority(id: Long, w: Long): Long = {
+      val u = java.lang.Math.floorMod(md5Long(s"ps:0:$id"), S) + 1L
+      (w * S) / u
+    }
+    val docs = (0 until 500).map(i => (i.toLong, 10L + i % 90))
+      .toDF("doc_id", "w")
+    val got = TextAnalysis.prioritySample(docs, k = 20, weightCol = "w")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.size == 20)
+    // every sampled row's priority matches the independent JVM replay,
+    // and the sample IS the global top-20 of the replayed priorities
+    got.foreach { case (id, w, p) => assert(p == expectPriority(id, w)) }
+    val all = (0 until 500).map(i =>
+      (i.toLong, expectPriority(i.toLong, 10L + i % 90)))
+    val expTop = all.sortBy { case (id, p) => (-p, id) }.take(20)
+    assert(got.map(r => (r._1, r._3)) == expTop)
+    // appending rows never changes surviving rows' priorities (stability)
+    val grown = docs.unionByName(
+      Seq((9000L, 89L), (9001L, 89L)).toDF("doc_id", "w"))
+    val got2 = TextAnalysis.prioritySample(grown, k = 20, weightCol = "w")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    got.foreach { case (id, _, p) =>
+      assert(!got2.contains(id) || got2(id) == p) }
+    // zero/negative weights are excluded; oversize weights raise
+    val zeroW = Seq((1L, 0L), (2L, -5L), (3L, 4L)).toDF("doc_id", "w")
+    assert(TextAnalysis.prioritySample(zeroW, k = 5, weightCol = "w")
+      .select("doc_id").as[Long].collect().toSeq == Seq(3L))
+    val big = Seq((1L, 1L << 23)).toDF("doc_id", "w")
+    intercept[Exception] {
+      TextAnalysis.prioritySample(big, k = 1, weightCol = "w").collect()
+    }
+  }
+
   test("stratifiedSample honors per-stratum rates") {
     val docs = (0 until 3000).map(i =>
       (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr",
