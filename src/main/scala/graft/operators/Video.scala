@@ -153,15 +153,33 @@ object Video {
       (w, h, fs.map(_._2))
     }
 
-  /** [[decodeAviLuma]] restricted to every `frameStep`-th frame: the
-    * chunk walker SKIPS non-sampled `00db` chunks (position advance, no
-    * materialization, no luma conversion), so per-payload work and
-    * memory scale with nFrames/frameStep — the cost a real-video
-    * pipeline prices sampling at, not just a post-decode filter.
-    * Returns (frame index, top-down luma grid) pairs in movi order. */
+  /** [[decodeAviLuma]] restricted to every `frameStep`-th frame.
+    * Returns (frame index, top-down luma grid) pairs in movi order.
+    *
+    * When the file carries a well-formed `idx1` index and `frameStep > 1`,
+    * the decoder SEEKS: it reads the bounded header LISTs + the 16-byte
+    * idx1 entries, then jumps straight to each sampled `00db` chunk —
+    * per-payload work is O(headers + nFrames/frameStep · frameBytes),
+    * never touching skipped chunks AT ALL (the chunk-walking fallback
+    * still advances over every chunk header, which is O(nFrames) seeks —
+    * marginal on 6-frame fixtures, decisive on 10⁴-frame files). Both
+    * idx1 offset conventions (movi-fourcc-relative and absolute) are
+    * detected by validating the first entry. Any idx1 irregularity falls
+    * back to the strict walker; note the contract asymmetry that seeking
+    * buys: the indexed path validates the chunks it DECODES, so damage
+    * confined to skipped chunks no longer fails the payload. */
   def decodeAviLumaSampled(bytes: Array[Byte], frameStep: Int)
       : Option[(Int, Int, Vector[(Int, Array[Long])])] = {
     require(frameStep >= 1, s"frameStep must be >= 1, got $frameStep")
+    if (frameStep > 1) decodeAviLumaIndexed(bytes, frameStep)
+      .orElse(walkDecode(bytes, frameStep))
+    else walkDecode(bytes, frameStep)
+  }
+
+  /** The strict full chunk walk behind [[decodeAviLumaSampled]] — reads
+    * every chunk header, validates every frame's size. */
+  private def walkDecode(bytes: Array[Byte], frameStep: Int)
+      : Option[(Int, Int, Vector[(Int, Array[Long])])] = {
     try {
       if (bytes.length < 12) return None
       val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -175,24 +193,6 @@ object Video {
       var w = 0; var h = 0
       var frames = Vector.newBuilder[(Int, Array[Long])]
       var nFrames = 0
-      def lumaOfDib(dib: Array[Byte]): Array[Long] = {
-        val st = stride(w)
-        val luma = new Array[Long](w * h)
-        var y = 0
-        while (y < h) {
-          val row = (h - 1 - y) * st // bottom-up storage, top-down output
-          var x = 0
-          while (x < w) {
-            val b = dib(row + 3 * x) & 0xff
-            val g = dib(row + 3 * x + 1) & 0xff
-            val r = dib(row + 3 * x + 2) & 0xff
-            luma(y * w + x) = 299L * r + 587L * g + 114L * b
-            x += 1
-          }
-          y += 1
-        }
-        luma
-      }
       // depth-first chunk walk over LIST containers
       def walk(limit: Int): Boolean = { // false = abort (malformed)
         while (bb.position() + 8 <= limit) {
@@ -223,7 +223,7 @@ object Video {
               if (nFrames % frameStep == 0) {
                 val dib = new Array[Byte](size)
                 bb.get(dib)
-                frames += ((nFrames, lumaOfDib(dib)))
+                frames += ((nFrames, lumaOfDib(dib, w, h)))
               } // else: skip — the end-position seek below advances past
               nFrames += 1
             case _ => () // avih/strh/idx1/JUNK/...: skip
@@ -235,6 +235,115 @@ object Video {
       if (!walk(bytes.length)) return None
       if (w <= 0 || h <= 0 || nFrames == 0) None
       else Some((w, h, frames.result()))
+    } catch { case _: Throwable => None }
+  }
+
+  /** Bottom-up 24-bit BGR DIB rows → top-down ×1000 Rec.601 luma grid. */
+  private def lumaOfDib(dib: Array[Byte], w: Int, h: Int): Array[Long] = {
+    val st = stride(w)
+    val luma = new Array[Long](w * h)
+    var y = 0
+    while (y < h) {
+      val row = (h - 1 - y) * st // bottom-up storage, top-down output
+      var x = 0
+      while (x < w) {
+        val b = dib(row + 3 * x) & 0xff
+        val g = dib(row + 3 * x + 1) & 0xff
+        val r = dib(row + 3 * x + 2) & 0xff
+        luma(y * w + x) = 299L * r + 587L * g + 114L * b
+        x += 1
+      }
+      y += 1
+    }
+    luma
+  }
+
+  /** idx1-seek decode: bounded header scan (descends hdrl, HOPS OVER the
+    * movi LIST in one position advance), idx1 entry read, then a direct
+    * seek to each SAMPLED `00db` chunk. None whenever the index cannot be
+    * validated — no movi/idx1/strf, zero `00db` entries, or the first
+    * entry resolving to a well-formed chunk under neither the
+    * movi-relative nor the absolute offset convention — and the caller
+    * falls back to the strict walker. */
+  private def decodeAviLumaIndexed(bytes: Array[Byte], frameStep: Int)
+      : Option[(Int, Int, Vector[(Int, Array[Long])])] = {
+    try {
+      if (bytes.length < 12) return None
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+      }
+      if (tag() != "RIFF") return None
+      bb.getInt
+      if (tag() != "AVI ") return None
+      var w = 0; var h = 0
+      var moviFourccPos = -1 // position of the 'movi' fourcc itself
+      var idxPos = -1; var idxSize = 0
+      def scan(limit: Int): Boolean = {
+        while (bb.position() + 8 <= limit) {
+          val id = tag()
+          val size = bb.getInt
+          if (size < 0 || bb.position() + size > limit) return false
+          val end = bb.position() + size
+          id match {
+            case "LIST" =>
+              if (size < 4) return false
+              val at = bb.position()
+              if (tag() == "movi") moviFourccPos = at
+              else if (!scan(end)) return false // hdrl/strl: descend
+            case "strf" =>
+              if (size < 40) return false
+              bb.getInt
+              val bw = bb.getInt; val bh = bb.getInt
+              val planes = bb.getShort; val bpp = bb.getShort
+              val compression = bb.getInt
+              if (bw <= 0 || bh <= 0 || planes != 1 || bpp != 24 ||
+                compression != 0) return false
+              w = bw; h = bh
+            case "idx1" =>
+              idxPos = bb.position(); idxSize = size
+            case _ => ()
+          }
+          bb.position(end + (size & 1))
+        }
+        true
+      }
+      if (!scan(bytes.length)) return None
+      if (w <= 0 || h <= 0 || moviFourccPos < 0 || idxPos < 0 ||
+        idxSize < 16) return None
+      // collect the 00db entries' declared offsets
+      val entries = Vector.newBuilder[Int]
+      var p = idxPos
+      while (p + 16 <= idxPos + idxSize) {
+        bb.position(p)
+        if (tag() == "00db") entries += bb.getInt(p + 8)
+        p += 16
+      }
+      val offs = entries.result()
+      if (offs.isEmpty) return None
+      val frameBytes = stride(w) * h
+      // a chunk header at `pos` that reads ('00db', frameBytes) in bounds
+      def validAt(pos: Long): Boolean =
+        pos >= 0 && pos + 8 + frameBytes <= bytes.length && {
+          bb.position(pos.toInt)
+          tag() == "00db" && bb.getInt == frameBytes
+        }
+      // offset convention: movi-fourcc-relative (common) vs absolute
+      val base: Long =
+        if (validAt(moviFourccPos.toLong + offs.head)) moviFourccPos.toLong
+        else if (validAt(offs.head.toLong)) 0L
+        else return None
+      val frames = Vector.newBuilder[(Int, Array[Long])]
+      var i = 0
+      while (i < offs.length) { // straight to each sampled index
+        if (!validAt(base + offs(i))) return None
+        val dib = new Array[Byte](frameBytes)
+        bb.get(dib)
+        frames += ((i, lumaOfDib(dib, w, h)))
+        i += frameStep
+      }
+      Some((w, h, frames.result()))
     } catch { case _: Throwable => None }
   }
 

@@ -133,6 +133,65 @@ class VideoSpec extends SparkSpec {
     }
   }
 
+  test("idx1 seek: agrees with the walker, never touches skipped chunks, " +
+    "falls back on a broken index, handles absolute offsets") {
+    def occurrences(bytes: Array[Byte], s: String): Seq[Int] = {
+      val t = s.getBytes("US-ASCII")
+      bytes.indices.filter(i => i + 4 <= bytes.length &&
+        t.indices.forall(j => bytes(i + j) == t(j)))
+    }
+    for (nf <- Seq(6, 7); step <- Seq(2, 3)) {
+      val bytes = aviFor(4, 2, nf)
+      val sampled = Video.decodeAviLumaSampled(bytes, step)
+      // ground truth: full decode, then post-filter
+      val Some((w, h, all)) = Video.decodeAviLuma(bytes)
+      assert(sampled.isDefined)
+      val (sw, sh, sfs) = sampled.get
+      assert((sw, sh) == ((w, h)))
+      assert(sfs.map(_._1) == (0 until nf by step).toVector)
+      sfs.foreach { case (i, luma) => assert(luma.sameElements(all(i))) }
+    }
+    // corrupt a SKIPPED frame's chunk header so the strict walker aborts:
+    // the indexed path must still decode (it seeks past without reading)
+    val bytes = aviFor(4, 2, 6)
+    val clean = Video.decodeAviLumaSampled(bytes, 2).get
+    val frame1Hdr = occurrences(bytes, "00db")(1) // second frame chunk
+    val broken = bytes.clone()
+    java.nio.ByteBuffer.wrap(broken)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(frame1Hdr + 4, Int.MaxValue) // size overruns the buffer
+    assert(Video.decodeAviLuma(broken).isEmpty) // walker: malformed
+    val viaIndex = Video.decodeAviLumaSampled(broken, 2)
+    assert(viaIndex.isDefined) // seek: damage confined to a skipped chunk
+    assert(viaIndex.get._3.map(_._1) == clean._3.map(_._1))
+    viaIndex.get._3.zip(clean._3).foreach { case ((_, a), (_, b)) =>
+      assert(a.sameElements(b)) }
+    // break the idx1 FIRST entry: neither offset convention validates,
+    // the decoder falls back to the walker and output is unchanged
+    val badIdx = bytes.clone()
+    val idxAt = occurrences(bytes, "idx1").head
+    java.nio.ByteBuffer.wrap(badIdx)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(idxAt + 8 + 8, 12345) // first entry's offset field
+    val viaWalk = Video.decodeAviLumaSampled(badIdx, 2).get
+    assert(viaWalk._3.map(_._1) == clean._3.map(_._1))
+    viaWalk._3.zip(clean._3).foreach { case ((_, a), (_, b)) =>
+      assert(a.sameElements(b)) }
+    // absolute-offset convention: rewrite every entry to a file offset
+    val absIdx = bytes.clone()
+    val abb = java.nio.ByteBuffer.wrap(absIdx)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val moviAt = occurrences(bytes, "movi").head
+    for (e <- 0 until 6) {
+      val off = abb.getInt(idxAt + 8 + 16 * e + 8)
+      abb.putInt(idxAt + 8 + 16 * e + 8, off + moviAt)
+    }
+    val viaAbs = Video.decodeAviLumaSampled(absIdx, 2).get
+    assert(viaAbs._3.map(_._1) == clean._3.map(_._1))
+    viaAbs._3.zip(clean._3).foreach { case ((_, a), (_, b)) =>
+      assert(a.sameElements(b)) }
+  }
+
   test("temporal-majority fingerprint: strict majority of sampled frames, " +
     "bit by bit") {
     val bytes = aviFor(9, 3)
