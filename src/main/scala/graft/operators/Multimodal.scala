@@ -352,6 +352,43 @@ object Multimodal {
       .toDF("media_id", "ky", "kx", "v")
   }
 
+  /** [[resizedLuma]] emitting the whole target grid as ONE row per image
+    * (row-major ky·outW + kx; −1 marks cells upscaling left uncovered —
+    * means are always non-negative, so the sentinel is unambiguous).
+    * This is the bulk-pipeline shape: map-only end to end — no per-cell
+    * row fan-out, no exchange at all — where [[resizedLuma]]'s 64
+    * rows/image exist to be cell-addressable (and to feed the per-cell
+    * oracle). Identical arithmetic; a pivot of one is the other. */
+  def resizedLumaGrid(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1,
+      s"resize target must be positive, got ${outW}x$outH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeLumaGrid(payload).map { case (w, h, luma) =>
+          val sums = new Array[Long](outH * outW)
+          val counts = new Array[Long](outH * outW)
+          var y = 0
+          while (y < h) {
+            val ky = y * outH / h
+            var x = 0
+            while (x < w) {
+              val kx = x * outW / w
+              sums(ky * outW + kx) += luma(y * w + x)
+              counts(ky * outW + kx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          (id, Array.tabulate(outH * outW)(c =>
+            if (counts(c) > 0) sums(c) / counts(c) else -1L).toSeq)
+        }
+      })
+      .toDF("media_id", "grid")
+  }
+
   /** Bulk perceptual hashing: (media_id, payload) -> (_id, simhash), one
     * decode per row at the codec boundary (mapPartitions — the justified
     * imperative island, same plan shape as [[decodeAndFeaturize]]);

@@ -231,7 +231,17 @@ object ExtQueries {
     "q77_image_resize" -> ((s, d) =>
       Multimodal.resizedLuma(DedupQueries.mediaFrame(s, d),
           outW = 8, outH = 8)
-        .orderBy("media_id", "ky", "kx"))
+        .orderBy("media_id", "ky", "kx")),
+
+    // Q77b: the same resize as ONE row per image — the grid serialized
+    // row-major into a canonical string (map-only, no 64× row fan-out;
+    // the deployment shape when cells aren't individually addressed).
+    "q77b_image_resize_grid" -> ((s, d) =>
+      Multimodal.resizedLumaGrid(DedupQueries.mediaFrame(s, d),
+          outW = 8, outH = 8)
+        .select(col("media_id"), concat_ws(",",
+          transform(col("grid"), v => v.cast("string"))).as("grid"))
+        .orderBy("media_id"))
   ) ++ sqlSurface
 
   private lazy val sqlSurface: Map[String, (SparkSession, String) => DataFrame] =
@@ -927,6 +937,22 @@ object ExtQueries {
         |  CAST(x // 4 AS INTEGER) AS kx,
         |  CAST((1000 * sum(v)) // 16 AS BIGINT) AS v
         |FROM px GROUP BY id, y // 4, x // 4
-        |ORDER BY media_id, ky, kx""".stripMargin
+        |ORDER BY media_id, ky, kx""".stripMargin,
+
+    // q77b: same cells, serialized row-major per image.
+    "q77b_image_resize_grid" ->
+      """WITH px AS (
+        |  SELECT doc_id AS id, x.range AS x, y.range AS y,
+        |    (3 * x.range + 5 * y.range + 7 * (doc_id % 25)
+        |      + x.range * y.range
+        |      + CASE WHEN x.range < 2 THEN (doc_id // 25) % 7 ELSE 0 END)
+        |      % 256 AS v
+        |  FROM documents, range(0, 32) x, range(0, 32) y),
+        |cells AS (SELECT id, y // 4 AS ky, x // 4 AS kx,
+        |    CAST((1000 * sum(v)) // 16 AS BIGINT) AS v
+        |  FROM px GROUP BY id, y // 4, x // 4)
+        |SELECT id AS media_id,
+        |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY ky, kx) AS grid
+        |FROM cells GROUP BY id ORDER BY media_id""".stripMargin
   )
 }

@@ -231,4 +231,25 @@ class MultimodalSpec extends SparkSpec {
       Set((0, 0), (0, 2), (2, 0), (2, 2)))
     assert(up.forall(_._4 == 100000L)) // 1000 x luma of a flat gray
   }
+
+  test("resizedLumaGrid: a pivot of resizedLuma — same cells row-major, " +
+    "-1 sentinels exactly on uncovered cells, droppers drop") {
+    val w = 10; val h = 6
+    val px = Array.tabulate(w * h)(i => (11 * i + 5) % 256)
+    val body = px.flatMap(v => Array(v.toByte, v.toByte, v.toByte))
+    val ppm = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ body
+    val tiny = "P6\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array.fill(12)(100.toByte)
+    val media = Seq((1L, ppm), (2L, "garbage".getBytes("UTF-8")),
+      (3L, tiny)).toDF("media_id", "payload")
+    val grids = Multimodal.resizedLumaGrid(media, 5, 5)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(grids.keySet == Set(1L, 3L)) // garbage dropped
+    val cells = Multimodal.resizedLuma(media, 5, 5)
+      .as[(Long, Int, Int, Long)].collect()
+      .map { case (id, ky, kx, v) => (id, ky * 5 + kx) -> v }.toMap
+    for (id <- Seq(1L, 3L); c <- 0 until 25)
+      assert(grids(id)(c) == cells.getOrElse((id, c), -1L),
+        s"id $id cell $c")
+  }
 }
