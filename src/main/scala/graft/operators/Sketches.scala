@@ -46,6 +46,67 @@ object Sketches {
       .select(col(groupCol), col("n_kept"), col("estimate"))
   }
 
+  /** HyperLogLog registers per group (Flajolet et al. 2007),
+    * deterministic: every value hashes to the shared 56-bit md5 key; the
+    * top `p` bits pick one of m = 2ᵖ registers, and each register keeps
+    * the MAX of rank = (leading zeros of the remaining 56−p bits) + 1.
+    * Unlike Spark's own `approx_count_distinct` (HLL++, implementation-
+    * defined), these registers replay in any engine that can md5.
+    *
+    * Scale shape: ONE aggregation keyed by (group, bucket) with map-side
+    * max combine — each partition collapses to ≤ m rows per group before
+    * anything shuffles, and the output is bounded by m rows per group
+    * regardless of corpus size. Merge across corpora/batches =
+    * unionByName + the same max (the standard HLL merge, which the spec
+    * asserts exactly). Output: (group, bucket, register), occupied
+    * buckets only. */
+  def hllRegisters(df: DataFrame, groupCol: String, value: Column,
+                   p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val rem = 56 - p
+    val hv = Dedup.md5Long(value)
+    // rank via the binary-string bit length — identical in DuckDB
+    // (bin() emits no leading zeros in either engine; low = 0 has no set
+    // bit and takes the max rank rem+1)
+    df.where(value.isNotNull)
+      .select(col(groupCol), shiftright(hv, rem).as("bucket"),
+        pmod(hv, lit(1L << rem)).as("_low"))
+      .select(col(groupCol), col("bucket"),
+        when(col("_low") === 0L, lit(rem + 1))
+          .otherwise(lit(rem + 1) - length(bin(col("_low"))))
+          .as("_rank"))
+      .groupBy(groupCol, "bucket")
+      .agg(max("_rank").as("register"))
+  }
+
+  /** Raw-estimator readout of [[hllRegisters]]: per group, the occupied-
+    * register count, the EXACT integer indicator sum S = Σⱼ 2^(rem+1−Mⱼ)
+    * (empty registers contribute 2^(rem+1); S < m·2^(rem+1) ≤ 2⁶⁵⁻ᵖ fits
+    * a long), and estimate = α_m · m² · 2^(rem+1) / S. Every float op is
+    * a product/quotient of exactly-representable values in BOTH engines,
+    * so the estimate hashes identically — which is why this is the RAW
+    * estimator only: the small-range correction needs ln(), whose last
+    * ulp is libm-specific, and that regime (n ≲ 2.5·m) is [[kmvDistinct]]'s
+    * domain anyway. `p` must match the build call. */
+  def hllEstimate(registers: DataFrame, groupCol: String,
+                  p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val rem = 56 - p
+    val scale = 1L << (rem + 1)
+    registers.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_occupied"),
+        sum(expr(s"shiftright(${scale}L, register)")).as("_s_occ"))
+      .withColumn("s_scaled",
+        col("_s_occ") + (lit(m.toLong) - col("n_occupied")) * lit(scale))
+      .withColumn("estimate",
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+          lit((m.toLong * m).toDouble) * lit(scale.toDouble) /
+          col("s_scaled").cast("double"))
+      .select(col(groupCol), col("n_occupied"), col("s_scaled"),
+        col("estimate"))
+  }
+
   /** The shared md5/affine position family of [[countMin]] and
     * [[bloomBits]]: n positions of the 56-bit key `hv` modulo `modulus`.
     * Build and probe MUST stay bit-identical — this helper makes that

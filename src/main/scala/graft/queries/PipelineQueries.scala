@@ -115,6 +115,27 @@ object PipelineQueries {
         .withColumn("estimate", r4(col("estimate")))
         .orderBy("lang")),
 
+    // Q86: HyperLogLog distinct-token profile per language — the
+    // register sketch beside q64's KMV (HLL is the merge-anywhere shape
+    // a 100 TB profile ships: 256 registers per group, map-side max).
+    // Exact integer indicator sum + an ln-free raw estimate replayed
+    // bit-for-bit, with the true distinct count beside it.
+    "q86_hll_distinct" -> ((s, d) => {
+      // localCheckpoint: the token explode feeds the registers AND the
+      // exact-distinct audit column
+      val toks = par(Tables.documents(s, d))
+        .select(col("lang"),
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+        .localCheckpoint(true)
+      val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(toks, "lang", col("w")), "lang")
+      val exact = toks.groupBy("lang")
+        .agg(count_distinct(col("w")).as("exact_distinct"))
+      est.join(exact, "lang")
+        .withColumn("estimate", r4(col("estimate")))
+        .orderBy("lang")
+    }),
+
     // Q76: count-min heavy-hitter audit — build the (4 × 1024)-cell CMS
     // over every token occurrence in the corpus, then point-query it for
     // the 20 most frequent tokens and report estimate beside truth (the
@@ -584,6 +605,33 @@ object PipelineQueries {
         |         % 1000000 < 900000 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q86: bucket = top 8 bits of the 56-bit key, rank = leading zeros
+    // of the low 48 bits + 1 (via binary-string bit length — bin() emits
+    // no leading zeros in either engine), registers = per-bucket max,
+    // S = Σ 2^(49−M) with empty registers at 2^49, estimate ln-free.
+    "q86_hll_distinct" ->
+      s"""WITH tk AS MATERIALIZED (SELECT lang,
+        |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        |  FROM documents),
+        |hv AS (SELECT lang, ${key56("w")} AS h FROM tk),
+        |rg AS (SELECT lang, h // 281474976710656 AS bucket,
+        |    max(CASE WHEN h % 281474976710656 = 0 THEN 49
+        |      ELSE 49 - length(ltrim(bin(h % 281474976710656), '0'))
+        |      END) AS register
+        |  FROM hv GROUP BY lang, h // 281474976710656),
+        |ag AS (SELECT lang, count(*) AS n_occupied,
+        |    sum(562949953421312 >> register) AS s_occ
+        |  FROM rg GROUP BY lang),
+        |sc AS (SELECT lang, n_occupied, CAST(s_occ
+        |    + (256 - n_occupied) * 562949953421312 AS BIGINT) AS s_scaled
+        |  FROM ag),
+        |ex AS (SELECT lang, count(DISTINCT w) AS exact_distinct FROM tk
+        |  GROUP BY lang)
+        |SELECT s.lang, s.n_occupied, s.s_scaled,
+        |  ${r4sql("0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 562949953421312.0 / CAST(s.s_scaled AS DOUBLE)")} AS estimate,
+        |  e.exact_distinct
+        |FROM sc s JOIN ex e USING (lang) ORDER BY lang""".stripMargin,
 
     "q64_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT lang, ${key56("text")} AS hv

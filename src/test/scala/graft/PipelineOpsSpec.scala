@@ -373,6 +373,52 @@ class PipelineOpsSpec extends SparkSpec {
     assert(noDup == got)
   }
 
+  test("hllRegisters/hllEstimate: JVM-replayed registers, duplicate " +
+    "insensitivity, the exact merge identity, estimator error band") {
+    import graft.operators.Sketches
+    val values = (0 until 5000).map(i => ("g", s"item-$i"))
+    val df = values.toDF("lang", "text")
+    val regs = Sketches.hllRegisters(df, "lang", col("text"))
+      .as[(String, Long, Int)].collect()
+      .map { case (_, b, r) => b -> r }.toMap
+    // independent JVM replay of every register
+    val expected = scala.collection.mutable.Map.empty[Long, Int]
+    values.foreach { case (_, v) =>
+      val h = md5Long(v)
+      val bucket = h >> 48
+      val low = h & ((1L << 48) - 1)
+      val rank =
+        if (low == 0) 49 else 49 - (64 - java.lang.Long.numberOfLeadingZeros(low))
+      expected(bucket) = math.max(expected.getOrElse(bucket, 0), rank)
+    }
+    assert(regs == expected.toMap)
+    // duplicates cannot move a register (max of a set)
+    val dup = (values ++ values.take(700)).toDF("lang", "text")
+    val regsDup = Sketches.hllRegisters(dup, "lang", col("text"))
+      .as[(String, Long, Int)].collect().map(r => r._2 -> r._3).toMap
+    assert(regsDup == regs)
+    // merge identity: max-merge of two halves' registers == whole build
+    val (h1, h2) = values.splitAt(2500)
+    val merged = Sketches.hllRegisters(h1.toDF("lang", "text"), "lang",
+        col("text"))
+      .unionByName(Sketches.hllRegisters(h2.toDF("lang", "text"), "lang",
+        col("text")))
+      .groupBy("lang", "bucket")
+      .agg(max("register").as("register"))
+      .as[(String, Long, Int)].collect().map(r => r._2 -> r._3).toMap
+    assert(merged == regs)
+    // raw-estimator accuracy: stderr ~ 1.04/sqrt(256) = 6.5%; allow 3σ
+    val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(df, "lang", col("text")), "lang")
+      .as[(String, Long, Long, Double)].collect().head
+    assert(math.abs(est._4 - 5000.0) / 5000.0 < 0.2, s"estimate ${est._4}")
+    // NULL values carry nothing
+    val withNull = (values :+ (("g", null: String))).toDF("lang", "text")
+    val regsNull = Sketches.hllRegisters(withNull, "lang", col("text"))
+      .as[(String, Long, Int)].collect().map(r => r._2 -> r._3).toMap
+    assert(regsNull == regs)
+  }
+
   test("partitioning invariance: bm25, LM scores, k-means and the KMV " +
     "sketch return identical results under different partitionings — " +
     "the quantized/integer arithmetic claim, exercised") {
