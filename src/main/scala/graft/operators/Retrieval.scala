@@ -48,6 +48,53 @@ object Retrieval {
         Dedup.md5Long(col("_term")).as("term_key"))
       .agg(count(lit(1)).as("tf"))
 
+  /** POSITIONAL postings: one row per token occurrence —
+    * (doc_id, term_key, pos), pos 0-based. The index shape phrase and
+    * proximity queries need ([[phraseSearch]]); rows are 24 B regardless
+    * of token width, the same travel-as-keys discipline as [[postings]]. */
+  def positionalPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(toks(col("text"))).as(Seq("pos", "_term")))
+      .select(col("doc_id"), Dedup.md5Long(col("_term")).as("term_key"),
+        col("pos").cast("long").as("pos"))
+
+  /** Exact phrase search over [[positionalPostings]]: top-`k` documents
+    * per phrase by occurrence count. `phrases` is a small
+    * (phrase_id, ptext) frame.
+    *
+    * The classic positional-list merge, done set-wise: each phrase slot i
+    * joins the postings on its term key, every match votes for the
+    * aligned start position pos − i, and a start that collects ALL n
+    * slots is one occurrence (per (doc, start) a slot can match at most
+    * once, so the votes are distinct by construction — repeated phrase
+    * tokens included). No per-pair self-join chain, no window over the
+    * corpus: one selective equi-join (only the phrase terms' posting
+    * lists ever move — the phrase-term frame broadcasts), ONE aggregation
+    * keyed by (phrase, doc, start), then the salted two-phase rank.
+    * Output: (phrase_id, doc_id, n_occurrences, rank). */
+  def phraseSearch(post: DataFrame, phrases: DataFrame, k: Int,
+                   broadcastPhrases: Boolean = true): DataFrame = {
+    val pterms = phrases.select(col("phrase_id"),
+        posexplode(toks(col("ptext"))).as(Seq("slot", "_t")))
+      .select(col("phrase_id"), col("slot").cast("long").as("slot"),
+        Dedup.md5Long(col("_t")).as("term_key"))
+    val plen = pterms.groupBy("phrase_id")
+      .agg(count(lit(1)).as("n_terms"))
+    val pt = if (broadcastPhrases) broadcast(pterms) else pterms
+    val pl = if (broadcastPhrases) broadcast(plen) else plen
+    val occ = post.join(pt, "term_key")
+      .select(col("phrase_id"), col("doc_id"),
+        (col("pos") - col("slot")).as("_start"))
+      .groupBy("phrase_id", "doc_id", "_start")
+      .agg(count(lit(1)).as("_slots"))
+      .join(pl, "phrase_id")
+      .where(col("_slots") === col("n_terms"))
+      .groupBy("phrase_id", "doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+    TopK.perKeySalted(occ, "phrase_id",
+      Seq(col("n_occurrences").desc, col("doc_id")), k)
+  }
+
   /** BM25 top-`k` per query, one-shot form: builds the postings frame,
     * searches it, frees it. `queries` is a small (query_id, qtext) frame
     * (it broadcasts; repeated terms within one query count once — the

@@ -24,6 +24,21 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Q87: exact phrase search over positional postings — set-wise
+    // positional-list merge (slot-aligned start votes, one aggregation),
+    // top-10 docs per phrase by occurrence count. Phrase 3 repeats a
+    // token ("table table") to witness the repeated-slot handling.
+    "q87_phrase_search" -> ((s, d) => {
+      import s.implicits._
+      val phrases = Seq((1L, "table hash"), (2L, "slow hash batch"),
+        (3L, "table table")).toDF("phrase_id", "ptext")
+      val post = Retrieval.positionalPostings(par(Tables.documents(s, d)))
+      Retrieval.phraseSearch(post, phrases, 10)
+        .select(col("phrase_id"), col("rank"), col("doc_id"),
+          col("n_occurrences"))
+        .orderBy("phrase_id", "rank")
+    }),
+
     // Q59: hybrid retrieval — BM25 more-like-this (query = docs 0..2) and
     // exact vector kNN (query = embeddings 0..2) fused by reciprocal-rank
     // fusion. Both rankings at k=20, fused top-10.
@@ -362,6 +377,34 @@ object PipelineQueries {
         |SELECT query_id, rank, doc_id,
         |  CAST(score_q AS DOUBLE) / 1000000.0 AS score
         |FROM bm WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // q87: per-phrase array scan — every start position whose aligned
+    // tokens all match counts one occurrence (overlaps included), then
+    // rank by count.
+    "q87_phrase_search" ->
+      """WITH tk AS MATERIALIZED (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |occ AS (
+        |  SELECT 1 AS phrase_id, doc_id, count(*) AS n_occurrences
+        |  FROM tk, UNNEST(range(1, len(t))) AS u(i)
+        |  WHERE t[i] = 'table' AND t[i+1] = 'hash' GROUP BY doc_id
+        |  UNION ALL
+        |  SELECT 2, doc_id, count(*)
+        |  FROM tk, UNNEST(range(1, len(t) - 1)) AS u(i)
+        |  WHERE t[i] = 'slow' AND t[i+1] = 'hash' AND t[i+2] = 'batch'
+        |  GROUP BY doc_id
+        |  UNION ALL
+        |  SELECT 3, doc_id, count(*)
+        |  FROM tk, UNNEST(range(1, len(t))) AS u(i)
+        |  WHERE t[i] = 'table' AND t[i+1] = 'table' GROUP BY doc_id),
+        |rk AS (SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id,
+        |    CAST(n_occurrences AS BIGINT) AS n_occurrences,
+        |    CAST(row_number() OVER (PARTITION BY phrase_id
+        |      ORDER BY n_occurrences DESC, doc_id) AS INTEGER) AS rank
+        |  FROM occ)
+        |SELECT phrase_id, rank, doc_id, n_occurrences
+        |FROM rk WHERE rank <= 10 ORDER BY phrase_id, rank""".stripMargin,
 
     // q66: the oracle is persistence-blind — it rebuilds the identical
     // postings from the full corpus; the Spark side must reproduce them

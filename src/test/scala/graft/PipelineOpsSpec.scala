@@ -373,6 +373,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(noDup == got)
   }
 
+  test("phraseSearch: matches a naive scan — overlaps, repeated tokens, " +
+    "phrase longer than doc, no-match phrases") {
+    import graft.operators.Retrieval
+    val corpus = Seq(
+      (1L, "a b c a b c a b"),    // "a b c": starts 0, 3 -> 2; "a b": 3
+      (2L, "a a a a"),            // "a a": overlapping starts 0,1,2 -> 3
+      (3L, "c b a"),              // reversed: no "a b c"
+      (4L, "a b"))                // too short for the 3-gram
+      .toDF("doc_id", "text")
+    val phrases = Seq((1L, "a b c"), (2L, "a a"), (3L, "z q"))
+      .toDF("phrase_id", "ptext")
+    val post = Retrieval.positionalPostings(corpus)
+    val got = Retrieval.phraseSearch(post, phrases, 10)
+      .select("phrase_id", "doc_id", "n_occurrences", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 1L, 2L, 1), (2L, 2L, 3L, 1)))
+    // the shuffled-join fallback agrees
+    val shuffled = Retrieval.phraseSearch(post, phrases, 10,
+        broadcastPhrases = false)
+      .select("phrase_id", "doc_id", "n_occurrences", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(shuffled == got)
+  }
+
   test("hllRegisters/hllEstimate: JVM-replayed registers, duplicate " +
     "insensitivity, the exact merge identity, estimator error band") {
     import graft.operators.Sketches
