@@ -508,6 +508,72 @@ object StreamingIngest {
         .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
   }
 
+  /** Maintained streaming priority sample — the DLT weighted sample
+    * ([[graft.operators.TextAnalysis.prioritySample]]) kept fresh across
+    * micro-batches. Each batch commits its OWN top-k priority rows (a
+    * bounded ≤ k-row delta) under `batch=<id>` via the staged rename
+    * (the commit point: replayed ids no-op, crash litter is absorbed),
+    * and the live sample is the top-k of the union of deltas — EXACTLY
+    * the batch build over every ingested row, because per-row priorities
+    * are stateless hashes and top-k is a mergeable aggregation:
+    * topk(A ∪ B) = topk(topk(A) ∪ B) (the spec asserts the identity
+    * against the batch twin). The k·batches read-side union stays tiny;
+    * compact by rewriting the read-side top-k as a single delta when
+    * batch count grows unbounded. */
+  def streamingPrioritySample(stream: DataFrame, weightCol: String,
+                              samplePath: String, checkpoint: String,
+                              k: Int, idCol: String = "doc_id",
+                              seed: Int = 0): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processPriorityBatch(batch, batchId, samplePath, k, weightCol,
+          idCol, seed)
+      }
+      .start()
+
+  /** One priority-sample micro-batch (exposed for replay/crash tests). */
+  private[graft] def processPriorityBatch(batch: DataFrame, batchId: Long,
+                                          samplePath: String, k: Int,
+                                          weightCol: String, idCol: String,
+                                          seed: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(s"$samplePath/batch=$batchId")
+    val fs = dst.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(dst)) return // committed: replayed batch is a no-op
+    val stg = new Path(s"$samplePath/_staging/b$batchId")
+    fs.delete(stg, true)
+    graft.operators.TextAnalysis
+      .prioritySample(batch, k, weightCol, idCol, seed)
+      .coalesce(1) // <= k rows
+      .write.mode("overwrite").parquet(stg.toString)
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(stg, dst))
+      sys.error(s"sample commit rename failed: $stg -> $dst")
+  }
+
+  /** The live sample: top-k of the committed deltas. Empty (with the
+    * correct schema) before the first commit. */
+  def readPrioritySample(spark: org.apache.spark.sql.SparkSession,
+                         samplePath: String, k: Int,
+                         idCol: String = "doc_id"): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(samplePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasCommits = fs.exists(root) && fs.listStatus(root)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+    if (!hasCommits) {
+      // schema DERIVED from an empty prioritySample build (no jobs run)
+      import spark.implicits._
+      graft.operators.TextAnalysis.prioritySample(
+        Seq.empty[(Long, Long)].toDF(idCol, "_w"), k, "_w", idCol)
+    } else
+      spark.read.parquet(samplePath).drop("batch")
+        .orderBy(desc("priority"), col(idCol)).limit(k)
+  }
+
   /** Ingest-time duplicate guard for MEDIA payloads — the modality
     * counterpart of [[streamingNearDupGuard]]: drop (default) or keep
     * (`invert`) stream rows whose 56-bit perceptual fingerprint lands

@@ -554,6 +554,50 @@ class StreamingSpec extends SparkSpec {
     assert(est._2 >= trueCnt)
   }
 
+  test("streaming priority sample: delta top-k merges to the exact batch " +
+    "sample, replay no-ops, crash litter absorbed, empty before commit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("psample").toString
+    val samplePath = s"$dir/sample"
+    assert(StreamingIngest.readPrioritySample(spark, samplePath, 5)
+      .count() == 0)
+    val a = (0 until 300).map(i => (i.toLong, 5L + i % 40))
+    val b = (300 until 700).map(i => (i.toLong, 5L + i % 90))
+    val stream = MemoryStream[(Long, Long)]
+    val q = StreamingIngest.streamingPrioritySample(
+      stream.toDF().toDF("doc_id", "w"), "w", samplePath, s"$dir/ckpt",
+      k = 5)
+    try {
+      stream.addData(a: _*); q.processAllAvailable()
+      stream.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "weight", "priority")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val batchEquiv = TextAnalysis.prioritySample(
+      (a ++ b).toDF("doc_id", "w"), 5, "w")
+    val live = StreamingIngest.readPrioritySample(spark, samplePath, 5)
+    // mergeability: topk(A ∪ B) == topk(topk(A) ∪ topk(B)), exactly
+    assert(rows(live) == rows(batchEquiv))
+    // a replayed micro-batch (same id, different data) is a no-op
+    StreamingIngest.processPriorityBatch(
+      Seq((9999L, 9999L)).toDF("doc_id", "w"), 0L, samplePath, 5, "w",
+      "doc_id", 0)
+    assert(rows(StreamingIngest.readPrioritySample(spark, samplePath, 5))
+      == rows(batchEquiv))
+    // crash litter in staging is absorbed by the replacing commit
+    val litter = new java.io.File(s"$samplePath/_staging/b7/part-junk")
+    litter.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(litter.toPath, "partial")
+    val c = (700 until 800).map(i => (i.toLong, 200L + i % 50))
+    StreamingIngest.processPriorityBatch(
+      c.toDF("doc_id", "w"), 7L, samplePath, 5, "w", "doc_id", 0)
+    assert(rows(StreamingIngest.readPrioritySample(spark, samplePath, 5))
+      == rows(TextAnalysis.prioritySample(
+        (a ++ b ++ c).toDF("doc_id", "w"), 5, "w")))
+  }
+
   test("streaming fingerprint guard: media near-dups quarantine against " +
     "an ingested corpus, undecodable payloads are clean, no true " +
     "near-dup missed") {
