@@ -95,6 +95,46 @@ object Retrieval {
       Seq(col("n_occurrences").desc, col("doc_id")), k)
   }
 
+  /** Proximity search over [[positionalPostings]]: top-`k` documents per
+    * query by the number of position pairs where the query's two terms
+    * occur within `window` tokens of each other (|pa − pb| ≤ window).
+    * `queries` is a small (query_id, term_a, term_b) frame.
+    *
+    * The position-range join is done with the pigeonhole bucket trick
+    * rather than a per-doc cross product: positions bucket by
+    * ⌊pos/window⌋, the a-side emits each occurrence into its own bucket
+    * and both neighbors, and the b-side equi-joins on (query, doc,
+    * bucket) — any pair within `window` has buckets differing by at most
+    * 1, so the expanded equi-join is EXACT after the |pa − pb| ≤ window
+    * filter, while only bucket-mates ever pair (per-doc work is
+    * Σ bucket-occupancy², never positions² — the same banding discipline
+    * as the Hamming joins). Output: (query_id, doc_id, n_pairs, rank). */
+  def proximitySearch(post: DataFrame, queries: DataFrame, window: Int,
+                      k: Int, broadcastQueries: Boolean = true)
+      : DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    def side(termCol: String, posName: String) = {
+      val terms = queries.select(col("query_id"),
+        Dedup.md5Long(col(termCol)).as("term_key"))
+      val t = if (broadcastQueries) broadcast(terms) else terms
+      post.join(t, "term_key")
+        .select(col("query_id"), col("doc_id"), col("pos").as(posName))
+    }
+    val a = side("term_a", "pa")
+      .select(col("query_id"), col("doc_id"), col("pa"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("_nb"))
+      .select(col("query_id"), col("doc_id"), col("pa"),
+        (floor(col("pa") / window) + col("_nb")).as("_bkt"))
+    val b = side("term_b", "pb")
+      .withColumn("_bkt", floor(col("pb") / window))
+    val occ = a.join(b, Seq("query_id", "doc_id", "_bkt"))
+      .where(abs(col("pa") - col("pb")) <= window)
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_pairs"))
+    TopK.perKeySalted(occ, "query_id",
+      Seq(col("n_pairs").desc, col("doc_id")), k)
+  }
+
   /** BM25 top-`k` per query, one-shot form: builds the postings frame,
     * searches it, frees it. `queries` is a small (query_id, qtext) frame
     * (it broadcasts; repeated terms within one query count once — the

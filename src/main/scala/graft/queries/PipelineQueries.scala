@@ -39,6 +39,20 @@ object PipelineQueries {
         .orderBy("phrase_id", "rank")
     }),
 
+    // Q88: proximity search — docs where a term pair co-occurs within 3
+    // tokens, scored by qualifying position pairs. The range join runs
+    // as a pigeonhole bucket equi-join (Σ bucket², never positions²).
+    "q88_proximity_search" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq((1L, "table", "hash"), (2L, "spark", "window"),
+        (3L, "vector", "join")).toDF("query_id", "term_a", "term_b")
+      val post = Retrieval.positionalPostings(par(Tables.documents(s, d)))
+      Retrieval.proximitySearch(post, qs, window = 3, k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("n_pairs"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Q59: hybrid retrieval — BM25 more-like-this (query = docs 0..2) and
     // exact vector kNN (query = embeddings 0..2) fused by reciprocal-rank
     // fusion. Both rankings at k=20, fused top-10.
@@ -405,6 +419,37 @@ object PipelineQueries {
         |  FROM occ)
         |SELECT phrase_id, rank, doc_id, n_occurrences
         |FROM rk WHERE rank <= 10 ORDER BY phrase_id, rank""".stripMargin,
+
+    // q88: naive per-doc position cross product (the oracle can afford
+    // positions² per doc; the engine's bucket join replays it exactly).
+    "q88_proximity_search" ->
+      """WITH tk AS MATERIALIZED (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |pos AS MATERIALIZED (SELECT doc_id, i, t[i] AS w
+        |  FROM tk, UNNEST(range(1, len(t) + 1)) AS u(i)),
+        |occ AS (
+        |  SELECT 1 AS query_id, a.doc_id, count(*) AS n_pairs
+        |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+        |  WHERE a.w = 'table' AND b.w = 'hash' AND abs(a.i - b.i) <= 3
+        |  GROUP BY a.doc_id
+        |  UNION ALL
+        |  SELECT 2, a.doc_id, count(*)
+        |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+        |  WHERE a.w = 'spark' AND b.w = 'window' AND abs(a.i - b.i) <= 3
+        |  GROUP BY a.doc_id
+        |  UNION ALL
+        |  SELECT 3, a.doc_id, count(*)
+        |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+        |  WHERE a.w = 'vector' AND b.w = 'join' AND abs(a.i - b.i) <= 3
+        |  GROUP BY a.doc_id),
+        |rk AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |    CAST(n_pairs AS BIGINT) AS n_pairs,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY n_pairs DESC, doc_id) AS INTEGER) AS rank
+        |  FROM occ)
+        |SELECT query_id, rank, doc_id, n_pairs
+        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // q66: the oracle is persistence-blind — it rebuilds the identical
     // postings from the full corpus; the Spark side must reproduce them

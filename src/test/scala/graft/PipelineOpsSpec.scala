@@ -397,6 +397,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(shuffled == got)
   }
 
+  test("proximitySearch: bucket join equals the naive cross product — " +
+    "boundary distances, multiple occurrences, no-match") {
+    import graft.operators.Retrieval
+    // positions chosen to straddle bucket boundaries at window = 3:
+    // doc 1: a@0 b@3 (dist 3 = window, IN), a@0 b@4 would be out
+    val corpus = Seq(
+      (1L, "a x x b x x x x a b"), // a@0,8; b@3,9
+      (2L, "b a"),                 // adjacent, reversed order
+      (3L, "a x x x x b"))         // dist 5: out of window
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "a", "b")).toDF("query_id", "term_a", "term_b")
+    val post = Retrieval.positionalPostings(corpus)
+    val got = Retrieval.proximitySearch(post, qs, window = 3, k = 10)
+      .select("query_id", "doc_id", "n_pairs", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    // naive truth doc 1: pairs (0,3) d3 ✓, (0,9) d9 ✗, (8,3) d5 ✗,
+    // (8,9) d1 ✓ -> 2; doc 2: (1,0) d1 ✓ -> 1; doc 3: d5 ✗
+    assert(got == Set((1L, 1L, 2L, 1), (1L, 2L, 1L, 2)))
+    val shuffled = Retrieval.proximitySearch(post, qs, window = 3, k = 10,
+        broadcastQueries = false)
+      .select("query_id", "doc_id", "n_pairs", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(shuffled == got)
+  }
+
   test("hllRegisters/hllEstimate: JVM-replayed registers, duplicate " +
     "insensitivity, the exact merge identity, estimator error band") {
     import graft.operators.Sketches
