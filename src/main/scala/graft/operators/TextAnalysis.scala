@@ -96,6 +96,88 @@ object TextAnalysis {
     "c" -> "o", "co" -> "l",                      // co, col
     "p" -> "ar")                                  // par
 
+  /** BPE merge TRAINING (Sennrich et al. 2016) — learn the merge list
+    * [[bpeMergeTokenCount]] applies, instead of shipping one: start from
+    * per-character segmentations of the corpus's DISTINCT pretokens
+    * (weighted by occurrence count), and `nMerges` times (a) count every
+    * adjacent symbol pair, (b) take the argmax with the DETERMINISTIC
+    * (count DESC, pair lexicographic ASC) tiebreak, (c) apply the merge
+    * to every word left-to-right (overlapping occurrences consume
+    * greedily: "aaa" under (a,a) → [aa, a] — the reference-impl rule).
+    * Output: (step, lhs, rhs, pair_count), rank order — by construction
+    * a CREATION-ORDERED list, i.e. directly valid for
+    * [[bpeMergeTokenCount]].
+    *
+    * Scale shape: state is the distinct-pretoken frame (vocabulary-
+    * sized, NOT corpus-sized — the corpus is read once for the word
+    * counts); each round is ONE pair-count aggregation + a map-only
+    * fold apply, localCheckpointed so the plan stays bounded across
+    * rounds. Only the single argmax row ever reaches the driver per
+    * round — the k-means-centroid discipline. The apply is a pure
+    * column fold (exactly the left-to-right scan, no UDF). */
+  def bpeTrainMerges(docs: DataFrame, nMerges: Int,
+                     textCol: String = "text"): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // per-character split, matching the oracle's w[i] indexing exactly
+    var st = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("toks",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val best = st
+        .where(size(col("toks")) >= 2)
+        .select(col("c"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("l"),
+            element_at(col("toks"), cast_i(i)).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("c").as("cnt"))
+        .orderBy(desc("cnt"), col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val row = best.head
+        val (l, r) = (row.getString(0), row.getString(1))
+        learned += ((step, l, r, row.getLong(2)))
+        val lr = l + r
+        // left-to-right greedy replace of [l, r] with lr: a fold whose
+        // accumulator holds the emitted prefix and one pending symbol
+        val empty = array().cast("array<string>")
+        val applied = aggregate(col("toks"),
+          struct(empty.as("out"), lit(null).cast("string").as("pend")),
+          (acc, t) => {
+            val out = acc.getField("out"); val pend = acc.getField("pend")
+            when(pend.isNull, struct(out.as("out"), t.as("pend")))
+              .when(pend === lit(l) && t === lit(r),
+                struct(concat(out, array(lit(lr))).as("out"),
+                  lit(null).cast("string").as("pend")))
+              .otherwise(struct(concat(out, array(pend)).as("out"),
+                t.as("pend")))
+          },
+          acc => when(acc.getField("pend").isNull, acc.getField("out"))
+            .otherwise(concat(acc.getField("out"),
+              array(acc.getField("pend")))))
+        val next = st.withColumn("toks", applied).localCheckpoint(true)
+        org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(st)
+        st = next
+        step += 1
+      }
+    }
+    org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(st)
+    learned.toSeq.toDF("step", "lhs", "rhs", "pair_count")
+  }
+
+  // element_at with an (i+1) index inside a transform lambda — hoisted so
+  // the lambda above stays readable
+  private def cast_i(i: Column): Column = i + 1
+
   /** Merge-rank BPE token count ([[graft.functions.BpeMergeCountExpr]] —
     * compiled, map-only): the real tokenizer-application algorithm over
     * a shipped merge list, closing the gap [[bpeTokenCount]]'s greedy

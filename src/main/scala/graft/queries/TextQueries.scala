@@ -84,6 +84,16 @@ object TextQueries {
       TextAnalysis.decontaminate(train, test, n = 4).orderBy("doc_id")
     }),
 
+    // Q89: BPE merge TRAINING — learn 8 merges from the corpus
+    // (Sennrich et al. 2016: most frequent adjacent pair, deterministic
+    // lexicographic tiebreak, greedy left-to-right application). The
+    // oracle unrolls all 8 rounds, applying each learned merge with the
+    // q73-style one-occurrence-at-a-time recursion.
+    "q89_bpe_train" -> ((s, d) =>
+      TextAnalysis.bpeTrainMerges(par(Tables.documents(s, d)),
+          nMerges = 8)
+        .orderBy("step")),
+
     // Q85: Duffield–Lund–Thorup priority sampling — deterministic
     // weighted top-k by exact integer priorities (weight = n_chars).
     "q85_priority_sample" -> ((s, d) =>
@@ -159,6 +169,51 @@ object TextQueries {
   )
 
   private val toks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** The q89 trainer oracle, unrolled to `n` rounds (the Lloyd-unroll
+    * discipline). Each round's recursive apply joins the round's argmax
+    * CTE into its iteration — DuckDB permits non-recursive CTE refs
+    * inside a recursive member. */
+  private def bpeTrainSql(n: Int): String = {
+    def filt(m: String) =
+      s"list_filter(range(1, len(a.toks)), i -> a.toks[i] = $m.l " +
+        s"AND a.toks[i+1] = $m.r)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH RECURSIVE wd AS (SELECT unnest($toks) AS w
+      |  FROM documents),
+      |st0 AS MATERIALIZED (SELECT w, count(*) AS c,
+      |    list_transform(range(1, len(w) + 1), i -> w[i]) AS toks
+      |  FROM wd GROUP BY w),
+      |""".stripMargin
+    for (k <- 1 to n) {
+      val p = s"st${k - 1}"
+      sb ++= s"""pc$k AS (SELECT toks[i] AS l, toks[i+1] AS r,
+        |    CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM $p, UNNEST(range(1, len(toks))) AS u(i)
+        |  GROUP BY toks[i], toks[i+1]),
+        |m$k AS MATERIALIZED (SELECT l, r, cnt FROM pc$k
+        |  ORDER BY cnt DESC, l, r LIMIT 1),
+        |a$k(w, c, toks) AS (
+        |  SELECT w, c, toks FROM $p
+        |  UNION ALL
+        |  SELECT a.w, a.c,
+        |    a.toks[1:${filt("m")}[1] - 1]
+        |      || [a.toks[${filt("m")}[1]] || a.toks[${filt("m")}[1] + 1]]
+        |      || a.toks[${filt("m")}[1] + 2:len(a.toks)]
+        |  FROM a$k a, m$k m
+        |  WHERE len(${filt("m")}) > 0),
+        |st$k AS MATERIALIZED (SELECT a.w, a.c, a.toks FROM a$k a, m$k m
+        |  WHERE len(${filt("m")}) = 0),
+        |""".stripMargin
+    }
+    // drop the trailing comma-newline of the last CTE
+    sb.setLength(sb.length - 2)
+    sb ++= "\n"
+    sb ++= (1 to n).map(k =>
+        s"SELECT $k AS step, l AS lhs, r AS rhs, cnt AS pair_count FROM m$k")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY step")
+    sb.toString
+  }
 
   val oracle: Map[String, String] = Map(
     "q18_dedup_exact" ->
@@ -380,6 +435,14 @@ object TextQueries {
         |FROM g JOIN test USING (gk)
         |WHERE g.doc_id % 97 <> 0
         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+
+    // q89: the trainer unrolled — per round: pair counts over the
+    // current segmentations, argmax with the (cnt DESC, l, r) tiebreak,
+    // then a one-occurrence-at-a-time recursive apply (≡ the greedy
+    // left-to-right pass — replacing the FIRST occurrence repeatedly IS
+    // that scan); terminal states carry no occurrence of the round's
+    // pair. Single-char words ride through every round untouched.
+    "q89_bpe_train" -> bpeTrainSql(8),
 
     // q85: the DLT priority draw replayed verbatim — md5-uniform u,
     // floor-divided integer priority, top-100.

@@ -322,6 +322,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L)._2 == "<EMAIL> <EMAIL>" && got(4L)._3 == 2)
   }
 
+  test("bpeTrainMerges: matches a naive JVM trainer — counts, " +
+    "lexicographic tiebreak, greedy overlap application, creation order") {
+    // naive single-threaded reference trainer
+    def naive(words: Seq[String], n: Int): Seq[(Int, String, String, Long)] = {
+      var segs: Map[List[String], Long] = words.groupBy(identity).map {
+        case (w, ws) => w.toList.map(_.toString) -> ws.size.toLong
+      }
+      (1 to n).flatMap { step =>
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        segs.foreach { case (toks, c) =>
+          toks.zip(toks.tail).foreach(p =>
+            counts(p) = counts.getOrElse(p, 0L) + c)
+        }
+        if (counts.isEmpty) None
+        else {
+          val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+          def apply(ts: List[String]): List[String] = ts match {
+            case a :: b :: rest if a == l && b == r => (l + r) :: apply(rest)
+            case a :: rest => a :: apply(rest)
+            case Nil => Nil
+          }
+          segs = segs.groupMapReduce { case (ts, _) => apply(ts) }(_._2)(_ + _)
+          Some((step, l, r, cnt))
+        }
+      }
+    }
+    // overlap case ("aaaa"), tie case ("xy" vs "yx" equal counts), and a
+    // multi-word corpus where later merges build on earlier products
+    val words = Seq("aaaa", "aaaa", "xy", "yx", "the", "then", "the")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrainMerges(docs, 5)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == naive(words, 5))
+    // step 1 sanity: (a,a) count = 3 per "aaaa" x 2 = 6 adjacent pairs
+    assert(got.head == ((1, "a", "a", 6L)))
+    // learned list is creation-ordered: every part is a single char or a
+    // product of an earlier merge
+    val products = got.map { case (_, l, r, _) => l + r }
+    got.zipWithIndex.foreach { case ((_, l, r, _), i) =>
+      Seq(l, r).foreach(part => assert(part.length == 1 ||
+        products.take(i).contains(part), s"part $part at step ${i + 1}"))
+    }
+  }
+
   test("prioritySample: JVM-replayed priorities, weight monotonicity, " +
     "append stability, overflow guard") {
     def md5Long(s: String): Long = {
