@@ -191,6 +191,35 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("_salt"), plan.take(4000))
   }
 
+  test("q85 priority sample: map-only priorities into " +
+    "TakeOrderedAndProject — no global sort exchange") {
+    val plan = SparkEntry.queries("q85_priority_sample")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Exchange rangepartitioning"),
+      plan.take(2000))
+  }
+
+  test("q87 phrase search: phrase-term joins broadcast — no shuffled " +
+    "join reaches the postings stream") {
+    val plan = SparkEntry.queries("q87_phrase_search")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan.take(2000))
+  }
+
+  test("q88 proximity search: term selection broadcasts; the only " +
+    "non-broadcast join is the (query, doc, bucket) equi-join") {
+    val plan = SparkEntry.queries("q88_proximity_search")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the a-b position join may shuffle (both sides corpus-derived) but
+    // must be an EQUI join — never a nested-loop range join
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("q60 classifier: zero joins — hashed features + literal weights " +
     "reach one doc-keyed hash exchange") {
     val plan = SparkEntry.queries("q60_quality_classifier")(
