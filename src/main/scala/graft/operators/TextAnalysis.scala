@@ -217,27 +217,36 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), qualityExpr(col("text")).as("quality"))
 
+  /** The [[langId]] prediction as a PURE column expression — shared so a
+    * pipeline can FILTER on language map-only (pushed to the scan) with
+    * the bit-identical decision the reporting query emits. Ties resolve
+    * in a fixed order (zh > en > de > fr > es). */
+  def predLangExpr(text: Column): Column = {
+    val tk = tokens(text)
+    val en = markerCount(tk, EnMarkers)
+    val de = markerCount(tk, DeMarkers)
+    val fr = markerCount(tk, FrMarkers)
+    val es = markerCount(tk, EsMarkers)
+    val nonAscii = length(regexp_replace(text, "[\\x00-\\x7f]", ""))
+    when(nonAscii > 0, "zh")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
   /** n-gram/marker-heuristic language ID. Ties resolve in a fixed order
-    * (zh > en > de > fr > es) so the prediction is deterministic. */
+    * (zh > en > de > fr > es) so the prediction is deterministic
+    * ([[predLangExpr]] is the shared decision expression). */
   def langId(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val en = markerCount(toks, EnMarkers)
     val de = markerCount(toks, DeMarkers)
     val fr = markerCount(toks, FrMarkers)
     val es = markerCount(toks, EsMarkers)
-    val nonAscii = length(regexp_replace(col("text"), "[\\x00-\\x7f]", ""))
     docs.select(col("doc_id"), en.as("en_cnt"), de.as("de_cnt"),
-      fr.as("fr_cnt"), es.as("es_cnt"), nonAscii.as("_non_ascii"))
-      .withColumn("pred_lang",
-        when(col("_non_ascii") > 0, "zh")
-          .when(col("en_cnt") >= col("de_cnt") &&
-            col("en_cnt") >= col("fr_cnt") &&
-            col("en_cnt") >= col("es_cnt"), "en")
-          .when(col("de_cnt") >= col("fr_cnt") &&
-            col("de_cnt") >= col("es_cnt"), "de")
-          .when(col("fr_cnt") >= col("es_cnt"), "fr")
-          .otherwise("es"))
-      .drop("_non_ascii")
+      fr.as("fr_cnt"), es.as("es_cnt"),
+      predLangExpr(col("text")).as("pred_lang"))
   }
 
   /** Pack documents into training shards by token budget: each doc gets

@@ -135,6 +135,19 @@ object PipelineQueries {
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")),
 
+    // Q90: the END-TO-END curation funnel — langid gate → classifier
+    // margin gate → exact dedup → eval-suite decontamination → split
+    // draw, composed from the stage operators q21/q60/q18/q53/q82 prove
+    // one by one. The oracle replays the WHOLE funnel in SQL, so the
+    // surviving manifest (doc_id, split, n_tokens) hash-matches only if
+    // every stage decision AND their composition order agree bit-for-bit.
+    "q90_curation_pipeline" -> ((s, d) => {
+      val docs = par(Tables.documents(s, d))
+      val eval = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+      val cand = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+      graft.operators.Pipeline.curate(cand, eval).orderBy("doc_id")
+    }),
+
     // Q64: KMV (bottom-k) distinct-count sketch — approximate distinct
     // texts per language with a DETERMINISTIC estimator any engine
     // replays (unlike HLL++), k = 64.
@@ -720,6 +733,50 @@ object PipelineQueries {
         |  ${r4sql("0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 562949953421312.0 / CAST(s.s_scaled AS DOUBLE)")} AS estimate,
         |  e.exact_distinct
         |FROM sc s JOIN ex e USING (lang) ORDER BY lang""".stripMargin,
+
+    // q90: the full funnel replayed — q21's langid CASE, q60's µ-weight
+    // margin, q18's md5 canonical pick, q53's 56-bit gram probe against
+    // the %97 eval slice, q82's ppm split draw — composed in the
+    // engine's exact stage order over the %97<>0 candidate slice
+    "q90_curation_pipeline" -> {
+      val gk = "CAST(concat('0x', substr(md5(list_aggregate(" +
+        "toks[i:i+3], 'string_agg', ' ')), 1, 14)) AS BIGINT)"
+      val splitKey = key56("CAST(doc_id AS VARCHAR) || ':split'")
+      s"""WITH tk AS MATERIALIZED (SELECT doc_id, text,
+        |    $toksSql AS toks FROM documents),
+        |lc AS (SELECT doc_id, text, toks,
+        |    len(list_filter(toks, t -> t IN ('the','and','of','to'))) AS en_cnt,
+        |    len(list_filter(toks, t -> t IN ('der','und','die','das'))) AS de_cnt,
+        |    len(list_filter(toks, t -> t IN ('le','la','et','les'))) AS fr_cnt,
+        |    len(list_filter(toks, t -> t IN ('el','los','que','y'))) AS es_cnt,
+        |    length(regexp_replace(text, '[\\x00-\\x7f]', '', 'g')) AS non_ascii
+        |  FROM tk WHERE doc_id % 97 <> 0),
+        |lid AS (SELECT doc_id, text, toks FROM lc
+        |  WHERE non_ascii = 0 AND en_cnt >= de_cnt
+        |    AND en_cnt >= fr_cnt AND en_cnt >= es_cnt),
+        |mg AS (SELECT l.doc_id,
+        |    CAST(sum((${key56(s"'w' || (${key56("t")} % 256)")}
+        |      % 2000001) - 1000000) AS BIGINT) AS margin_q
+        |  FROM lid l, UNNEST(l.toks) AS u(t) GROUP BY l.doc_id),
+        |qf AS (SELECT l.doc_id, l.text, l.toks FROM lid l
+        |  JOIN mg USING (doc_id) WHERE mg.margin_q >= 0),
+        |dd AS MATERIALIZED (SELECT doc_id, text, toks FROM (
+        |    SELECT qf.*, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        |    FROM qf) WHERE doc_id = keep),
+        |g AS (SELECT d.doc_id, $gk AS gk
+        |  FROM dd d, UNNEST(range(1, len(toks) - 2)) AS t(i)),
+        |tg AS MATERIALIZED (SELECT DISTINCT $gk AS gk
+        |  FROM tk, UNNEST(range(1, len(toks) - 2)) AS t(i)
+        |  WHERE doc_id % 97 = 0),
+        |dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN tg USING (gk))
+        |SELECT doc_id,
+        |  CASE WHEN $splitKey % 1000000 < 800000 THEN 'train'
+        |       WHEN $splitKey % 1000000 < 900000 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens
+        |FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+        |ORDER BY doc_id""".stripMargin
+    },
 
     "q64_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT lang, ${key56("text")} AS hv

@@ -574,6 +574,74 @@ object StreamingIngest {
         .orderBy(desc("priority"), col(idCol)).limit(k)
   }
 
+  /** Maintained streaming BM25 postings index — the live lexical search
+    * index over a document stream, beside the maintained CMS/sample.
+    * Each micro-batch commits its documents' postings rows
+    * (doc_id, dl, term_key, tf — [[graft.operators.Retrieval.postings]])
+    * as a DELTA under `batch=<id>` via the staged rename (the commit
+    * point: a replayed id no-ops, crash litter is absorbed), and the
+    * live index is the plain UNION of committed deltas
+    * ([[readPostings]]) — equal to the batch postings build over every
+    * ingested document EXACTLY, because postings rows are per
+    * (doc, term) and an append-only stream delivers each document in
+    * one batch (the spec asserts the identity; re-INGESTING the same
+    * doc_id in a later batch would double-index it, same single-ingest
+    * contract as the store). [[graft.operators.Retrieval
+    * .bm25OverPostings]] probes the live index unchanged — df, N and
+    * avgdl derive from the postings rows themselves, so search
+    * freshness is automatic as commits land; no stats refresh step
+    * exists to forget. */
+  def streamingPostings(stream: DataFrame, postingsPath: String,
+                        checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processPostingsBatch(batch, batchId, postingsPath)
+      }
+      .start()
+
+  /** One postings micro-batch (exposed for replay/crash tests). */
+  private[graft] def processPostingsBatch(batch: DataFrame,
+                                          batchId: Long,
+                                          postingsPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(s"$postingsPath/batch=$batchId")
+    val fs = dst.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(dst)) return // committed: replayed batch is a no-op
+    val stg = new Path(s"$postingsPath/_staging/b$batchId")
+    fs.delete(stg, true) // crashed earlier attempt's litter
+    graft.operators.Retrieval.postings(batch)
+      .write.mode("overwrite").parquet(stg.toString)
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(stg, dst))
+      sys.error(s"postings commit rename failed: $stg -> $dst")
+  }
+
+  /** The live maintained postings index: the union of every committed
+    * micro-batch delta — same (doc_id, dl, term_key, tf) shape as a
+    * batch [[graft.operators.Retrieval.postings]] build, so
+    * [[graft.operators.Retrieval.bm25OverPostings]] searches it
+    * unchanged. Empty (with the correct schema) before the first
+    * commit. Compaction, when batch count grows unbounded, is a rewrite
+    * of the union as one delta — the rows are the state. */
+  def readPostings(spark: org.apache.spark.sql.SparkSession,
+                   postingsPath: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(postingsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasCommits = fs.exists(root) && fs.listStatus(root)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+    if (!hasCommits) {
+      // schema DERIVED from an empty postings build (no jobs run)
+      import spark.implicits._
+      graft.operators.Retrieval.postings(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    } else
+      spark.read.parquet(postingsPath).drop("batch")
+  }
+
   /** Ingest-time duplicate guard for MEDIA payloads — the modality
     * counterpart of [[streamingNearDupGuard]]: drop (default) or keep
     * (`invert`) stream rows whose 56-bit perceptual fingerprint lands

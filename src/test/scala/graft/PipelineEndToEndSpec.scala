@@ -90,6 +90,69 @@ class PipelineEndToEndSpec extends SparkSpec {
     assert(hitIds.nonEmpty && hitIds.subsetOf(finalIds))
   }
 
+  test("curate: every stage acts on an engineered fixture and the " +
+    "manifest replays the JVM twin exactly") {
+    import graft.operators.Pipeline
+    // JVM twin of the md5-derived 56-bit key
+    def md5L(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(7).map(b => f"$b%02x").mkString, 16)
+    }
+    // JVM twin of QualityModels.weightQ at the 256-bucket default
+    def wq(t: String): Long = {
+      val bkt = java.lang.Math.floorMod(md5L(t), 256L)
+      java.lang.Math.floorMod(md5L("w" + bkt), 2000001L) - 1000000L
+    }
+    def margin(text: String): Long =
+      text.trim.split("\\s+", -1).map(wq).sum
+    // engineer one text per stage from a word pool: a positive-margin
+    // english text, a negative-margin english text, and a german text
+    val pool = Seq("data", "table", "row", "scan", "fast", "slow", "key",
+      "agg", "merge", "part", "hash", "value", "batch", "join", "sort")
+    val posW = pool.filter(w => wq(w) > 0L)
+    val negW = pool.filter(w => wq(w) < 0L)
+    assert(posW.nonEmpty && negW.nonEmpty) // pool spans both signs
+    val posText = (posW.take(2) ++ posW.take(2)).mkString(" ")
+    val negText = List.fill(4)(negW.head).mkString(" ")
+    assert(margin(posText) > 0L && margin(negText) < 0L)
+    val deText = "der und die das" // langid gate: predicted 'de'
+    val contText = posText + " leak gram probe here" // shares no 4-gram yet
+    val evalText = "leak gram probe here" // its 4-gram sits inside contText
+    val docs = Seq(
+      (1L, posText), // survives everything (min-id copy)
+      (2L, posText), // exact duplicate of 1 -> dropped by dedup
+      (3L, negText), // dropped by the margin gate
+      (4L, deText), // dropped by the langid gate
+      (5L, contText), // dropped by decontamination (if margin passes)
+      (6L, posW.mkString(" ")) // independent survivor
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, evalText)).toDF("doc_id", "text")
+    val out = Pipeline.curate(docs, eval)
+      .select("doc_id", "split", "n_tokens")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val contaminatedPasses = margin(contText) >= 0L
+    assert(out.map(_._1).toSeq == Seq(1L, 6L))
+    // doc 5 must be dropped by DECONTAMINATION, not the margin gate —
+    // assert the stage attribution when its margin passes
+    if (contaminatedPasses) {
+      val noEval = Pipeline.curate(docs,
+        Seq((100L, "nothing shared at all ok")).toDF("doc_id", "text"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(noEval.contains(5L)) // only the eval suite removed it
+    }
+    // split + token count replay the JVM twins
+    out.foreach { case (id, split, nTok) =>
+      val draw = java.lang.Math.floorMod(md5L(s"$id:split"), 1000000L)
+      val expected = if (draw < 800000L) "train"
+        else if (draw < 900000L) "val" else "test"
+      assert(split == expected, s"doc $id split")
+      val text = docs.where(col("doc_id") === id)
+        .select("text").as[String].head()
+      assert(nTok == text.trim.split("\\s+", -1).length.toLong)
+    }
+  }
+
   test("multimodal leg: text dedup and media dedup compose into one " +
     "drop set; the streaming guard agrees with the batch decision") {
     import graft.operators.{Multimodal, Video}

@@ -554,6 +554,57 @@ class StreamingSpec extends SparkSpec {
     assert(est._2 >= trueCnt)
   }
 
+  test("maintained postings index: streamed deltas union to the batch " +
+    "build; BM25 over the live index equals the batch search") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Retrieval
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-post").toString
+    val postPath = s"$dir/postings"
+    // before any commit the live index is EMPTY with the right schema
+    val empty = StreamingIngest.readPostings(spark, postPath)
+    assert(empty.count() == 0 &&
+      empty.columns.toSeq == Seq("doc_id", "dl", "term_key", "tf"))
+    val a = Seq((1L, "a b a c"), (2L, "b d"))
+    val b = Seq((3L, "a a d d e"), (4L, "c"))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.streamingPostings(
+      stream.toDF().toDF("doc_id", "text"), postPath, s"$dir/ckpt")
+    try {
+      stream.addData(a: _*); q.processAllAvailable()
+      stream.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "dl", "term_key", "tf")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val union = (a ++ b).toDF("doc_id", "text")
+    val live = StreamingIngest.readPostings(spark, postPath)
+    // the union identity: streamed deltas ARE the batch postings build
+    assert(rows(live) == rows(Retrieval.postings(union)))
+    // a replayed micro-batch (same id, even different data) is a no-op
+    StreamingIngest.processPostingsBatch(
+      Seq((99L, "x y z")).toDF("doc_id", "text"), 0L, postPath)
+    assert(rows(StreamingIngest.readPostings(spark, postPath)) ==
+      rows(Retrieval.postings(union)))
+    // a crash mid-stage leaves only staging litter; replay absorbs it
+    val litter = new java.io.File(s"$postPath/_staging/b7/part-junk")
+    litter.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(litter.toPath, "partial")
+    StreamingIngest.processPostingsBatch(
+      Seq((5L, "a e")).toDF("doc_id", "text"), 7L, postPath)
+    val withExtra = StreamingIngest.readPostings(spark, postPath)
+    val unionExtra = (a ++ b :+ (5L -> "a e")).toDF("doc_id", "text")
+    assert(rows(withExtra) == rows(Retrieval.postings(unionExtra)))
+    // BM25 over the live index == the one-shot batch search, df/N/avgdl
+    // freshness included
+    val qs = Seq((10L, "a d"), (11L, "e")).toDF("query_id", "qtext")
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "doc_id", "score")
+        .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    assert(hits(Retrieval.bm25OverPostings(withExtra, qs, 3)) ==
+      hits(Retrieval.bm25(unionExtra, qs, 3)))
+  }
+
   test("streaming priority sample: delta top-k merges to the exact batch " +
     "sample, replay no-ops, crash litter absorbed, empty before commit") {
     implicit val sqlCtx = spark.sqlContext
