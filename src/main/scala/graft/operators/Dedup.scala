@@ -1041,6 +1041,39 @@ object Dedup {
       .select(col("a._id").as("id1"), col("b._id").as("id2"), col("cosine"))
   }
 
+  /** Embedding-level decontamination — the SEMANTIC form of
+    * [[TextAnalysis.decontaminate]]: a corpus vector is contaminated when
+    * its cosine against ANY eval-suite vector ≥ `tau`, the eval-leakage
+    * class n-gram probes miss (paraphrases and re-encodes share
+    * embeddings, not grams). Returns (idCol, n_eval_hits, max_cos) for
+    * contaminated corpus rows only; zero-norm vectors on either side
+    * never match (no cosine exists).
+    *
+    * Scale shape: the eval suite is corpus-≪ by assumption (the same
+    * contract as the gram probe's broadcast key set), so it BROADCASTS
+    * normalized and the corpus side pays one map-only normalize plus a
+    * broadcast nested-loop cosine filter — linear in corpus rows; the
+    * only shuffle is the final id-keyed, map-side-combinable
+    * aggregation. An eval suite too large to broadcast is corpus-scale
+    * dedup, not decontamination — run [[nearDupPairsLshMulti]] over the
+    * tagged union instead (bucketed, never N²). */
+  def semanticContaminated(corpus: DataFrame, evalSet: DataFrame,
+                           tau: Double, idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    def normed(df: DataFrame, idName: String, vName: String) =
+      df.select(col(idCol).as(idName), col(vecCol).as("_v"))
+        .withColumn("_nrm", l2NormNative(col("_v")))
+        .where(col("_nrm") > 0)
+        .select(col(idName),
+          l2NormalizeWithNative(col("_v"), col("_nrm")).as(vName))
+    normed(corpus, "_cid", "_cv")
+      .crossJoin(broadcast(normed(evalSet, "_eid", "_ev")))
+      .withColumn("_cos", dotNative(col("_cv"), col("_ev")))
+      .where(col("_cos") >= tau)
+      .groupBy(col("_cid").as(idCol))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("_cos")).as("max_cos"))
+  }
+
   /** Embedding near-dup via hyperplane-LSH buckets: pairs only within a
     * bucket, then exact cosine filter. One shuffle on the bucket key —
     * the 100 TB path (cost Σ bucket², not N²). Size `nBits` with

@@ -361,6 +361,22 @@ object DedupQueries {
         .select(col("id1"), col("id2"), r4(col("cosine")).as("cosine"))
         .orderBy("id1", "id2")),
 
+    // Q91: SEMANTIC decontamination — corpus vectors whose cosine vs ANY
+    // eval-suite vector >= 0.95 (the paraphrase/re-encode leakage class
+    // q53's gram probe cannot see). Eval suite = the vec_id % 25 == 0
+    // originals; corpus = the augmented frame, so the jittered +10000
+    // copies are GUARANTEED contaminated (cos ~0.9997 with their eval
+    // original) beside the self-matches at cos 1.0.
+    "q91_semantic_decontam" -> ((s, d) =>
+      Dedup.semanticContaminated(augEmb(s, d),
+          Tables.embeddings(s, d)
+            .where(pmod(col("vec_id"), lit(25)) === 0)
+            .select("vec_id", "embedding"),
+          tau = 0.95)
+        .select(col("vec_id"), col("n_eval_hits"),
+          r4(col("max_cos")).as("max_cos"))
+        .orderBy("vec_id")),
+
     // Embedding near-dup via hyperplane-LSH buckets (the scale path).
     "q26_neardup_lsh" -> ((s, d) =>
       Dedup.nearDupPairsLsh(augEmb(s, d), "vec_id", "embedding", 0.95)
@@ -1124,6 +1140,19 @@ object DedupQueries {
         |FROM nv a JOIN nv b ON a.vec_id < b.vec_id
         |WHERE $cosSql >= 0.95
         |ORDER BY id1, id2""".stripMargin,
+
+    // q91: the semantic-decontamination probe replayed — normalized aug
+    // corpus vs the normalized %25==0 eval originals (a restriction of
+    // the same nv CTE), count + r4'd max cosine per contaminated row
+    "q91_semantic_decontam" ->
+      s"""WITH $augEmbSql,
+        |$normEmbSql,
+        |ev AS (SELECT vec_id, v FROM nv
+        |  WHERE vec_id < 10000 AND vec_id % 25 = 0)
+        |SELECT a.vec_id AS vec_id, count(*) AS n_eval_hits,
+        |  ${r4sql(s"max($cosSql)")} AS max_cos
+        |FROM nv a JOIN ev b ON $cosSql >= 0.95
+        |GROUP BY a.vec_id ORDER BY a.vec_id""".stripMargin,
 
     "q26_neardup_lsh" ->
       s"""WITH $augEmbSql,

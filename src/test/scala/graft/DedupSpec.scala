@@ -240,6 +240,30 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(brute))
   }
 
+  test("semanticContaminated: counts eval hits per corpus vector, " +
+    "excludes below-threshold and zero-norm rows") {
+    // orthogonal unit basis vectors: cosine is exactly 1 or 0
+    def unit(k: Int) = Array.tabulate(8)(j => if (j == k) 1f else 0f)
+    val corpus = Seq(
+      (1L, unit(0)), // matches eval 10 exactly
+      (2L, unit(1)), // matches eval 11 AND 12 (both along dim 1)
+      (3L, unit(2)), // matches nothing
+      (4L, Array.fill(8)(0f)) // zero norm: never matches, never crashes
+    ).toDF("vec_id", "embedding")
+    val eval = Seq(
+      (10L, unit(0)),
+      (11L, unit(1)),
+      (12L, unit(1).map(_ * 2f)), // scaled copy: same direction, cos 1
+      (13L, Array.fill(8)(0f)) // zero-norm EVAL row also excluded
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticContaminated(corpus, eval, tau = 0.5)
+      .select("vec_id", "n_eval_hits")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L)))
+    // raising tau above 1.0 empties the result (no false survivors)
+    assert(Dedup.semanticContaminated(corpus, eval, tau = 1.5).count() == 0)
+  }
+
   test("auto-sized LSH entry points run and verify-filter correctly") {
     val emb = (0 until 30).map { i =>
       val c = i / 3

@@ -34,9 +34,12 @@ class PlanSpec extends SparkSpec {
                             // checkpoint): 1-row corpus-stats broadcast
     "q67_hist_quantiles",   // nBuckets-row histogram × 4-row quantile
                             // frame — both sides bounded by construction
-    "q80_adaptive_quality"  // the q67 quantile shape inside the per-source
+    "q80_adaptive_quality", // the q67 quantile shape inside the per-source
                             // cutoff derivation: histogram × 1-row q-frame,
                             // both bounded; the corpus joins stay equi/bcast
+    "q91_semantic_decontam" // broadcast nested-loop on the corpus-≪ eval
+                            // suite (the q15/q25 exact-cosine contract) —
+                            // linear in corpus, never corpus × corpus
   )
 
   test("no unintentional cartesian/nested-loop joins in any declared query") {
@@ -143,6 +146,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("SortMergeJoin") &&
       !plan.contains("ShuffledHashJoin"), plan.take(2000))
+  }
+
+  test("q90 curation funnel plan: all joins broadcast at fixture scale, " +
+    "no cartesian anywhere (gated on the un-pinned form — the public " +
+    "operator checkpoints)") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val cand = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+    val eval = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+    val plan = graft.operators.Pipeline.curatePlan(cand, eval)
+      .queryExecution.executedPlan.toString
+    // gram probe + canonical pick + dirty anti-join: equi/broadcast only
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the language/margin gates run as a Filter on the scan side, ahead
+    // of every join — no join input is the raw corpus
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
   test("q54 budget selection: threshold bucketing leaves exactly two " +
