@@ -58,6 +58,47 @@ object Pipeline {
     out
   }
 
+  /** Per-stage funnel accounting for [[curate]] — the observability a
+    * production pipeline reports beside its manifest: one row per stage
+    * with the documents (and their tokens) the funnel REMOVED there,
+    * plus the `kept` row. Attribution follows the funnel order exactly —
+    * a document failing several gates counts at the FIRST (language
+    * before quality before duplicate before contaminated), so the rows
+    * partition the input and the counts sum to it.
+    *
+    * Scale shape: the gate predicates and token counts ride ONE map-only
+    * projection of the corpus (narrow 4-column rows after it — text
+    * never joins); the dedup/decontam attributions join back as id-only
+    * flag frames on doc_id; the output aggregation is 5 rows. The dedup
+    * survivors persist across their two consumers as in [[curate]] (the
+    * call is eager). */
+  def funnelStats(docs: DataFrame, evalSuite: DataFrame,
+                  lang: String = "en", gramN: Int = 4): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("_nt"),
+      (TextAnalysis.predLangExpr(col("text")) === lang).as("_lok"),
+      (QualityModels.marginExpr(col("text")) >= 0L).as("_qok"))
+    val deduped = dedupStage(docs, lang)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keptIds = deduped.select(col("doc_id"), lit(true).as("_kept"))
+    val dirtyIds = TextAnalysis.decontaminate(deduped, evalSuite, gramN)
+      .select(col("doc_id"), lit(true).as("_dirty"))
+    val out = base
+      .join(keptIds, Seq("doc_id"), "left")
+      .join(dirtyIds, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(!col("_lok"), "language")
+          .when(!col("_qok"), "quality")
+          .when(col("_kept").isNull, "duplicate")
+          .when(col("_dirty").isNotNull, "contaminated")
+          .otherwise("kept"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), sum("_nt").as("n_tokens"))
+      .localCheckpoint(true)
+    deduped.unpersist(false)
+    out
+  }
+
   /** The [[curate]] pipeline without the persist/checkpoint pins —
     * plan-shape inspection only (the pins hide the joins behind a
     * checkpoint scan). */

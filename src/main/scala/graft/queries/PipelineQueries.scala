@@ -148,6 +148,16 @@ object PipelineQueries {
       graft.operators.Pipeline.curate(cand, eval).orderBy("doc_id")
     }),
 
+    // Q92: the q90 funnel read as ACCOUNTING — one row per stage with
+    // the documents (and tokens) removed there, plus 'kept'; attribution
+    // is first-stage-wins, so the rows partition the candidate slice.
+    "q92_curation_funnel" -> ((s, d) => {
+      val docs = par(Tables.documents(s, d))
+      val eval = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+      val cand = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+      graft.operators.Pipeline.funnelStats(cand, eval).orderBy("stage")
+    }),
+
     // Q64: KMV (bottom-k) distinct-count sketch — approximate distinct
     // texts per language with a DETERMINISTIC estimator any engine
     // replays (unlike HLL++), k = 64.
@@ -277,6 +287,46 @@ object PipelineQueries {
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
   private def key56(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 14)) AS BIGINT)"
+
+  /** The shared q90/q92 curation-funnel CTE chain over `documents`:
+    * candidates = the %97<>0 slice, eval suite = the %97==0 slice.
+    * Ends with `dd` (dedup survivors, with toks) and `dirty`
+    * (contaminated survivor ids); `tk`/`lid`/`qf` stay visible for the
+    * q92 stage attribution. Multi-consumer CTEs are MATERIALIZED —
+    * DuckDB inlines per consumer otherwise and the chain re-derives
+    * exponentially. */
+  private val curationChainSql: String = {
+    val gk = "CAST(concat('0x', substr(md5(list_aggregate(" +
+      "toks[i:i+3], 'string_agg', ' ')), 1, 14)) AS BIGINT)"
+    s"""tk AS MATERIALIZED (SELECT doc_id, text,
+      |    $toksSql AS toks FROM documents),
+      |lc AS (SELECT doc_id, text, toks,
+      |    len(list_filter(toks, t -> t IN ('the','and','of','to'))) AS en_cnt,
+      |    len(list_filter(toks, t -> t IN ('der','und','die','das'))) AS de_cnt,
+      |    len(list_filter(toks, t -> t IN ('le','la','et','les'))) AS fr_cnt,
+      |    len(list_filter(toks, t -> t IN ('el','los','que','y'))) AS es_cnt,
+      |    length(regexp_replace(text, '[\\x00-\\x7f]', '', 'g')) AS non_ascii
+      |  FROM tk WHERE doc_id % 97 <> 0),
+      |lid AS MATERIALIZED (SELECT doc_id, text, toks FROM lc
+      |  WHERE non_ascii = 0 AND en_cnt >= de_cnt
+      |    AND en_cnt >= fr_cnt AND en_cnt >= es_cnt),
+      |mg AS (SELECT l.doc_id,
+      |    CAST(sum((${key56(s"'w' || (${key56("t")} % 256)")}
+      |      % 2000001) - 1000000) AS BIGINT) AS margin_q
+      |  FROM lid l, UNNEST(l.toks) AS u(t) GROUP BY l.doc_id),
+      |qf AS MATERIALIZED (SELECT l.doc_id, l.text, l.toks FROM lid l
+      |  JOIN mg USING (doc_id) WHERE mg.margin_q >= 0),
+      |dd AS MATERIALIZED (SELECT doc_id, text, toks FROM (
+      |    SELECT qf.*, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+      |    FROM qf) WHERE doc_id = keep),
+      |g AS (SELECT d.doc_id, $gk AS gk
+      |  FROM dd d, UNNEST(range(1, len(toks) - 2)) AS t(i)),
+      |tg AS MATERIALIZED (SELECT DISTINCT $gk AS gk
+      |  FROM tk, UNNEST(range(1, len(toks) - 2)) AS t(i)
+      |  WHERE doc_id % 97 = 0),
+      |dirty AS MATERIALIZED (SELECT DISTINCT g.doc_id FROM g
+      |  JOIN tg USING (gk))""".stripMargin
+  }
 
   /** Shared BM25 replay: postings/stats/df/score CTEs over `documents`,
     * parameterized by the query-terms CTE body. Ends with `bm(query_id,
@@ -739,36 +789,8 @@ object PipelineQueries {
     // the %97 eval slice, q82's ppm split draw — composed in the
     // engine's exact stage order over the %97<>0 candidate slice
     "q90_curation_pipeline" -> {
-      val gk = "CAST(concat('0x', substr(md5(list_aggregate(" +
-        "toks[i:i+3], 'string_agg', ' ')), 1, 14)) AS BIGINT)"
       val splitKey = key56("CAST(doc_id AS VARCHAR) || ':split'")
-      s"""WITH tk AS MATERIALIZED (SELECT doc_id, text,
-        |    $toksSql AS toks FROM documents),
-        |lc AS (SELECT doc_id, text, toks,
-        |    len(list_filter(toks, t -> t IN ('the','and','of','to'))) AS en_cnt,
-        |    len(list_filter(toks, t -> t IN ('der','und','die','das'))) AS de_cnt,
-        |    len(list_filter(toks, t -> t IN ('le','la','et','les'))) AS fr_cnt,
-        |    len(list_filter(toks, t -> t IN ('el','los','que','y'))) AS es_cnt,
-        |    length(regexp_replace(text, '[\\x00-\\x7f]', '', 'g')) AS non_ascii
-        |  FROM tk WHERE doc_id % 97 <> 0),
-        |lid AS (SELECT doc_id, text, toks FROM lc
-        |  WHERE non_ascii = 0 AND en_cnt >= de_cnt
-        |    AND en_cnt >= fr_cnt AND en_cnt >= es_cnt),
-        |mg AS (SELECT l.doc_id,
-        |    CAST(sum((${key56(s"'w' || (${key56("t")} % 256)")}
-        |      % 2000001) - 1000000) AS BIGINT) AS margin_q
-        |  FROM lid l, UNNEST(l.toks) AS u(t) GROUP BY l.doc_id),
-        |qf AS (SELECT l.doc_id, l.text, l.toks FROM lid l
-        |  JOIN mg USING (doc_id) WHERE mg.margin_q >= 0),
-        |dd AS MATERIALIZED (SELECT doc_id, text, toks FROM (
-        |    SELECT qf.*, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
-        |    FROM qf) WHERE doc_id = keep),
-        |g AS (SELECT d.doc_id, $gk AS gk
-        |  FROM dd d, UNNEST(range(1, len(toks) - 2)) AS t(i)),
-        |tg AS MATERIALIZED (SELECT DISTINCT $gk AS gk
-        |  FROM tk, UNNEST(range(1, len(toks) - 2)) AS t(i)
-        |  WHERE doc_id % 97 = 0),
-        |dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN tg USING (gk))
+      s"""WITH $curationChainSql
         |SELECT doc_id,
         |  CASE WHEN $splitKey % 1000000 < 800000 THEN 'train'
         |       WHEN $splitKey % 1000000 < 900000 THEN 'val'
@@ -777,6 +799,28 @@ object PipelineQueries {
         |FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
         |ORDER BY doc_id""".stripMargin
     },
+
+    // q92: the same funnel chain, read as ACCOUNTING — every candidate
+    // attributed to the FIRST stage that removed it (or 'kept'), so the
+    // stage rows partition the input and counts sum to it
+    "q92_curation_funnel" ->
+      s"""WITH $curationChainSql
+        |SELECT CASE WHEN l.lid_id IS NULL THEN 'language'
+        |    WHEN q.qf_id IS NULL THEN 'quality'
+        |    WHEN d.dd_id IS NULL THEN 'duplicate'
+        |    WHEN di.doc_id IS NOT NULL THEN 'contaminated'
+        |    ELSE 'kept' END AS stage,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(b.toks)) AS BIGINT) AS n_tokens
+        |FROM (SELECT doc_id, toks FROM tk WHERE doc_id % 97 <> 0) b
+        |LEFT JOIN (SELECT doc_id AS lid_id FROM lid) l
+        |  ON b.doc_id = l.lid_id
+        |LEFT JOIN (SELECT doc_id AS qf_id FROM qf) q
+        |  ON b.doc_id = q.qf_id
+        |LEFT JOIN (SELECT doc_id AS dd_id FROM dd) d
+        |  ON b.doc_id = d.dd_id
+        |LEFT JOIN dirty di ON b.doc_id = di.doc_id
+        |GROUP BY 1 ORDER BY stage""".stripMargin,
 
     "q64_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT lang, ${key56("text")} AS hv

@@ -792,6 +792,66 @@ object StreamingIngest {
     }
   }
 
+  /** The ingest-time form of [[graft.operators.Pipeline.curate]]'s
+    * gates — one call chains the full stateless hygiene funnel over a
+    * document stream, in the batch funnel's exact order: language gate
+    * ([[graft.operators.TextAnalysis.predLangExpr]], a pure column
+    * predicate), quality gate ([[streamingQualityFilter]]), exact-dup
+    * novelty against the INDEXED kept corpus (56-bit text keys through
+    * the shared exact-or-bloom [[keyIndex]] — conservative in the bloom
+    * regime: a false positive drops a clean doc, never keeps a dup),
+    * and eval-suite decontamination ([[streamingDecontaminate]]).
+    * Returns the CLEAN stream; every check is stateless per row.
+    *
+    * Contract differences vs the batch funnel, by construction:
+    * INTRA-stream duplicates pass (a stateless guard cannot see an
+    * identical doc earlier in the same stream — the batch dedup at the
+    * store boundary owns that, same as the near-dup guard's contract),
+    * and novelty keys are the 56-bit md5 prefix rather than the batch
+    * funnel's full 128-bit hex (a prefix collision quarantines a clean
+    * doc — the benign direction; odds ≈ n²/2⁵⁷). The spec pins
+    * agreement with the batch stage decisions on indexed-corpus
+    * duplicates and everything downstream. */
+  def streamingCurateGuard(stream: DataFrame, existing: DataFrame,
+                           test: DataFrame, lang: String = "en",
+                           gramN: Int = 4, textCol: String = "text",
+                           exactKeyLimit: Long = 4L * 1000 * 1000,
+                           bloomFpp: Double = 0.01,
+                           maxKeys: Long = 1L << 26): DataFrame = {
+    import graft.operators.TextAnalysis
+    val langOk = stream.filter(coalesce(
+      TextAnalysis.predLangExpr(col(textCol)) === lang, lit(false)))
+    val qualOk = streamingQualityFilter(langOk, 0L, 256, textCol)
+    val index = keyIndex(
+      existing.select(
+        graft.operators.Dedup.md5Long(col(textCol)).as("_k")),
+      exactKeyLimit, bloomFpp)
+    val bIdx = qualOk.sparkSession.sparkContext.broadcast(index)
+    val idx = qualOk.schema.fieldIndex(textCol)
+    val novel = qualOk.filter { row =>
+      // null text cannot reach here (the language gate drops it), but
+      // stay defensive: a null is not novel evidence either way -> drop
+      !row.isNullAt(idx) &&
+        !bIdx.value.mightContain(textKeyJvm(row.getString(idx)))
+    }
+    streamingDecontaminate(novel, test, gramN, textCol, invert = false,
+      maxKeys = maxKeys)
+  }
+
+  /** JVM twin of [[graft.operators.Dedup.md5Long]] over a raw text
+    * value (NO trim/tokenize — the whole string's md5 top-7 bytes),
+    * bit-identical to the column side so stream and batch novelty keys
+    * cannot drift. */
+  private[graft] def textKeyJvm(text: String): Long = {
+    val md = bandDigest.get()
+    md.reset()
+    val d = md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var j = 0
+    while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+    v
+  }
+
   /** JVM twin of the column-side gram hashing
     * ([[graft.operators.TextAnalysis.ngrams]] + md5-prefix key), kept
     * BIT-IDENTICAL so streaming and batch decontamination agree on every

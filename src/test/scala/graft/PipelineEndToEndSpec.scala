@@ -151,6 +151,20 @@ class PipelineEndToEndSpec extends SparkSpec {
         .select("text").as[String].head()
       assert(nTok == text.trim.split("\\s+", -1).length.toLong)
     }
+    // funnel accounting partitions the input with first-stage-wins
+    // attribution: doc4 language, doc3 quality, doc2 duplicate,
+    // doc5 contaminated (when its margin passes), docs 1+6 kept
+    val funnel = Pipeline.funnelStats(docs, eval)
+      .select("stage", "n_docs")
+      .as[(String, Long)].collect().toMap
+    assert(funnel("language") == 1L)
+    assert(funnel.getOrElse("quality", 0L) ==
+      (if (contaminatedPasses) 1L else 2L))
+    assert(funnel("duplicate") == 1L)
+    assert(funnel.getOrElse("contaminated", 0L) ==
+      (if (contaminatedPasses) 1L else 0L))
+    assert(funnel("kept") == 2L)
+    assert(funnel.values.sum == 6L) // the rows partition the input
   }
 
   test("multimodal leg: text dedup and media dedup compose into one " +

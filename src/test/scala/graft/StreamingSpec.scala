@@ -506,6 +506,74 @@ class StreamingSpec extends SparkSpec {
     assert(colBands == jvmBands)
   }
 
+  test("streaming curate guard: the full ingest funnel agrees with the " +
+    "batch gate decisions; intra-stream dups pass by contract") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Pipeline, QualityModels, TextAnalysis}
+    // reuse the curate spec's engineered word pool via the JVM margin twin
+    def md5L(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(7).map(b => f"$b%02x").mkString, 16)
+    }
+    def wq(t: String): Long = {
+      val bkt = java.lang.Math.floorMod(md5L(t), 256L)
+      java.lang.Math.floorMod(md5L("w" + bkt), 2000001L) - 1000000L
+    }
+    val pool = Seq("data", "table", "row", "scan", "fast", "slow", "key",
+      "agg", "merge", "part", "hash", "value", "batch", "join", "sort")
+    val posW = pool.filter(w => wq(w) > 0L)
+    val negW = pool.filter(w => wq(w) < 0L)
+    val posText = (posW.take(2) ++ posW.take(2)).mkString(" ")
+    val negText = List.fill(4)(negW.head).mkString(" ")
+    val freshText = posW.mkString(" ")
+    val evalText = "leak gram probe here"
+    val contText = posText + " " + evalText
+    val contPasses = contText.trim.split("\\s+", -1).map(wq).sum >= 0L
+    val existing = Seq((100L, posText)).toDF("doc_id", "text")
+    val eval = Seq((200L, evalText)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, posText), // duplicate of the INDEXED corpus: dropped
+      (2L, posText), // same: dropped (novelty is vs the index)
+      (3L, negText), // quality gate
+      (4L, "der und die das"), // language gate
+      (5L, contText), // decontamination (or quality if margin fails)
+      (6L, freshText), // kept
+      (7L, freshText)) // INTRA-stream dup of 6: passes BY CONTRACT
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.streamingCurateGuard(
+        stream.toDF().toDF("doc_id", "text"), existing, eval)
+      .writeStream.format("memory").queryName("scg_clean")
+      .outputMode("append").start()
+    try {
+      stream.addData(incoming: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val clean = spark.table("scg_clean")
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(6L, 7L), s"clean=$clean contPasses=$contPasses")
+    // batch agreement at TEXT level: curate over (existing ∪ stream)
+    // keeps one representative per surviving text (min-id: posText via
+    // id 1, freshText via id 6); the guard instead defers posText to the
+    // already-ingested corpus copy — same kept TEXTS either way, which
+    // is the dedup contract (canonical choice differs by design: the
+    // batch picks min-id globally, the stream picks first-ingested)
+    val batchKeptIds = Pipeline.curate(
+        existing.unionByName(incoming.toDF("doc_id", "text")), eval)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKeptIds == Set(1L, 6L))
+    val allTexts = (existing.collect() ++
+      incoming.toDF("doc_id", "text").collect())
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batchTexts = batchKeptIds.map(allTexts)
+    val guardTexts = clean.map(allTexts) ++
+      existing.select("text").as[String].collect() // corpus already kept
+    assert(batchTexts.subsetOf(guardTexts))
+    // and the guard admits nothing batch would reject outright (every
+    // clean text is a batch-kept text)
+    assert(clean.map(allTexts).subsetOf(batchTexts))
+  }
+
   test("maintained count-min sketch: streamed deltas sum to the batch " +
     "sketch of the union; replayed and crashed batches are absorbed") {
     implicit val sqlCtx = spark.sqlContext
