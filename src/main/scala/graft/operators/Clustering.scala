@@ -180,4 +180,24 @@ object Clustering {
                    perCell: Int = 5): DataFrame =
     TopK.perKeySalted(kmeansAssign(corpus, nCells, iters), "cell",
       Seq(col("sim").asc, col("vec_id").asc), perCell)
+
+  /** Cluster-balanced (diversity) sampling: the full-corpus k-means
+    * assignment, then up to `perCell` members PER CELL by a
+    * deterministic md5 draw — the curation sampler that caps every
+    * semantic region instead of letting the corpus's head topics
+    * dominate a uniform draw (the selection counterpart of SemDeDup:
+    * dedup prunes redundancy within a region, this bounds the region's
+    * budget share). The draw is the engine's standard keyed-ppm hash
+    * (`md5(vec_id || ':cbs') % 1e6`, the q63/q82 discipline), so the
+    * sample is append-stable, partition-invariant, and replayable in
+    * SQL; ranking is the salted two-phase top-k (no single-task sorts).
+    * Output: (vec_id, cell, sim, draw, rank), rank ≤ perCell. */
+  def clusterBalancedSample(corpus: DataFrame, nCells: Int = 8,
+                            iters: Int = 3, perCell: Int = 5): DataFrame =
+    TopK.perKeySalted(
+      kmeansAssign(corpus, nCells, iters)
+        .withColumn("draw", pmod(Dedup.md5Long(
+          concat(col("vec_id").cast("string"), lit(":cbs"))),
+          lit(1000000L))),
+      "cell", Seq(col("draw").asc, col("vec_id").asc), perCell)
 }

@@ -74,16 +74,33 @@ object Pipeline {
     * call is eager). */
   def funnelStats(docs: DataFrame, evalSuite: DataFrame,
                   lang: String = "en", gramN: Int = 4): DataFrame = {
+    val deduped = dedupStage(docs, lang)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = funnelStatsBody(docs, deduped, evalSuite, lang, gramN)
+      .localCheckpoint(true)
+    deduped.unpersist(false)
+    out
+  }
+
+  /** [[funnelStats]] without the persist/checkpoint pins — plan-shape
+    * inspection only (the pins hide the joins behind a checkpoint
+    * scan; the un-pinned dedup prefix re-derives per consumer). */
+  private[graft] def funnelStatsPlan(docs: DataFrame, evalSuite: DataFrame,
+                                     lang: String = "en",
+                                     gramN: Int = 4): DataFrame =
+    funnelStatsBody(docs, dedupStage(docs, lang), evalSuite, lang, gramN)
+
+  private def funnelStatsBody(docs: DataFrame, deduped: DataFrame,
+                              evalSuite: DataFrame, lang: String,
+                              gramN: Int): DataFrame = {
     val base = docs.select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).as("_nt"),
       (TextAnalysis.predLangExpr(col("text")) === lang).as("_lok"),
       (QualityModels.marginExpr(col("text")) >= 0L).as("_qok"))
-    val deduped = dedupStage(docs, lang)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keptIds = deduped.select(col("doc_id"), lit(true).as("_kept"))
     val dirtyIds = TextAnalysis.decontaminate(deduped, evalSuite, gramN)
       .select(col("doc_id"), lit(true).as("_dirty"))
-    val out = base
+    base
       .join(keptIds, Seq("doc_id"), "left")
       .join(dirtyIds, Seq("doc_id"), "left")
       .withColumn("stage",
@@ -94,9 +111,6 @@ object Pipeline {
           .otherwise("kept"))
       .groupBy("stage")
       .agg(count(lit(1)).as("n_docs"), sum("_nt").as("n_tokens"))
-      .localCheckpoint(true)
-    deduped.unpersist(false)
-    out
   }
 
   /** The [[curate]] pipeline without the persist/checkpoint pins —

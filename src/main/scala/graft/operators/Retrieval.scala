@@ -251,6 +251,99 @@ object Retrieval {
         (col("score_q").cast("double") / lit(1000000.0)).as("score"))
   }
 
+  /** TF-IDF cosine retrieval — the classic vector-space model beside
+    * BM25 (Salton & Buckley 1988): documents and queries as sparse
+    * tf·idf vectors, ranked by cosine. Kept first-class because its
+    * scoring is length-NORMALIZED by the full document vector (BM25 only
+    * penalizes length inside the saturation term), which is the standard
+    * baseline for near-duplicate-aware retrieval audits.
+    *
+    * One-shot form: builds the postings, searches, frees. For a
+    * repeated-search deployment build [[postings]] once and call
+    * [[tfidfOverPostings]] (persisting the postings; the df and norm
+    * aggregations are index-build-class costs that amortize with it). */
+  def tfidfSearch(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val post = postings(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = tfidfOverPostings(post, queries, k).localCheckpoint(true)
+    post.unpersist(false)
+    ranked
+  }
+
+  /** TF-IDF cosine top-`k` per query against a [[postings]] frame.
+    *
+    * Determinism recipe (every aggregation is EXACT integer arithmetic,
+    * so results are partition- and engine-invariant):
+    *  - idf quantizes to the 1e-3 grid FIRST: idfq = ⌊ln((N+1)/(df+1))
+    *    ·1000 + 0.5⌋ (df = 0 for out-of-vocabulary query terms);
+    *  - doc weight wq = tf·idfq and norm² = Σ wq² are exact longs (fits
+    *    while Σ(tf·idfq)² < 2⁶³ per doc — at the 1e-3 grid that admits
+    *    any document with < ~100 simultaneously rare AND hot terms;
+    *    vocabulary-scale corpora are nowhere near it);
+    *  - per-(query, doc) dot = Σ tf·idfq² sums exactly; the ONE float
+    *    step is the final cosine dot/(√norm²·√qnorm²) — IEEE sqrt/div
+    *    over exact integer inputs, identical in any engine — then the
+    *    1e-6 score quantization that feeds the salted rank.
+    *
+    * Scale shape: df and norms aggregate the postings ONCE each
+    * (index-build-class, amortized when the caller persists them with
+    * the postings); per-search work after that is proportional to the
+    * QUERIED terms' posting lists (the [[bm25OverPostings]] contract) —
+    * the norm join-back is keyed by doc_id on the already-restricted
+    * candidate set. Zero-norm docs (every term in every doc) and
+    * zero-norm queries return no rows rather than a 0/0.
+    * Output: (query_id, rank, doc_id, score). */
+  def tfidfOverPostings(post: DataFrame, queries: DataFrame, k: Int,
+                        broadcastQueries: Boolean = true): DataFrame = {
+    val bc: DataFrame => DataFrame =
+      if (broadcastQueries) broadcast else identity
+    // corpus size (1-row broadcast: the scalar-subquery plan shape)
+    val stats = post.select("doc_id").distinct()
+      .agg(count(lit(1)).as("n"))
+    def idfq(dfCol: Column, nCol: Column): Column =
+      floor(log((nCol.cast("double") + lit(1.0)) /
+        (dfCol.cast("double") + lit(1.0))) * lit(1000.0) + lit(0.5))
+        .cast("long")
+    // full-vocabulary idf (post has one row per (doc, term) -> count = df)
+    val idf = post.groupBy("term_key").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term_key"), idfq(col("df"), col("n")).as("idfq"))
+    // per-doc vector norms over the FULL vocabulary (exact long Σ wq²)
+    val norms = post.join(idf, "term_key")
+      .select(col("doc_id"), (col("tf") * col("idfq")).as("_wq"))
+      .groupBy("doc_id")
+      .agg(sum(col("_wq") * col("_wq")).as("_nsq"))
+    // query vectors: distinct terms at tf = 1; OOV terms take the df=0
+    // idf and still count toward the query norm (they can match nothing)
+    val qt = queries
+      .select(col("query_id"), explode(toks(col("qtext"))).as("_qterm"))
+      .select(col("query_id"), Dedup.md5Long(col("_qterm")).as("term_key"))
+      .distinct()
+    val qw = qt.join(idf, Seq("term_key"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("term_key"),
+        coalesce(col("idfq"), idfq(lit(0L), col("n"))).as("qidfq"))
+    val qnorm = qw.groupBy("query_id")
+      .agg(sum(col("qidfq") * col("qidfq")).as("_qnsq"))
+    // restricted postings -> exact integer dot: Σ tf·idfq² per (q, doc)
+    val dot = post.join(bc(qw), Seq("term_key"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("tf") * col("qidfq") * col("qidfq")).as("_dot"))
+    val scored = dot
+      .join(norms, "doc_id")
+      .join(bc(qnorm), "query_id")
+      .where(col("_nsq") > 0L && col("_qnsq") > 0L)
+      .withColumn("_score_q",
+        floor(col("_dot").cast("double") /
+          (sqrt(col("_nsq").cast("double")) *
+            sqrt(col("_qnsq").cast("double"))) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+    TopK.perKeySalted(scored, "query_id",
+        Seq(desc("_score_q"), col("doc_id")), k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        (col("_score_q").cast("double") / lit(1000000.0)).as("score"))
+  }
+
   /** Maintained BM25 postings index: the corpus tokenize + (doc, term)
     * shuffle — the one corpus-sized cost of [[bm25]] — paid ONCE at
     * [[PostingsIndex.build]] and amortized across every later search.

@@ -24,6 +24,17 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Q93: TF-IDF cosine retrieval — the classic vector-space ranking
+    // beside q58's BM25: full-document-norm cosine over quantized-idf
+    // sparse vectors, same query set, top-10 per query.
+    "q93_tfidf" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq((0L, "dup merge scan"), (1L, "spark window agg"),
+        (2L, "vector join fast")).toDF("query_id", "qtext")
+      Retrieval.tfidfSearch(par(Tables.documents(s, d)), qs, 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Q87: exact phrase search over positional postings — set-wise
     // positional-list merge (slot-aligned start votes, one aggregation),
     // top-10 docs per phrase by occurrence count. Phrase 3 repeats a
@@ -114,6 +125,17 @@ object PipelineQueries {
           nCells = 8, iters = 3, perCell = 5)
         .select(col("vec_id"), col("cell"), r4(col("sim")).as("sim"),
           col("rank"))
+        .orderBy("cell", "rank")),
+
+    // Q94: cluster-balanced (diversity) sampling — the q62 clustering,
+    // then up to 5 members per cell by the deterministic md5 ppm draw:
+    // every semantic region gets a bounded budget share (the selection
+    // counterpart of SemDeDup's within-region pruning).
+    "q94_cluster_sample" -> ((s, d) =>
+      Clustering.clusterBalancedSample(par(Tables.embeddings(s, d)),
+          nCells = 8, iters = 3, perCell = 5)
+        .select(col("vec_id"), col("cell"), r4(col("sim")).as("sim"),
+          col("draw"), col("rank"))
         .orderBy("cell", "rank")),
 
     // Q63: temperature-0.5 source mixing under a 20k-subtoken budget —
@@ -455,6 +477,59 @@ object PipelineQueries {
         |  CAST(score_q AS DOUBLE) / 1000000.0 AS score
         |FROM bm WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // q93: tf-idf cosine replay — idf quantized to 1e-3 longs FIRST,
+    // every aggregation (doc norms, query norms, dots) exact integer
+    // sums; the one float step is the final cosine + 1e-6 quantization
+    "q93_tfidf" ->
+      s"""WITH tk AS MATERIALIZED (SELECT doc_id, $toksSql AS toks
+        |  FROM documents),
+        |post AS MATERIALIZED (SELECT doc_id, ${key56("t")} AS term_key,
+        |    count(*) AS tf
+        |  FROM tk, UNNEST(toks) AS u(t) GROUP BY doc_id, term_key),
+        |nn AS (SELECT count(DISTINCT doc_id) AS n FROM post),
+        |dfq AS (SELECT term_key, count(*) AS dfc FROM post
+        |  GROUP BY term_key),
+        |idf AS MATERIALIZED (SELECT term_key,
+        |    CAST(floor(ln((nn.n + 1.0) / (dfc + 1.0)) * 1000.0 + 0.5)
+        |      AS BIGINT) AS idfq
+        |  FROM dfq, nn),
+        |norms AS MATERIALIZED (SELECT doc_id,
+        |    CAST(sum((tf * idfq) * (tf * idfq)) AS BIGINT) AS nsq
+        |  FROM post JOIN idf USING (term_key) GROUP BY doc_id),
+        |q(query_id, qtext) AS (VALUES (0, 'dup merge scan'),
+        |  (1, 'spark window agg'), (2, 'vector join fast')),
+        |qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+        |    ${key56("t")} AS term_key
+        |  FROM q, UNNEST(regexp_split_to_array(trim(qtext), '\\s+'))
+        |    AS u(t)),
+        |qw AS MATERIALIZED (SELECT qt.query_id, qt.term_key,
+        |    coalesce(idf.idfq,
+        |      (SELECT CAST(floor(ln(n + 1.0) * 1000.0 + 0.5) AS BIGINT)
+        |       FROM nn)) AS qidfq
+        |  FROM qt LEFT JOIN idf USING (term_key)),
+        |qn AS (SELECT query_id,
+        |    CAST(sum(qidfq * qidfq) AS BIGINT) AS qnsq
+        |  FROM qw GROUP BY query_id),
+        |dt AS (SELECT qw.query_id, post.doc_id,
+        |    CAST(sum(post.tf * qw.qidfq * qw.qidfq) AS BIGINT) AS dq
+        |  FROM post JOIN qw USING (term_key)
+        |  GROUP BY qw.query_id, post.doc_id),
+        |sc AS (SELECT dt.query_id, dt.doc_id,
+        |    CAST(floor(CAST(dq AS DOUBLE)
+        |        / (sqrt(CAST(nsq AS DOUBLE)) * sqrt(CAST(qnsq AS DOUBLE)))
+        |        * 1000000.0 + 0.5) AS BIGINT) AS score_q
+        |  FROM dt
+        |  JOIN norms USING (doc_id)
+        |  JOIN qn USING (query_id)
+        |  WHERE nsq > 0 AND qnsq > 0),
+        |r AS (SELECT query_id, doc_id, score_q,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank
+        |  FROM sc)
+        |SELECT query_id, rank, doc_id,
+        |  CAST(score_q AS DOUBLE) / 1000000.0 AS score
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     // q87: per-phrase array scan — every start position whose aligned
     // tokens all match counts one occurrence (overlaps included), then
     // rank by count.
@@ -677,6 +752,24 @@ object PipelineQueries {
         |  FROM af)
         |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
         |  ${r4sql("d")} AS sim, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 5
+        |ORDER BY cell, rank""".stripMargin,
+
+    // q94: the same chain, then up to 5 per cell by the deterministic
+    // md5 ppm draw (ascending, ties by vec_id) — the cluster-balanced
+    // sample replayed verbatim
+    "q94_cluster_sample" ->
+      s"""WITH $kmeansChainSql,
+        |dr AS (SELECT vec_id, cell, d,
+        |    ${key56("CAST(vec_id AS VARCHAR) || ':cbs'")} % 1000000
+        |      AS draw
+        |  FROM af),
+        |r AS (SELECT vec_id, cell, d, draw, row_number() OVER (
+        |    PARTITION BY cell ORDER BY draw ASC, vec_id) AS rank
+        |  FROM dr)
+        |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+        |  ${r4sql("d")} AS sim, CAST(draw AS BIGINT) AS draw,
+        |  CAST(rank AS INTEGER) AS rank
         |FROM r WHERE rank <= 5
         |ORDER BY cell, rank""".stripMargin,
 

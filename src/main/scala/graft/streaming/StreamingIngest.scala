@@ -508,6 +508,70 @@ object StreamingIngest {
         .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
   }
 
+  /** Maintain a [[graft.operators.Sketches.hllRegisters]] distinct-count
+    * sketch over a stream — the live cardinality profile beside the
+    * frequency profile ([[streamingCountMin]]). Exploits HLL's defining
+    * property: registers merge by cellwise MAX, so each micro-batch
+    * writes its own bounded (≤ groups·2^p rows) register DELTA under
+    * `sketchPath/batch=<id>` behind the staged rename (the commit
+    * point: replayed ids no-op, crash litter absorbed), and the live
+    * sketch is the per-(group, bucket) max over committed deltas
+    * ([[readHll]]) — EQUAL to the batch build over the union by the
+    * merge identity (spec-gated). [[graft.operators.Sketches.hllEstimate]]
+    * reads it unchanged. Single-writer assumption, as with the store. */
+  def streamingHll(stream: DataFrame, groupCol: String, valueCol: String,
+                   sketchPath: String, checkpoint: String, p: Int = 8)
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processHllBatch(batch, batchId, sketchPath, groupCol, valueCol, p)
+      }
+      .start()
+
+  /** One HLL micro-batch (exposed for replay/crash testing). */
+  private[graft] def processHllBatch(batch: DataFrame, batchId: Long,
+                                     sketchPath: String, groupCol: String,
+                                     valueCol: String, p: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(s"$sketchPath/batch=$batchId")
+    val fs = dst.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(dst)) return // committed: replayed batch is a no-op
+    val stg = new Path(s"$sketchPath/_staging/b$batchId")
+    fs.delete(stg, true) // crashed earlier attempt's litter
+    graft.operators.Sketches.hllRegisters(batch, groupCol, col(valueCol), p)
+      .coalesce(1) // <= groups * 2^p rows: one file
+      .write.mode("overwrite").parquet(stg.toString)
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(stg, dst))
+      sys.error(s"hll commit rename failed: $stg -> $dst")
+  }
+
+  /** The live maintained HLL: per-(group, bucket) MAX over every
+    * committed delta — same (group, bucket, register) shape as a batch
+    * [[graft.operators.Sketches.hllRegisters]] build, so
+    * [[graft.operators.Sketches.hllEstimate]] probes it unchanged. */
+  def readHll(spark: org.apache.spark.sql.SparkSession, sketchPath: String,
+              groupCol: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(sketchPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasCommits = fs.exists(root) && fs.listStatus(root)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+    if (!hasCommits) {
+      // schema derived from an empty build — cannot drift from the real
+      // sketch layout (the readCountMin discipline)
+      import spark.implicits._
+      graft.operators.Sketches.hllRegisters(
+        Seq.empty[(String, String)].toDF(groupCol, "_v"), groupCol,
+        col("_v"))
+    } else
+      spark.read.parquet(sketchPath)
+        .groupBy(groupCol, "bucket").agg(max("register").as("register"))
+  }
+
   /** Maintained streaming priority sample — the DLT weighted sample
     * ([[graft.operators.TextAnalysis.prioritySample]]) kept fresh across
     * micro-batches. Each batch commits its OWN top-k priority rows (a

@@ -600,6 +600,85 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.groupBy(_._2).values.forall(_.length <= 3))
   }
 
+  test("tfidf: matches a naive single-threaded reimplementation; " +
+    "a verbatim-duplicate query ranks its doc first at cosine 1") {
+    val corpus = Seq(
+      (1L, "a b a"), (2L, "a c"), (3L, "c c c d"), (4L, "b e d a"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "a d"), (11L, "c"), (12L, "b e d a"))
+      .toDF("query_id", "qtext")
+    val got = Retrieval.tfidfSearch(corpus, qs, 4)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+
+    // naive ground truth with the operator's exact arithmetic
+    val docs = Map(1L -> "a b a", 2L -> "a c", 3L -> "c c c d",
+      4L -> "b e d a").view.mapValues(_.split("\\s+").toSeq).toMap
+    val n = docs.size.toLong
+    def df(t: String) = docs.values.count(_.contains(t)).toLong
+    def idfq(t: String): Long =
+      math.floor(math.log((n + 1.0) / (df(t) + 1.0)) * 1000.0 + 0.5).toLong
+    def docW(id: Long): Map[String, Long] =
+      docs(id).groupBy(identity).view
+        .mapValues(ts => ts.size.toLong * idfq(ts.head)).toMap
+    def scoreQ(qterms: Seq[String], id: Long): Long = {
+      val dw = docW(id)
+      val qw = qterms.distinct.map(t => t -> idfq(t)).toMap
+      val dot = qw.map { case (t, w) => dw.getOrElse(t, 0L) * w }.sum
+      val nsq = dw.values.map(w => w * w).sum
+      val qnsq = qw.values.map(w => w * w).sum
+      math.floor(dot.toDouble /
+        (math.sqrt(nsq.toDouble) * math.sqrt(qnsq.toDouble)) *
+        1000000.0 + 0.5).toLong
+    }
+    val exp = (for {
+      (qid, qterms) <- Seq(10L -> Seq("a", "d"), 11L -> Seq("c"),
+        12L -> Seq("b", "e", "d", "a"))
+      // only docs sharing >= 1 query term are candidates (the postings
+      // join restricts before scoring)
+      ranked = docs.keys.toSeq
+        .filter(id => qterms.distinct.exists(docs(id).contains))
+        .map(id => (id, scoreQ(qterms, id)))
+        .sortBy { case (id, s) => (-s, id) }.take(4)
+      ((id, s), i) <- ranked.zipWithIndex
+    } yield (qid, i + 1, id, s.toDouble / 1000000.0)).toSet
+    assert(got == exp)
+    // query 12 IS doc 4 (all-distinct terms, so tf=1 both sides):
+    // cosine is exactly 1 and doc 4 ranks first
+    val q12 = got.filter(_._1 == 12L).toSeq.sortBy(_._2)
+    assert(q12.head._3 == 4L && q12.head._4 == 1.0, q12.toString)
+    // over-postings form + the non-broadcast query regime agree
+    val post = Retrieval.postings(corpus)
+    val shuffled = Retrieval.tfidfOverPostings(post, qs, 4,
+        broadcastQueries = false)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(shuffled == got)
+  }
+
+  test("clusterBalancedSample: per-cell cap via the deterministic ppm " +
+    "draw, agrees with a naive re-rank of the assignment") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 120).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val got = Clustering.clusterBalancedSample(rows, nCells = 4,
+        iters = 2, perCell = 3)
+      .select("vec_id", "cell", "draw", "rank")
+      .as[(Long, Int, Long, Int)].collect()
+    def draw(id: Long): Long =
+      java.lang.Math.floorMod(md5Long(s"$id:cbs"), 1000000L)
+    val asg = Clustering.kmeansAssign(rows, nCells = 4, iters = 2)
+      .select("vec_id", "cell").as[(Long, Int)].collect()
+    val naive = asg.groupBy(_._2).toSeq.flatMap { case (cell, members) =>
+      members.map(_._1).sortBy(id => (draw(id), id)).take(3).zipWithIndex
+        .map { case (id, i) => (id, cell, draw(id), i + 1) }
+    }
+    assert(got.sortBy(t => (t._2, t._4)).toSeq ==
+      naive.sortBy(t => (t._2, t._4)))
+    assert(got.groupBy(_._2).values.forall(_.length <= 3))
+  }
+
   test("bloomBits: no false negatives, deterministic false positives " +
     "match the JVM hash replay, union merges bitwise, bounded by mBits") {
     import graft.operators.Sketches

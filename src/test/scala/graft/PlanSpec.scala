@@ -166,6 +166,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("q92 funnel accounting plan: gate predicates + token counts ride " +
+    "the scan projection; attribution joins are equi-only id frames " +
+    "(gated on the un-pinned form — the public operator checkpoints)") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val cand = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+    val eval = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+    val plan = graft.operators.Pipeline.funnelStatsPlan(cand, eval)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the gram probe broadcasts the eval key set as in q53/q90
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the final rollup is a 5-row agg: partial aggregation must be
+    // present ahead of its exchange (map-side combine on the stage key)
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      plan.take(2000))
+  }
+
   test("q54 budget selection: threshold bucketing leaves exactly two " +
     "windows — the tiny bucket-totals cum and the boundary-bucket cum") {
     // the public operator checkpoints its result (freeing the scored

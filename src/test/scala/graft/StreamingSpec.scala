@@ -622,6 +622,54 @@ class StreamingSpec extends SparkSpec {
     assert(est._2 >= trueCnt)
   }
 
+  test("maintained hll sketch: streamed deltas max to the batch sketch " +
+    "of the union; replayed and crashed batches are absorbed") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketches
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hll").toString
+    val sketchPath = s"$dir/sketch"
+    // before any commit the live sketch is EMPTY, not an exception
+    assert(StreamingIngest.readHll(spark, sketchPath, "g").count() == 0)
+    val a = (1 to 300).map(i => ("en", s"tok${i % 90}"))
+    val b = (1 to 400).map(i => ("de", s"tok${i % 130}"))
+    val stream = MemoryStream[(String, String)]
+    val q = StreamingIngest.streamingHll(
+      stream.toDF().toDF("g", "w"), "g", "w", sketchPath, s"$dir/ckpt",
+      p = 6)
+    try {
+      stream.addData(a: _*); q.processAllAvailable()
+      stream.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Int)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val batchEquiv = Sketches.hllRegisters(
+      (a ++ b).toDF("g", "w"), "g", col("w"), p = 6)
+    val live = StreamingIngest.readHll(spark, sketchPath, "g")
+    // the merge identity: per-cell MAX over deltas = the batch build
+    assert(cells(live) == cells(batchEquiv))
+    // a replayed micro-batch (same id, even different data) is a no-op
+    StreamingIngest.processHllBatch(
+      Seq(("fr", "tokX")).toDF("g", "w"), 0L, sketchPath, "g", "w", 6)
+    assert(cells(StreamingIngest.readHll(spark, sketchPath, "g")) ==
+      cells(batchEquiv))
+    // a crash mid-stage leaves only staging litter; replay absorbs it
+    val litter = new java.io.File(s"$sketchPath/_staging/b7/part-junk")
+    litter.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(litter.toPath, "partial")
+    StreamingIngest.processHllBatch(
+      Seq(("en", "fresh")).toDF("g", "w"), 7L, sketchPath, "g", "w", 6)
+    val withExtra = StreamingIngest.readHll(spark, sketchPath, "g")
+    assert(cells(withExtra) == cells(Sketches.hllRegisters(
+      (a ++ b :+ (("en", "fresh"))).toDF("g", "w"), "g", col("w"), 6)))
+    // the maintained sketch reads through the standard estimator and
+    // lands near the true distinct counts (90 en + fresh, 130 de)
+    val est = Sketches.hllEstimate(withExtra, "g", p = 6)
+      .select("g", "estimate").as[(String, Double)].collect().toMap
+    assert(math.abs(est("en") - 91.0) / 91.0 < 0.35, est.toString)
+    assert(math.abs(est("de") - 130.0) / 130.0 < 0.35, est.toString)
+  }
+
   test("maintained postings index: streamed deltas union to the batch " +
     "build; BM25 over the live index equals the batch search") {
     implicit val sqlCtx = spark.sqlContext
