@@ -571,6 +571,76 @@ object SimilaritySearch {
       .select("query_id", "rank", "id", "sim")
   }
 
+  /** Binary-quantized (sign-bit) approximate top-k: each dimension
+    * compresses to ONE BIT — the sign of the RAW component, packed into
+    * ⌈dim/32⌉ long words — 32× compression against float32, the cheapest
+    * candidate representation in the family (the "binary embedding" /
+    * Hamming-prefilter deployment shape: e.g. FAISS `IndexBinaryFlat` +
+    * refine). Signs are invariant under the positive L2 scaling, so raw
+    * and normalized vectors quantize identically (the [[topKLsh]] RAW-side
+    * convention, with the data's own axes as the hyperplanes).
+    *
+    * Two stages: (1) a flat Hamming scan over the packed words —
+    * `bit_count(xor)` per word, codegen'd builtins, the corpus read is
+    * nWords longs/row — keeps the `max(refine, k)` Hamming-nearest
+    * candidates per query (ascending distance, id tie-break); (2) ONLY
+    * those survivors re-join the raw corpus for exact normalized dots
+    * (the [[topKPqRefine]] precision stage), so returned sims are EXACT.
+    * With `refine <= 0` stage 2 is skipped and the score is the exact
+    * rational sign-agreement `(dim − 2·ham)/dim` ∈ [−1, 1] (the linear
+    * Hamming proxy for cosine — integer arithmetic plus one IEEE divide,
+    * engine-portable unlike a transcendental `cos(π·ham/dim)`).
+    *
+    * Scale shape: both stages are broadcast-query flat scans (no shuffle
+    * on the corpus side; ranking is the salted two-phase top-k), and the
+    * compressed stage's scan cost is 1/32 of [[topK]]'s — compose with an
+    * IVF coarse layer the way [[topKIvfPq]] does when the candidate COUNT
+    * must also shrink. Fully oracle-replayable: sign tests, xor/popcount,
+    * and ordered exact dots — no trainer at all. */
+  def topKBq(queries: DataFrame, corpus: DataFrame, k: Int,
+             refine: Int = 50): DataFrame = {
+    val dim = corpus.select(size(col("vec")).as("_d")).head.getInt(0)
+    val nWords = (dim + 31) / 32
+    def words(c: Column): Column = array((0 until nWords).map { w =>
+      (0 until math.min(32, dim - 32 * w)).map { j =>
+        when(element_at(c, 32 * w + j + 1) >= 0f, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }: _*)
+    def ham(qw: Column, cw: Column): Column =
+      (0 until nWords).map(w => bit_count(
+        element_at(qw, w + 1).bitwiseXOR(element_at(cw, w + 1)))
+        .cast("long")).reduce(_ + _)
+    val qb = queries.select(col("query_id"), words(col("qvec")).as("_qw"))
+    val cb = corpus.select(col("id"), words(col("vec")).as("_cw"))
+    val hammed = cb.crossJoin(broadcast(qb))
+      .withColumn("_ham", ham(col("_qw"), col("_cw")))
+    if (refine <= 0) {
+      // compressed-domain only: rank by Hamming, exact-rational score
+      TopK.perKeySalted(hammed, "query_id",
+          Seq(col("_ham").asc, col("id")), k)
+        .withColumn("sim",
+          (lit(dim.toDouble) - col("_ham").cast("double") * 2.0)
+            / lit(dim.toDouble))
+        .where(col("sim") > 0)
+        .select("query_id", "rank", "id", "sim")
+    } else {
+      // the candidate set is bounded (|queries| × refine rows of two
+      // longs) — broadcast it so the refine stage is one more corpus
+      // scan with ZERO shuffle before the final rank
+      val cand = TopK.perKeySalted(hammed, "query_id",
+          Seq(col("_ham").asc, col("id")), math.max(refine, k))
+        .select("query_id", "id")
+      val ex = normalized(corpus, "vec")
+        .join(broadcast(cand), "id")
+        .join(broadcast(normalized(queries, "qvec")), "query_id")
+        .withColumn("sim", dotNative(col("qvec"), col("vec")))
+      TopK.perKeySalted(ex, "query_id", Seq(desc("sim"), col("id")), k)
+        .where(col("sim") > 0)
+        .select("query_id", "rank", "id", "sim")
+    }
+  }
+
   private def normalized(df: DataFrame, colName: String): DataFrame =
     df.withColumn("_n", l2NormNative(col(colName)))
       .where(col("_n") > 0)

@@ -180,6 +180,24 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Q95: binary quantization + exact refine — sign bits of the RAW
+    // embedding packed into two 32-bit words (32x compression), flat
+    // Hamming scan keeps the 20 nearest candidates per query
+    // (bit_count(xor) per word), then ONLY those survivors take exact
+    // normalized dots. No trainer at all: the oracle replays sign tests,
+    // xor/popcount, and both rank stages verbatim.
+    "q95_ann_bq_refine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      SimilaritySearch.topKBq(queries, corpus, 5, refine = 20)
+        .select(col("query_id"), col("rank"), col("id"),
+          r4(col("sim")).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Q49: the maintained-index search shape end-to-end — IVF-PQ over the
     // RECONSTRUCTED LATEST corpus (the facade's searchLatestVersionsPq
     // pipeline: reconstruction → coarse cells → byte codes → cell-probed
@@ -850,7 +868,46 @@ object ExtQueries {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.operators.SimilaritySearch.topKBq]]: sign
+    * bits of the RAW embedding packed into two 32-bit words, Hamming
+    * candidates via bit_count(xor) (top-20 per query, id tie-break), exact
+    * normalized dots over the survivors. Zero-norm rows drop at the `nrm`
+    * join exactly where the Spark refine stage drops them. */
+  private def q95OracleSql: String =
+    s"""WITH $annPrefixCtes,
+      |bw AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(range(0, 2), w ->
+      |    list_sum(list_transform(range(0, 32), j ->
+      |      CASE WHEN embedding[32 * w + j + 1] >= 0
+      |        THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+      |        ELSE 0 END))) AS wds
+      |  FROM embeddings),
+      |hm AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+      |    bit_count(CAST(xor(q.wds[1], c.wds[1]) AS BIGINT))
+      |      + bit_count(CAST(xor(q.wds[2], c.wds[2]) AS BIGINT)) AS ham
+      |  FROM bw q, bw c WHERE q.vec_id < 10),
+      |rh AS (
+      |  SELECT query_id, id, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY ham, id) AS rnk
+      |  FROM hm),
+      |cand AS (SELECT query_id, id FROM rh WHERE rnk <= 20),
+      |ex AS (
+      |  SELECT c.query_id, c.id,
+      |    list_sum(list_transform(range(0, 64), i ->
+      |      CAST(q.v[i+1] AS DOUBLE) * CAST(n.v[i+1] AS DOUBLE))) AS sim
+      |  FROM cand c JOIN nrm n ON n.vec_id = c.id
+      |  JOIN nrm q ON q.vec_id = c.query_id),
+      |r AS (
+      |  SELECT query_id, id, sim, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY sim DESC, id) AS INTEGER) AS rank
+      |  FROM ex)
+      |SELECT query_id, rank, id, ${r4sql("sim")} AS sim
+      |FROM r WHERE rank <= 5 AND sim > 0
+      |ORDER BY query_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q95_ann_bq_refine" -> q95OracleSql,
     "q35_ann_ivf_topk" -> q35OracleSql,
     "q56_ann_sq_topk" -> q56OracleSql,
     "q41_ann_pq_topk" -> q41OracleSql,

@@ -37,9 +37,12 @@ class PlanSpec extends SparkSpec {
     "q80_adaptive_quality", // the q67 quantile shape inside the per-source
                             // cutoff derivation: histogram × 1-row q-frame,
                             // both bounded; the corpus joins stay equi/bcast
-    "q91_semantic_decontam" // broadcast nested-loop on the corpus-≪ eval
+    "q91_semantic_decontam", // broadcast nested-loop on the corpus-≪ eval
                             // suite (the q15/q25 exact-cosine contract) —
                             // linear in corpus, never corpus × corpus
+    "q95_ann_bq_refine"     // BQ Hamming stage: broadcast-query flat scan
+                            // over 2-long packed words (the q15 contract
+                            // at 1/32 the scan width) — linear in corpus
   )
 
   test("no unintentional cartesian/nested-loop joins in any declared query") {
@@ -111,6 +114,21 @@ class PlanSpec extends SparkSpec {
       assert(plan.contains("_salt"),
         s"$q: phase-1 window is not salted:\n" + plan.take(4000))
     }
+  }
+
+  test("q95 BQ refine: broadcast-only joins — the Hamming stage is a " +
+    "broadcast flat scan and the bounded candidate set broadcasts back " +
+    "into the exact stage, so every hash exchange is a rank phase") {
+    val plan = SparkEntry.queries("q95_ann_bq_refine")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      "BQ refine shuffled a join side:\n" + plan.take(4000))
+    // 4 rank phases (two salted two-phase top-ks) — no other exchange
+    // touches corpus-proportional data
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 4, s"expected 4 hash exchanges, got $exchanges:\n" +
+      plan.take(4000))
   }
 
   test("PQ q41: map-only encode — exchanges are the two rank phases only") {

@@ -169,6 +169,49 @@ class SimilaritySpec extends SparkSpec {
     assert(refined == exact)
   }
 
+  test("BQ refine with full coverage equals exact topK bit-for-bit") {
+    // refine >= |corpus| makes the Hamming stage a no-op filter: stage 2
+    // then IS the exact search (same dots, same tie-breaks)
+    val exact = SimilaritySearch.topK(queryDf, corpusDf, 5)
+      .select("query_id", "rank", "id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val refined = SimilaritySearch.topKBq(queryDf, corpusDf, 5, refine = 40)
+      .select("query_id", "rank", "id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(refined == exact)
+  }
+
+  test("BQ: clustered recall at a bounded refine; compressed-only branch " +
+    "self-matches at exact sim 1.0 with the rational Hamming score") {
+    // sign agreement within a well-separated cluster keeps the true
+    // neighbors inside the top-10 Hamming candidates
+    val bq = SimilaritySearch.annRecallSummary(queryDf, corpusDf, 5,
+        SimilaritySearch.topKBq(_, _, _, refine = 10))
+      .select("avg_recall").as[Double].head()
+    assert(bq >= 0.8, s"clustered BQ recall $bq")
+    // refine <= 0: pure compressed domain — the query's own row has
+    // Hamming 0 (identical signs), sim = (dim - 0)/dim = exactly 1.0.
+    // Cluster-mates' tiny perturbations don't flip signs either, so the
+    // WHOLE cluster ties at ham 0 and the id tie-break ranks it — rank 1
+    // is sim 1.0 (not necessarily self; that is the honest compressed
+    // contract), self sits inside the ham-0 tie, every score is on the
+    // exact (dim - 2·ham)/dim grid
+    val comp = SimilaritySearch.topKBq(queryDf, corpusDf, 15, refine = 0)
+      .select("query_id", "rank", "id", "sim")
+      .as[(Long, Int, Long, Double)].collect()
+    val byQ = comp.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    for ((q, rows) <- byQ) {
+      assert(rows.head._4 == 1.0, s"query $q rank-1 not ham-0: ${rows.head}")
+      val self = rows.find(_._3 == q)
+      assert(self.exists(_._4 == 1.0), s"query $q self not at ham 0: $self")
+      rows.foreach { r =>
+        val ham = (dim - r._4 * dim) / 2.0
+        assert(ham == math.rint(ham) && ham >= 0 && ham <= dim,
+          s"off-grid score $r")
+      }
+    }
+  }
+
   test("IVF-PQ refine with full coverage equals exact topK bit-for-bit") {
     // every cell probed + refine >= |corpus| makes stage 1 a no-op
     // filter over the whole corpus: stage 2 then IS the exact search
