@@ -104,8 +104,11 @@ object Pipeline {
       .join(keptIds, Seq("doc_id"), "left")
       .join(dirtyIds, Seq("doc_id"), "left")
       .withColumn("stage",
-        when(!col("_lok"), "language")
-          .when(!col("_qok"), "quality")
+        // coalesce: a NULL-text doc yields NULL gate flags; without it
+        // the first two branches are skipped and the row misattributes
+        // to 'duplicate'. Null text fails the language gate.
+        when(!coalesce(col("_lok"), lit(false)), "language")
+          .when(!coalesce(col("_qok"), lit(false)), "quality")
           .when(col("_kept").isNull, "duplicate")
           .when(col("_dirty").isNotNull, "contaminated")
           .otherwise("kept"))

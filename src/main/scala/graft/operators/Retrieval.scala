@@ -98,7 +98,10 @@ object Retrieval {
   /** Proximity search over [[positionalPostings]]: top-`k` documents per
     * query by the number of position pairs where the query's two terms
     * occur within `window` tokens of each other (|pa − pb| ≤ window).
-    * `queries` is a small (query_id, term_a, term_b) frame.
+    * `queries` is a small (query_id, term_a, term_b) frame. Distinct
+    * terms count every ordered (pa, pb) pair; a query with
+    * term_a = term_b counts each unordered pair of DISTINCT positions
+    * once (self-pairs at distance 0 excluded).
     *
     * The position-range join is done with the pigeonhole bucket trick
     * rather than a per-doc cross product: positions bucket by
@@ -115,20 +118,28 @@ object Retrieval {
     require(window >= 1, s"window must be >= 1, got $window")
     def side(termCol: String, posName: String) = {
       val terms = queries.select(col("query_id"),
-        Dedup.md5Long(col(termCol)).as("term_key"))
+        Dedup.md5Long(col(termCol)).as("term_key"),
+        (col("term_a") === col("term_b")).as("_same"))
       val t = if (broadcastQueries) broadcast(terms) else terms
       post.join(t, "term_key")
-        .select(col("query_id"), col("doc_id"), col("pos").as(posName))
+        .select(col("query_id"), col("doc_id"), col("_same"),
+          col("pos").as(posName))
     }
     val a = side("term_a", "pa")
-      .select(col("query_id"), col("doc_id"), col("pa"),
+      .select(col("query_id"), col("doc_id"), col("_same"), col("pa"),
         explode(array(lit(-1L), lit(0L), lit(1L))).as("_nb"))
-      .select(col("query_id"), col("doc_id"), col("pa"),
+      .select(col("query_id"), col("doc_id"), col("_same"), col("pa"),
         (floor(col("pa") / window) + col("_nb")).as("_bkt"))
-    val b = side("term_b", "pb")
+    val b = side("term_b", "pb").drop("_same")
       .withColumn("_bkt", floor(col("pb") / window))
+    // pair contract: distinct terms count every ordered (pa, pb) within
+    // the window (each distinct-term co-occurrence once); an EQUAL term
+    // pair counts each unordered pair of DISTINCT positions once
+    // (pa < pb) — without the guard it would count self-pairs (pa = pb,
+    // distance 0) and both orderings, inflating n_pairs.
     val occ = a.join(b, Seq("query_id", "doc_id", "_bkt"))
-      .where(abs(col("pa") - col("pb")) <= window)
+      .where(abs(col("pa") - col("pb")) <= window &&
+        (!col("_same") || col("pa") < col("pb")))
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("n_pairs"))
     TopK.perKeySalted(occ, "query_id",

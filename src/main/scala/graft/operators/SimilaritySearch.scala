@@ -599,7 +599,16 @@ object SimilaritySearch {
     * and ordered exact dots — no trainer at all. */
   def topKBq(queries: DataFrame, corpus: DataFrame, k: Int,
              refine: Int = 50): DataFrame = {
-    val dim = corpus.select(size(col("vec")).as("_d")).head.getInt(0)
+    val dimRow = corpus.select(size(col("vec")).as("_d")).limit(1).collect()
+    if (dimRow.isEmpty) {
+      // empty corpus: the output schema with zero rows (no head() throw)
+      return queries.select(col("query_id")).limit(0)
+        .withColumn("rank", lit(1).cast("int"))
+        .withColumn("id", lit(null).cast(corpus.schema("id").dataType))
+        .withColumn("sim", lit(0.0))
+        .select("query_id", "rank", "id", "sim")
+    }
+    val dim = dimRow.head.getInt(0)
     val nWords = (dim + 31) / 32
     def words(c: Column): Column = array((0 until nWords).map { w =>
       (0 until math.min(32, dim - 32 * w)).map { j =>
@@ -611,7 +620,14 @@ object SimilaritySearch {
       (0 until nWords).map(w => bit_count(
         element_at(qw, w + 1).bitwiseXOR(element_at(cw, w + 1)))
         .cast("long")).reduce(_ + _)
-    val qb = queries.select(col("query_id"), words(col("qvec")).as("_qw"))
+    // a query shorter than the corpus dim would read NULL past its end
+    // and silently quantize as a 0 sign bit — fail loudly instead (one
+    // when() around the whole packed array, not per element)
+    val qb = queries.select(col("query_id"),
+      when(size(col("qvec")) === dim, words(col("qvec")))
+        .otherwise(raise_error(concat(
+          lit("topKBq: query dim "), size(col("qvec")).cast("string"),
+          lit(s" != corpus dim $dim")))).as("_qw"))
     val cb = corpus.select(col("id"), words(col("vec")).as("_cw"))
     val hammed = cb.crossJoin(broadcast(qb))
       .withColumn("_ham", ham(col("_qw"), col("_cw")))

@@ -322,6 +322,16 @@ object Video {
       }
       val offs = entries.result()
       if (offs.isEmpty) return None
+      // frame NUMBERING contract: the walker numbers frames by movi
+      // chunk order; this path numbers them by idx1 entry order. The two
+      // agree only when idx1 offsets are strictly increasing — on a
+      // legal-but-reordered index, fall back to the walker so
+      // frameStep>1 samples the same frames as frameStep=1.
+      var j = 1
+      while (j < offs.length) {
+        if (offs(j) <= offs(j - 1)) return None
+        j += 1
+      }
       val frameBytes = stride(w) * h
       // a chunk header at `pos` that reads ('00db', frameBytes) in bounds
       def validAt(pos: Long): Boolean =

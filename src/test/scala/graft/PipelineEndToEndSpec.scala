@@ -165,6 +165,16 @@ class PipelineEndToEndSpec extends SparkSpec {
       (if (contaminatedPasses) 1L else 0L))
     assert(funnel("kept") == 2L)
     assert(funnel.values.sum == 6L) // the rows partition the input
+    // NULL text: the gate flags evaluate NULL — the coalesce guard must
+    // attribute the row to 'language' (the first gate it cannot pass),
+    // not let the when() chain fall through to 'duplicate'
+    val withNull = docs.union(
+      Seq((7L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val f2 = Pipeline.funnelStats(withNull, eval)
+      .select("stage", "n_docs").as[(String, Long)].collect().toMap
+    assert(f2("language") == 2L, s"null-text attribution: $f2")
+    assert(f2("duplicate") == 1L)
+    assert(f2.values.sum == 7L)
   }
 
   test("multimodal leg: text dedup and media dedup compose into one " +

@@ -420,6 +420,17 @@ class PipelineOpsSpec extends SparkSpec {
       .select("query_id", "doc_id", "n_pairs", "rank")
       .as[(Long, Long, Long, Int)].collect().toSet
     assert(shuffled == got)
+    // EQUAL term pair: counts unordered pairs of DISTINCT positions —
+    // no self-pairs (distance 0), no double orderings. doc 1 has a@0,8
+    // (dist 8 > 3: no pair); doc 4 has a@0,2,3: pairs {0,2},{0,3},{2,3}
+    val corpus2 = corpus.union(
+      Seq((4L, "a x a a")).toDF("doc_id", "text"))
+    val qsSame = Seq((1L, "a", "a")).toDF("query_id", "term_a", "term_b")
+    val post2 = Retrieval.positionalPostings(corpus2)
+    val same = Retrieval.proximitySearch(post2, qsSame, window = 3, k = 10)
+      .select("query_id", "doc_id", "n_pairs", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(same == Set((1L, 4L, 3L, 1)))
   }
 
   test("hllRegisters/hllEstimate: JVM-replayed registers, duplicate " +

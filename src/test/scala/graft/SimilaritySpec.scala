@@ -212,6 +212,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("BQ: empty corpus yields an empty typed frame; a query dim " +
+    "mismatch fails loudly instead of zero-padding sign bits") {
+    val empty = corpusDf.limit(0)
+    val out = SimilaritySearch.topKBq(queryDf, empty, 5)
+    assert(out.columns.toSeq == Seq("query_id", "rank", "id", "sim"))
+    assert(out.schema("id").dataType ==
+      corpusDf.schema("id").dataType)
+    assert(out.count() == 0L)
+    // a short query must raise, not silently quantize missing dims as 0
+    val short = Seq((99L, Array.fill(dim - 3)(0.5f)))
+      .toDF("query_id", "qvec")
+    val err = intercept[Exception] {
+      SimilaritySearch.topKBq(short, corpusDf, 5).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} ${msgs(t.getCause)}"
+    assert(msgs(err).contains("topKBq"), s"wrong error: $err")
+  }
+
   test("IVF-PQ refine with full coverage equals exact topK bit-for-bit") {
     // every cell probed + refine >= |corpus| makes stage 1 a no-op
     // filter over the whole corpus: stage 2 then IS the exact search

@@ -190,6 +190,22 @@ class VideoSpec extends SparkSpec {
     assert(viaAbs._3.map(_._1) == clean._3.map(_._1))
     viaAbs._3.zip(clean._3).foreach { case ((_, a), (_, b)) =>
       assert(a.sameElements(b)) }
+    // REORDERED idx1 (legal AVI, entries not in movi order): the indexed
+    // path numbers frames by entry order, the walker by chunk order — so
+    // the seek path must detect the non-monotonic offsets and fall back,
+    // keeping frame NUMBERING identical between frameStep paths. Without
+    // the guard, sampling 0,2,4 here would decode frames 0,1,4.
+    val reord = bytes.clone()
+    val rbb = java.nio.ByteBuffer.wrap(reord)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val o1 = rbb.getInt(idxAt + 8 + 16 * 1 + 8)
+    val o2 = rbb.getInt(idxAt + 8 + 16 * 2 + 8)
+    rbb.putInt(idxAt + 8 + 16 * 1 + 8, o2) // swap entries 1 and 2
+    rbb.putInt(idxAt + 8 + 16 * 2 + 8, o1)
+    val viaReord = Video.decodeAviLumaSampled(reord, 2).get
+    assert(viaReord._3.map(_._1) == clean._3.map(_._1))
+    viaReord._3.zip(clean._3).foreach { case ((_, a), (_, b)) =>
+      assert(a.sameElements(b)) }
   }
 
   test("temporal-majority fingerprint: strict majority of sampled frames, " +
