@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{DedupQueries, ExtQueries, PipelineQueries, Relational, ScaleQueries, StatsQueries, Temporal, TextQueries}
+import graft.queries.{DedupQueries, ExtQueries, LayoutQueries, PipelineQueries, Relational, ScaleQueries, StatsQueries, SuffixQueries, Temporal, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Temporal.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ ExtQueries.queries ++ StatsQueries.queries ++
-      ScaleQueries.queries ++ PipelineQueries.queries
+      ScaleQueries.queries ++ PipelineQueries.queries ++
+      SuffixQueries.queries ++ LayoutQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Temporal.oracle ++ TextQueries.oracle ++
       DedupQueries.oracle ++ ExtQueries.oracle ++ StatsQueries.oracle ++
-      ScaleQueries.oracle ++ PipelineQueries.oracle
+      ScaleQueries.oracle ++ PipelineQueries.oracle ++
+      SuffixQueries.oracle ++ LayoutQueries.oracle
 }

@@ -1,0 +1,345 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+
+/** Distributed suffix-array construction over the tokenized corpus —
+  * the EXACT substring-dedup machinery of Lee et al. 2022 ("Deduplicating
+  * Training Data Makes Language Models Better"), whose single-node tool
+  * builds a suffix array of the whole corpus; here the classic
+  * prefix-doubling construction (Manber & Myers 1990) is re-expressed
+  * set-wise so every step is a corpus-sized DataFrame shuffle instead of
+  * an in-memory sort:
+  *
+  *  - suffixes are (doc_id, pos) rows; level-k rank r_k is a dense rank
+  *    over the pair (r_{k-1}[pos], r_{k-1}[pos+2^(k-1)]) — after
+  *    ceil(log2(maxDocLen)) levels two suffixes share a rank iff they are
+  *    identical token sequences (doc boundaries never merge: a suffix
+  *    ends at its document's end, the classic distinct-separator
+  *    concatenation without materializing one giant array);
+  *  - the global dense rank is NOT a single-partition window (the
+  *    classic driver-melting trap): [[globalDenseRank]] range-partitions
+  *    by the key, dense-ranks each partition in one sequential pass, and
+  *    shifts by per-partition offsets — every step distributes;
+  *  - per-suffix longest-repeat = max LCP with its two neighbors in
+  *    suffix order (the standard sorted-order lemma, valid for ANY total
+  *    order on tokens), and the LCP of two suffixes is computed by the
+  *    rank-pyramid walk: descend k = K-1..0 adding 2^k whenever the
+  *    level-k ranks at the advanced positions agree — O(log maxLen)
+  *    set-wise join rounds for ALL adjacent pairs at once, never a
+  *    per-pair loop.
+  *
+  * Cost shape at 100 TB: O(N log L) total work and O(log L) shuffle
+  * rounds of the token frame (N tokens, L = max doc length) — the known
+  * price of distributed suffix sorting (Flick & Aluru, SC'15). The
+  * rolling-hash spans in [[TextAnalysis.spanDedupStats]] remain the
+  * cheap one-pass screen (exact for >= window repeats at step 1, q81);
+  * this operator gives the exact LENGTH of the longest repeat at ANY
+  * size, the quantity Lee et al. threshold on.
+  *
+  * The reference engine has no substring machinery (its dedup surface is
+  * vector-level; see reference storage_engine.py) — this is part of the
+  * training-data-pipeline tier built on the same corpus tables.
+  */
+object SuffixArray {
+
+  /** Scalable global dense rank by `keys`: range-partition + one
+    * sequential per-partition pass + per-partition offsets, instead of a
+    * single-partition global window. Equal keys land in one range
+    * partition (RangePartitioner assigns by key comparison only), so the
+    * local pass sees every tie group whole and rank values are a pure
+    * function of the data — partition boundaries only move the offsets.
+    *
+    * The ranked frame is lazily persisted and the offsets pass doubles
+    * as its materializer (one job per rank, not two); the PREVIOUS
+    * level's persisted frame is released via `drop` once this one is
+    * live. The returned frame rides a broadcast join of the
+    * (<= #partitions)-row offset table — no extra shuffle, output stays
+    * range-sorted. */
+  def globalDenseRank(df: DataFrame, keys: Seq[String],
+                      out: String): DataFrame =
+    globalDenseRankCk(df, keys, out, None)._1
+
+  /** [[globalDenseRank]] returning (result, internal checkpoint handle);
+    * `drop` is the PREVIOUS level's handle, released once this level's
+    * checkpoint has materialized. */
+  private def globalDenseRankCk(df: DataFrame, keys: Seq[String],
+                                out: String, drop: Option[DataFrame])
+      : (DataFrame, DataFrame, Long) = {
+    val spark = df.sparkSession
+    require(!df.columns.contains("_pid") && !df.columns.contains("_lrk"),
+      "globalDenseRank: input must not contain _pid/_lrk")
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.repartitionByRange(parts, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+    val schema2 = sorted.schema.add("_pid", IntegerType).add("_lrk", LongType)
+    val keyIdx = keys.map(sorted.schema.fieldIndex)
+    val ranked = sorted.mapPartitions { it =>
+      // per-partition sequential dense rank: the one genuinely
+      // imperative step (each row compares to its predecessor in the
+      // partition's sort order)
+      val pid = TaskContext.getPartitionId()
+      var rank = 0L
+      var prev: Seq[Any] = null
+      it.map { r =>
+        val k = keyIdx.map(r.get)
+        if (prev == null || k != prev) { rank += 1L; prev = k }
+        Row.fromSeq(r.toSeq :+ pid :+ rank)
+      }
+    }(Encoders.row(schema2)).localCheckpoint(true)
+    // eager checkpoint: truncates lineage every level — a lazy persist
+    // here lets any cache miss cascade a recompute through EVERY prior
+    // level (measured exponential; see round-9 notes)
+    drop.foreach(_.unpersist(false))
+    val maxes = ranked.groupBy("_pid").agg(max("_lrk").as("_mx"))
+      .collect().sortBy(_.getInt(0))
+    var acc = 0L
+    val offs = maxes.map { r =>
+      val o = (r.getInt(0), acc); acc += r.getLong(1); o
+    }.toSeq
+    import spark.implicits._
+    val offDf = broadcast(offs.toDF("_pid", "_off"))
+    val res = ranked.join(offDf, "_pid")
+      .withColumn(out, col("_lrk") + col("_off"))
+      .drop("_pid", "_lrk", "_off")
+    (res, ranked, acc)
+  }
+
+  /** Doubling-level dense rank over the INTEGER pair (rCol, nxCol) where
+    * rCol is the previous level's rank in [1, maxRank]: partitions by
+    * the closed-form bucket (r-1)*P/maxRank — NO range-partitioner
+    * sampling pass, so each level is ONE job over the corpus instead of
+    * sampling + shuffle (at 100 TB that removes a full extra scan per
+    * doubling level). Equal r values share a bucket, so tie groups stay
+    * whole (the same guarantee range partitioning gives; the same
+    * caveat too — one giant tie group is one partition's work).
+    * Per-bucket distinct counts ride an accumulator out of the
+    * checkpoint job; bucket offsets then come for free on the driver.
+    * Returns (result, checkpoint handle, total distinct). */
+  private def rankIntPairs(df: DataFrame, rCol: String, nxCol: String,
+                           out: String, maxRank: Long,
+                           drop: Option[DataFrame])
+      : (DataFrame, DataFrame, Long) = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    require(maxRank >= 1, s"maxRank must be >= 1, got $maxRank")
+    // double-precision bucket: exact enough for uniformity, immune to
+    // the (r-1)*parts long overflow when maxRank is a hash-space bound
+    val withPart = df.withColumn("_part",
+      least(greatest(floor((col(rCol) - 1).cast("double") * parts /
+        maxRank.toDouble).cast("int"), lit(0)), lit(parts - 1)))
+    val shuffled = withPart.repartition(parts, col("_part"))
+      .sortWithinPartitions(col("_part"), col(rCol), col(nxCol))
+    val schema2 = shuffled.schema.add("_lrk", LongType)
+    val pIdx = shuffled.schema.fieldIndex("_part")
+    val rIdx = shuffled.schema.fieldIndex(rCol)
+    val nIdx = shuffled.schema.fieldIndex(nxCol)
+    val segCounts = spark.sparkContext
+      .collectionAccumulator[(Int, Long)](s"graft.sfx.$out")
+    val ranked = shuffled.mapPartitions { it =>
+      // one sequential pass: local dense rank per _part segment
+      // (segments are contiguous after the sort; a bucket never splits
+      // across partitions), flushing each segment's distinct count into
+      // the accumulator — retried tasks only count once per Spark's
+      // action-accumulator guarantee, and duplicates would carry
+      // identical values anyway (deduped by key on the driver)
+      var curPart = Int.MinValue
+      var rank = 0L
+      var pr = Long.MinValue
+      var pn = Long.MinValue
+      var dirty = false
+      val base = it.map { r =>
+        val p = r.getInt(pIdx)
+        val rv = r.getLong(rIdx)
+        val nv = r.getLong(nIdx)
+        if (p != curPart) {
+          if (dirty) segCounts.add((curPart, rank))
+          curPart = p; rank = 0L; pr = Long.MinValue; pn = Long.MinValue
+          dirty = true
+        }
+        if (rv != pr || nv != pn) { rank += 1L; pr = rv; pn = nv }
+        Row.fromSeq(r.toSeq :+ rank)
+      }
+      new Iterator[Row] {
+        def hasNext: Boolean = {
+          val h = base.hasNext
+          if (!h && dirty) { segCounts.add((curPart, rank)); dirty = false }
+          h
+        }
+        def next(): Row = base.next()
+      }
+    }(Encoders.row(schema2)).localCheckpoint(true)
+    drop.foreach(_.unpersist(false))
+    import scala.jdk.CollectionConverters._
+    val segs = segCounts.value.asScala.toMap // dedup by bucket
+    val sortedSegs = segs.toSeq.sortBy(_._1)
+    var acc = 0L
+    val offs = sortedSegs.map { case (p, n) =>
+      val o = (p, acc); acc += n; o
+    }
+    import spark.implicits._
+    val offDf = broadcast(offs.toDF("_part", "_off"))
+    val res = ranked.join(offDf, "_part")
+      .withColumn(out, col("_lrk") + col("_off"))
+      .drop("_part", "_lrk", "_off")
+    (res, ranked, acc)
+  }
+
+  /** Tokenized suffix frame with ALL doubling-level ranks:
+    * (doc_id, pos, len_rem, r0, r1, .., r`levels`) — r0 ranks single
+    * tokens, r_k ranks 2^k-token prefixes (clipped at doc end; two
+    * suffixes share r_k iff their first min(2^k, len) tokens agree AND
+    * the shorter is not a strict prefix of the longer — i.e. standard
+    * doubling with a 0 sentinel past doc end). With 2^levels >= the max
+    * document token count, r_levels groups exactly the identical
+    * suffixes. Returned frame is eagerly checkpointed; docs with
+    * whitespace-only text contribute no suffixes. */
+  def suffixRanks(docs: DataFrame, levels: Int,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(levels >= 1 && levels <= 24, s"levels out of range: $levels")
+    val toks = docs
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("_tk"))
+      .select(col("doc_id"), size(col("_tk")).cast("long").as("_n"),
+        posexplode(col("_tk")).as(Seq("_p", "_term")))
+      .select(col("doc_id"), col("_p").cast("long").as("pos"),
+        (col("_n") - col("_p")).as("len_rem"), col("_term"))
+    // level 0 needs no ranking pass at all: the output is invariant to
+    // the token base order (a suffix's max-LCP is intrinsic — see the
+    // object doc), so the 56-bit term hash IS a valid r0 — equality-
+    // preserving to ~2^-57 collision odds (the repo-wide term-key
+    // discipline) and totally ordered. Doubling levels then run the
+    // sampling-free integer path with the hash-space bound.
+    var cur = toks.withColumn("r0", Dedup.md5Long(col("_term")) + 1)
+      .drop("_term")
+    var prevCk: Option[DataFrame] = None
+    var maxRank = 1L << 56
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    for (k <- 1 to levels) {
+      val d = 1 << (k - 1)
+      val paired = cur.withColumn("_nx",
+        coalesce(lead(col(s"r${k - 1}"), d).over(byPos), lit(0L)))
+      val (rk, ck, n) = rankIntPairs(paired, s"r${k - 1}", "_nx",
+        s"r$k", maxRank, prevCk)
+      cur = rk.drop("_nx")
+      prevCk = Some(ck)
+      maxRank = n
+    }
+    val out = cur.localCheckpoint(true)
+    prevCk.foreach(_.unpersist(false))
+    out
+  }
+
+  /** Per-document longest corpus-repeated token span, EXACT at any
+    * length: (doc_id, lrs_len, lrs_pos) where lrs_len is the largest m
+    * such that the m tokens starting at lrs_pos also occur somewhere
+    * else in the corpus (any doc, overlapping self-occurrences included
+    * — Lee et al.'s substring-repeat semantics) and lrs_pos is the
+    * smallest such start. Docs with no repeated token at all (or no
+    * tokens) report (0, 0).
+    *
+    * `levels` must satisfy 2^levels >= max tokens per doc (validated;
+    * pass 0 to size it automatically from the corpus). */
+  def longestRepeatedSpans(docs: DataFrame, levels: Int = 0,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+    val lv = if (levels > 0) levels
+    else {
+      // auto mode pays one corpus scan to size the doubling depth
+      val row = docs.where(length(trim(col(textCol))) > 0)
+        .select(max(size(TextAnalysis.tokens(col(textCol)))).as("_m"))
+        .collect()
+      val maxLen =
+        if (row.isEmpty || row.head.isNullAt(0)) 0 else row.head.getInt(0)
+      if (maxLen == 0)
+        return ids.withColumn("lrs_len", lit(0L))
+          .withColumn("lrs_pos", lit(0L)).orderBy("doc_id")
+      math.max(1,
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(1, maxLen - 1)))
+    }
+    val wide = suffixRanks(docs, lv, idCol, textCol)
+    // pinned mode validates against the already-checkpointed rank table
+    // (one tiny job) instead of a separate tokenize pass over the corpus
+    if (levels > 0) {
+      val m = wide.select(max("len_rem")).collect()
+      val maxLen = if (m.isEmpty || m.head.isNullAt(0)) 0L
+        else m.head.getLong(0)
+      require((1L << lv) >= maxLen,
+        s"levels=$lv cannot separate suffixes of length $maxLen")
+    }
+    val gCol = s"r$lv"
+
+    // identical-suffix groups: any member of a group of size >= 2 has its
+    // WHOLE remaining text repeated (lcp = len_rem, the cap). One
+    // representative per group carries the cross-group LCP walk — all
+    // members are identical, so LCP(rep_g, rep_{g+1}) is the group value.
+    val cnts = wide.groupBy(col(gCol).as("g")).agg(count(lit(1)).as("cnt"))
+    val reps = wide
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(gCol).orderBy("doc_id", "pos")))
+      .where(col("_rn") === 1)
+      .select(col(gCol).as("g"), col("doc_id"), col("pos"), col("len_rem"))
+
+    // rank-pyramid LCP walk for ALL adjacent group pairs at once:
+    // descend k, add 2^k when the level-k ranks at the advanced
+    // positions agree (position past doc end: left-join miss = mismatch)
+    // one lazy 2·levels-join plan: every join's build side is the
+    // checkpointed rank table (short lineage), so no per-step
+    // materialization is needed — the walk is a single job at action time
+    var pairs = reps.select(col("g"), col("doc_id").as("da"),
+        col("pos").as("pa"), col("len_rem").as("la"))
+      .join(reps.select((col("g") - 1).as("g"), col("doc_id").as("db"),
+        col("pos").as("pb"), col("len_rem").as("lb")), Seq("g"))
+      .withColumn("acc", lit(0L))
+    for (k <- (lv - 1) to 0 by -1) {
+      val d = 1L << k
+      val ra = wide.select(col("doc_id").as("_dA"), col("pos").as("_pA"),
+        col(s"r$k").as("_ra"))
+      val rb = wide.select(col("doc_id").as("_dB"), col("pos").as("_pB"),
+        col(s"r$k").as("_rb"))
+      pairs = pairs
+        .join(ra, col("_dA") === col("da") &&
+          col("_pA") === col("pa") + col("acc"), "left")
+        .join(rb, col("_dB") === col("db") &&
+          col("_pB") === col("pb") + col("acc"), "left")
+        .withColumn("acc", col("acc") +
+          when(col("_ra").isNotNull && col("_ra") === col("_rb"), d)
+            .otherwise(lit(0L)))
+        .drop("_dA", "_pA", "_ra", "_dB", "_pB", "_rb")
+    }
+    val lcpn = pairs.select(col("g"),
+      least(col("acc"), col("la"), col("lb")).as("lcp"))
+
+    // per-suffix longest repeat = max(within-group full length, LCP with
+    // the next group, LCP with the previous group); per-doc max + least
+    // achieving start
+    val sfx = wide.select(col("doc_id"), col("pos"), col("len_rem"),
+        col(gCol).as("g"))
+      .join(cnts, Seq("g"))
+      .join(lcpn.select(col("g"), col("lcp").as("_nx")), Seq("g"), "left")
+      .join(lcpn.select((col("g") + 1).as("g"), col("lcp").as("_pv")),
+        Seq("g"), "left")
+      .select(col("doc_id"), col("pos"),
+        greatest(when(col("cnt") > 1, col("len_rem")).otherwise(lit(0L)),
+          coalesce(col("_nx"), lit(0L)),
+          coalesce(col("_pv"), lit(0L))).as("lcp"))
+    // ONE aggregation: max + arg-max with least-pos tie-break via
+    // min_by over the (-lcp, pos) struct (no join-back / second groupBy)
+    val per = sfx.groupBy("doc_id").agg(
+      max("lcp").as("lrs_len"),
+      min_by(col("pos"),
+        struct((-col("lcp")).as("a"), col("pos").as("b"))).as("lrs_pos"))
+    ids.join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lrs_len"), lit(0L)).as("lrs_len"),
+        coalesce(col("lrs_pos"), lit(0L)).as("lrs_pos"))
+  }
+}

@@ -480,7 +480,7 @@ object DedupQueries {
 
   // ---- oracle SQL ----
 
-  private val augDocsSql =
+  private[queries] val augDocsSql =
     """aug AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL

@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.operators.SuffixArray
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Suffix-array oracle queries (round 9): the EXACT substring-repeat
+  * machinery of Lee et al. 2022, distributed by prefix doubling
+  * ([[graft.operators.SuffixArray]]). The DuckDB oracle replays the
+  * identical construction — the same doubling levels as chained
+  * dense_rank CTEs and the same rank-pyramid LCP walk as unrolled
+  * left-join steps — so hash equality checks the whole algorithm, not a
+  * summary of it. Output is intentionally base-order-invariant (a
+  * suffix's max-LCP is intrinsic), so engine/oracle collation of the
+  * token alphabet cannot matter.
+  */
+object SuffixQueries {
+
+  /** Pinned doubling depth for the declared query: 2^7 = 128 >= the
+    * fixture max document length (100 tokens; the operator validates and
+    * would reject an undersized pin loudly). */
+  private val Levels = 7
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q96: per-doc longest corpus-repeated token span over the
+    // deterministic 20% shard of the augmented corpus (doc_id % 5 = 0 —
+    // the copy tiers are % 25 / % 50 keyed, so the shard keeps the FULL
+    // dup structure: exact copies (+20000) repeat whole documents,
+    // stripped copies (+10000) share whole tails). The shard bounds the
+    // declared query's bench cost; the operator itself is full-corpus
+    // (scale probes run it unsharded — see BENCH_LOCAL_r09.md).
+    "q96_suffix_lrs" -> ((s, d) =>
+      SuffixArray.longestRepeatedSpans(
+        DedupQueries.augDocs(s, d)
+          .where(org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.lit(5)) === 0),
+        levels = Levels).orderBy("doc_id"))
+  )
+
+  /** The full prefix-doubling + LCP-walk replay, generated for
+    * [[Levels]] levels. Every multiply-consumed CTE is MATERIALIZED
+    * (DuckDB inlines per consumer; the walk reads the final rank table
+    * 2x per level). */
+  private def lrsSql(levels: Int): String = {
+    def rl(k: Int) = (0 to k).map(i => s"r$i").mkString(", ")
+    val lvls = (1 to levels).map { k =>
+      val d = 1 << (k - 1)
+      val mat = if (k == levels) "MATERIALIZED " else ""
+      s"""p$k AS (SELECT doc_id, pos, len_rem, ${rl(k - 1)},
+         |    coalesce(lead(r${k - 1}, $d)
+         |      OVER (PARTITION BY doc_id ORDER BY pos), 0) AS nx
+         |  FROM lv${k - 1}),
+         |lv$k AS $mat(SELECT doc_id, pos, len_rem, ${rl(k - 1)},
+         |    CAST(dense_rank() OVER (ORDER BY r${k - 1}, nx) AS BIGINT)
+         |      AS r$k
+         |  FROM p$k)""".stripMargin
+    }.mkString(",\n")
+    val walk = (1 to levels).map { i =>
+      val k = levels - i
+      val d = 1L << k
+      s"""pr$i AS (SELECT pr.g, pr.da, pr.pa, pr.la, pr.db, pr.pb, pr.lb,
+         |    pr.acc + CASE WHEN ra.r$k IS NOT NULL AND rb.r$k IS NOT NULL
+         |      AND ra.r$k = rb.r$k THEN $d ELSE 0 END AS acc
+         |  FROM pr${i - 1} pr
+         |  LEFT JOIN lv$levels ra
+         |    ON ra.doc_id = pr.da AND ra.pos = pr.pa + pr.acc
+         |  LEFT JOIN lv$levels rb
+         |    ON rb.doc_id = pr.db AND rb.pos = pr.pb + pr.acc)"""
+        .stripMargin
+    }.mkString(",\n")
+    val aug = DedupQueries.augDocsSql
+    s"""WITH $aug,
+       |sub AS MATERIALIZED (SELECT doc_id, text FROM aug
+       |  WHERE doc_id % 5 = 0),
+       |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+       |    AS toks
+       |  FROM sub WHERE trim(text) <> ''),
+       |tku AS (SELECT doc_id, toks,
+       |    unnest(range(0, len(toks))) AS p
+       |  FROM tk),
+       |tok AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
+       |    CAST(len(toks) - p AS BIGINT) AS len_rem,
+       |    toks[CAST(p AS INTEGER) + 1] AS term
+       |  FROM tku),
+       |lv0 AS (SELECT doc_id, pos, len_rem,
+       |    CAST(dense_rank() OVER (ORDER BY term) AS BIGINT) AS r0
+       |  FROM tok),
+       |$lvls,
+       |reps AS MATERIALIZED (SELECT g, doc_id, pos, len_rem FROM (
+       |    SELECT r$levels AS g, doc_id, pos, len_rem,
+       |      row_number() OVER (PARTITION BY r$levels
+       |        ORDER BY doc_id, pos) AS rn
+       |    FROM lv$levels) WHERE rn = 1),
+       |pr0 AS (SELECT a.g, a.doc_id AS da, a.pos AS pa, a.len_rem AS la,
+       |    b.doc_id AS db, b.pos AS pb, b.len_rem AS lb,
+       |    CAST(0 AS BIGINT) AS acc
+       |  FROM reps a JOIN reps b ON b.g = a.g + 1),
+       |$walk,
+       |lcpn AS MATERIALIZED (SELECT g, least(acc, la, lb) AS lcp
+       |  FROM pr$levels),
+       |cnt AS (SELECT r$levels AS g, count(*) AS n FROM lv$levels
+       |  GROUP BY r$levels),
+       |sl AS MATERIALIZED (SELECT t.doc_id, t.pos,
+       |    greatest(CASE WHEN c.n > 1 THEN t.len_rem ELSE 0 END,
+       |      coalesce(nx.lcp, 0), coalesce(pv.lcp, 0)) AS lcp
+       |  FROM lv$levels t
+       |  JOIN cnt c ON c.g = t.r$levels
+       |  LEFT JOIN lcpn nx ON nx.g = t.r$levels
+       |  LEFT JOIN lcpn pv ON pv.g = t.r$levels - 1),
+       |dm AS MATERIALIZED (SELECT doc_id, max(lcp) AS lrs_len FROM sl
+       |  GROUP BY doc_id),
+       |ps AS (SELECT sl.doc_id, min(sl.pos) AS lrs_pos FROM sl
+       |  JOIN dm ON dm.doc_id = sl.doc_id AND sl.lcp = dm.lrs_len
+       |  GROUP BY sl.doc_id)
+       |SELECT a.doc_id, CAST(coalesce(dm.lrs_len, 0) AS BIGINT) AS lrs_len,
+       |  CAST(coalesce(ps.lrs_pos, 0) AS BIGINT) AS lrs_pos
+       |FROM sub a
+       |LEFT JOIN dm ON dm.doc_id = a.doc_id
+       |LEFT JOIN ps ON ps.doc_id = a.doc_id
+       |ORDER BY a.doc_id""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q96_suffix_lrs" -> lrsSql(Levels)
+  )
+}

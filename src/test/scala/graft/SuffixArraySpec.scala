@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.SuffixArray
+import org.apache.spark.sql.functions._
+
+/** Suffix-array prefix doubling: global dense rank scalability shape,
+  * exact longest-repeated-span semantics vs a brute-force windows oracle,
+  * and the degenerate corpora (empty, single token, all-identical,
+  * overlapping self-repeats). */
+class SuffixArraySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute force: every (doc, pos, len) window string with its global
+    * occurrence count; per-doc LRS = longest window occurring >= 2 times
+    * anywhere (overlaps included), least start wins ties. */
+  private def bruteLrs(docs: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+    val toks = docs.filter(_._2.trim.nonEmpty)
+      .map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+    val counts = scala.collection.mutable.Map.empty[Seq[String], Int]
+    for ((_, ts) <- toks; p <- ts.indices; m <- 1 to (ts.length - p))
+      counts.updateWith(ts.slice(p, p + m))(c => Some(c.getOrElse(0) + 1))
+    docs.map { case (id, _) =>
+      val ts = toks.toMap.getOrElse(id, Seq.empty)
+      var best = 0L; var bestPos = 0L
+      for (p <- ts.indices; m <- 1 to (ts.length - p)) {
+        if (counts(ts.slice(p, p + m)) >= 2 &&
+          (m > best || (m == best && p < bestPos))) {
+          if (m > best) { best = m; bestPos = p }
+        }
+      }
+      id -> (best, bestPos)
+    }.toMap
+  }
+
+  private def runLrs(docs: Seq[(Long, String)]): Map[Long, (Long, Long)] =
+    SuffixArray.longestRepeatedSpans(docs.toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, l, p) => id -> (l, p) }.toMap
+
+  test("globalDenseRank matches a single-partition dense_rank window " +
+    "and never plans one (ties split across range boundaries included)") {
+    val df = (1 to 500).map(i => (i.toLong % 7, s"v${i % 13}"))
+      .toDF("a", "b").repartition(8)
+    val got = SuffixArray.globalDenseRank(df, Seq("a", "b"), "rk")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("a", "b")
+    val want = df.withColumn("rk", dense_rank().over(w).cast("long"))
+    assert(got.select("a", "b", "rk").as[(Long, String, Long)]
+      .collect().sorted.toSeq ==
+      want.select("a", "b", "rk").as[(Long, String, Long)]
+        .collect().sorted.toSeq)
+    // ranks are dense: 1..#distinct with no gaps
+    val ranks = got.select("rk").distinct().as[Long].collect().sorted
+    assert(ranks.toSeq == (1L to ranks.length).toSeq)
+  }
+
+  test("longestRepeatedSpans matches brute force on deterministic corpora") {
+    val corpora = Seq(
+      // exact copy pair + an unrelated doc
+      Seq(1L -> "the quick brown fox jumps", 2L -> "the quick brown fox jumps",
+        3L -> "entirely different words here"),
+      // shared tail (near-dup with first token stripped)
+      Seq(1L -> "alpha beta gamma delta", 2L -> "beta gamma delta"),
+      // overlapping self-repeat inside one doc
+      Seq(1L -> "a a a", 2L -> "b c"),
+      // repeat spanning doc interiors only
+      Seq(1L -> "x common span y", 2L -> "z common span w"),
+      // single doc, no repeats
+      Seq(1L -> "one two three"),
+      // single token docs
+      Seq(1L -> "t", 2L -> "t", 3L -> "u")
+    )
+    for (c <- corpora)
+      assert(runLrs(c) == bruteLrs(c), s"corpus: $c")
+  }
+
+  test("longestRepeatedSpans matches brute force on seeded random corpora") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val docs = (1L to 12L).map { id =>
+        val n = 1 + rnd.nextInt(20)
+        id -> Seq.fill(n)(('a' + rnd.nextInt(3)).toChar.toString)
+          .mkString(" ")
+      }
+      assert(runLrs(docs) == bruteLrs(docs), s"trial $trial: $docs")
+    }
+  }
+
+  test("degenerate inputs: empty text rows report (0,0); empty corpus " +
+    "yields an empty frame; explicit undersized levels are rejected") {
+    val withEmpty = Seq(1L -> "a b a b", 2L -> "   ", 3L -> "")
+    val got = runLrs(withEmpty)
+    assert(got(2L) == (0L, 0L) && got(3L) == (0L, 0L))
+    assert(got(1L) == (2L, 0L)) // "a b" repeats at 0 and 2
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(SuffixArray.longestRepeatedSpans(empty).count() == 0L)
+    intercept[IllegalArgumentException] {
+      SuffixArray.longestRepeatedSpans(
+        Seq(1L -> ("w " * 40).trim).toDF("doc_id", "text"), levels = 2)
+        .collect()
+    }
+  }
+}
