@@ -241,13 +241,31 @@ object SuffixArray {
     * else in the corpus (any doc, overlapping self-occurrences included
     * — Lee et al.'s substring-repeat semantics) and lrs_pos is the
     * smallest such start. Docs with no repeated token at all (or no
-    * tokens) report (0, 0).
+    * tokens) report (0, 0). */
+  def longestRepeatedSpans(docs: DataFrame, levels: Int = 0,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    substringDedupStats(docs, 16, levels, idCol, textCol)
+      .select("doc_id", "lrs_len", "lrs_pos")
+
+  /** The full exact-substring-dedup accounting (Lee et al. 2022
+    * ExactSubstr, per doc): [[longestRepeatedSpans]]'s (lrs_len,
+    * lrs_pos) plus `n_tokens`, `n_covered` (positions lying inside SOME
+    * >= `minLen`-token span that occurs at least twice in the corpus)
+    * and `covered_frac` — the exact-length refinement of the
+    * rolling-hash screens ([[TextAnalysis.spanDedupStats]] q57/q81):
+    * those flag aligned fixed windows, this measures true coverage at
+    * any alignment and length. Coverage is one per-doc running-max
+    * window over the per-suffix LCPs (a position t is covered iff some
+    * start s <= t has lcp(s) reaching past t).
     *
     * `levels` must satisfy 2^levels >= max tokens per doc (validated;
     * pass 0 to size it automatically from the corpus). */
-  def longestRepeatedSpans(docs: DataFrame, levels: Int = 0,
-                           idCol: String = "doc_id",
-                           textCol: String = "text"): DataFrame = {
+  def substringDedupStats(docs: DataFrame, minLen: Int = 16,
+                          levels: Int = 0,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     val spark = docs.sparkSession
     import spark.implicits._
     val ids = docs.select(col(idCol).cast("long").as("doc_id"))
@@ -261,7 +279,11 @@ object SuffixArray {
         if (row.isEmpty || row.head.isNullAt(0)) 0 else row.head.getInt(0)
       if (maxLen == 0)
         return ids.withColumn("lrs_len", lit(0L))
-          .withColumn("lrs_pos", lit(0L)).orderBy("doc_id")
+          .withColumn("lrs_pos", lit(0L))
+          .withColumn("n_tokens", lit(0L))
+          .withColumn("n_covered", lit(0L))
+          .withColumn("covered_frac", lit(0.0))
+          .orderBy("doc_id")
       math.max(1,
         64 - java.lang.Long.numberOfLeadingZeros(math.max(1, maxLen - 1)))
     }
@@ -331,15 +353,33 @@ object SuffixArray {
         greatest(when(col("cnt") > 1, col("len_rem")).otherwise(lit(0L)),
           coalesce(col("_nx"), lit(0L)),
           coalesce(col("_pv"), lit(0L))).as("lcp"))
-    // ONE aggregation: max + arg-max with least-pos tie-break via
-    // min_by over the (-lcp, pos) struct (no join-back / second groupBy)
-    val per = sfx.groupBy("doc_id").agg(
+    // coverage: a position t is covered iff the running max of
+    // (pos + lcp) over qualifying starts s <= t reaches past t — one
+    // doc-partitioned window, then ONE aggregation for everything
+    // (max + arg-max via min_by over the (-lcp, pos) struct + counts)
+    val covW = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cov = sfx.withColumn("_rend",
+      max(when(col("lcp") >= minLen, col("pos") + col("lcp"))
+        .otherwise(lit(-1L))).over(covW))
+    val per = cov.groupBy("doc_id").agg(
       max("lcp").as("lrs_len"),
       min_by(col("pos"),
-        struct((-col("lcp")).as("a"), col("pos").as("b"))).as("lrs_pos"))
+        struct((-col("lcp")).as("a"), col("pos").as("b"))).as("lrs_pos"),
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("_rend") > col("pos"), 1L).otherwise(0L))
+        .as("n_covered"))
     ids.join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("lrs_len"), lit(0L)).as("lrs_len"),
-        coalesce(col("lrs_pos"), lit(0L)).as("lrs_pos"))
+        coalesce(col("lrs_pos"), lit(0L)).as("lrs_pos"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("covered_frac",
+        when(col("n_tokens") > 0,
+          floor(col("n_covered").cast("double") /
+            col("n_tokens").cast("double") * 10000.0 + 0.5)
+            .cast("double") / 10000.0)
+          .otherwise(lit(0.0)))
   }
 }

@@ -20,21 +20,28 @@ object SuffixQueries {
     * would reject an undersized pin loudly). */
   private val Levels = 7
 
+  /** Coverage threshold: 16 tokens, the repo-wide span-dedup window
+    * (q57/q71/q81), so the exact numbers sit beside the screens'. */
+  private val MinLen = 16
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Q96: per-doc longest corpus-repeated token span over the
-    // deterministic 20% shard of the augmented corpus (doc_id % 5 = 0 —
-    // the copy tiers are % 25 / % 50 keyed, so the shard keeps the FULL
-    // dup structure: exact copies (+20000) repeat whole documents,
-    // stripped copies (+10000) share whole tails). The shard bounds the
-    // declared query's bench cost; the operator itself is full-corpus
-    // (scale probes run it unsharded — see BENCH_LOCAL_r09.md).
+    // Q96: per-doc EXACT substring-dedup accounting (Lee et al. 2022)
+    // over the deterministic 20% shard of the augmented corpus
+    // (doc_id % 5 = 0 — the copy tiers are % 25 / % 50 keyed, so the
+    // shard keeps the FULL dup structure: exact copies (+20000) repeat
+    // whole documents, stripped copies (+10000) share whole tails).
+    // Output: longest corpus-repeated span (length + least start) AND
+    // >= 16-token repeated-substring coverage per doc — the exact-
+    // length refinement of the q57/q81 rolling-hash screens. The shard
+    // bounds the declared query's bench cost; the operator itself is
+    // full-corpus (scale probes run it unsharded — BENCH_LOCAL_r09.md).
     "q96_suffix_lrs" -> ((s, d) =>
-      SuffixArray.longestRepeatedSpans(
+      SuffixArray.substringDedupStats(
         DedupQueries.augDocs(s, d)
           .where(org.apache.spark.sql.functions.pmod(
             org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.lit(5)) === 0),
-        levels = Levels).orderBy("doc_id"))
+        minLen = 16, levels = Levels).orderBy("doc_id"))
   )
 
   /** The full prefix-doubling + LCP-walk replay, generated for
@@ -107,13 +114,26 @@ object SuffixQueries {
        |  JOIN cnt c ON c.g = t.r$levels
        |  LEFT JOIN lcpn nx ON nx.g = t.r$levels
        |  LEFT JOIN lcpn pv ON pv.g = t.r$levels - 1),
-       |dm AS MATERIALIZED (SELECT doc_id, max(lcp) AS lrs_len FROM sl
-       |  GROUP BY doc_id),
+       |cov AS (SELECT doc_id, pos, lcp,
+       |  max(CASE WHEN lcp >= $MinLen THEN pos + lcp ELSE -1 END)
+       |    OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS rend
+       |  FROM sl),
+       |dm AS MATERIALIZED (SELECT doc_id, max(lcp) AS lrs_len,
+       |  count(*) AS n_tokens,
+       |  sum(CASE WHEN rend > pos THEN 1 ELSE 0 END) AS n_covered
+       |  FROM cov GROUP BY doc_id),
        |ps AS (SELECT sl.doc_id, min(sl.pos) AS lrs_pos FROM sl
        |  JOIN dm ON dm.doc_id = sl.doc_id AND sl.lcp = dm.lrs_len
        |  GROUP BY sl.doc_id)
        |SELECT a.doc_id, CAST(coalesce(dm.lrs_len, 0) AS BIGINT) AS lrs_len,
-       |  CAST(coalesce(ps.lrs_pos, 0) AS BIGINT) AS lrs_pos
+       |  CAST(coalesce(ps.lrs_pos, 0) AS BIGINT) AS lrs_pos,
+       |  CAST(coalesce(dm.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(dm.n_covered, 0) AS BIGINT) AS n_covered,
+       |  CASE WHEN coalesce(dm.n_tokens, 0) > 0 THEN
+       |    floor(CAST(dm.n_covered AS DOUBLE) / CAST(dm.n_tokens AS DOUBLE)
+       |      * 10000.0 + 0.5) / 10000.0
+       |  ELSE 0.0 END AS covered_frac
        |FROM sub a
        |LEFT JOIN dm ON dm.doc_id = a.doc_id
        |LEFT JOIN ps ON ps.doc_id = a.doc_id

@@ -37,6 +37,28 @@ class SuffixArraySpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
       .map { case (id, l, p) => id -> (l, p) }.toMap
 
+  /** Brute coverage at minLen: position t covered iff some start s <= t
+    * has a repeated span reaching past t with length >= minLen. */
+  private def bruteCoverage(docs: Seq[(Long, String)],
+                            minLen: Int): Map[Long, (Long, Long)] = {
+    val toks = docs.filter(_._2.trim.nonEmpty)
+      .map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+    val counts = scala.collection.mutable.Map.empty[Seq[String], Int]
+    for ((_, ts) <- toks; p <- ts.indices; m <- 1 to (ts.length - p))
+      counts.updateWith(ts.slice(p, p + m))(c => Some(c.getOrElse(0) + 1))
+    docs.map { case (id, _) =>
+      val ts = toks.toMap.getOrElse(id, Seq.empty)
+      val covered = ts.indices.count { t =>
+        (0 to t).exists { s =>
+          val need = math.max(minLen, t - s + 1)
+          (need to (ts.length - s)).exists(m =>
+            counts(ts.slice(s, s + m)) >= 2)
+        }
+      }
+      id -> (ts.length.toLong, covered.toLong)
+    }.toMap
+  }
+
   test("globalDenseRank matches a single-partition dense_rank window " +
     "and never plans one (ties split across range boundaries included)") {
     val df = (1 to 500).map(i => (i.toLong % 7, s"v${i % 13}"))
@@ -83,6 +105,34 @@ class SuffixArraySpec extends SparkSpec {
       }
       assert(runLrs(docs) == bruteLrs(docs), s"trial $trial: $docs")
     }
+  }
+
+  test("substringDedupStats coverage matches brute force (minLen 2 and " +
+    "3, overlap + cross-doc spans)") {
+    val corpora = Seq(
+      Seq(1L -> "a b c a b c d", 2L -> "x y z"),
+      Seq(1L -> "a a a b b", 2L -> "c a a a"),
+      Seq(1L -> "p q r s", 2L -> "q r s t", 3L -> "r s t u"))
+    for (c <- corpora; ml <- Seq(2, 3)) {
+      val got = SuffixArray
+        .substringDedupStats(c.toDF("doc_id", "text"), minLen = ml)
+        .select("doc_id", "n_tokens", "n_covered")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got == bruteCoverage(c, ml), s"minLen=$ml corpus: $c")
+    }
+    // seeded random cross-check
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 10L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(16))(
+        ('a' + rnd.nextInt(2)).toChar.toString).mkString(" ")
+    }
+    val got = SuffixArray
+      .substringDedupStats(docs.toDF("doc_id", "text"), minLen = 3)
+      .select("doc_id", "n_tokens", "n_covered")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == bruteCoverage(docs, 3), s"random corpus: $docs")
   }
 
   test("degenerate inputs: empty text rows report (0,0); empty corpus " +
