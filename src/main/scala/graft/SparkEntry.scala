@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{DedupQueries, ExtQueries, LayoutQueries, PipelineQueries, Relational, ScaleQueries, StatsQueries, SuffixQueries, Temporal, TextQueries}
+import graft.queries.{DedupQueries, ExtQueries, IntervalQueries, LayoutQueries, PipelineQueries, Relational, ScaleQueries, StatsQueries, SuffixQueries, Temporal, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,7 +20,8 @@ object SparkEntry {
     Relational.queries ++ Temporal.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ ExtQueries.queries ++ StatsQueries.queries ++
       ScaleQueries.queries ++ PipelineQueries.queries ++
-      SuffixQueries.queries ++ LayoutQueries.queries
+      SuffixQueries.queries ++ LayoutQueries.queries ++
+      IntervalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     Relational.oracle ++ Temporal.oracle ++ TextQueries.oracle ++
       DedupQueries.oracle ++ ExtQueries.oracle ++ StatsQueries.oracle ++
       ScaleQueries.oracle ++ PipelineQueries.oracle ++
-      SuffixQueries.oracle ++ LayoutQueries.oracle
+      SuffixQueries.oracle ++ LayoutQueries.oracle ++
+      IntervalQueries.oracle
 }

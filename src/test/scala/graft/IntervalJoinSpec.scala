@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.IntervalJoin
+import org.apache.spark.sql.functions._
+
+/** Binned interval join: exact equivalence with the declarative range
+  * join on adversarial data (negative domains, bin-straddling spans,
+  * empty and point intervals), and the no-nested-loop plan gate. */
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reference(points: Seq[(Long, Long)],
+                        ivs: Seq[(Long, Long, Long)]): Set[(Long, Long)] =
+    (for {
+      (pid, p) <- points
+      (iid, lo, hi) <- ivs
+      if lo <= hi && p >= lo && p <= hi
+    } yield (pid, iid)).toSet
+
+  private def run(points: Seq[(Long, Long)], ivs: Seq[(Long, Long, Long)],
+                  w: Long): Set[(Long, Long)] =
+    IntervalJoin.binned(points.toDF("pid", "p"),
+        ivs.toDF("iid", "lo", "hi"), "p", "lo", "hi", w)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+
+  test("binned join equals the declarative range join on adversarial " +
+    "fixtures across bin widths") {
+    val points = Seq[(Long, Long)](
+      (1L, -17L), (2L, -16L), (3L, -1L), (4L, 0L), (5L, 1L),
+      (6L, 15L), (7L, 16L), (8L, 17L), (9L, 100L), (10L, 31L))
+    val ivs = Seq[(Long, Long, Long)](
+      (1L, -20L, -10L),   // negative domain
+      (2L, -5L, 5L),      // straddles zero
+      (3L, 16L, 16L),     // point interval on a bin edge
+      (4L, 0L, 100L),     // many-bin span
+      (5L, 30L, 33L),     // straddles the 32 boundary
+      (6L, 50L, 40L))     // empty (lo > hi): dropped
+    for (w <- Seq(1L, 4L, 16L, 64L))
+      assert(run(points, ivs, w) == reference(points, ivs), s"w=$w")
+  }
+
+  test("binned join equals the declarative range join on seeded random " +
+    "data; binnedAuto agrees") {
+    val rnd = new scala.util.Random(11)
+    val points = (1L to 300L).map(i => (i, rnd.nextLong(2000) - 1000L))
+    val ivs = (1L to 60L).map { i =>
+      val lo = rnd.nextLong(2000) - 1000L
+      (i, lo, lo + rnd.nextLong(40))
+    }
+    val want = reference(points, ivs)
+    assert(run(points, ivs, 16L) == want)
+    val auto = IntervalJoin.binnedAuto(points.toDF("pid", "p"),
+        ivs.toDF("iid", "lo", "hi"), "p", "lo", "hi")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(auto == want)
+  }
+
+  test("the plan is an equi-join on the bin: no nested loop, no " +
+    "cartesian") {
+    val plan = IntervalJoin.binned(
+      Seq((1L, 5L)).toDF("pid", "p"),
+      Seq((1L, 0L, 9L)).toDF("iid", "lo", "hi"),
+      "p", "lo", "hi", 16L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
