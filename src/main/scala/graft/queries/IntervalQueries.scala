@@ -15,13 +15,19 @@ object IntervalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q98: per-customer event count + quantized value sum over the
-    // customer's synthetic HOUR window (the events fixture spans ~30
-    // days): lo = (c*37) mod 720 hours from 2024-01-01, width =
-    // (c mod 30) + 1 — narrow enough that pair volume stays ~30 per
-    // event, wide enough to span bins.
+    // customer's synthetic HOUR window: lo = (c*37) mod H hours from
+    // 2024-01-01, width = (c mod 30) + 1, with the domain H derived
+    // from the corpus — H = |customer| * 12 / 25 (= 720 at the 1500-
+    // customer base, i.e. the events fixture's ~30 days). Deriving H
+    // keeps interval DENSITY constant as the corpus replicates (the
+    // q26c/q70c production-sizing discipline): pinning H would square
+    // pair volume at 10x/100x fixtures, the measured trap this round's
+    // notes record.
     "q98_interval_join" -> ((s, d) => {
-      val iv = Tables.customer(s, d).select(col("c_custkey"),
-          pmod(col("c_custkey") * 37, lit(720)).cast("long").as("lo"))
+      val cust = Tables.customer(s, d)
+      val h = math.max(1L, cust.count() * 12L / 25L)
+      val iv = cust.select(col("c_custkey"),
+          pmod(col("c_custkey") * 37, lit(h)).cast("long").as("lo"))
         .withColumn("hi",
           col("lo") + pmod(col("c_custkey"), lit(30)).cast("long") + 1L)
       val pts = Temporal.eventsUs(s, d).select(col("event_id"),
@@ -39,11 +45,13 @@ object IntervalQueries {
 
   val oracle: Map[String, String] = Map(
     "q98_interval_join" ->
-      """WITH iv AS (SELECT c_custkey,
-        |    CAST((c_custkey * 37) % 720 AS BIGINT) AS lo,
-        |    CAST((c_custkey * 37) % 720 + (c_custkey % 30) + 1 AS BIGINT)
-        |      AS hi
+      """WITH n AS (SELECT greatest(1, (count(*) * 12) // 25) AS h
         |  FROM customer),
+        |iv AS (SELECT c_custkey,
+        |    CAST((c_custkey * 37) % n.h AS BIGINT) AS lo,
+        |    CAST((c_custkey * 37) % n.h + (c_custkey % 30) + 1 AS BIGINT)
+        |      AS hi
+        |  FROM customer, n),
         |pts AS (SELECT event_id,
         |    (epoch_us(ts) - 1704067200000000) // 3600000000 AS hour, value
         |  FROM events)

@@ -8,21 +8,25 @@ import org.apache.spark.sql.functions._
 object ProfileSuffix {
   def main(args: Array[String]): Unit = {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val spark = graft.api.GraftSession.builder("local[8]", 8).getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = graft.api.GraftSession.builder(s"local[$cpus]", cpus)
+      .getOrCreate()
     def t[A](tag: String)(f: => A): A = {
       val s = System.nanoTime(); val r = f
       println(f"[prof] $tag ${(System.nanoTime() - s) / 1e9}%.2fs"); r
     }
-    val docs = DedupQueries.augDocs(spark, sf)
-      .where(pmod(col("doc_id"), lit(5)) === 0)
+    val full = args.length > 1 && args(1) == "full"
+    val docs0 = DedupQueries.augDocs(spark, sf)
+    val docs = if (full) docs0
+    else docs0.where(pmod(col("doc_id"), lit(5)) === 0)
     t("augDocs count")(docs.count())
-    val res = t("build lrs plan")(
-      SuffixArray.longestRepeatedSpans(docs, levels = 7))
-    t("lrs collect")(res.orderBy("doc_id").collect().length)
+    val res = t("build stats plan")(
+      SuffixArray.substringDedupStats(docs, minLen = 16, levels = 7))
+    t("stats collect")(res.orderBy("doc_id").collect().length)
     // second run: warm
-    val res2 = t("build lrs plan 2")(
-      SuffixArray.longestRepeatedSpans(docs, levels = 7))
-    t("lrs collect 2")(res2.orderBy("doc_id").collect().length)
+    val res2 = t("build stats plan 2")(
+      SuffixArray.substringDedupStats(docs, minLen = 16, levels = 7))
+    t("stats collect 2")(res2.orderBy("doc_id").collect().length)
     spark.stop()
   }
 }
