@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.IntervalJoin
+import graft.operators.{IntervalJoin, Sessions}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -40,7 +40,19 @@ object IntervalQueries {
           sum(floor(col("value") * 1000000.0 + 0.5).cast("long"))
             .as("value_micro"))
         .orderBy("c_custkey")
-    })
+    }),
+
+    // Q99: gap-based sessionization rollup — 6-hour gap over the events
+    // stream, per-session event count + span. Windows partition by
+    // user only (150 users x ~67 events at sf0.01); ties break on
+    // event_id so simultaneous events sessionize identically everywhere.
+    "q99_sessionize" -> ((s, d) =>
+      Sessions.sessionStats(
+        Temporal.eventsUs(s, d).select("user_id", "ts_us", "event_id"),
+        gap = 21600000000L)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("start_ts"), col("end_ts"), col("duration"))
+        .orderBy("user_id", "session_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -60,6 +72,25 @@ object IntervalQueries {
         |    AS BIGINT) AS value_micro
         |FROM pts JOIN iv ON pts.hour BETWEEN iv.lo AND iv.hi
         |GROUP BY iv.c_custkey
-        |ORDER BY iv.c_custkey""".stripMargin
+        |ORDER BY iv.c_custkey""".stripMargin,
+
+    "q99_sessionize" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |fl AS (SELECT user_id, ts_us, event_id,
+        |    CASE WHEN ts_us - lag(ts_us) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      > 21600000000 THEN 1 ELSE 0 END AS nw
+        |  FROM ev),
+        |sid AS (SELECT user_id, ts_us,
+        |    CAST(sum(nw) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) + 1
+        |      AS BIGINT) AS session_id
+        |  FROM fl)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_us) AS start_ts, max(ts_us) AS end_ts,
+        |  max(ts_us) - min(ts_us) AS duration
+        |FROM sid GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
   )
 }
