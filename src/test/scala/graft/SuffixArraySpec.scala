@@ -73,6 +73,11 @@ class SuffixArraySpec extends SparkSpec {
     // ranks are dense: 1..#distinct with no gaps
     val ranks = got.select("rk").distinct().as[Long].collect().sorted
     assert(ranks.toSeq == (1L to ranks.length).toSeq)
+    // the plan claim in the title: no Window operator, no SinglePartition
+    // exchange anywhere — the rank is range-shuffle + per-partition pass
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
   }
 
   test("longestRepeatedSpans matches brute force on deterministic corpora") {
