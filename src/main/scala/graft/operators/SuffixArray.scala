@@ -188,6 +188,71 @@ object SuffixArray {
     (res, ranked, acc)
   }
 
+  /** Distributed prefix carry — for every row, max(`valCol`) over rows
+    * with `ordCol` <= this row's (nulls in valCol carry through): the
+    * classic segmented-scan, NOT a global window. `ordCol` must be an
+    * integer in [1, maxOrd]; rows bucket by the closed-form range
+    * formula, one sequential pass carries within each bucket segment,
+    * and the cross-bucket prefix maxima (<= #partitions values, via
+    * accumulator) broadcast back as bucket baselines. One job. */
+  def prefixCarryMax(df: DataFrame, ordCol: String, valCol: String,
+                     maxOrd: Long, out: String): DataFrame = {
+    val spark = df.sparkSession
+    require(maxOrd >= 1, s"maxOrd must be >= 1, got $maxOrd")
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val withPart = df.withColumn("_part",
+      least(greatest(floor((col(ordCol) - 1).cast("double") * parts /
+        maxOrd.toDouble).cast("int"), lit(0)), lit(parts - 1)))
+    val shuffled = withPart.repartition(parts, col("_part"))
+      .sortWithinPartitions(col("_part"), col(ordCol))
+    val schema2 = shuffled.schema.add("_carry", LongType)
+    val pIdx = shuffled.schema.fieldIndex("_part")
+    val vIdx = shuffled.schema.fieldIndex(valCol)
+    val bucketMax = spark.sparkContext
+      .collectionAccumulator[(Int, Long)](s"graft.carry.$out")
+    val carried = shuffled.mapPartitions { it =>
+      var curPart = Int.MinValue
+      var run = Long.MinValue
+      var dirty = false
+      val base = it.map { r =>
+        val p = r.getInt(pIdx)
+        if (p != curPart) {
+          if (dirty && run != Long.MinValue) bucketMax.add((curPart, run))
+          curPart = p; run = Long.MinValue; dirty = true
+        }
+        if (!r.isNullAt(vIdx)) run = math.max(run, r.getLong(vIdx))
+        Row.fromSeq(r.toSeq :+ (if (run == Long.MinValue) null else run))
+      }
+      new Iterator[Row] {
+        def hasNext: Boolean = {
+          val h = base.hasNext
+          if (!h && dirty) {
+            if (run != Long.MinValue) bucketMax.add((curPart, run))
+            dirty = false
+          }
+          h
+        }
+        def next(): Row = base.next()
+      }
+    }(Encoders.row(schema2)).localCheckpoint(true)
+    import scala.jdk.CollectionConverters._
+    val maxes = bucketMax.value.asScala.toMap
+    // baseline for bucket b = max over buckets < b
+    val baselines = (0 until parts).scanLeft(Long.MinValue) { (acc, b) =>
+      math.max(acc, maxes.getOrElse(b, Long.MinValue))
+    }
+    import spark.implicits._
+    val blDf = broadcast((0 until parts)
+      .map(b => (b, baselines(b)))
+      .filter(_._2 != Long.MinValue).toDF("_part", "_bl"))
+    carried.join(blDf, Seq("_part"), "left")
+      .withColumn(out, greatest(coalesce(col("_carry"), lit(Long.MinValue)),
+        coalesce(col("_bl"), lit(Long.MinValue))))
+      .withColumn(out, when(col(out) === Long.MinValue, lit(null))
+        .otherwise(col(out)))
+      .drop("_part", "_carry", "_bl")
+  }
+
   /** Tokenized suffix frame with ALL doubling-level ranks:
     * (doc_id, pos, len_rem, r0, r1, .., r`levels`) — r0 ranks single
     * tokens, r_k ranks 2^k-token prefixes (clipped at doc end; two
@@ -233,6 +298,34 @@ object SuffixArray {
     val out = cur.localCheckpoint(true)
     prevCk.foreach(_.unpersist(false))
     out
+  }
+
+  /** Rank-pyramid LCP walk: `pairs` carries
+    * (da, pa, la, db, pb, lb, + any passthrough columns); descends
+    * k = lv-1..0 adding 2^k whenever the level-k ranks at the advanced
+    * positions agree (left-join miss past doc end = mismatch), then
+    * caps by both suffix lengths. Returns `pairs` + `lcp`. */
+  private def walkLcp(wide: DataFrame, pairs: DataFrame,
+                      lv: Int): DataFrame = {
+    var p = pairs.withColumn("acc", lit(0L))
+    for (k <- (lv - 1) to 0 by -1) {
+      val d = 1L << k
+      val ra = wide.select(col("doc_id").as("_dA"), col("pos").as("_pA"),
+        col(s"r$k").as("_ra"))
+      val rb = wide.select(col("doc_id").as("_dB"), col("pos").as("_pB"),
+        col(s"r$k").as("_rb"))
+      p = p
+        .join(ra, col("_dA") === col("da") &&
+          col("_pA") === col("pa") + col("acc"), "left")
+        .join(rb, col("_dB") === col("db") &&
+          col("_pB") === col("pb") + col("acc"), "left")
+        .withColumn("acc", col("acc") +
+          when(col("_ra").isNotNull && col("_ra") === col("_rb"), d)
+            .otherwise(lit(0L)))
+        .drop("_dA", "_pA", "_ra", "_dB", "_pB", "_rb")
+    }
+    p.withColumn("lcp", least(col("acc"), col("la"), col("lb")))
+      .drop("acc")
   }
 
   /** Per-document longest corpus-repeated token span, EXACT at any
@@ -316,29 +409,11 @@ object SuffixArray {
     // one lazy 2·levels-join plan: every join's build side is the
     // checkpointed rank table (short lineage), so no per-step
     // materialization is needed — the walk is a single job at action time
-    var pairs = reps.select(col("g"), col("doc_id").as("da"),
+    val pairs0 = reps.select(col("g"), col("doc_id").as("da"),
         col("pos").as("pa"), col("len_rem").as("la"))
       .join(reps.select((col("g") - 1).as("g"), col("doc_id").as("db"),
         col("pos").as("pb"), col("len_rem").as("lb")), Seq("g"))
-      .withColumn("acc", lit(0L))
-    for (k <- (lv - 1) to 0 by -1) {
-      val d = 1L << k
-      val ra = wide.select(col("doc_id").as("_dA"), col("pos").as("_pA"),
-        col(s"r$k").as("_ra"))
-      val rb = wide.select(col("doc_id").as("_dB"), col("pos").as("_pB"),
-        col(s"r$k").as("_rb"))
-      pairs = pairs
-        .join(ra, col("_dA") === col("da") &&
-          col("_pA") === col("pa") + col("acc"), "left")
-        .join(rb, col("_dB") === col("db") &&
-          col("_pB") === col("pb") + col("acc"), "left")
-        .withColumn("acc", col("acc") +
-          when(col("_ra").isNotNull && col("_ra") === col("_rb"), d)
-            .otherwise(lit(0L)))
-        .drop("_dA", "_pA", "_ra", "_dB", "_pB", "_rb")
-    }
-    val lcpn = pairs.select(col("g"),
-      least(col("acc"), col("la"), col("lb")).as("lcp"))
+    val lcpn = walkLcp(wide, pairs0, lv).select("g", "lcp")
 
     // per-suffix longest repeat = max(within-group full length, LCP with
     // the next group, LCP with the previous group); per-doc max + least
@@ -375,11 +450,143 @@ object SuffixArray {
         coalesce(col("lrs_pos"), lit(0L)).as("lrs_pos"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_covered"), lit(0L)).as("n_covered"))
-      .withColumn("covered_frac",
-        when(col("n_tokens") > 0,
-          floor(col("n_covered").cast("double") /
-            col("n_tokens").cast("double") * 10000.0 + 0.5)
-            .cast("double") / 10000.0)
-          .otherwise(lit(0.0)))
+      .withColumn("covered_frac", fracCol)
+  }
+
+  private def fracCol =
+    when(col("n_tokens") > 0,
+      floor(col("n_covered").cast("double") /
+        col("n_tokens").cast("double") * 10000.0 + 0.5)
+        .cast("double") / 10000.0)
+      .otherwise(lit(0.0))
+
+  /** Per-TRAIN-doc EXACT substring overlap with an eval corpus — the
+    * exact-length member of the decontamination triad (beside the
+    * n-gram probe, [[TextAnalysis.decontaminate]] q53, and the semantic
+    * probe, [[Dedup.semanticContaminated]] q91): for every train doc,
+    * `max_shared` = length of the longest token span that also occurs
+    * ANYWHERE in the eval corpus, plus >= `minLen` coverage accounting
+    * (`n_covered`, `covered_frac` — positions inside some eval-shared
+    * span). Lee et al. 2022 §4.2 runs exactly this check before
+    * reporting eval numbers.
+    *
+    * Shape: ONE suffix pipeline over the tagged union (eval docs ride
+    * negative keys −id−1; train ids must be >= 0). A train suffix in an
+    * eval-containing rank group shares its whole remaining text;
+    * otherwise its best eval partner is the NEAREST eval group above or
+    * below in suffix order (the sorted-order lemma restricted to the
+    * eval subset), found by two [[prefixCarryMax]] segmented scans over
+    * the dense group ids — no global window — and resolved by one
+    * shared rank-pyramid walk. */
+  def evalOverlapStats(train: DataFrame, evalDocs: DataFrame,
+                       minLen: Int = 16, levels: Int = 0,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val spark = train.sparkSession
+    import spark.implicits._
+    val tr = train.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("string").as("text"))
+    val ev = evalDocs.select((-col(idCol).cast("long") - 1).as("doc_id"),
+      col(textCol).cast("string").as("text"))
+    val union = tr.unionByName(ev)
+    val ids = tr.select("doc_id")
+    val lv = if (levels > 0) levels
+    else {
+      val row = union.where(length(trim(col("text"))) > 0)
+        .select(max(size(TextAnalysis.tokens(col("text")))).as("_m"))
+        .collect()
+      val maxLen =
+        if (row.isEmpty || row.head.isNullAt(0)) 0 else row.head.getInt(0)
+      if (maxLen == 0)
+        return ids.withColumn("n_tokens", lit(0L))
+          .withColumn("max_shared", lit(0L))
+          .withColumn("n_covered", lit(0L))
+          .withColumn("covered_frac", lit(0.0))
+          .orderBy("doc_id")
+      math.max(1,
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(1, maxLen - 1)))
+    }
+    val wide = suffixRanks(union, lv, "doc_id", "text")
+    if (levels > 0) {
+      val m = wide.select(max("len_rem")).collect()
+      val maxLen = if (m.isEmpty || m.head.isNullAt(0)) 0L
+        else m.head.getLong(0)
+      require((1L << lv) >= maxLen,
+        s"levels=$lv cannot separate suffixes of length $maxLen")
+    }
+    val gCol = s"r$lv"
+
+    // group facts: eval membership + representative; checkpointed (the
+    // carries, the walk pairs and the suffix join all read it)
+    val grp = wide.groupBy(col(gCol).as("g"))
+      .agg(max(when(col("doc_id") < 0, 1L).otherwise(0L)).as("has_eval"))
+      .localCheckpoint(true)
+    val reps = wide
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(gCol).orderBy("doc_id", "pos")))
+      .where(col("_rn") === 1)
+      .select(col(gCol).as("g"), col("doc_id"), col("pos"), col("len_rem"))
+    val maxGRow = grp.select(max("g")).collect()
+    val maxG = if (maxGRow.isEmpty || maxGRow.head.isNullAt(0)) 0L
+    else maxGRow.head.getLong(0)
+    if (maxG == 0L)
+      return ids.withColumn("n_tokens", lit(0L))
+        .withColumn("max_shared", lit(0L))
+        .withColumn("n_covered", lit(0L))
+        .withColumn("covered_frac", lit(0.0))
+        .orderBy("doc_id")
+
+    // nearest eval group below / above via two segmented prefix scans
+    val down = prefixCarryMax(
+      grp.withColumn("_ev", when(col("has_eval") === 1L, col("g"))),
+      "g", "_ev", maxG, "last_eval").drop("_ev")
+    val up0 = prefixCarryMax(
+      down.withColumn("_ord", lit(maxG) + 1L - col("g"))
+        .withColumn("_rv",
+          when(col("has_eval") === 1L, lit(maxG) + 1L - col("g"))),
+      "_ord", "_rv", maxG, "_nr")
+    val grpFull = up0
+      .withColumn("next_eval",
+        when(col("_nr").isNotNull, lit(maxG) + 1L - col("_nr")))
+      .drop("_ord", "_rv", "_nr")
+
+    // walk pairs: train-only groups vs their two nearest eval groups
+    val cand = grpFull.where(col("has_eval") === 0L)
+      .select(col("g"), explode(array(col("last_eval"), col("next_eval")))
+        .as("pg"))
+      .where(col("pg").isNotNull)
+    val pairs = cand
+      .join(reps.select(col("g"), col("doc_id").as("da"),
+        col("pos").as("pa"), col("len_rem").as("la")), Seq("g"))
+      .join(reps.select(col("g").as("pg"), col("doc_id").as("db"),
+        col("pos").as("pb"), col("len_rem").as("lb")), Seq("pg"))
+    val sharedG = walkLcp(wide, pairs, lv)
+      .groupBy("g").agg(max("lcp").as("_sh"))
+
+    // per-TRAIN-suffix shared length, coverage, per-doc rollup
+    val sfx = wide.where(col("doc_id") >= 0)
+      .select(col("doc_id"), col("pos"), col("len_rem"), col(gCol).as("g"))
+      .join(grpFull.select("g", "has_eval"), Seq("g"))
+      .join(sharedG, Seq("g"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("has_eval") === 1L, col("len_rem"))
+          .otherwise(coalesce(col("_sh"), lit(0L))).as("shared"))
+    val covW = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cov = sfx.withColumn("_rend",
+      max(when(col("shared") >= minLen, col("pos") + col("shared"))
+        .otherwise(lit(-1L))).over(covW))
+    val per = cov.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      max("shared").as("max_shared"),
+      sum(when(col("_rend") > col("pos"), 1L).otherwise(0L))
+        .as("n_covered"))
+    ids.join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("covered_frac", fracCol)
   }
 }

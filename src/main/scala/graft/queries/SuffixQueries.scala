@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.operators.SuffixArray
+import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Suffix-array oracle queries (round 9): the EXACT substring-repeat
@@ -41,28 +42,56 @@ object SuffixQueries {
           .where(org.apache.spark.sql.functions.pmod(
             org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.lit(5)) === 0),
-        minLen = 16, levels = Levels).orderBy("doc_id"))
+        minLen = 16, levels = Levels).orderBy("doc_id")),
+
+    // Q96b: EXACT-substring eval contamination (Lee et al. 2022 §4.2) —
+    // the third member of the decontamination triad beside the n-gram
+    // probe (q53, same eval split: doc_id % 97 = 0) and the semantic
+    // probe (q91). Train = the 20% shard of the remaining docs PLUS
+    // deliberately leaked eval copies (+30000, first token stripped —
+    // the contamination the probe must catch). Per train doc:
+    // max_shared = longest token span also occurring anywhere in the
+    // eval corpus; >= 16-token coverage accounting.
+    "q96b_substring_contamination" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val evalSet = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+      val train = docs
+        .where(pmod(col("doc_id"), lit(97)) =!= 0 &&
+          pmod(col("doc_id"), lit(5)) === 0)
+        .unionByName(evalSet.select(
+          (col("doc_id") + 30000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+      SuffixArray.evalOverlapStats(train, evalSet, minLen = 16,
+        levels = Levels).orderBy("doc_id")
+    })
   )
 
-  /** The full prefix-doubling + LCP-walk replay, generated for
-    * [[Levels]] levels. Every multiply-consumed CTE is MATERIALIZED
-    * (DuckDB inlines per consumer; the walk reads the final rank table
-    * 2x per level). */
-  private def lrsSql(levels: Int): String = {
-    def rl(k: Int) = (0 to k).map(i => s"r$i").mkString(", ")
-    val lvls = (1 to levels).map { k =>
-      val d = 1 << (k - 1)
-      val mat = if (k == levels) "MATERIALIZED " else ""
-      s"""p$k AS (SELECT doc_id, pos, len_rem, ${rl(k - 1)},
-         |    coalesce(lead(r${k - 1}, $d)
-         |      OVER (PARTITION BY doc_id ORDER BY pos), 0) AS nx
-         |  FROM lv${k - 1}),
-         |lv$k AS $mat(SELECT doc_id, pos, len_rem, ${rl(k - 1)},
-         |    CAST(dense_rank() OVER (ORDER BY r${k - 1}, nx) AS BIGINT)
-         |      AS r$k
-         |  FROM p$k)""".stripMargin
-    }.mkString(",\n")
-    val walk = (1 to levels).map { i =>
+  /** Shared SQL fragments for the doubling + walk replays. Every
+    * multiply-consumed CTE is MATERIALIZED (DuckDB inlines per
+    * consumer; the walk reads the final rank table 2x per level). */
+  private def rl(k: Int) = (0 to k).map(i => s"r$i").mkString(", ")
+
+  /** Tokenize `src` (a CTE of doc_id, text) and rank level 0. */
+  private def tokenChain(src: String): String =
+    s"""tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+       |    AS toks
+       |  FROM $src WHERE trim(text) <> ''),
+       |tku AS (SELECT doc_id, toks,
+       |    unnest(range(0, len(toks))) AS p
+       |  FROM tk),
+       |tok AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
+       |    CAST(len(toks) - p AS BIGINT) AS len_rem,
+       |    toks[CAST(p AS INTEGER) + 1] AS term
+       |  FROM tku),
+       |lv0 AS (SELECT doc_id, pos, len_rem,
+       |    CAST(dense_rank() OVER (ORDER BY term) AS BIGINT) AS r0
+       |  FROM tok)""".stripMargin
+
+  /** pr1..prN rank-pyramid walk steps over pr0 (g, da, pa, la, db, pb,
+    * lb, acc). */
+  private def walkSteps(levels: Int): String =
+    (1 to levels).map { i =>
       val k = levels - i
       val d = 1L << k
       s"""pr$i AS (SELECT pr.g, pr.da, pr.pa, pr.la, pr.db, pr.pb, pr.lb,
@@ -75,34 +104,44 @@ object SuffixQueries {
          |    ON rb.doc_id = pr.db AND rb.pos = pr.pb + pr.acc)"""
         .stripMargin
     }.mkString(",\n")
+
+  /** Representative (least doc_id, pos) per final rank group. */
+  private def repsCte(levels: Int): String =
+    s"""reps AS MATERIALIZED (SELECT g, doc_id, pos, len_rem FROM (
+       |    SELECT r$levels AS g, doc_id, pos, len_rem,
+       |      row_number() OVER (PARTITION BY r$levels
+       |        ORDER BY doc_id, pos) AS rn
+       |    FROM lv$levels) WHERE rn = 1)""".stripMargin
+
+  private def doubling(levels: Int): String = {
+    (1 to levels).map { k =>
+      val d = 1 << (k - 1)
+      val mat = if (k == levels) "MATERIALIZED " else ""
+      s"""p$k AS (SELECT doc_id, pos, len_rem, ${rl(k - 1)},
+         |    coalesce(lead(r${k - 1}, $d)
+         |      OVER (PARTITION BY doc_id ORDER BY pos), 0) AS nx
+         |  FROM lv${k - 1}),
+         |lv$k AS $mat(SELECT doc_id, pos, len_rem, ${rl(k - 1)},
+         |    CAST(dense_rank() OVER (ORDER BY r${k - 1}, nx) AS BIGINT)
+         |      AS r$k
+         |  FROM p$k)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  /** q96: the full per-doc LRS + coverage replay. */
+  private def lrsSql(levels: Int): String = {
     val aug = DedupQueries.augDocsSql
     s"""WITH $aug,
        |sub AS MATERIALIZED (SELECT doc_id, text FROM aug
        |  WHERE doc_id % 5 = 0),
-       |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
-       |    AS toks
-       |  FROM sub WHERE trim(text) <> ''),
-       |tku AS (SELECT doc_id, toks,
-       |    unnest(range(0, len(toks))) AS p
-       |  FROM tk),
-       |tok AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
-       |    CAST(len(toks) - p AS BIGINT) AS len_rem,
-       |    toks[CAST(p AS INTEGER) + 1] AS term
-       |  FROM tku),
-       |lv0 AS (SELECT doc_id, pos, len_rem,
-       |    CAST(dense_rank() OVER (ORDER BY term) AS BIGINT) AS r0
-       |  FROM tok),
-       |$lvls,
-       |reps AS MATERIALIZED (SELECT g, doc_id, pos, len_rem FROM (
-       |    SELECT r$levels AS g, doc_id, pos, len_rem,
-       |      row_number() OVER (PARTITION BY r$levels
-       |        ORDER BY doc_id, pos) AS rn
-       |    FROM lv$levels) WHERE rn = 1),
+       |${tokenChain("sub")},
+       |${doubling(levels)},
+       |${repsCte(levels)},
        |pr0 AS (SELECT a.g, a.doc_id AS da, a.pos AS pa, a.len_rem AS la,
        |    b.doc_id AS db, b.pos AS pb, b.len_rem AS lb,
        |    CAST(0 AS BIGINT) AS acc
        |  FROM reps a JOIN reps b ON b.g = a.g + 1),
-       |$walk,
+       |${walkSteps(levels)},
        |lcpn AS MATERIALIZED (SELECT g, least(acc, la, lb) AS lcp
        |  FROM pr$levels),
        |cnt AS (SELECT r$levels AS g, count(*) AS n FROM lv$levels
@@ -140,7 +179,76 @@ object SuffixQueries {
        |ORDER BY a.doc_id""".stripMargin
   }
 
+  /** q96b: the tagged-union contamination replay — same doubling, group
+    * eval flags, nearest-eval groups via plain windows (the oracle may
+    * use global windows; the engine uses segmented carries), the same
+    * walk, coverage, rollup. */
+  private def contamSql(levels: Int): String =
+    s"""WITH corpus AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |    WHERE doc_id % 97 <> 0 AND doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 30000, regexp_replace(text, '^\\S+\\s+', '')
+       |    FROM documents WHERE doc_id % 97 = 0
+       |  UNION ALL
+       |  SELECT -doc_id - 1, text FROM documents WHERE doc_id % 97 = 0),
+       |${tokenChain("corpus")},
+       |${doubling(levels)},
+       |grp AS (SELECT r$levels AS g,
+       |    max(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END) AS has_eval
+       |  FROM lv$levels GROUP BY r$levels),
+       |gc AS MATERIALIZED (SELECT g, has_eval,
+       |    max(CASE WHEN has_eval = 1 THEN g END)
+       |      OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS last_eval,
+       |    min(CASE WHEN has_eval = 1 THEN g END)
+       |      OVER (ORDER BY g ROWS BETWEEN CURRENT ROW AND
+       |        UNBOUNDED FOLLOWING) AS next_eval
+       |  FROM grp),
+       |${repsCte(levels)},
+       |cand AS (SELECT g, last_eval AS pg FROM gc
+       |    WHERE has_eval = 0 AND last_eval IS NOT NULL
+       |  UNION ALL
+       |  SELECT g, next_eval FROM gc
+       |    WHERE has_eval = 0 AND next_eval IS NOT NULL),
+       |pr0 AS (SELECT c.g, a.doc_id AS da, a.pos AS pa, a.len_rem AS la,
+       |    b.doc_id AS db, b.pos AS pb, b.len_rem AS lb,
+       |    CAST(0 AS BIGINT) AS acc
+       |  FROM cand c
+       |  JOIN reps a ON a.g = c.g
+       |  JOIN reps b ON b.g = c.pg),
+       |${walkSteps(levels)},
+       |shg AS MATERIALIZED (SELECT g, max(least(acc, la, lb)) AS sh
+       |  FROM pr$levels GROUP BY g),
+       |sfx AS (SELECT t.doc_id, t.pos,
+       |    CASE WHEN gg.has_eval = 1 THEN t.len_rem
+       |      ELSE coalesce(shg.sh, 0) END AS shared
+       |  FROM lv$levels t
+       |  JOIN gc gg ON gg.g = t.r$levels
+       |  LEFT JOIN shg ON shg.g = t.r$levels
+       |  WHERE t.doc_id >= 0),
+       |cov AS (SELECT doc_id, pos, shared,
+       |  max(CASE WHEN shared >= $MinLen THEN pos + shared ELSE -1 END)
+       |    OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS rend
+       |  FROM sfx),
+       |agg AS (SELECT doc_id, count(*) AS n_tokens,
+       |  max(shared) AS max_shared,
+       |  sum(CASE WHEN rend > pos THEN 1 ELSE 0 END) AS n_covered
+       |  FROM cov GROUP BY doc_id)
+       |SELECT c.doc_id,
+       |  CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(agg.max_shared, 0) AS BIGINT) AS max_shared,
+       |  CAST(coalesce(agg.n_covered, 0) AS BIGINT) AS n_covered,
+       |  CASE WHEN coalesce(agg.n_tokens, 0) > 0 THEN
+       |    floor(CAST(agg.n_covered AS DOUBLE) / CAST(agg.n_tokens AS DOUBLE)
+       |      * 10000.0 + 0.5) / 10000.0
+       |  ELSE 0.0 END AS covered_frac
+       |FROM (SELECT doc_id FROM corpus WHERE doc_id >= 0) c
+       |LEFT JOIN agg ON agg.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "q96_suffix_lrs" -> lrsSql(Levels)
+    "q96_suffix_lrs" -> lrsSql(Levels),
+    "q96b_substring_contamination" -> contamSql(Levels)
   )
 }

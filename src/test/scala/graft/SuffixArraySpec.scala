@@ -140,6 +140,98 @@ class SuffixArraySpec extends SparkSpec {
     assert(got == bruteCoverage(docs, 3), s"random corpus: $docs")
   }
 
+  /** Brute eval overlap: per train doc, longest substring also present
+    * anywhere in the eval corpus + minLen coverage. */
+  private def bruteEval(train: Seq[(Long, String)], ev: Seq[(Long, String)],
+                        minLen: Int): Map[Long, (Long, Long, Long)] = {
+    def toks(s: String) = if (s.trim.isEmpty) Seq.empty[String]
+    else s.trim.split("\\s+").toSeq
+    val evalSubs = (for {
+      (_, t) <- ev
+      ts = toks(t)
+      p <- ts.indices
+      m <- 1 to (ts.length - p)
+    } yield ts.slice(p, p + m)).toSet
+    train.map { case (id, t) =>
+      val ts = toks(t)
+      def sharedAt(s: Int): Int =
+        (1 to (ts.length - s)).reverse
+          .find(m => evalSubs.contains(ts.slice(s, s + m))).getOrElse(0)
+      val sh = ts.indices.map(sharedAt)
+      val covered = ts.indices.count { t0 =>
+        (0 to t0).exists(s => sh(s) >= math.max(minLen, t0 - s + 1))
+      }
+      id -> (ts.length.toLong,
+        (if (sh.isEmpty) 0L else sh.max.toLong), covered.toLong)
+    }.toMap
+  }
+
+  test("evalOverlapStats matches brute force: leaked copies, shared " +
+    "phrases, disjoint docs, empty eval") {
+    val ev = Seq(100L -> "the secret eval answer phrase",
+      101L -> "b b b")
+    val train = Seq(
+      1L -> "prefix the secret eval answer phrase suffix", // full leak
+      2L -> "contains the secret eval only",               // partial
+      3L -> "totally unrelated words here",                // disjoint
+      4L -> "b b",                                         // overlap-heavy
+      5L -> "")                                            // empty text
+    for (ml <- Seq(2, 3)) {
+      val got = SuffixArray.evalOverlapStats(
+          train.toDF("doc_id", "text"), ev.toDF("doc_id", "text"),
+          minLen = ml)
+        .select("doc_id", "n_tokens", "max_shared", "n_covered")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(got == bruteEval(train, ev, ml), s"minLen=$ml")
+    }
+    // empty eval corpus: all zeros but token counts intact
+    val none = SuffixArray.evalOverlapStats(
+        train.toDF("doc_id", "text"),
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), minLen = 2)
+      .select("doc_id", "max_shared", "n_covered")
+      .as[(Long, Long, Long)].collect()
+    assert(none.forall(r => r._2 == 0L && r._3 == 0L))
+    // seeded random cross-check
+    val rnd = new scala.util.Random(23)
+    def randDocs(n: Int, off: Long) = (1L to n.toLong).map { i =>
+      (i + off) -> Seq.fill(1 + rnd.nextInt(14))(
+        ('a' + rnd.nextInt(2)).toChar.toString).mkString(" ")
+    }
+    val rt = randDocs(10, 0L)
+    val re = randDocs(4, 1000L)
+    val got = SuffixArray.evalOverlapStats(rt.toDF("doc_id", "text"),
+        re.toDF("doc_id", "text"), minLen = 3)
+      .select("doc_id", "n_tokens", "max_shared", "n_covered")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == bruteEval(rt, re, 3), s"random: $rt vs $re")
+  }
+
+  test("prefixCarryMax equals a sequential scan (sparse carriers, " +
+    "empty-prefix nulls, all-null)") {
+    val rnd = new scala.util.Random(5)
+    val rows: Seq[(Long, Option[Long])] = (1L to 500L).map(i =>
+      (i, if (rnd.nextInt(10) == 0) Some(i * 7L) else None))
+    val got = SuffixArray.prefixCarryMax(
+        rows.toDF("ord", "v"), "ord", "v", 500L, "c")
+      .select("ord", "c").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    var run: Option[Long] = None
+    rows.foreach { case (o, v) =>
+      run = (run.toSeq ++ v.toSeq)
+        .reduceOption((a: Long, b: Long) => math.max(a, b))
+      assert(got(o) == run, s"ord=$o")
+    }
+    // all-null carriers: everything stays null
+    val gotNull = SuffixArray.prefixCarryMax(
+        (1L to 20L).map(i => (i, None: Option[Long])).toDF("ord", "v"),
+        "ord", "v", 20L, "c")
+      .select("c").collect()
+    assert(gotNull.forall(_.isNullAt(0)))
+  }
+
   test("degenerate inputs: empty text rows report (0,0); empty corpus " +
     "yields an empty frame; explicit undersized levels are rejected") {
     val withEmpty = Seq(1L -> "a b a b", 2L -> "   ", 3L -> "")
