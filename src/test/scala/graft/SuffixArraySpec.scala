@@ -208,6 +208,14 @@ class SuffixArraySpec extends SparkSpec {
     assert(got == bruteEval(rt, re, 3), s"random: $rt vs $re")
   }
 
+  test("the assembled stats pipeline plans no single-partition exchange") {
+    val plan = SuffixArray.substringDedupStats(
+        Seq((1L, "a b a b"), (2L, "c d")).toDF("doc_id", "text"),
+        minLen = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("prefixCarryMax equals a sequential scan (sparse carriers, " +
     "empty-prefix nulls, all-null)") {
     val rnd = new scala.util.Random(5)
