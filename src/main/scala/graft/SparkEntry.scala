@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{DedupQueries, ExtQueries, IntervalQueries, LayoutQueries, PipelineQueries, Relational, ScaleQueries, StatsQueries, SuffixQueries, Temporal, TextQueries}
+import graft.queries.{DedupQueries, ExtQueries, GraphQueries, IntervalQueries, LayoutQueries, PipelineQueries, Relational, ScaleQueries, StatsQueries, SuffixQueries, Temporal, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,7 +21,7 @@ object SparkEntry {
       DedupQueries.queries ++ ExtQueries.queries ++ StatsQueries.queries ++
       ScaleQueries.queries ++ PipelineQueries.queries ++
       SuffixQueries.queries ++ LayoutQueries.queries ++
-      IntervalQueries.queries
+      IntervalQueries.queries ++ GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,5 @@ object SparkEntry {
       DedupQueries.oracle ++ ExtQueries.oracle ++ StatsQueries.oracle ++
       ScaleQueries.oracle ++ PipelineQueries.oracle ++
       SuffixQueries.oracle ++ LayoutQueries.oracle ++
-      IntervalQueries.oracle
+      IntervalQueries.oracle ++ GraphQueries.oracle
 }
