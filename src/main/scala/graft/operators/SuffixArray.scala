@@ -264,7 +264,8 @@ object SuffixArray {
     * whitespace-only text contribute no suffixes. */
   def suffixRanks(docs: DataFrame, levels: Int,
                   idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text",
+                  verifyTermHashes: Boolean = false): DataFrame = {
     require(levels >= 1 && levels <= 24, s"levels out of range: $levels")
     val toks = docs
       .where(length(trim(col(textCol))) > 0)
@@ -277,9 +278,25 @@ object SuffixArray {
     // level 0 needs no ranking pass at all: the output is invariant to
     // the token base order (a suffix's max-LCP is intrinsic — see the
     // object doc), so the 56-bit term hash IS a valid r0 — equality-
-    // preserving to ~2^-57 collision odds (the repo-wide term-key
-    // discipline) and totally ordered. Doubling levels then run the
-    // sampling-free integer path with the hash-space bound.
+    // preserving and totally ordered. Honest collision accounting: the
+    // PAIRWISE odds are ~2^-57, but the aggregate birthday bound over V
+    // distinct terms is ~V^2/2^57 — negligible at fixture scale, yet at
+    // ~10^8-10^9 distinct terms (a 100 TB corpus) a collision becomes
+    // EXPECTED, silently merging two tokens and breaking the exactness
+    // guarantee. `verifyTermHashes` buys certainty for one extra
+    // aggregation over the token frame: count(distinct term) must equal
+    // count(distinct hash) or the build fails loudly (the remedy is a
+    // true dense rank over terms via [[globalDenseRank]]).
+    if (verifyTermHashes) {
+      val r = toks.select(Dedup.md5Long(col("_term")).as("_h"),
+          col("_term"))
+        .agg(countDistinct(col("_term")).as("_t"),
+          countDistinct(col("_h")).as("_hd")).collect().head
+      require(r.getLong(0) == r.getLong(1),
+        s"term-hash collision: ${r.getLong(0)} distinct terms map to " +
+          s"${r.getLong(1)} distinct 56-bit hashes — rerun with a true " +
+          "dense rank over terms (globalDenseRank) instead of r0 hashing")
+    }
     var cur = toks.withColumn("r0", Dedup.md5Long(col("_term")) + 1)
       .drop("_term")
     var prevCk: Option[DataFrame] = None
@@ -485,9 +502,18 @@ object SuffixArray {
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     val spark = train.sparkSession
     import spark.implicits._
-    val tr = train.select(col(idCol).cast("long").as("doc_id"),
+    // both corpora must carry ids >= 0 or the -id-1 eval namespacing is
+    // not disjoint and suffixes silently land in the wrong corpus; the
+    // guard rides the scan (raise_error is map-side, no extra job)
+    def nonNeg(side: String) = {
+      val id = col(idCol).cast("long")
+      when(id < 0, raise_error(concat(lit(
+        s"evalOverlapStats: $side doc_id must be >= 0, got "), id)))
+        .otherwise(id)
+    }
+    val tr = train.select(nonNeg("train").as("doc_id"),
       col(textCol).cast("string").as("text"))
-    val ev = evalDocs.select((-col(idCol).cast("long") - 1).as("doc_id"),
+    val ev = evalDocs.select((-nonNeg("eval") - 1).as("doc_id"),
       col(textCol).cast("string").as("text"))
     val union = tr.unionByName(ev)
     val ids = tr.select("doc_id")
@@ -588,5 +614,99 @@ object SuffixArray {
         coalesce(col("max_shared"), lit(0L)).as("max_shared"),
         coalesce(col("n_covered"), lit(0L)).as("n_covered"))
       .withColumn("covered_frac", fracCol)
+  }
+
+  /** EXACT duplicated-span REMOVAL — the acting half of Lee et al. 2022
+    * that [[substringDedupStats]] only measures, on suffix-rank truth
+    * instead of [[TextAnalysis.spanDeduped]]'s aligned-tile rolling-hash
+    * approximation: every `window`-token span, at EVERY alignment, that
+    * occurs >= 2 times corpus-wide keeps exactly its canonical
+    * occurrence (least (doc_id, pos)) and loses the rest.
+    *
+    * Window equality is decided by the classic O(1) substring-equality
+    * trick on doubling ranks: with k = floor(log2 W), spans of length W
+    * at p and q are identical iff (r_k[p], r_k[p + W - 2^k]) agree —
+    * two overlapping 2^k-blocks cover all W positions — so only
+    * floor(log2 W) doubling levels are built (~4 for W=16, NOT the full
+    * log(maxDocLen) pyramid: window-length separation never needs
+    * whole-suffix separation) and the grouped key is two longs, never W
+    * shuffled tokens.
+    *
+    * Removal rule, per token position t of doc d: t is dropped iff some
+    * duplicate NON-canonical window starts at s <= t with s + W > t AND
+    * no CANONICAL duplicate window covers t. The canonical veto makes
+    * the keep-one guarantee structural: a canonical window's W
+    * positions are all covered by it, hence all kept, hence CONTIGUOUS
+    * in the rebuilt text — every duplicated span content provably
+    * survives at exactly its first corpus occurrence. (Without the
+    * veto, overlapping duplicates — e.g. periodic text — erase each
+    * other's canonical copies and duplicated content vanishes
+    * entirely.) Rebuilding re-joins kept tokens with single spaces
+    * (the [[TextAnalysis.spanDeduped]] token-space contract), which in
+    * adversarial corpora can create NEW adjacencies that duplicate
+    * other text — a second pass is a no-op on copy/boilerplate/periodic
+    * structure (spec-gated) but not a universal identity, the same
+    * caveat as Lee et al.'s own tool.
+    *
+    * Scale shape: both coverage carries and the rebuild group by
+    * doc_id, so after the one window-key aggregation the whole tail of
+    * the job runs in a single doc-hash exchange. Output: (doc_id, text,
+    * n_tokens_before, n_tokens_after); docs with nothing removed pass
+    * through in token space, whitespace-only docs rebuild to "". */
+  def substringDeduped(docs: DataFrame, window: Int = 16,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(window >= 1 && window <= (1 << 24),
+      s"window out of range: $window")
+    val kLev = 63 - java.lang.Long.numberOfLeadingZeros(window.toLong)
+    val shift = window - (1 << kLev)
+    val wide = suffixRanks(docs, math.max(1, kLev), idCol, textCol)
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val win = wide.select(col("doc_id"), col("pos"), col("len_rem"),
+        col(s"r$kLev").as("_k1"))
+      .withColumn("_k2",
+        if (shift == 0) col("_k1")
+        else lead(col("_k1"), shift).over(byPos))
+      .where(col("len_rem") >= window)
+    // duplicate window groups + canonical pick: ONE keyed aggregation
+    // (map-side partial combine; no per-key window sort), then the
+    // corpus-sized join back touches only duplicate keys
+    val canon = win.groupBy("_k1", "_k2")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("_keep"),
+        count(lit(1)).as("_occ"))
+      .where(col("_occ") >= 2)
+    val flags = win.join(canon, Seq("_k1", "_k2"))
+      .select(col("doc_id"), col("pos"),
+        (col("doc_id") === col("_keep.doc_id") &&
+          col("pos") === col("_keep.pos")).as("_canon"))
+    val toks = docs
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("_tk"))
+      .select(col("doc_id"), posexplode(col("_tk")).as(Seq("_p", "_term")))
+      .select(col("doc_id"), col("_p").cast("long").as("pos"), col("_term"))
+    val covW = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = lit(window.toLong)
+    val cov = toks.join(flags, Seq("doc_id", "pos"), "left")
+      .withColumn("_rr", max(when(col("_canon") === false, col("pos") + w)
+        .otherwise(lit(-1L))).over(covW))
+      .withColumn("_rc", max(when(col("_canon") === true, col("pos") + w)
+        .otherwise(lit(-1L))).over(covW))
+      .withColumn("_kp",
+        !(col("_rr") > col("pos") && !(col("_rc") > col("pos"))))
+    val reb = cov.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens_before"),
+      sum(when(col("_kp"), 1L).otherwise(0L)).as("n_tokens_after"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(
+          when(col("_kp"), struct(col("pos"), col("_term"))))),
+        x => x("_term"))).as("text"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(reb, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_tokens_before"), lit(0L)).as("n_tokens_before"),
+        coalesce(col("n_tokens_after"), lit(0L)).as("n_tokens_after"))
   }
 }

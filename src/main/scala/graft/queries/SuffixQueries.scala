@@ -64,7 +64,23 @@ object SuffixQueries {
           regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
       SuffixArray.evalOverlapStats(train, evalSet, minLen = 16,
         levels = Levels).orderBy("doc_id")
-    })
+    }),
+
+    // Q101: EXACT duplicated-span REMOVAL — the acting half of q96's
+    // measurement (Lee et al. 2022 keep one occurrence of every
+    // duplicated span): every 16-token window at EVERY alignment that
+    // occurs >= 2 times across the shard keeps its canonical (least
+    // (doc_id, pos)) occurrence and loses the rest, with the canonical
+    // veto preserving the kept copy contiguously; text rebuilt in token
+    // space. The sliding-window exact refinement of q71's aligned-tile
+    // approximation, on the same shard as q96.
+    "q101_substring_removal" -> ((s, d) =>
+      SuffixArray.substringDeduped(
+        DedupQueries.augDocs(s, d)
+          .where(org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.lit(5)) === 0),
+        window = MinLen).orderBy("doc_id"))
   )
 
   /** Shared SQL fragments for the doubling + walk replays. Every
@@ -247,8 +263,62 @@ object SuffixQueries {
        |LEFT JOIN agg ON agg.doc_id = c.doc_id
        |ORDER BY c.doc_id""".stripMargin
 
+  /** q101: the removal replay — doubling only to floor(log2 W) (window
+    * equality needs two overlapping 2^k-block ranks, never whole-suffix
+    * separation), dup-window groups + canonical via one partitioned
+    * row_number, the two coverage carries as per-doc running maxima,
+    * rebuild via ordered string_agg. W = 16 is a power of two so the
+    * composite-key shift is 0 and the key is r4 alone (the generic
+    * shift path is brute-force-gated in SuffixArraySpec). */
+  private def removalSql(window: Int): String = {
+    val kLev = 63 - java.lang.Long.numberOfLeadingZeros(window.toLong)
+    val aug = DedupQueries.augDocsSql
+    s"""WITH $aug,
+       |sub AS MATERIALIZED (SELECT doc_id, text FROM aug
+       |  WHERE doc_id % 5 = 0),
+       |${tokenChain("sub")},
+       |${doubling(kLev)},
+       |ky AS (SELECT doc_id, pos, len_rem, r$kLev AS k1,
+       |    lead(r$kLev, ${window - (1 << kLev)})
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS k2
+       |  FROM lv$kLev),
+       |win AS (SELECT doc_id, pos, k1, k2 FROM ky
+       |  WHERE len_rem >= $window),
+       |mk AS (SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY k1, k2 ORDER BY doc_id, pos)
+       |      AS rn,
+       |    count(*) OVER (PARTITION BY k1, k2) AS occ
+       |  FROM win),
+       |fl AS MATERIALIZED (SELECT doc_id, pos, rn = 1 AS canon
+       |  FROM mk WHERE occ >= 2),
+       |cov AS (SELECT t.doc_id, t.pos, t.term,
+       |    max(CASE WHEN fl.canon = false THEN t.pos + $window
+       |      ELSE -1 END) OVER (PARTITION BY t.doc_id ORDER BY t.pos
+       |        ROWS UNBOUNDED PRECEDING) AS rr,
+       |    max(CASE WHEN fl.canon = true THEN t.pos + $window
+       |      ELSE -1 END) OVER (PARTITION BY t.doc_id ORDER BY t.pos
+       |        ROWS UNBOUNDED PRECEDING) AS rc
+       |  FROM tok t LEFT JOIN fl
+       |    ON fl.doc_id = t.doc_id AND fl.pos = t.pos),
+       |kp AS (SELECT doc_id, pos, term FROM cov
+       |  WHERE NOT (rr > pos AND NOT rc > pos)),
+       |reb AS (SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS text,
+       |    count(*) AS n_after
+       |  FROM kp GROUP BY doc_id),
+       |nb AS (SELECT doc_id, count(*) AS n_before FROM tok
+       |  GROUP BY doc_id)
+       |SELECT s.doc_id, coalesce(reb.text, '') AS text,
+       |  CAST(coalesce(nb.n_before, 0) AS BIGINT) AS n_tokens_before,
+       |  CAST(coalesce(reb.n_after, 0) AS BIGINT) AS n_tokens_after
+       |FROM sub s
+       |LEFT JOIN nb ON nb.doc_id = s.doc_id
+       |LEFT JOIN reb ON reb.doc_id = s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q96_suffix_lrs" -> lrsSql(Levels),
-    "q96b_substring_contamination" -> contamSql(Levels)
+    "q96b_substring_contamination" -> contamSql(Levels),
+    "q101_substring_removal" -> removalSql(MinLen)
   )
 }

@@ -20,6 +20,20 @@ object ProfileSuffix {
     val docs = if (full) docs0
     else docs0.where(pmod(col("doc_id"), lit(5)) === 0)
     t("augDocs count")(docs.count())
+    if (args.length > 1 && args(1) == "removal") {
+      // q101 scale probe: full-corpus exact-substring removal (W=16)
+      val r = t("removal collect")(
+        SuffixArray.substringDeduped(docs, window = 16)
+          .agg(count(lit(1)), sum("n_tokens_before"), sum("n_tokens_after"))
+          .collect().head)
+      println(s"[prof] removal rows=${r.getLong(0)} " +
+        s"before=${r.getLong(1)} after=${r.getLong(2)}")
+      val r2 = t("removal collect 2")(
+        SuffixArray.substringDeduped(docs, window = 16)
+          .agg(count(lit(1)), sum("n_tokens_after")).collect().head)
+      println(s"[prof] removal2 rows=${r2.getLong(0)}")
+      spark.stop(); return
+    }
     val res = t("build stats plan")(
       SuffixArray.substringDedupStats(docs, minLen = 16, levels = 7))
     t("stats collect")(res.orderBy("doc_id").collect().length)

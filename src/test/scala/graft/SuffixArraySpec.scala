@@ -254,4 +254,137 @@ class SuffixArraySpec extends SparkSpec {
         .collect()
     }
   }
+
+  /** Brute-force reference for [[SuffixArray.substringDeduped]]: dup
+    * window groups by exact slice content, canonical = least (doc, pos),
+    * keep rule = not (covered by a non-canonical dup window and by no
+    * canonical one), rebuild in token space. */
+  private def bruteDedup(docs: Seq[(Long, String)], w: Int)
+      : Map[Long, (String, Long, Long)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> (if (t.trim.isEmpty) Seq.empty[String]
+             else t.trim.split("\\s+").toSeq)
+    }
+    val occ = scala.collection.mutable.Map
+      .empty[Seq[String], List[(Long, Int)]]
+    for ((id, ts) <- toks; s <- 0 to ts.length - w)
+      occ.updateWith(ts.slice(s, s + w))(o =>
+        Some((id, s) :: o.getOrElse(Nil)))
+    val canonOf = occ.filter(_._2.size >= 2)
+      .map { case (k, os) => k -> os.min }.toMap
+    toks.map { case (id, ts) =>
+      val keep = ts.indices.map { t =>
+        val starts = (math.max(0, t - w + 1) to t)
+          .filter(s => s + w <= ts.length)
+        def canon(s: Int) = canonOf.get(ts.slice(s, s + w))
+        val remCover = starts.exists(s => canon(s).exists(_ != (id, s)))
+        val canCover = starts.exists(s => canon(s).contains((id, s)))
+        !(remCover && !canCover)
+      }
+      val kept = ts.zip(keep).collect { case (tk, true) => tk }
+      id -> (kept.mkString(" "), ts.length.toLong, kept.length.toLong)
+    }.toMap
+  }
+
+  private def runDedup(docs: Seq[(Long, String)], w: Int)
+      : Map[Long, (String, Long, Long)] =
+    SuffixArray.substringDeduped(docs.toDF("doc_id", "text"), w)
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (id, t, b, a) => id -> (t, b, a) }.toMap
+
+  test("substringDeduped matches brute force: copies, shared tails, " +
+    "periodic runs, sub-window docs, whitespace docs — power-of-two " +
+    "AND composite-key windows") {
+    val passage = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      1L -> passage,                               // canonical holder
+      2L -> passage,                               // exact copy
+      3L -> ((11 to 20).map(i => s"w$i").mkString(" ") + " z9 z8"),
+      4L -> Seq.fill(12)("x").mkString(" "),       // periodic self-repeat
+      5L -> "only two",                            // shorter than any window
+      6L -> "   ",                                 // whitespace-only
+      7L -> (1 to 15).map(i => s"u$i").mkString(" ")) // unique, untouched
+    for (w <- Seq(3, 5, 8)) { // 8 = pow2 (shift 0), 3/5 composite keys
+      assert(runDedup(docs, w) == bruteDedup(docs, w), s"window=$w")
+    }
+  }
+
+  test("substringDeduped matches brute force on seeded random corpora " +
+    "with injected boilerplate, and every duplicated window content " +
+    "survives somewhere in the rebuilt corpus") {
+    val rnd = new scala.util.Random(41)
+    val boiler = (1 to 9).map(i => s"B$i")
+    val docs = (1L to 30L).map { id =>
+      val body = Seq.fill(6 + rnd.nextInt(20))("t" + rnd.nextInt(12))
+      val withB =
+        if (rnd.nextBoolean())
+          body.patch(rnd.nextInt(body.length), boiler, 0)
+        else body
+      id -> withB.mkString(" ")
+    }
+    for (w <- Seq(4, 6)) {
+      val got = runDedup(docs, w)
+      assert(got == bruteDedup(docs, w), s"window=$w")
+      // keep-one invariant: the canonical window is kept intact and
+      // contiguous, so every duplicated content stays present
+      def windows(texts: Iterable[String]) = texts.flatMap { t =>
+        val ts = t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+        (0 to ts.length - w).map(s => ts.slice(s, s + w))
+      }.toSet
+      val inToks = docs.map(_._2).flatMap(_.trim.split("\\s+")).toSeq
+      val inWin = windows(docs.map(_._2))
+      val dupContents = windows(docs.map(_._2)).filter { k =>
+        docs.map(_._2).flatMap { t =>
+          val ts = t.trim.split("\\s+").toSeq
+          (0 to ts.length - w).filter(s => ts.slice(s, s + w) == k)
+        }.size >= 2
+      }
+      val outWin = windows(got.values.map(_._1).filter(_.nonEmpty))
+      assert(dupContents.subsetOf(outWin), s"window=$w lost dup content")
+    }
+  }
+
+  test("substringDeduped is idempotent on copy/boilerplate/periodic " +
+    "structure (second pass removes nothing)") {
+    val passage = (1 to 24).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      1L -> passage, 2L -> passage,
+      3L -> (passage + " tail1 tail2"),
+      4L -> Seq.fill(15)("r").mkString(" "))
+    val once = SuffixArray.substringDeduped(docs.toDF("doc_id", "text"), 8)
+    val again = SuffixArray.substringDeduped(
+        once.select("doc_id", "text"), 8)
+      .as[(Long, String, Long, Long)].collect()
+    assert(again.forall(r => r._3 == r._4),
+      s"second pass removed tokens: ${again.mkString(", ")}")
+  }
+
+  test("evalOverlapStats rejects negative doc ids loudly (the -id-1 " +
+    "namespacing would silently misfile suffixes)") {
+    val good = Seq(1L -> "a b c d").toDF("doc_id", "text")
+    val badTrain = Seq(-2L -> "a b c d").toDF("doc_id", "text")
+    val e1 = intercept[Exception] {
+      SuffixArray.evalOverlapStats(badTrain, good, minLen = 2).collect()
+    }
+    assert(e1.getMessage.contains("train doc_id must be >= 0") ||
+      Option(e1.getCause).exists(
+        _.getMessage.contains("train doc_id must be >= 0")))
+    val e2 = intercept[Exception] {
+      SuffixArray.evalOverlapStats(good, badTrain, minLen = 2).collect()
+    }
+    assert(e2.getMessage.contains("eval doc_id must be >= 0") ||
+      Option(e2.getCause).exists(
+        _.getMessage.contains("eval doc_id must be >= 0")))
+  }
+
+  test("verifyTermHashes passes on a collision-free corpus and keeps " +
+    "the ranks identical to the unverified build") {
+    val docs = Seq(1L -> "a b c a b", 2L -> "c a b x")
+      .toDF("doc_id", "text")
+    val a = SuffixArray.suffixRanks(docs, 3)
+      .select("doc_id", "pos", "r3").collect().toSet
+    val b = SuffixArray.suffixRanks(docs, 3, verifyTermHashes = true)
+      .select("doc_id", "pos", "r3").collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
