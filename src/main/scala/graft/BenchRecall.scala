@@ -33,7 +33,9 @@ object BenchRecall {
         "pq" -> ((q, c, kk) => SS.topKPq(q, c, kk)),
         "pq_refine" -> ((q, c, kk) => SS.topKPqRefine(q, c, kk, refine = 20)),
         "ivfpq" -> ((q, c, kk) => SS.topKIvfPq(q, c, kk)),
-        "sq8" -> ((q, c, kk) => SS.topKSq(q, c, kk)))
+        "sq8" -> ((q, c, kk) => SS.topKSq(q, c, kk)),
+        "bq" -> ((q, c, kk) => SS.topKBq(q, c, kk, refine = 0)),
+        "bq_refine" -> ((q, c, kk) => SS.topKBq(q, c, kk)))
     // tuned variants: the same paths with their recall knobs opened up
     // (more tables/probes, finer codebooks, larger refine set) — recorded
     // beside the defaults so the knob-to-recall lever is a measured fact
@@ -48,7 +50,9 @@ object BenchRecall {
         "ivfpq_p8" -> ((q, c, kk) =>
           SS.topKIvfPq(q, c, kk, nProbe = 8)),
         "ivfpq_p8_r100" -> ((q, c, kk) =>
-          SS.topKIvfPq(q, c, kk, nProbe = 8, refine = 100)))
+          SS.topKIvfPq(q, c, kk, nProbe = 8, refine = 100)),
+        "bq_refine_r200" -> ((q, c, kk) =>
+          SS.topKBq(q, c, kk, refine = 200)))
     // Locale.ROOT: f"" renders under the JVM default locale — a
     // comma-decimal locale would emit invalid JSON
     def d4(v: Double): String =
