@@ -45,7 +45,7 @@ object Clustering {
     val out = withCellD(nrm, cents)
       .withColumn("sim", col("_sim"))
       .select("vec_id", "cell", "sim")
-      .localCheckpoint(true)
+      .transform(Ckpt.eager)
     nrm.unpersist(false)
     out
   }
@@ -62,7 +62,7 @@ object Clustering {
     val out = withCellD(nrm, cents)
       .withColumn("sim", col("_sim"))
       .select("vec_id", "cell", "sim", "dv")
-      .localCheckpoint(true)
+      .transform(Ckpt.eager)
     nrm.unpersist(false)
     out
   }

@@ -195,7 +195,7 @@ object Dedup {
           .withColumn("jaccard", jaccard(col("_h1"), col("_h2")))
           .where(col("jaccard") >= tau)
           .select("id1", "id2", "jaccard")
-          .localCheckpoint(true)
+          .transform(Ckpt.eager)
       } else {
         val (mem, repSig) = collapseFromSignatures(sig0)
         val cand = bandCandidates(repSig, numHashes, bands)
@@ -231,7 +231,7 @@ object Dedup {
         // pairs are tiny next to the corpus: materialize them so both
         // caches free NOW (same lifetime contract as connectedComponents
         // — the result is checkpoint-backed)
-        val paired = cross.unionByName(within).localCheckpoint(true)
+        val paired = cross.unionByName(within).transform(Ckpt.eager)
         repSig.unpersist(false)
         paired
       }
@@ -357,7 +357,7 @@ object Dedup {
       .join(memE.select(col("_g").as("_ge"), col("_id").as("existing_id")),
         "_ge")
       .select("new_id", "existing_id", "jaccard")
-      .localCheckpoint(true)
+      .transform(Ckpt.eager)
     Seq(sigN, repN, sigE, repE).foreach(_.unpersist(false))
     out
   }
@@ -536,7 +536,7 @@ object Dedup {
       col("id2").cast("long").as("t"))
     val edges = half
       .unionByName(half.select(col("t").as("s"), col("s").as("t")))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(Ckpt.eager)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).first()
         .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO) // empty input
@@ -546,7 +546,7 @@ object Dedup {
     // join + union + aggregate
     var cur = edges.groupBy(col("s").as("id"))
       .agg(min(least(col("s"), col("t"))).as("comp"))
-      .localCheckpoint(true)
+      .transform(Ckpt.eager)
     var curSum = labelSum(cur)
     var it = 0
     var converged = false
@@ -555,7 +555,7 @@ object Dedup {
         .select(edges("t").as("id"), col("comp"))
       val next = cur.unionByName(prop)
         .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint(true)
+        .transform(Ckpt.eager)
       val nextSum = labelSum(next)
       Bridge.unpersistCheckpoint(cur)
       converged = nextSum.compareTo(curSum) == 0
@@ -609,7 +609,7 @@ object Dedup {
     // deduplicated across rounds
     var cur = half.select(greatest(col("s"), col("t")).as("a"),
         least(col("s"), col("t")).as("b"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(Ckpt.eager)
     var it = 0
     var converged = cur.isEmpty
     while (it < maxIter && !converged) {
@@ -629,7 +629,7 @@ object Dedup {
         .where(col("b") =!= col("m"))
         .select(col("b").as("a"), col("m").as("b"))
         .unionByName(m2.select(col("a"), col("m").as("b")))
-        .distinct().localCheckpoint(true)
+        .distinct().transform(Ckpt.eager)
       // exact fixpoint test: edge sets equal in both directions — both
       // anti-joins union into ONE action (one job per round, not two;
       // O(log²) rounds make the per-round action count matter)
@@ -821,7 +821,7 @@ object Dedup {
             lit(0).as("hamming"))
         cross.unionByName(within)
       }
-    val pinned = out.localCheckpoint(true)
+    val pinned = out.transform(Ckpt.eager)
     sh.unpersist(false)
     pinned
   }
@@ -908,7 +908,7 @@ object Dedup {
       .join(allComp, mem("_rep").cast("long") === allComp("id"))
       .where(col("_id").cast("long") =!= col("component"))
       .select(col("_id").cast("long").as("_drop_id"))
-      .localCheckpoint(true)
+      .transform(Ckpt.eager)
     sh.unpersist(false)
     corpus.join(drop, corpus(idCol).cast("long") === drop("_drop_id"),
       "left_anti")
@@ -1262,7 +1262,7 @@ object Dedup {
         row_number().over(Window.partitionBy("cell").orderBy("_rid")) - 1)
       .where(col("_rn") < element_at(k2, col("cell")))
       .select(col("cell"), col("_rn").as("sub"), col("dv").as("cv"))
-      .localCheckpoint(true)
+      .transform(Ckpt.eager)
     // nearest-subcentroid assignment: dot DESC with sub ASC tie-break ==
     // the literal-argmax first-max rule every oracle replays
     def assigned(cv: DataFrame): DataFrame = m.join(cv, Seq("cell"))
@@ -1291,11 +1291,11 @@ object Dedup {
         .select(col("cell"), col("sub"),
           when(col("_nn").isNull || col("_nn") === 0, col("cv"))
             .otherwise(transform(col("mv"), x => x / col("_nn"))).as("cv"))
-        .localCheckpoint(true)
+        .transform(Ckpt.eager)
     }
     val out = assigned(cents)
       .select(col("_rid"), (col("sub") + 1).as("subcell"))
-      .localCheckpoint(true)
+      .transform(Ckpt.eager)
     m.unpersist(false)
     out
   }

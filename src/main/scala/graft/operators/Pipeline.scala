@@ -53,7 +53,7 @@ object Pipeline {
     val deduped = dedupStage(docs, lang)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = finishStages(deduped, evalSuite, gramN, splits)
-      .localCheckpoint(true)
+      .transform(Ckpt.eager)
     deduped.unpersist(false)
     out
   }
@@ -77,7 +77,7 @@ object Pipeline {
     val deduped = dedupStage(docs, lang)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = funnelStatsBody(docs, deduped, evalSuite, lang, gramN)
-      .localCheckpoint(true)
+      .transform(Ckpt.eager)
     deduped.unpersist(false)
     out
   }

@@ -138,7 +138,7 @@ object QualityModels {
       .withColumn("avg_logprob",
         col("_sum_q").cast("double") / lit(1000000.0) / col("n_bigrams"))
       .select("doc_id", "n_bigrams", "avg_logprob")
-      .localCheckpoint(true)
+      .transform(Ckpt.eager)
     trainToks.unpersist(false)
     out
   }

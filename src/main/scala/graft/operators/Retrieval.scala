@@ -166,7 +166,7 @@ object Retrieval {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranked =
       bm25OverPostings(post, queries, k, k1, b, maxDfFrac, requireAll)
-        .localCheckpoint(true)
+        .transform(Ckpt.eager)
     post.unpersist(false)
     ranked
   }
@@ -276,7 +276,7 @@ object Retrieval {
   def tfidfSearch(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val post = postings(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ranked = tfidfOverPostings(post, queries, k).localCheckpoint(true)
+    val ranked = tfidfOverPostings(post, queries, k).transform(Ckpt.eager)
     post.unpersist(false)
     ranked
   }

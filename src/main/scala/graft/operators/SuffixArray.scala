@@ -89,7 +89,7 @@ object SuffixArray {
         if (prev == null || k != prev) { rank += 1L; prev = k }
         Row.fromSeq(r.toSeq :+ pid :+ rank)
       }
-    }(Encoders.row(schema2)).localCheckpoint(true)
+    }(Encoders.row(schema2)).transform(Ckpt.eager)
     // eager checkpoint: truncates lineage every level — a lazy persist
     // here lets any cache miss cascade a recompute through EVERY prior
     // level (measured exponential; see round-9 notes)
@@ -171,7 +171,7 @@ object SuffixArray {
         }
         def next(): Row = base.next()
       }
-    }(Encoders.row(schema2)).localCheckpoint(true)
+    }(Encoders.row(schema2)).transform(Ckpt.eager)
     drop.foreach(_.unpersist(false))
     import scala.jdk.CollectionConverters._
     val segs = segCounts.value.asScala.toMap // dedup by bucket
@@ -234,7 +234,7 @@ object SuffixArray {
         }
         def next(): Row = base.next()
       }
-    }(Encoders.row(schema2)).localCheckpoint(true)
+    }(Encoders.row(schema2)).transform(Ckpt.eager)
     import scala.jdk.CollectionConverters._
     val maxes = bucketMax.value.asScala.toMap
     // baseline for bucket b = max over buckets < b
@@ -312,7 +312,7 @@ object SuffixArray {
       prevCk = Some(ck)
       maxRank = n
     }
-    val out = cur.localCheckpoint(true)
+    val out = cur.transform(Ckpt.eager)
     prevCk.foreach(_.unpersist(false))
     out
   }
@@ -547,7 +547,7 @@ object SuffixArray {
     // carries, the walk pairs and the suffix join all read it)
     val grp = wide.groupBy(col(gCol).as("g"))
       .agg(max(when(col("doc_id") < 0, 1L).otherwise(0L)).as("has_eval"))
-      .localCheckpoint(true)
+      .transform(Ckpt.eager)
     val reps = wide
       .withColumn("_rn", row_number().over(
         Window.partitionBy(gCol).orderBy("doc_id", "pos")))

@@ -125,7 +125,7 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("c"))
       .withColumn("toks",
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
-      .localCheckpoint(true)
+      .transform(Ckpt.eager)
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     var step = 1
@@ -164,7 +164,7 @@ object TextAnalysis {
           acc => when(acc.getField("pend").isNull, acc.getField("out"))
             .otherwise(concat(acc.getField("out"),
               array(acc.getField("pend")))))
-        val next = st.withColumn("toks", applied).localCheckpoint(true)
+        val next = st.withColumn("toks", applied).transform(Ckpt.eager)
         org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(st)
         st = next
         step += 1
@@ -295,7 +295,7 @@ object TextAnalysis {
       .withColumn("shard_id",
         expr(s"(cum_subtokens - n_subtokens) div $tokenBudget"))
       .select("doc_id", "n_subtokens", "cum_subtokens", "shard_id")
-      .localCheckpoint(true)
+      .transform(Ckpt.eager)
     d.unpersist(false)
     out
   }
@@ -362,7 +362,7 @@ object TextAnalysis {
         floor(col("n_repeated_spans").cast("double") /
           col("n_spans").cast("double") * 10000.0 + 0.5).cast("double")
           / 10000.0)
-      .localCheckpoint(true)
+      .transform(Ckpt.eager)
     spans.unpersist(false)
     out
   }
@@ -714,7 +714,7 @@ object TextAnalysis {
     val bucketed = scoredBuckets(docs, strataCol, counter)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = selectFromBuckets(bucketed, budget, strataCol)
-      .localCheckpoint(true)
+      .transform(Ckpt.eager)
     bucketed.unpersist(false)
     out
   }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Multimodal, SimilaritySearch, SyntheticVersions}
+import graft.operators.{Ckpt, Multimodal, SimilaritySearch, SyntheticVersions}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -215,7 +215,7 @@ object ExtQueries {
         .reconstruct(versions, latest)
         .select(substring(col("content_id"), 2, 10).cast("int").as("id"),
           col("embedding").as("vec"))
-        .localCheckpoint(true)
+        .transform(Ckpt.eager)
       val queries = corpus.where(col("id") < 3)
         .select(col("id").as("query_id"), col("vec").as("qvec"))
       SimilaritySearch.topKIvfPq(queries, corpus, 5)

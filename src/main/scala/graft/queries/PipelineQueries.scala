@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Clustering, QualityModels, Retrieval, SimilaritySearch, Sketches}
+import graft.operators.{Ckpt, Clustering, QualityModels, Retrieval, SimilaritySearch, Sketches}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -200,7 +200,7 @@ object PipelineQueries {
       val toks = par(Tables.documents(s, d))
         .select(col("lang"),
           explode(split(trim(col("text")), "\\s+")).as("w"))
-        .localCheckpoint(true)
+        .transform(Ckpt.eager)
       val est = Sketches.hllEstimate(
         Sketches.hllRegisters(toks, "lang", col("w")), "lang")
       val exact = toks.groupBy("lang")
@@ -222,11 +222,11 @@ object PipelineQueries {
       // scan + explode re-runs per subtree
       val toks = par(Tables.documents(s, d))
         .select(explode(split(trim(col("text")), "\\s+")).as("w"))
-        .localCheckpoint(true)
+        .transform(Ckpt.eager)
       val sketch = Sketches.countMin(toks, col("w"))
       val top = toks.groupBy("w").agg(count(lit(1)).as("true_cnt"))
         .orderBy(col("true_cnt").desc, col("w")).limit(20)
-        .localCheckpoint(true)
+        .transform(Ckpt.eager)
       Sketches.countMinEstimate(sketch, top, "w")
         .join(top, Seq("w"))
         .select(col("w").as("token"), col("true_cnt"), col("est_cnt"))
@@ -276,7 +276,7 @@ object PipelineQueries {
       val scored = QualityModels.hashedLinearScore(docs)
         .join(docs.select("doc_id", "source"), Seq("doc_id"))
         .select("doc_id", "source", "margin_q")
-        .localCheckpoint(true)
+        .transform(Ckpt.eager)
       val cuts = Sketches.histogramQuantiles(scored, "source",
           col("margin_q"), -1.0e8, 1.0e8, 2000, Seq(0.25))
         .select(col("source"), col("value_le").as("cutoff"))
