@@ -14,10 +14,11 @@ import org.apache.spark.sql.{Column, DataFrame}
   * the parquet-lake deployment shape of this library.
   *
   * Everything here is integer-exact so the DuckDB oracle can replay it
-  * bit for bit: normalization is `(v - min) * 2^bits // (range + 1)`
-  * in long arithmetic (monotone, lands in [0, 2^bits)), and the
-  * interleave is a closed-form sum of shift/mask terms — pure codegen,
-  * no UDF.
+  * bit for bit: normalization is `clamp(v) - min // cellWidth` in long
+  * arithmetic (div-first — monotone, lands in [0, 2^bits), and
+  * overflow-free at full-long key ranges, see [[normalizeInt]]), and
+  * the interleave is a closed-form sum of shift/mask terms — pure
+  * codegen, no UDF.
   */
 object Layout {
 
@@ -41,12 +42,25 @@ object Layout {
     * `/` is double division, which silently loses bits past 2^53 at
     * lake-scale keys), monotone, oracle-replayable with `//`. Values
     * outside pinned bounds clamp to the edge buckets, keeping appends
-    * safe. */
+    * safe.
+    *
+    * Overflow-free by construction (div-FIRST, never multiply): the
+    * mul-first form `(v - min) * 2^bits` wraps negative once the range
+    * reaches 2^(63-bits) — 2^47 at the default 16 bits, i.e. exactly
+    * the lake-scale key regime this exists for — and the clamp would
+    * then silently send every large value to bucket 0. Here the value
+    * is clamped INTO [min, max] before subtracting (so out-of-bounds
+    * inputs can't wrap either), and the bucket is one division by the
+    * cell width `W = ceil(range / 2^bits)` computed driver-side. The
+    * single unavoidable limit — a column spanning more than 2^63-1,
+    * where `max - min` itself won't fit a long — fails loudly
+    * (ArithmeticException) instead of wrapping. */
   def normalizeInt(c: Column, minV: Long, maxV: Long, bits: Int): Column = {
     require(maxV >= minV, s"empty range [$minV, $maxV]")
-    val q = call_function("div",
-      (c.cast("long") - minV) * (1L << bits), lit(maxV - minV + 1L))
-    least(greatest(q, lit(0L)), lit((1L << bits) - 1L))
+    val range = Math.subtractExact(maxV, minV) // loud on > 2^63-1 span
+    val w = (range >> bits) + 1L // = ceil((range+1) / 2^bits)
+    val cc = least(greatest(c.cast("long"), lit(minV)), lit(maxV))
+    call_function("div", cc - minV, lit(w))
   }
 
   /** df + a `zval` column over the given integer columns: one bounds

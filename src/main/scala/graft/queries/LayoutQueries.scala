@@ -43,9 +43,9 @@ object LayoutQueries {
        |  FROM orders),
        |mm AS (SELECT min(x) AS xmn, max(x) AS xmx,
        |    min(y) AS ymn, max(y) AS ymx FROM o),
-       |n AS (SELECT o_orderkey,
-       |    ((x - xmn) * ${1L << bits}) // (xmx - xmn + 1) AS xn,
-       |    ((y - ymn) * ${1L << bits}) // (ymx - ymn + 1) AS yn
+|n AS (SELECT o_orderkey,
+       |    (x - xmn) // (((xmx - xmn) // ${1L << bits}) + 1) AS xn,
+       |    (y - ymn) // (((ymx - ymn) // ${1L << bits}) + 1) AS yn
        |  FROM o, mm)
        |SELECT o_orderkey, CAST($sum AS BIGINT) AS zval
        |FROM n ORDER BY o_orderkey""".stripMargin
