@@ -78,7 +78,7 @@ class TemporalVectorDB(
     * collect results before appending; a lazy plan held across an append
     * fails with a missing-checkpoint-block error (a checkpoint has no
     * lineage to recompute). */
-  private def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
+  private def pin(df: DataFrame): DataFrame = df.transform(Ckpt.eager)
 
   /** Cached normalized base snapshots — the engine's "vector index"
     * (reference storage_engine.py:89-110 rebuilds FAISS from a full scan;
@@ -711,12 +711,12 @@ class TemporalVectorDB(
     // schedule rewrites in the maintenance window external writers
     // already respect)
     val targets = VersionStore.promotionTargets(versions, maxCost)
-      .localCheckpoint(true) // pinned: consumed after the store swaps
+      .transform(Ckpt.eager) // pinned: consumed after the store swaps
     val n = targets.count()
     if (n > 0) {
       // materialized BEFORE overwriting the path it reads from
       val rewritten = VersionStore.promoteBases(versions, maxCost)
-        .localCheckpoint(true)
+        .transform(Ckpt.eager)
       overwriteStore(rewritten)
       org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(rewritten)
       refreshCaches(targets.select("content_id").distinct())
@@ -765,17 +765,32 @@ class TemporalVectorDB(
     * contract as [[applyBaseOptimization]]: no concurrent external
     * appends during the snapshot+overwrite window.
     *
+    * `zorderBy` turns the same maintenance pass into a LAYOUT pass:
+    * instead of content-hashed files, the rewrite range-partitions and
+    * sorts by the Morton key over the named integer(-castable) columns
+    * ([[graft.operators.Layout.zOrderLayout]]), so the compacted files
+    * carry tight min/max bounding boxes in EVERY named dimension and
+    * multi-column scans prune files (LayoutSpec measures 4/16 vs
+    * 16/16). One rewrite, both problems — small files AND layout — the
+    * OPTIMIZE + ZORDER BY shape lakehouse tables run on a cadence.
+    *
     * Returns (files before, files after). */
-  def compactStore(targetPartitions: Int = 0): (Long, Long) = synchronized {
+  def compactStore(targetPartitions: Int = 0, zorderBy: Seq[String] = Nil,
+                   zorderBits: Int = 16): (Long, Long) = synchronized {
     require(storeExists, s"no store at $path")
     val parts =
       if (targetPartitions > 0) targetPartitions
       else spark.sparkContext.defaultParallelism
     val before = dataFileCount
     // repartition BEFORE the pin: the checkpoint holds the final layout,
-    // and the overwrite writes it with no further shuffle
-    val snap = versions.repartition(parts, col("content_id"))
-      .localCheckpoint(true)
+    // and the overwrite writes it with no further shuffle (for the
+    // z-order path, dropping zval is a projection — in-partition order
+    // survives into the written files)
+    val laid =
+      if (zorderBy.isEmpty) versions.repartition(parts, col("content_id"))
+      else Layout.zOrderLayout(versions, zorderBy, files = parts,
+        bits = zorderBits).drop("zval")
+    val snap = laid.transform(Ckpt.eager)
     overwriteStore(snap)
     org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(snap)
     (before, dataFileCount)
@@ -855,8 +870,19 @@ class BucketedTemporalVectorDB(
     * batches × buckets before (every append adds a file set). Default
     * width = the bucket count; pass 1 to force exactly one file per
     * bucket (single-task write — fine for maintenance windows on
-    * moderate stores, not for a 100 TB rewrite). */
-  override def compactStore(targetPartitions: Int = 0): (Long, Long) =
+    * moderate stores, not for a 100 TB rewrite).
+    *
+    * `zorderBy` is rejected here: this store's layout IS
+    * `bucketBy(content_id) + sortBy(content_id, seq)` — the
+    * zero-exchange per-content read contract BucketedStoreSpec gates —
+    * and a Morton re-sort would silently break it. Z-order compaction
+    * is the path-backed store's tool. */
+  override def compactStore(targetPartitions: Int = 0,
+      zorderBy: Seq[String] = Nil, zorderBits: Int = 16): (Long, Long) = {
+    require(zorderBy.isEmpty,
+      "bucketed store layout is bucketBy(content_id)+sortBy(content_id, " +
+        "seq); zorderBy applies to the path-backed TemporalVectorDB store")
     super.compactStore(
       if (targetPartitions > 0) targetPartitions else buckets)
+  }
 }

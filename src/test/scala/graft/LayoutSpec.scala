@@ -37,8 +37,40 @@ class LayoutSpec extends SparkSpec {
       .orderBy("v").as[(Long, Long)].collect()
     assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq)
     assert(got.head._2 == 0L && got.forall(r => r._2 >= 0 && r._2 < 256))
-    // exact replay of (v - min) * 256 / 151
-    got.foreach { case (v, n) => assert(n == (v + 50L) * 256L / 151L) }
+    // exact replay of (v - min) // ceil(151 / 256) — cell width 1 here
+    got.foreach { case (v, n) => assert(n == (v + 50L) / ((150L >> 8) + 1L)) }
+    // a range wider than 2^bits actually buckets (width > 1)
+    val wide = Seq(0L, 999L, 123456L, 999999L).toDF("v")
+      .withColumn("n", Layout.normalizeInt(col("v"), 0L, 999999L, 8))
+      .orderBy("v").as[(Long, Long)].collect()
+    val w = (999999L >> 8) + 1L
+    wide.foreach { case (v, n) => assert(n == v / w && n < 256) }
+  }
+
+  test("normalizeInt survives full-long-scale ranges where mul-first " +
+    "arithmetic wraps (range >= 2^47 at bits=16)") {
+    val maxV = Long.MaxValue - 1L
+    val vals = Seq(0L, 1L << 40, 1L << 62, maxV)
+    val got = vals.toDF("v")
+      .withColumn("n", Layout.normalizeInt(col("v"), 0L, maxV, 16))
+      .orderBy("v").as[(Long, Long)].collect()
+    val w = ((maxV - 0L) >> 16) + 1L
+    got.foreach { case (v, n) =>
+      assert(n == v / w, s"v=$v") // exact div-first replay, no wrap
+      assert(n >= 0 && n < (1L << 16))
+    }
+    // the old mul-first form would have wrapped (1L<<62)*65536 negative
+    // and clamped it to bucket 0; div-first puts it in the top quarter
+    assert(got.find(_._1 == (1L << 62)).get._2 >= (1L << 14))
+    // out-of-bounds values clamp BEFORE arithmetic — no wrap either side
+    val clamped = Seq(Long.MinValue, Long.MaxValue).toDF("v")
+      .withColumn("n", Layout.normalizeInt(col("v"), -10L, 10L, 4))
+      .as[(Long, Long)].collect().map(_._2).sorted
+    assert(clamped.toSeq == Seq(0L, 10L)) // edge buckets: 0 and 20/w=10
+    // a span wider than a long fails loudly instead of wrapping
+    intercept[ArithmeticException] {
+      Layout.normalizeInt(col("v"), Long.MinValue, Long.MaxValue, 16)
+    }
   }
 
   test("zValue with pinned bounds is append-stable; derived bounds come " +
@@ -52,6 +84,73 @@ class LayoutSpec extends SparkSpec {
     val zb = Layout.zValue(b, Seq("x", "y"), 4, pinned)
       .select("id", "zval").as[(Long, Long)].collect().toMap
     za.foreach { case (id, z) => assert(zb(id) == z) }
+  }
+
+  test("compactStore(zorderBy): one maintenance pass collapses files AND " +
+    "z-clusters them — both seq-slab and ts-slab scans prune, while the " +
+    "content-hashed compaction prunes neither; data bit-identical") {
+    import graft.api.TemporalVectorDB
+    import graft.operators.VersionStore
+    def freshDb(): TemporalVectorDB = {
+      val dir = java.nio.file.Files.createTempDirectory("tvdb_z").toFile
+      dir.delete()
+      new TemporalVectorDB(spark, dir.getAbsolutePath,
+        VersionStore.Config(baseInterval = 8))
+    }
+    // 64 contents x 64 versions; ts = 64*perm(content) + seq so the two
+    // layout dims (seq, ts) are decorrelated ACROSS contents while ts
+    // stays increasing WITHIN each content (the ingest contract)
+    val rows = for {
+      i <- 0 until 64
+      k <- 1 to 64
+    } yield (f"c$i%02d", new java.sql.Timestamp(
+      (64L * ((i * 37) % 64) + k) * 1000L), Array.fill(4)(i * 0.01f + k))
+    def boxes(db: TemporalVectorDB): Array[(Long, Long, Long, Long)] =
+      db.versions.groupBy(input_file_name())
+        .agg(min("seq").cast("long").as("smn"),
+          max("seq").cast("long").as("smx"),
+          min(col("ts").cast("long")).as("tmn"),
+          max(col("ts").cast("long")).as("tmx"))
+        .select("smn", "smx", "tmn", "tmx")
+        .as[(Long, Long, Long, Long)].collect()
+    def touched(bs: Array[(Long, Long, Long, Long)],
+                lo: Long, hi: Long, dim: String): Int =
+      bs.count { case (smn, smx, tmn, tmx) =>
+        if (dim == "seq") smx >= lo && smn <= hi
+        else tmx >= lo && tmn <= hi }
+
+    val zdb = freshDb()
+    zdb.addVersions(rows.toDF("content_id", "ts", "embedding"))
+    val before = zdb.versions.select("content_id", "seq", "kind")
+      .as[(String, Int, String)].collect().sorted.toSeq
+    val (_, nAfter) =
+      zdb.compactStore(16, zorderBy = Seq("seq", "ts"), zorderBits = 6)
+    assert(nAfter <= 16L, s"files after z-compaction: $nAfter")
+    val after = zdb.versions.select("content_id", "seq", "kind")
+      .as[(String, Int, String)].collect().sorted.toSeq
+    assert(after == before) // rewrite changes layout, never data
+    assert(zdb.validateTimelineIntegrity().count() == 0)
+
+    val hdb = freshDb()
+    hdb.addVersions(rows.toDF("content_id", "ts", "embedding"))
+    hdb.compactStore(16) // content-hashed: every file spans everything
+    val (zb, hb) = (boxes(zdb), boxes(hdb))
+    // a quarter-slab on EITHER dimension touches ~1 grid row of the
+    // 4x4 z-grid; hashed files all intersect every slab
+    assert(touched(zb, 17L, 32L, "seq") <= 6,
+      s"z seq-slab: ${touched(zb, 17L, 32L, "seq")}")
+    assert(touched(zb, 1025L, 2048L, "ts") <= 6,
+      s"z ts-slab: ${touched(zb, 1025L, 2048L, "ts")}")
+    assert(touched(hb, 17L, 32L, "seq") == hb.length)
+    // hashed files hold ~4 random contents each, so a ts quarter-slab
+    // can skip the odd file — but never approaches the z-grid's 4/16
+    assert(touched(hb, 1025L, 2048L, "ts") >= (hb.length * 3) / 4,
+      s"hashed ts-slab: ${touched(hb, 1025L, 2048L, "ts")} of ${hb.length}")
+    // the bucketed store refuses: its layout IS the bucketing
+    intercept[IllegalArgumentException] {
+      new graft.api.BucketedTemporalVectorDB(spark, "zlayout_reject")
+        .compactStore(4, zorderBy = Seq("seq"))
+    }
   }
 
   test("z-ordered files prune a non-leading-column box; a linear sort " +
