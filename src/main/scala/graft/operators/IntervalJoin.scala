@@ -20,12 +20,15 @@ import org.apache.spark.sql.DataFrame
   * uneven around zero, never inconsistent: trunc is monotone, hence
   * lo <= p <= hi implies bin(lo) <= bin(p) <= bin(hi).
   *
-  * Sizing: W ~ the mean interval width keeps the per-interval fan-out
-  * ~2 bins; [[binnedAuto]] derives it. A single interval spanning the
-  * whole domain fans out to domain/W rows — cap pathological intervals
-  * upstream or raise W (the trade is fan-out rows vs per-bin pair
-  * count, the same Sigma-bucket-squared economics as every banded join
-  * in this engine). */
+  * Sizing: with ONE bin width, W ~ the typical interval width keeps
+  * the per-interval fan-out ~2 bins, but a single interval spanning
+  * the whole domain fans out to domain/W rows. [[binnedAuto]] is
+  * therefore TIERED: a median-derived base width plus geometric
+  * levels (bin width W*2^l), each interval joining at its own scale —
+  * <= 2 bins per interval at ANY width mix (the same
+  * Sigma-bucket-squared economics as every banded join in this
+  * engine, made skew-proof). Use plain [[binned]] when widths are
+  * known-homogeneous and W is picked from the data. */
 object IntervalJoin {
 
   /** Join `points` to `intervals` on containment
@@ -46,14 +49,71 @@ object IntervalJoin {
       .drop("_bin")
   }
 
-  /** [[binned]] with W = ceil(mean interval width) — one aggregation
-    * over the (usually small) intervals side. */
+  /** Base bin width + geometric level per interval, skew-robustly:
+    * W0 = the MEDIAN interval width (a mean is hijacked by one whale —
+    * the round-9 version's documented-but-unenforced gap), and each
+    * interval is assigned level ceil(log2(width / W0)) clamped to
+    * [0, 62], where the level-l bin width is W0 * 2^l. An interval's
+    * width never exceeds its level's bin width, so EVERY interval
+    * explodes to at most 2 bins — one whole-domain whale costs 2 rows,
+    * not domain/W. Returns the exploded interval frame (all interval
+    * columns + `_lvl`, `_bin`) and the (level, binWidth) table for the
+    * probe side. Package-private so the spec can gate the linear
+    * fan-out directly. */
+  private[graft] def tieredIntervals(intervals: DataFrame, loCol: String,
+      hiCol: String): (DataFrame, Seq[(Int, Long)]) = {
+    val iv = intervals.where(col(loCol) <= col(hiCol))
+    val width = col(hiCol).cast("long") - col(loCol).cast("long") + lit(1L)
+    val med = iv.agg(percentile_approx(width, lit(0.5), lit(10000)))
+      .collect().headOption.filterNot(_.isNullAt(0)).map(_.getLong(0))
+    val w0 = math.max(1L, med.getOrElse(1L))
+    // float log2 boundary wobble is harmless: levels only PARTITION the
+    // intervals (points probe every occupied level; the exact range
+    // filter decides membership) — the <=2-bin bound needs width <=
+    // W0*2^lvl, which ceil(log2) guarantees on both sides of a wobble
+    val lvl = greatest(lit(0), least(lit(62),
+      ceil(log2((col(hiCol).cast("long") - col(loCol).cast("long")
+        + lit(1L)).cast("double") / w0.toDouble)))).cast("int")
+    def bwOf(l: Int): Long = {
+      val b = BigInt(w0) << l
+      if (b > Long.MaxValue / 2) Long.MaxValue / 2 else b.toLong
+    }
+    val withLvl = iv.withColumn("_lvl", lvl)
+    val levels = withLvl.select("_lvl").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq.map(l => (l, bwOf(l)))
+    val bwCol = levels.foldLeft(lit(-1L)) { case (acc, (l, bw)) =>
+      when(col("_lvl") === l, lit(bw)).otherwise(acc)
+    }
+    val exploded = withLvl
+      .withColumn("_bin", explode(sequence(
+        call_function("div", col(loCol).cast("long"), bwCol),
+        call_function("div", col(hiCol).cast("long"), bwCol))))
+    (exploded, levels)
+  }
+
+  /** [[binned]] made skew-robust via [[tieredIntervals]]: intervals
+    * join at their own width scale, so the mix of 10k tiny intervals
+    * plus one whole-domain whale that fans a single-width scheme out
+    * to domain/W rows (or, mean-sized, collapses every tiny interval
+    * into a handful of quadratic bins) costs |points| x levels probe
+    * rows + <= 2 rows per interval. Levels <= ~64 by construction and
+    * in practice = the number of distinct width octaves. Everything
+    * still lands on hash equi-joins on (_lvl, _bin) + the exact range
+    * filter — no nested loop at any width mix. */
   def binnedAuto(points: DataFrame, intervals: DataFrame, pointCol: String,
                  loCol: String, hiCol: String): DataFrame = {
-    val r = intervals.where(col(loCol) <= col(hiCol))
-      .agg(ceil(avg(col(hiCol).cast("long") - col(loCol).cast("long") + 1))
-        .as("_w")).collect()
-    val w = if (r.isEmpty || r.head.isNullAt(0)) 1L else r.head.getLong(0)
-    binned(points, intervals, pointCol, loCol, hiCol, math.max(1L, w))
+    val (ib, levels) = tieredIntervals(intervals, loCol, hiCol)
+    if (levels.isEmpty)
+      return binned(points, intervals, pointCol, loCol, hiCol, 1L)
+    val lvlBw = levels.map { case (l, bw) => struct(lit(l).as("_lvl"),
+      lit(bw).as("_bw")) }
+    val pb = points
+      .withColumn("_x", explode(array(lvlBw: _*)))
+      .select(points.columns.map(col) :+ col("_x._lvl").as("_lvl")
+        :+ call_function("div", col(pointCol).cast("long"),
+          col("_x._bw")).as("_bin"): _*)
+    pb.join(ib, Seq("_lvl", "_bin"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_lvl", "_bin")
   }
 }

@@ -55,6 +55,44 @@ class IntervalJoinSpec extends SparkSpec {
     assert(auto == want)
   }
 
+  test("binnedAuto is skew-robust: one whole-domain whale among 10k " +
+    "tiny intervals explodes to <= 2 bins at its own level (linear " +
+    "cost), and the join stays exact") {
+    val rnd = new scala.util.Random(7)
+    val n = 10000
+    val tiny = (1L to n.toLong).map { i =>
+      val lo = rnd.nextLong(1L << 40) // wide domain
+      (i, lo, lo + rnd.nextLong(8))
+    }
+    val whale = Seq((0L, 0L, (1L << 40) - 1L)) // spans the whole domain
+    val ivs = (whale ++ tiny).toDF("iid", "lo", "hi")
+    // the fan-out gate: the exploded interval frame is <= 2 rows per
+    // interval — the whale costs 2 rows, NOT domain/W (~2^37 at the
+    // old mean-sized width)
+    val (exploded, levels) = IntervalJoin.tieredIntervals(ivs, "lo", "hi")
+    val fanOut = exploded.count()
+    assert(fanOut <= 2L * (n + 1), s"fan-out $fanOut")
+    assert(levels.size <= 64 && levels.nonEmpty)
+    // exactness on a sampled point set (every point hits the whale)
+    val points = (1L to 500L).map(i => (i, rnd.nextLong(1L << 40)))
+    val got = IntervalJoin.binnedAuto(points.toDF("pid", "p"), ivs,
+        "p", "lo", "hi")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == reference(points, whale ++ tiny))
+    assert(got.size >= 500) // whale matched by every point
+  }
+
+  test("binnedAuto handles empty and single-width interval sets") {
+    val points = Seq((1L, 5L), (2L, 50L)).toDF("pid", "p")
+    val empty = Seq.empty[(Long, Long, Long)].toDF("iid", "lo", "hi")
+    assert(IntervalJoin.binnedAuto(points, empty, "p", "lo", "hi")
+      .count() == 0)
+    val one = Seq((9L, 0L, 9L)).toDF("iid", "lo", "hi")
+    val got = IntervalJoin.binnedAuto(points, one, "p", "lo", "hi")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 9L)))
+  }
+
   test("the plan is an equi-join on the bin: no nested loop, no " +
     "cartesian") {
     val plan = IntervalJoin.binned(
@@ -64,5 +102,12 @@ class IntervalJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val auto = IntervalJoin.binnedAuto(
+      Seq((1L, 5L)).toDF("pid", "p"),
+      Seq((1L, 0L, 9L), (2L, 0L, 1000000L)).toDF("iid", "lo", "hi"),
+      "p", "lo", "hi")
+      .queryExecution.executedPlan.toString
+    assert(!auto.contains("CartesianProduct"), auto)
+    assert(!auto.contains("BroadcastNestedLoopJoin"), auto)
   }
 }
