@@ -27,12 +27,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * PageRank bound; nothing is ever collected to the driver except the
   * node count.
   *
-  * Dangling nodes (out-degree 0) forward nothing: their mass leaves
-  * the system instead of being redistributed. Documented contract —
-  * ranking ORDER is what curation consumes, and dropping dangling
-  * mass preserves it while keeping the arithmetic one-join exact.
-  * Edge multiplicity counts (a multigraph edge forwards twice);
-  * callers wanting a simple graph pass `edges.distinct()`.
+  * Dangling nodes (out-degree 0): [[pageRank]] lets their mass leave
+  * the system (order-preserving, one-join exact — fine when dangling
+  * nodes are rare); [[pageRankConserving]] redistributes it uniformly
+  * each round (the textbook stochastic-matrix fix — one extra scalar
+  * aggregate per round), the right variant when dangling nodes
+  * dominate (crawl frontiers). Edge multiplicity counts (a multigraph
+  * edge forwards twice); callers wanting a simple graph pass
+  * `edges.distinct()`.
   */
 object Graph {
 
@@ -46,7 +48,32 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int = 10,
                dampNum: Long = 85, dampDen: Long = 100,
                scale: Long = 1000000000000L,
-               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+               srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    pageRankImpl(edges, iters, dampNum, dampDen, scale, srcCol, dstCol,
+      conserve = false)
+
+  /** [[pageRank]] with the textbook-exact dangling-mass treatment: each
+    * round, the summed rank of out-degree-0 nodes is redistributed
+    * uniformly (`danglingSum div N` added to every node's contribution
+    * BEFORE damping — Page et al. 1999's stochastic-matrix fix) instead
+    * of leaving the system. Costs one extra node-sized semi-join + a
+    * scalar aggregate per round; everything stays exact long
+    * arithmetic, replayed by the q100b oracle in the same `//` CTE
+    * chain. Prefer this on crawl-shaped graphs where dangling pages are
+    * the MAJORITY (freshly discovered frontier URLs): the drop-mass
+    * variant deflates everyone's rank toward the teleport floor there,
+    * compressing the ranking signal curation consumes. */
+  def pageRankConserving(edges: DataFrame, iters: Int = 10,
+               dampNum: Long = 85, dampDen: Long = 100,
+               scale: Long = 1000000000000L,
+               srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    pageRankImpl(edges, iters, dampNum, dampDen, scale, srcCol, dstCol,
+      conserve = true)
+
+  private def pageRankImpl(edges: DataFrame, iters: Int,
+               dampNum: Long, dampDen: Long, scale: Long,
+               srcCol: String, dstCol: String,
+               conserve: Boolean): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampDen > dampNum && dampNum > 0,
       s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
@@ -58,17 +85,27 @@ object Graph {
     // scanned every round.
     val eDeg = e.join(
         e.groupBy("src").agg(count(lit(1)).as("out_deg")), "src")
-      .localCheckpoint(true)
+      .transform(Ckpt.eager)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Ckpt.eager)
     val n = nodes.count()
     require(n > 0, "empty graph")
+    // dangling = nodes that never appear as a src; pinned once (scanned
+    // every round in conserving mode)
+    val dangling = if (!conserve) null
+      else nodes.join(e.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti").transform(Ckpt.eager)
 
     val teleport = scale * (dampDen - dampNum) / dampDen / n
     var ranks = nodes.withColumn("rank", lit(scale / n))
     for (_ <- 1 to iters) {
+      // uniform share of this round's dangling mass (driver-side scalar
+      // — the ONE value collected per round beyond the node count)
+      val share = if (!conserve) 0L
+        else ranks.join(dangling, Seq("node"), "left_semi")
+          .agg(coalesce(sum("rank"), lit(0L))).first().getLong(0) / n
       val contrib = eDeg
         .join(ranks, eDeg("src") === ranks("node"))
         .groupBy(col("dst").as("node"))
@@ -78,9 +115,10 @@ object Graph {
         .select(col("node"),
           (lit(teleport) +
             call_function("div",
-              coalesce(col("_c"), lit(0L)) * dampNum, lit(dampDen)))
+              (coalesce(col("_c"), lit(0L)) + lit(share)) * dampNum,
+              lit(dampDen)))
             .as("rank"))
-        .localCheckpoint(true)
+        .transform(Ckpt.eager)
     }
     ranks
   }
