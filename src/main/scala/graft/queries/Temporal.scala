@@ -25,7 +25,7 @@ object Temporal {
     *  - timestamp[us] (isAdjustedToUTC=false → TIMESTAMP_NTZ, or =true →
     *    TIMESTAMP_LTZ) → `unix_micros` (NTZ cast through the session TZ,
     *    which GraftSession pins to UTC — same wall-clock DuckDB assumes). */
-  private[queries] def eventsUs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def eventsUs(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = Tables.events(s, d)
     import org.apache.spark.sql.types._
