@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.TextAnalysis
+import graft.operators.{Packing, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -51,6 +51,23 @@ object TextQueries {
     // two-stage shape that avoids the global single-task window).
     "q46_token_shards" -> ((s, d) =>
       TextAnalysis.packShards(par(Tables.documents(s, d)), tokenBudget = 512)
+        .orderBy("doc_id")),
+
+    // Q102: concat-and-chunk training-sequence manifest at 64 tokens —
+    // which within-doc token span lands at which position of which
+    // fixed-length sequence (documents cross boundaries; the oracle
+    // replays the running sum + boundary arithmetic exactly).
+    "q102_pack_sequences" -> ((s, d) =>
+      Packing.packSequences(par(Tables.documents(s, d)), seqLen = 64)
+        .orderBy("doc_id", "seq_id")),
+
+    // Q103: boundary-respecting next-fit packing (256-token sequences,
+    // 8 shards): docs land whole, over-long docs truncate into a
+    // singleton sequence. The oracle replays the per-shard sequential
+    // next-fit with a recursive CTE — capacity resets and all.
+    "q103_pack_greedy" -> ((s, d) =>
+      Packing.packGreedy(par(Tables.documents(s, d)), seqLen = 256,
+          shards = 8)
         .orderBy("doc_id")),
 
     // Q47: overlapping context-window chunking (map-only sequence+slice;
@@ -368,6 +385,55 @@ object TextQueries {
         |SELECT doc_id, n_subtokens, CAST(cum AS BIGINT) AS cum_subtokens,
         |  CAST((cum - n_subtokens) // 512 AS BIGINT) AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q102_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id) AS cum
+        |      FROM t),
+        |s AS (SELECT doc_id, n, CAST(cum AS BIGINT) AS cum,
+        |        CAST(cum - n AS BIGINT) AS start FROM c WHERE n > 0),
+        |e AS (SELECT doc_id, n, start,
+        |        unnest(range(start // 64, (cum - 1) // 64 + 1)) AS seq_id
+        |      FROM s)
+        |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(greatest(0, seq_id * 64 - start) AS BIGINT) AS tok_from,
+        |  CAST(least(n, (seq_id + 1) * 64 - start) AS BIGINT) AS tok_to,
+        |  CAST(greatest(0, start - seq_id * 64) AS BIGINT) AS pos_in_seq
+        |FROM e ORDER BY doc_id, seq_id""".stripMargin,
+
+    "q103_pack_greedy" ->
+      """WITH RECURSIVE t AS MATERIALIZED (
+        |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+        |    CAST(least(n, 256) AS BIGINT) AS len_eff,
+        |    n > 256 AS truncated,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+        |      AS idx
+        |  FROM (SELECT doc_id,
+        |      CAST(len(regexp_extract_all(text,
+        |        '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n
+        |    FROM documents) WHERE n > 0),
+        |st AS (
+        |  SELECT shard, idx, doc_id, len_eff, truncated,
+        |    CAST(1 AS BIGINT) AS seq_in_shard,
+        |    CAST(0 AS BIGINT) AS offset_in_seq,
+        |    len_eff AS running
+        |  FROM t WHERE idx = 1
+        |  UNION ALL
+        |  SELECT b.shard, b.idx, b.doc_id, b.len_eff, b.truncated,
+        |    CASE WHEN st.running + b.len_eff > 256
+        |      THEN st.seq_in_shard + 1 ELSE st.seq_in_shard END,
+        |    CASE WHEN st.running + b.len_eff > 256
+        |      THEN CAST(0 AS BIGINT) ELSE st.running END,
+        |    CASE WHEN st.running + b.len_eff > 256
+        |      THEN b.len_eff ELSE st.running + b.len_eff END
+        |  FROM st JOIN t b ON b.shard = st.shard AND b.idx = st.idx + 1)
+        |SELECT doc_id, shard, seq_in_shard, offset_in_seq, len_eff,
+        |  truncated
+        |FROM st ORDER BY doc_id""".stripMargin,
 
     "q47_token_chunks" ->
       s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
