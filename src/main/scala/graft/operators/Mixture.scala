@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Epoch assembly for multi-source training mixes: explicit-weight
+  * mixture planning WITH UPSAMPLING, and deterministic global shuffle
+  * order. Complements [[QualityModels.sourceMixtureSample]] (q63),
+  * which derives temperature weights and can only DOWNSAMPLE (a
+  * keep-test cannot emit copies > 1) — here the weights are the
+  * caller's contract (the mixing-law numbers a lab actually trains
+  * with) and a small high-value source repeats as many times as its
+  * share demands.
+  *
+  * Everything is exact integer arithmetic on md5-derived keys (the
+  * repo-wide q63/q82 keyed-draw discipline): deterministic,
+  * append-stable, partition-invariant, engine-replayable. */
+object Mixture {
+
+  /** Per-document copy counts for one training epoch: source `s` gets
+    * `target_s = budget * ppm_s / 1e6` tokens; every doc of `s` repeats
+    * `target_s div T_s` times (T_s = source token total), and the docs
+    * in the md5-order prefix covering the remainder `target_s mod T_s`
+    * get one extra copy (greedy cover: the prefix takes docs while the
+    * tokens BEFORE them are short of the remainder, overshooting by at
+    * most one document). Sources without a weight are excluded; rows
+    * with copies = 0 are dropped. Output: doc_id, source, n_tokens,
+    * copies.
+    *
+    * Scale shape: the only order-dependent step is the per-source
+    * running sum in md5 order, computed in the q46/q54 two-stage form —
+    * in-bucket windows over `(source, key-range bucket)` plus a
+    * bucket-offset window over the tiny per-bucket totals frame — so no
+    * single task ever sorts a whole source (a source at 100 TB is
+    * terabytes; a (source, bucket) cell is 1/4096 of it). */
+  def epochPlan(docs: DataFrame, weightsPpm: Map[String, Long],
+                tokenBudget: Long,
+                counter: Column => Column = TextAnalysis.subtokenCount)
+      : DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive: $tokenBudget")
+    require(weightsPpm.nonEmpty, "need at least one source weight")
+    require(weightsPpm.values.forall(w => w > 0 && w <= 1000000L),
+      s"weights are ppm in (0, 1e6]: $weightsPpm")
+    require(weightsPpm.values.sum <= 1000000L,
+      s"weights sum past 1e6 ppm: ${weightsPpm.values.sum}")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val targets = broadcast(weightsPpm.toSeq.map { case (s, ppm) =>
+      (s, tokenBudget * ppm / 1000000L)
+    }.toDF("source", "_target"))
+    val d = docs
+      .select(col("doc_id"), col("source"), counter(col("text")).as("_n"))
+      .where(col("_n") > 0)
+      .join(targets, "source") // inner join: unweighted sources drop here
+      .withColumn("_key", Dedup.md5Long(
+        concat(col("doc_id").cast("string"), lit(":epoch"))))
+      .withColumn("_b", expr("_key div 4398046511104")) // 2^42: 16k cells
+    // two-stage running sum of tokens BEFORE each doc in (md5, id) order
+    val wIn = Window.partitionBy("source", "_b").orderBy("_key", "doc_id")
+    val inBucket = d.withColumn("_cumb",
+      coalesce(sum("_n").over(
+        wIn.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val bTotals = d.groupBy("source", "_b").agg(sum("_n").as("_bt"))
+    val wOff = Window.partitionBy("source").orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bTotals
+      .withColumn("_off", coalesce(sum("_bt").over(wOff), lit(0L)))
+      .drop("_bt")
+    val tot = d.groupBy("source").agg(sum("_n").as("_tot"))
+    inBucket
+      .join(broadcast(offsets), Seq("source", "_b"))
+      .join(broadcast(tot), "source")
+      .withColumn("_before", col("_off") + col("_cumb"))
+      .withColumn("copies",
+        expr("_target div _tot") +
+          when(col("_before") < expr("_target % _tot"), 1L).otherwise(0L))
+      .where(col("copies") >= 1)
+      .select(col("doc_id"), col("source"), col("_n").as("n_tokens"),
+        col("copies"))
+  }
+
+  /** Deterministic global shuffle order: dense positions 1..N by the
+    * md5 key of `idCol` (salted) — the "shuffle 100 TB of training
+    * sequences" step, where `orderBy(rand())` is neither reproducible
+    * nor resumable. Rides [[SuffixArray.globalDenseRank]] (range
+    * partition + per-partition pass + offsets — no single-task global
+    * window); (key, id) is unique, so the dense rank IS a permutation.
+    * Same salt + same corpus = same order on any engine or partitioning;
+    * change the salt to draw a fresh epoch permutation. */
+  def shuffledOrder(df: DataFrame, idCol: String, salt: String = "shuf",
+                    out: String = "pos"): DataFrame =
+    SuffixArray.globalDenseRank(
+      df.withColumn("_key", Dedup.md5Long(
+        concat(col(idCol).cast("string"), lit(":" + salt)))),
+      Seq("_key", idCol), out)
+      .drop("_key")
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Ckpt, Clustering, QualityModels, Retrieval, SimilaritySearch, Sketches}
+import graft.operators.{Ckpt, Clustering, Mixture, QualityModels, Retrieval, SimilaritySearch, Sketches}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -144,6 +144,26 @@ object PipelineQueries {
       QualityModels.sourceMixtureSample(par(Tables.documents(s, d)),
           tokenBudget = 20000L)
         .withColumn("rate", r4(col("rate")))
+        .orderBy("doc_id")),
+
+    // Q104: explicit-weight epoch plan WITH UPSAMPLING — the mixing-law
+    // step q63's keep-test cannot express (copies > 1): 4 weighted
+    // sources, 200k-token epoch; small sources repeat target div total
+    // times, the md5-prefix covering the remainder gets one extra copy.
+    "q104_epoch_plan" -> ((s, d) =>
+      Mixture.epochPlan(par(Tables.documents(s, d)),
+          weightsPpm = Map("src0" -> 400000L, "src1" -> 300000L,
+            "src2" -> 200000L, "src3" -> 100000L),
+          tokenBudget = 200000L)
+        .orderBy("doc_id")),
+
+    // Q105: deterministic global shuffle order — dense 1..N positions
+    // by salted md5 key (globalDenseRank: range partition +
+    // per-partition pass, no single-task window), the reproducible
+    // stand-in for orderBy(rand()) over training sequences.
+    "q105_shuffled_order" -> ((s, d) =>
+      Mixture.shuffledOrder(par(Tables.documents(s, d)), "doc_id")
+        .select("doc_id", "pos")
         .orderBy("doc_id")),
 
     // Q82: deterministic 80/10/10 split assignment — the md5-keyed ppm
@@ -772,6 +792,41 @@ object PipelineQueries {
         |  CAST(rank AS INTEGER) AS rank
         |FROM r WHERE rank <= 5
         |ORDER BY cell, rank""".stripMargin,
+
+    "q104_epoch_plan" ->
+      s"""WITH st AS (SELECT doc_id, source,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n
+        |  FROM documents),
+        |d AS (SELECT doc_id, source, n,
+        |    ${key56("CAST(doc_id AS VARCHAR) || ':epoch'")} AS k
+        |  FROM st WHERE n > 0),
+        |t(source, target) AS (SELECT * FROM (VALUES
+        |  ('src0', CAST(80000 AS BIGINT)), ('src1', CAST(60000 AS BIGINT)),
+        |  ('src2', CAST(40000 AS BIGINT)), ('src3', CAST(20000 AS BIGINT)))
+        |  v(source, target)),
+        |c AS (SELECT d.doc_id, d.source, d.n, t.target,
+        |    COALESCE(sum(d.n) OVER (PARTITION BY d.source
+        |      ORDER BY d.k, d.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before,
+        |    sum(d.n) OVER (PARTITION BY d.source) AS tot
+        |  FROM d JOIN t USING (source))
+        |SELECT doc_id, source, n AS n_tokens,
+        |  CAST(target // tot
+        |    + CASE WHEN before < target % tot THEN 1 ELSE 0 END
+        |    AS BIGINT) AS copies
+        |FROM c
+        |WHERE target // tot
+        |  + CASE WHEN before < target % tot THEN 1 ELSE 0 END >= 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q105_shuffled_order" ->
+      s"""SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY
+        |    ${key56("CAST(doc_id AS VARCHAR) || ':shuf'")}, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q63_source_mixture" ->
       s"""WITH st AS (SELECT doc_id, source,

@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.{Dedup, Mixture}
+import org.apache.spark.sql.functions._
+
+/** Epoch assembly: explicit-weight mixture planning (upsampling copies,
+  * remainder prefix, exclusions) vs a sequential reference, token
+  * accounting bounds, and the deterministic shuffle permutation. */
+class MixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus: 3 sources with known whitespace-token counts
+  private val fixture = Seq(
+    (1L, "a", 10), (2L, "a", 20), (3L, "a", 5), (4L, "a", 15),
+    (10L, "b", 100), (11L, "b", 50),
+    (20L, "c", 7), (21L, "c", 7), (22L, "c", 7),
+    (30L, "d", 40) // unweighted source: must vanish
+  )
+  private def docs() =
+    fixture.map { case (id, s, n) =>
+      (id, s, Seq.fill(n)("tok").mkString(" ")) }
+      .toDF("doc_id", "source", "text")
+
+  private def md5Key(id: Long): Long =
+    java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"$id:epoch").substring(0, 14), 16)
+
+  test("epochPlan matches the sequential reference: base copies, " +
+    "remainder prefix in md5 order, unweighted sources excluded") {
+    val weights = Map("a" -> 500000L, "b" -> 300000L, "c" -> 200000L)
+    val budget = 400L
+    val got = Mixture.epochPlan(docs(), weights, budget)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    // sequential reference
+    val want = fixture.filter(f => weights.contains(f._2))
+      .groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+        val target = budget * weights(src) / 1000000L
+        val tot = ds.map(_._3.toLong).sum
+        val base = target / tot
+        val rem = target % tot
+        var before = 0L
+        ds.sortBy(f => (md5Key(f._1), f._1)).map { case (id, _, n) =>
+          val extra = if (before < rem) 1L else 0L
+          before += n
+          (id, src, n.toLong, base + extra)
+        }
+      }.filter(_._4 >= 1).sortBy(_._1)
+    assert(got == want)
+    assert(!got.exists(_._2 == "d")) // unweighted source gone
+    // token accounting: each source lands within one doc of its target
+    got.groupBy(_._2).foreach { case (src, rs) =>
+      val target = budget * weights(src) / 1000000L
+      val planned = rs.map(r => r._3 * r._4).sum
+      val maxDoc = fixture.filter(_._2 == src).map(_._3).max
+      assert(planned >= target && planned < target + maxDoc,
+        s"$src planned $planned target $target")
+    }
+    // source b (150 tokens, target 120): downsampling — copies in {0,1}
+    // source a (50 tokens, target 200): upsampling — every doc >= 4
+    assert(got.filter(_._2 == "b").forall(_._4 == 1L))
+    assert(got.filter(_._2 == "a").forall(_._4 >= 4L))
+  }
+
+  test("epochPlan is append-stable for untouched sources and validates " +
+    "input") {
+    val weights = Map("a" -> 500000L, "c" -> 500000L)
+    val before = Mixture.epochPlan(docs(), weights, 300L)
+      .where(col("source") === "a")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    // appending docs to OTHER sources never moves source a's plan
+    val more = docs().unionByName(
+      Seq((40L, "c", Seq.fill(9)("t").mkString(" ")))
+        .toDF("doc_id", "source", "text"))
+    val after = Mixture.epochPlan(more, weights, 300L)
+      .where(col("source") === "a")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(before == after)
+    intercept[IllegalArgumentException](
+      Mixture.epochPlan(docs(), Map("a" -> 1000001L), 10L))
+    intercept[IllegalArgumentException](
+      Mixture.epochPlan(docs(), Map("a" -> 600000L, "b" -> 600000L), 10L))
+    intercept[IllegalArgumentException](
+      Mixture.epochPlan(docs(), Map("a" -> 1L), 0L))
+  }
+
+  test("shuffledOrder is a dense permutation, reproducible, and " +
+    "salt-sensitive") {
+    val df = (1L to 500L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val a = Mixture.shuffledOrder(df, "doc_id")
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(a.values.toSeq.sorted == (1L to 500L))            // dense perm
+    val b = Mixture.shuffledOrder(df, "doc_id")
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(a == b)                                           // reproducible
+    val c = Mixture.shuffledOrder(df, "doc_id", salt = "epoch2")
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(c.values.toSeq.sorted == (1L to 500L) && a != c)  // fresh draw
+    // actually shuffled: id order and pos order disagree broadly
+    val agree = (1L until 500L).count(i => a(i) < a(i + 1))
+    assert(agree > 150 && agree < 350, s"suspiciously ordered: $agree")
+  }
+}
