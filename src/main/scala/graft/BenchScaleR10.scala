@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Graph, IntervalJoin, Layout}
+import graft.operators.{Graph, IntervalJoin, Layout, Mixture, Packing}
 import graft.queries.Temporal
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
@@ -80,13 +80,33 @@ object BenchScaleR10 {
       Layout.zOrderLayout(o, Seq("o_custkey", "o_day"), files = 32)
         .write.mode("overwrite").parquet(outDir))
 
+    // --- packing + mixture over the documents corpus ---
+    val docs = Tables.documents(spark, sfDir)
+      .repartition(cpus.toInt * 2)
+      .transform(graft.operators.Ckpt.eager(_)) // isolate op cost from scan
+    val nDocs = docs.count()
+    val (seqRows, seqSec) = time(
+      Packing.packSequences(docs, seqLen = 2048).count())
+    val (_, grdSec) = time(
+      Packing.packGreedy(docs, seqLen = 2048,
+        shards = math.max(64, (nDocs / 4096L).toInt)).count())
+    val srcWeights = (0 until 20).map(i => s"src$i" -> 50000L).toMap
+    val (_, mixSec) = time(
+      Mixture.epochPlan(docs, srcWeights, tokenBudget = nDocs * 100L)
+        .count())
+    val (_, shfSec) = time(
+      Mixture.shuffledOrder(docs.select("doc_id"), "doc_id").count())
+
     println(
       s"""{"metric":"scale_r10","sf":"$sfDir","n_points":$nPts,""" +
       s""""n_edges":$nEdges,"auto_tiny_sec":$tinySec,""" +
       s""""auto_tiny_rows":$tinyRows,"auto_whale_sec":$whaleSec,""" +
       s""""auto_whale_rows":$whaleRows,""" +
       s""""pagerank_conserving_sec":$prcSec,"pagerank_drop_sec":$prdSec,""" +
-      s""""zorder_write_sec":$zSec}""")
+      s""""zorder_write_sec":$zSec,"n_docs":$nDocs,""" +
+      s""""pack_seq_sec":$seqSec,"pack_seq_rows":$seqRows,""" +
+      s""""pack_greedy_sec":$grdSec,"epoch_plan_sec":$mixSec,""" +
+      s""""shuffled_order_sec":$shfSec}""")
     spark.stop()
   }
 }
