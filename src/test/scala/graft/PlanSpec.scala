@@ -300,6 +300,31 @@ class PlanSpec extends SparkSpec {
       plan.take(4000))
   }
 
+  test("q104 epoch plan: every join broadcasts (targets, bucket offsets, " +
+    "source totals are all tiny frames) — the corpus never shuffles " +
+    "for a join") {
+    val plan = SparkEntry.queries("q104_epoch_plan")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan.take(3000))
+  }
+
+  test("q102 pack manifest: broadcast-only joins (the q46 two-stage " +
+    "running-sum shape) + a map-only explode") {
+    val plan = SparkEntry.queries("q102_pack_sequences")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan.take(3000))
+  }
+
+  test("q103 greedy pack: no join anywhere — one shard exchange + a " +
+    "streaming per-partition pass") {
+    val plan = SparkEntry.queries("q103_pack_greedy")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
   test("q31 as-of: union+window shape — one hash exchange, no join") {
     val plan = SparkEntry.queries("q31_asof_join")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
