@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The end-to-end training-data curation pipeline — the composition a
@@ -154,5 +154,39 @@ object Pipeline {
     TextAnalysis.assignSplit(clean, "doc_id", splits)
       .select(col("doc_id"), col("split"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+  }
+
+  /** Per-group dataset publish manifest — the reproducibility artifact a
+    * 100 TB publish step emits beside the data: row/token counts, id
+    * bounds, and two ORDER-INVARIANT checksums (sums of 56-bit md5 keys
+    * mod 2^56 — partition layout, task order and engine cannot change
+    * them; exact integer arithmetic throughout, decimal(38,0)
+    * accumulation so no row count can overflow the sum).
+    *
+    *  - `id_checksum` over the ids alone: detects membership drift
+    *    (a dropped/added/duplicated row) even when counts collide.
+    *  - `content_checksum` over md5(id ‖ ":" ‖ text): binds each id to
+    *    its exact bytes — any single-character edit, id remap or
+    *    text swap between rows changes it.
+    *
+    * One hash aggregation; text never shuffles (the md5 reduces each
+    * row to a long at the scan). Two manifests are comparable iff their
+    * groups match row-for-row — the "did the rebuild produce the same
+    * dataset" audit without re-reading either side. */
+  def datasetManifest(docs: DataFrame, groupCol: String,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      counter: Column => Column =
+                        TextAnalysis.subtokenCount): DataFrame = {
+    val mod = lit(72057594037927936L) // 2^56
+    def ck(c: Column): Column =
+      pmod(sum(c.cast("decimal(38,0)")) % mod.cast("decimal(38,0)"),
+        mod.cast("decimal(38,0)")).cast("long")
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(counter(col(textCol))).as("n_tokens"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"),
+        ck(Dedup.md5Long(col(idCol).cast("string"))).as("id_checksum"),
+        ck(Dedup.md5Long(concat(col(idCol).cast("string"), lit(":"),
+          col(textCol)))).as("content_checksum"))
   }
 }

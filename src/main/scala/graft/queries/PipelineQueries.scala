@@ -177,6 +177,19 @@ object PipelineQueries {
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")),
 
+    // Q106: per-split publish manifest — counts, id bounds, and two
+    // ORDER-INVARIANT checksums (sums of 56-bit md5 keys mod 2^56):
+    // id_checksum catches membership drift, content_checksum binds each
+    // id to its exact bytes. The reproducibility audit a publish step
+    // emits beside the data.
+    "q106_dataset_manifest" -> ((s, d) =>
+      graft.operators.Pipeline.datasetManifest(
+          graft.operators.TextAnalysis.assignSplit(
+            par(Tables.documents(s, d)), "doc_id",
+            Seq(("train", 800000L), ("val", 100000L), ("test", 100000L))),
+          groupCol = "split")
+        .orderBy("split")),
+
     // Q90: the END-TO-END curation funnel — langid gate → classifier
     // margin gate → exact dedup → eval-suite decontamination → split
     // draw, composed from the stage operators q21/q60/q18/q53/q82 prove
@@ -904,6 +917,26 @@ object PipelineQueries {
         |         % 1000000 < 900000 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q106: the q82 split draw, then per-split sums of 56-bit keys mod
+    // 2^56 — order-invariant in any engine, so GROUP BY replays exactly
+    "q106_dataset_manifest" ->
+      s"""WITH a AS (SELECT doc_id, text,
+        |  CASE WHEN ${key56("CAST(doc_id AS VARCHAR) || ':split'")}
+        |         % 1000000 < 800000 THEN 'train'
+        |       WHEN ${key56("CAST(doc_id AS VARCHAR) || ':split'")}
+        |         % 1000000 < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(CAST(sum(${key56("CAST(doc_id AS VARCHAR)")}) AS HUGEINT)
+        |    % 72057594037927936 AS BIGINT) AS id_checksum,
+        |  CAST(CAST(sum(${key56("CAST(doc_id AS VARCHAR) || ':' || text")})
+        |    AS HUGEINT) % 72057594037927936 AS BIGINT) AS content_checksum
+        |FROM a GROUP BY split ORDER BY split""".stripMargin,
 
     // q86: bucket = top 8 bits of the 56-bit key, rank = leading zeros
     // of the low 48 bits + 1 (via binary-string bit length — bin() emits

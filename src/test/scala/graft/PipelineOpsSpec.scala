@@ -773,4 +773,50 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(t => (t._1, t._2)).toSeq)
   }
+
+  test("datasetManifest: order/partition invariant; id checksum catches " +
+    "membership drift, content checksum catches edits and id-text swaps") {
+    import graft.operators.Pipeline
+    val rows = Seq((1L, "g1", "alpha beta"), (2L, "g1", "gamma"),
+      (3L, "g2", "delta eps"), (4L, "g2", "zeta"), (5L, "g2", "eta theta"))
+    val df = rows.toDF("doc_id", "grp", "text")
+    def m(d: org.apache.spark.sql.DataFrame)
+        : Seq[(String, Long, Long, Long, Long, Long, Long)] =
+      Pipeline.datasetManifest(d, "grp")
+        .as[(String, Long, Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    val base = m(df)
+    assert(base.map(_._1) == Seq("g1", "g2"))
+    assert(base.map(_._2) == Seq(2L, 3L)) // n_docs
+    // JVM replay of the checksum arithmetic
+    def key(s: String): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s).take(14), 16)
+    val mod = BigInt(1) << 56
+    val wantCk = rows.groupBy(_._2).view.mapValues { rs =>
+      ((rs.map(r => BigInt(key(r._1.toString))).sum % mod).toLong,
+        (rs.map(r => BigInt(key(s"${r._1}:${r._3}"))).sum % mod).toLong)
+    }.toMap
+    base.foreach { r =>
+      assert((r._6, r._7) == wantCk(r._1), r._1) }
+    // invariance: partitioning and row order never move the manifest
+    assert(m(df.repartition(7)) == base)
+    assert(m(df.orderBy(desc("doc_id"))) == base)
+    // a single-character edit flips ONLY the content checksum
+    val edited = Seq((1L, "g1", "alpha betb"), (2L, "g1", "gamma"))
+      .toDF("doc_id", "grp", "text")
+    val origG1 = m(df.where(col("grp") === "g1")).head
+    val edG1 = m(edited).head
+    assert(edG1._6 == origG1._6 && edG1._7 != origG1._7)
+    // swapping texts between two ids preserves counts/tokens but not
+    // the content checksum
+    val swapped = Seq((1L, "g1", "gamma"), (2L, "g1", "alpha beta"))
+      .toDF("doc_id", "grp", "text")
+    val swG1 = m(swapped).head
+    assert(swG1._2 == origG1._2 && swG1._3 == origG1._3 &&
+      swG1._6 == origG1._6 && swG1._7 != origG1._7)
+    // dropping a row flips the id checksum even at equal token counts
+    val dropped = m(df.where(col("doc_id") =!= 2L)
+      .where(col("grp") === "g1")).head
+    assert(dropped._6 != origG1._6)
+  }
 }
