@@ -117,5 +117,8 @@ class PackingSpec extends SparkSpec {
       Packing.packSequences(docsDF(fixture), 0L))
     intercept[IllegalArgumentException](
       Packing.packGreedy(docsDF(fixture), 64L, 0))
+    intercept[IllegalArgumentException](
+      Packing.packGreedy(
+        Seq(("x", "a b")).toDF("doc_id", "text"), 64L, 2))
   }
 }
