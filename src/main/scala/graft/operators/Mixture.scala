@@ -36,26 +36,33 @@ object Mixture {
     * terabytes; a (source, bucket) cell is 1/4096 of it). */
   def epochPlan(docs: DataFrame, weightsPpm: Map[String, Long],
                 tokenBudget: Long,
-                counter: Column => Column = TextAnalysis.subtokenCount)
-      : DataFrame = {
+                counter: Column => Column = TextAnalysis.subtokenCount,
+                buckets: Int = 4096): DataFrame = {
     require(tokenBudget > 0, s"tokenBudget must be positive: $tokenBudget")
     require(weightsPpm.nonEmpty, "need at least one source weight")
     require(weightsPpm.values.forall(w => w > 0 && w <= 1000000L),
       s"weights are ppm in (0, 1e6]: $weightsPpm")
     require(weightsPpm.values.sum <= 1000000L,
       s"weights sum past 1e6 ppm: ${weightsPpm.values.sum}")
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    // the broadcast offsets frame is bounded by |sources| x buckets rows
+    // (3 longs each); `buckets` only trades window-partition size
+    // against that bound — the OUTPUT is bucket-invariant (offsets are
+    // exact regardless of how the prefix sum is staged), so lower it
+    // freely for thousand-source mixes
     val spark = docs.sparkSession
     import spark.implicits._
     val targets = broadcast(weightsPpm.toSeq.map { case (s, ppm) =>
       (s, tokenBudget * ppm / 1000000L)
     }.toDF("source", "_target"))
+    val cellW = math.max(1L, (1L << 56) / buckets)
     val d = docs
       .select(col("doc_id"), col("source"), counter(col("text")).as("_n"))
       .where(col("_n") > 0)
       .join(targets, "source") // inner join: unweighted sources drop here
       .withColumn("_key", Dedup.md5Long(
         concat(col("doc_id").cast("string"), lit(":epoch"))))
-      .withColumn("_b", expr("_key div 4398046511104")) // 2^42: 16k cells
+      .withColumn("_b", expr(s"_key div ${cellW}L"))
     // two-stage running sum of tokens BEFORE each doc in (md5, id) order
     val wIn = Window.partitionBy("source", "_b").orderBy("_key", "doc_id")
     val inBucket = d.withColumn("_cumb",
@@ -87,7 +94,12 @@ object Mixture {
     * partition + per-partition pass + offsets — no single-task global
     * window); (key, id) is unique, so the dense rank IS a permutation.
     * Same salt + same corpus = same order on any engine or partitioning;
-    * change the salt to draw a fresh epoch permutation. */
+    * change the salt to draw a fresh epoch permutation.
+    *
+    * Pass only the columns you need: the ranking pass is a
+    * `mapPartitions`, which BLOCKS column pruning — every column of
+    * `df` rides the range-partition shuffle. Rank the (id) projection
+    * and join positions back if the payload is wide. */
   def shuffledOrder(df: DataFrame, idCol: String, salt: String = "shuf",
                     out: String = "pos"): DataFrame =
     SuffixArray.globalDenseRank(

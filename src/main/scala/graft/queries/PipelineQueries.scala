@@ -162,7 +162,10 @@ object PipelineQueries {
     // per-partition pass, no single-task window), the reproducible
     // stand-in for orderBy(rand()) over training sequences.
     "q105_shuffled_order" -> ((s, d) =>
-      Mixture.shuffledOrder(par(Tables.documents(s, d)), "doc_id")
+      // ids-only projection: the rank pass is a mapPartitions (no column
+      // pruning through it), so text must not ride the range shuffle
+      Mixture.shuffledOrder(
+          par(Tables.documents(s, d)).select("doc_id"), "doc_id")
         .select("doc_id", "pos")
         .orderBy("doc_id")),
 
