@@ -84,6 +84,42 @@ class MixtureSpec extends SparkSpec {
       Mixture.epochPlan(docs(), Map("a" -> 1L), 0L))
   }
 
+  test("seeded random corpora: epochPlan matches the sequential " +
+    "reference across draws (bucketing invariance included)") {
+    val rnd = new scala.util.Random(99)
+    for (draw <- 1 to 3) {
+      val nSrc = 2 + rnd.nextInt(4)
+      val fx = (0 until (40 + rnd.nextInt(40))).map { i =>
+        (rnd.nextLong(100000), s"s${i % nSrc}", 1 + rnd.nextInt(60))
+      }.distinctBy(_._1)
+      val ppmEach = 1000000L / nSrc
+      val weights = (0 until nSrc).map(i => s"s$i" -> ppmEach).toMap
+      val budget = 500L + rnd.nextLong(3000)
+      val dfx = fx.map { case (id, s, n) =>
+        (id, s, Seq.fill(n)("tok").mkString(" ")) }
+        .toDF("doc_id", "source", "text")
+      def run(buckets: Int) =
+        Mixture.epochPlan(dfx, weights, budget, buckets = buckets)
+          .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+      val got = run(4096)
+      val want = fx.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+        val target = budget * weights(src) / 1000000L
+        val tot = ds.map(_._3.toLong).sum
+        val base = target / tot
+        val rem = target % tot
+        var before = 0L
+        ds.sortBy(f => (md5Key(f._1), f._1)).map { case (id, _, n) =>
+          val extra = if (before < rem) 1L else 0L
+          before += n
+          (id, src, n.toLong, base + extra)
+        }
+      }.filter(_._4 >= 1).sortBy(_._1)
+      assert(got == want, s"draw $draw")
+      // the bucket knob only stages the prefix sum — output invariant
+      assert(run(7) == got, s"draw $draw buckets=7")
+    }
+  }
+
   test("shuffledOrder is a dense permutation, reproducible, and " +
     "salt-sensitive") {
     val df = (1L to 500L).map(i => (i, s"t$i")).toDF("doc_id", "text")

@@ -112,6 +112,58 @@ class PackingSpec extends SparkSpec {
     assert(pack(base) == pack(more))
   }
 
+  test("seeded random corpora: both packers match their sequential " +
+    "references across draws (lengths straddling L, sparse ids, dups " +
+    "of L exactly)") {
+    val rnd = new scala.util.Random(1234)
+    for (draw <- 1 to 3) {
+      val L = Seq(16L, 50L, 128L)(draw - 1)
+      val n = 60 + rnd.nextInt(60)
+      val fx = (0 until n).map { _ =>
+        (rnd.nextLong(100000),
+          // mix: tiny docs, ~L docs, exactly-L docs, over-L docs
+          rnd.nextInt(4) match {
+            case 0 => 1 + rnd.nextInt(5)
+            case 1 => math.max(1, L.toInt - 2 + rnd.nextInt(5))
+            case 2 => L.toInt
+            case _ => L.toInt + 1 + rnd.nextInt(40)
+          })
+      }.distinctBy(_._1)
+      // concat-and-chunk reference
+      val gotSeq = Packing.packSequences(docsDF(fx), L)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+      var off = 0L
+      val wantSeq = fx.sortBy(_._1).filter(_._2 > 0).flatMap { case (id, m) =>
+        val rows = (off / L to (off + m - 1) / L).map { s =>
+          (id, s, math.max(0L, s * L - off),
+            math.min(m.toLong, (s + 1) * L - off),
+            math.max(0L, off - s * L))
+        }
+        off += m
+        rows
+      }
+      assert(gotSeq == wantSeq, s"packSequences draw $draw")
+      // next-fit reference
+      val shards = 1 + rnd.nextInt(5)
+      val gotG = Packing.packGreedy(docsDF(fx), L, shards)
+        .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+        .sortBy(_._1).toSeq
+      val wantG = fx.filter(_._2 > 0)
+        .map { case (id, m) =>
+          (id, id % shards, math.min(m.toLong, L), m > L) }
+        .groupBy(_._2).toSeq.flatMap { case (shard, ds) =>
+          var seq = 0L; var run = 0L
+          ds.sortBy(_._1).map { case (id, _, len, tr) =>
+            if (seq == 0L || run + len > L) { seq += 1; run = len }
+            else run += len
+            (id, shard, seq, run - len, len, tr)
+          }
+        }.sortBy(_._1)
+      assert(gotG == wantG, s"packGreedy draw $draw")
+    }
+  }
+
   test("input validation fails loudly") {
     intercept[IllegalArgumentException](
       Packing.packSequences(docsDF(fixture), 0L))
