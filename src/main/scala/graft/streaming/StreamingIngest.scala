@@ -572,6 +572,81 @@ object StreamingIngest {
         .groupBy(groupCol, "bucket").agg(max("register").as("register"))
   }
 
+  /** Maintain a dataset publish manifest
+    * ([[graft.operators.Pipeline.datasetManifest]]) over a document
+    * stream — the live "what exactly have we published" audit beside
+    * the frequency/cardinality profiles. Exploits the manifest's
+    * defining property: every field is a mergeable aggregate (counts
+    * and token sums add, id bounds min/max, and the two checksums are
+    * SUMS of 56-bit keys mod 2^56 — modular addition merges exactly),
+    * so each micro-batch writes its own ≤ |groups|-row manifest DELTA
+    * under `manifestPath/batch=<id>` behind the staged rename (replayed
+    * ids no-op, crash litter absorbed), and the live manifest is one
+    * tiny aggregation over committed deltas ([[readManifest]]) — EQUAL
+    * to the batch build over the union of every ingested row
+    * (spec-gated identity). Single-writer assumption, as with the
+    * store. */
+  def streamingManifest(stream: DataFrame, groupCol: String,
+                        manifestPath: String, checkpoint: String)
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processManifestBatch(batch, batchId, manifestPath, groupCol)
+      }
+      .start()
+
+  /** One manifest micro-batch (exposed for replay/crash testing). */
+  private[graft] def processManifestBatch(batch: DataFrame, batchId: Long,
+                                          manifestPath: String,
+                                          groupCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(s"$manifestPath/batch=$batchId")
+    val fs = dst.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(dst)) return // committed: replayed batch is a no-op
+    val stg = new Path(s"$manifestPath/_staging/b$batchId")
+    fs.delete(stg, true) // crashed earlier attempt's litter
+    graft.operators.Pipeline.datasetManifest(batch, groupCol)
+      .coalesce(1) // <= |groups| rows: one file
+      .write.mode("overwrite").parquet(stg.toString)
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(stg, dst))
+      sys.error(s"manifest commit rename failed: $stg -> $dst")
+  }
+
+  /** The live maintained manifest: every column merged by its own
+    * aggregate over the committed deltas — identical shape to a batch
+    * [[graft.operators.Pipeline.datasetManifest]] over the full ingested
+    * corpus, and identical VALUES by the merge identities. */
+  def readManifest(spark: org.apache.spark.sql.SparkSession,
+                   manifestPath: String, groupCol: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(manifestPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasCommits = fs.exists(root) && fs.listStatus(root)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+    if (!hasCommits) {
+      // schema derived from an empty build — cannot drift from the real
+      // manifest layout (the readCountMin discipline)
+      import spark.implicits._
+      graft.operators.Pipeline.datasetManifest(
+        Seq.empty[(Long, String, String)].toDF("doc_id", groupCol, "text"),
+        groupCol)
+    } else {
+      val mod = lit(72057594037927936L).cast("decimal(38,0)") // 2^56
+      def ck(c: String): org.apache.spark.sql.Column =
+        pmod(sum(col(c).cast("decimal(38,0)")) % mod, mod).cast("long")
+      spark.read.parquet(manifestPath)
+        .groupBy(groupCol)
+        .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+          min("min_id").as("min_id"), max("max_id").as("max_id"),
+          ck("id_checksum").as("id_checksum"),
+          ck("content_checksum").as("content_checksum"))
+    }
+  }
+
   /** Maintained streaming priority sample — the DLT weighted sample
     * ([[graft.operators.TextAnalysis.prioritySample]]) kept fresh across
     * micro-batches. Each batch commits its OWN top-k priority rows (a

@@ -670,6 +670,66 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(est("de") - 130.0) / 130.0 < 0.35, est.toString)
   }
 
+  test("maintained publish manifest: streamed deltas merge EXACTLY to " +
+    "the batch manifest of the union (modular checksum additivity); " +
+    "replayed and crashed batches are absorbed") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Pipeline
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-manifest").toString
+    val mPath = s"$dir/manifest"
+    // before any commit the live manifest is EMPTY with the right schema
+    val empty = StreamingIngest.readManifest(spark, mPath, "grp")
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("grp",
+      "n_docs", "n_tokens", "min_id", "max_id", "id_checksum",
+      "content_checksum"))
+    val a = Seq((1L, "g1", "alpha beta"), (2L, "g2", "gamma delta"),
+      (3L, "g1", "eps"))
+    val b = Seq((4L, "g2", "zeta"), (5L, "g1", "eta theta iota"))
+    val stream = MemoryStream[(Long, String, String)]
+    val q = StreamingIngest.streamingManifest(
+      stream.toDF().toDF("doc_id", "grp", "text"), "grp", mPath,
+      s"$dir/ckpt")
+    try {
+      stream.addData(a: _*); q.processAllAvailable()
+      stream.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    val batchEquiv = Pipeline.datasetManifest(
+      (a ++ b).toDF("doc_id", "grp", "text"), "grp")
+    assert(rows(StreamingIngest.readManifest(spark, mPath, "grp")) ==
+      rows(batchEquiv))
+    // a replayed micro-batch (same id, even different data) is a no-op
+    StreamingIngest.processManifestBatch(
+      Seq((9L, "g9", "junk")).toDF("doc_id", "grp", "text"), 0L, mPath,
+      "grp")
+    assert(rows(StreamingIngest.readManifest(spark, mPath, "grp")) ==
+      rows(batchEquiv))
+    // a crash mid-stage leaves only staging litter; replay absorbs it
+    val litter = new java.io.File(s"$mPath/_staging/b7/part-junk")
+    litter.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(litter.toPath, "partial")
+    StreamingIngest.processManifestBatch(
+      Seq((6L, "g2", "fresh doc")).toDF("doc_id", "grp", "text"), 7L,
+      mPath, "grp")
+    assert(rows(StreamingIngest.readManifest(spark, mPath, "grp")) ==
+      rows(Pipeline.datasetManifest(
+        (a ++ b :+ ((6L, "g2", "fresh doc")))
+          .toDF("doc_id", "grp", "text"), "grp")))
+    // the audit works: the live manifest DIFFERS from a drifted corpus's
+    // (one character edited) in content_checksum only
+    val drifted = Pipeline.datasetManifest(
+      ((a.tail :+ ((1L, "g1", "alpha betX"))) ++ b :+
+        ((6L, "g2", "fresh doc"))).toDF("doc_id", "grp", "text"), "grp")
+    val live = rows(StreamingIngest.readManifest(spark, mPath, "grp"))
+    val drift = rows(drifted)
+    assert(live.map(_._2) == drift.map(_._2)) // counts agree
+    assert(live.map(_._6) == drift.map(_._6)) // ids agree
+    assert(live.map(_._7) != drift.map(_._7)) // content does not
+  }
+
   test("maintained postings index: streamed deltas union to the batch " +
     "build; BM25 over the live index equals the batch search") {
     implicit val sqlCtx = spark.sqlContext
