@@ -173,6 +173,34 @@ object Pipeline {
     * row to a long at the scan). Two manifests are comparable iff their
     * groups match row-for-row — the "did the rebuild produce the same
     * dataset" audit without re-reading either side. */
+  /** Record-level corpus diff — the companion to [[datasetManifest]]:
+    * the manifest says WHETHER two publishes differ, this says WHICH
+    * rows. Full outer join on the id comparing 56-bit content keys
+    * (md5 of the text — text itself never shuffles; each side reduces
+    * to (id, key) at its scan): one row per drifted id with status
+    * `added` (only in `after`), `removed` (only in `before`), or
+    * `changed` (both, different bytes); unchanged rows are dropped.
+    * The join is id-keyed equi — co-partitioned at lake scale when both
+    * snapshots share a layout, AQE otherwise. */
+  def corpusDiff(before: DataFrame, after: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    // presence flags, not key-nullness: a NULL text must read as
+    // "present with null content", never as a missing row
+    def keyed(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol),
+        Dedup.md5Long(concat(col(idCol).cast("string"), lit(":"),
+          col(textCol))).as(s"_k_$side"),
+        lit(true).as(s"_p_$side"))
+    keyed(before, "b").join(keyed(after, "a"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("_p_b").isNull, "added")
+          .when(col("_p_a").isNull, "removed")
+          .when(!(col("_k_a") <=> col("_k_b")), "changed"))
+      .where(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+  }
+
   def datasetManifest(docs: DataFrame, groupCol: String,
                       idCol: String = "doc_id", textCol: String = "text",
                       counter: Column => Column =

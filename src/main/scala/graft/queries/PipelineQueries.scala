@@ -193,6 +193,22 @@ object PipelineQueries {
           groupCol = "split")
         .orderBy("split")),
 
+    // Q107: record-level corpus diff — documents vs a deterministically
+    // perturbed republish (every %37 doc edited, every %53 doc removed,
+    // every %61 doc re-added under a shifted id): one row per drifted
+    // id with added/removed/changed status, unchanged rows dropped.
+    "q107_corpus_diff" -> ((s, d) => {
+      val before = par(Tables.documents(s, d))
+      val edited = before.withColumn("text",
+        when(pmod(col("doc_id"), lit(37)) === 0,
+          concat(col("text"), lit(" x"))).otherwise(col("text")))
+      val after = edited.where(pmod(col("doc_id"), lit(53)) =!= 0)
+        .unionByName(before.where(pmod(col("doc_id"), lit(61)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000000L))
+      graft.operators.Pipeline.corpusDiff(before, after)
+        .orderBy("doc_id")
+    }),
+
     // Q90: the END-TO-END curation funnel — langid gate → classifier
     // margin gate → exact dedup → eval-suite decontamination → split
     // draw, composed from the stage operators q21/q60/q18/q53/q82 prove
@@ -940,6 +956,33 @@ object PipelineQueries {
         |  CAST(CAST(sum(${key56("CAST(doc_id AS VARCHAR) || ':' || text")})
         |    AS HUGEINT) % 72057594037927936 AS BIGINT) AS content_checksum
         |FROM a GROUP BY split ORDER BY split""".stripMargin,
+
+    // q107: the same perturbation + a FULL OUTER JOIN on id comparing
+    // the 56-bit content keys; null-safe change test
+    "q107_corpus_diff" ->
+      s"""WITH edited AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 37 = 0 THEN text || ' x' ELSE text END
+        |      AS text
+        |  FROM documents),
+        |after_t AS (
+        |  SELECT doc_id, text FROM edited WHERE doc_id % 53 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 61 = 0),
+        |bk AS (SELECT doc_id,
+        |    ${key56("CAST(doc_id AS VARCHAR) || ':' || text")} AS k
+        |  FROM documents),
+        |ak AS (SELECT doc_id,
+        |    ${key56("CAST(doc_id AS VARCHAR) || ':' || text")} AS k
+        |  FROM after_t),
+        |j AS (SELECT COALESCE(bk.doc_id, ak.doc_id) AS doc_id,
+        |    CASE WHEN bk.doc_id IS NULL THEN 'added'
+        |         WHEN ak.doc_id IS NULL THEN 'removed'
+        |         WHEN ak.k IS DISTINCT FROM bk.k THEN 'changed' END
+        |      AS status
+        |  FROM bk FULL OUTER JOIN ak ON bk.doc_id = ak.doc_id)
+        |SELECT doc_id, status FROM j WHERE status IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // q86: bucket = top 8 bits of the 56-bit key, rank = leading zeros
     // of the low 48 bits + 1 (via binary-string bit length — bin() emits

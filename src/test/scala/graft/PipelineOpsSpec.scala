@@ -819,4 +819,19 @@ class PipelineOpsSpec extends SparkSpec {
       .where(col("grp") === "g1")).head
     assert(dropped._6 != origG1._6)
   }
+
+  test("corpusDiff: added/removed/changed classified, unchanged dropped, " +
+    "null text is content (not absence)") {
+    import graft.operators.Pipeline
+    val before = Seq((1L, "same"), (2L, "old"), (3L, "gone"),
+      (4L, null: String), (5L, "keepnull")).toDF("doc_id", "text")
+    val after = Seq((1L, "same"), (2L, "new"), (6L, "fresh"),
+      (4L, null: String), (5L, null: String)).toDF("doc_id", "text")
+    val got = Pipeline.corpusDiff(before, after)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((2L, "changed"), (3L, "removed"),
+      (5L, "changed"), (6L, "added")))
+    // identical corpora diff to nothing, regardless of partitioning
+    assert(Pipeline.corpusDiff(before, before.repartition(5)).count() == 0)
+  }
 }
