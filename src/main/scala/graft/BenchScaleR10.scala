@@ -96,6 +96,15 @@ object BenchScaleR10 {
         .count())
     val (_, shfSec) = time(
       Mixture.shuffledOrder(docs.select("doc_id"), "doc_id").count())
+    val (_, mftSec) = time(
+      graft.operators.Pipeline.datasetManifest(docs
+        .withColumn("source", lit("s")), "source").count())
+    val perturbed = docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(37)) === 0,
+        concat(col("text"), lit(" x"))).otherwise(col("text")))
+      .where(pmod(col("doc_id"), lit(53)) =!= 0)
+    val (diffRows, diffSec) = time(
+      graft.operators.Pipeline.corpusDiff(docs, perturbed).count())
 
     println(
       s"""{"metric":"scale_r10","sf":"$sfDir","n_points":$nPts,""" +
@@ -106,7 +115,8 @@ object BenchScaleR10 {
       s""""zorder_write_sec":$zSec,"n_docs":$nDocs,""" +
       s""""pack_seq_sec":$seqSec,"pack_seq_rows":$seqRows,""" +
       s""""pack_greedy_sec":$grdSec,"epoch_plan_sec":$mixSec,""" +
-      s""""shuffled_order_sec":$shfSec}""")
+      s""""shuffled_order_sec":$shfSec,"manifest_sec":$mftSec,""" +
+      s""""diff_sec":$diffSec,"diff_rows":$diffRows}""")
     spark.stop()
   }
 }
