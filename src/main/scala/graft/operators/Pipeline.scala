@@ -173,6 +173,34 @@ object Pipeline {
     * row to a long at the scan). Two manifests are comparable iff their
     * groups match row-for-row — the "did the rebuild produce the same
     * dataset" audit without re-reading either side. */
+  /** Leakage-safe split assignment: near-duplicate CLUSTERS land whole
+    * in one split. The naive per-doc draw ([[TextAnalysis.assignSplit]])
+    * leaks — a near-duplicate pair split across train/test inflates
+    * eval by construction (the reason dedup-before-split is a standing
+    * rule in the dedup literature). Here every document draws on its
+    * duplicate-cluster REPRESENTATIVE (the component minimum from
+    * [[Dedup.connectedComponents]] over `pairs`; unpaired docs are
+    * their own representative, so they draw exactly as the naive
+    * assignment would), which makes the split a pure function of the
+    * cluster: all members land together, and the assignment stays
+    * append-stable for untouched clusters. Output: all `docs` columns +
+    * `rep` + `split`. Cost: the CC closure over the pair graph (pairs
+    * are near-dup-sized, not corpus-sized) + one id-keyed left join +
+    * the map-only draw. */
+  def assignSplitLeakageSafe(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id",
+      splits: Seq[(String, Long)] = Seq(
+        ("train", 800000L), ("val", 100000L), ("test", 100000L)))
+      : DataFrame = {
+    val comp = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+    val withRep = docs.join(comp, Seq(idCol), "left")
+      .withColumn("rep",
+        coalesce(col("component"), col(idCol).cast("long")))
+      .drop("component")
+    TextAnalysis.assignSplit(withRep, "rep", splits)
+  }
+
   /** Record-level corpus diff — the companion to [[datasetManifest]]:
     * the manifest says WHETHER two publishes differ, this says WHICH
     * rows. Full outer join on the id comparing 56-bit content keys

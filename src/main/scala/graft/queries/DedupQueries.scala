@@ -429,6 +429,19 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Q108: leakage-safe split assignment — every near-dup CLUSTER of
+    // the q42 pair graph lands whole in one split (the dedup-before-
+    // split rule); unpaired docs draw as the naive q82 assignment
+    // would. Oracle = the q42 recursive closure + the q82 CASE draw on
+    // the component representative.
+    "q108_split_leakage_safe" -> ((s, d) => {
+      val docs = augDocs(s, d)
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", tau = 0.5)
+      graft.operators.Pipeline.assignSplitLeakageSafe(docs, pairs)
+        .select(col("doc_id"), col("rep"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // Near-dup pairs over the exact-dup-HEAVY corpus with the collapse
     // branch FORCED: the engine bands one representative per
     // byte-identical group and expands afterwards; the oracle bands every
@@ -1055,6 +1068,32 @@ object DedupQueries {
     // propagation (reach(id, lab) = "lab reaches id"; symmetric edges make
     // reachability = component membership, min(lab) = the component id)
     "q42_dedup_components" -> ccClosureSql,
+
+    // q108: the q42 closure, representative = COALESCE(component, own
+    // id), then the q82 ppm draw on the representative
+    "q108_split_leakage_safe" ->
+      s"""WITH RECURSIVE $augDocsSql,
+        |$minhashChainSql,
+        |pr AS (SELECT id1, id2 FROM jac WHERE jaccard >= 0.5),
+        |e AS (SELECT id1 AS s, id2 AS t FROM pr
+        |      UNION SELECT id2, id1 FROM pr),
+        |reach AS (
+        |  SELECT s AS id, s AS lab FROM e
+        |  UNION
+        |  SELECT e.t AS id, r.lab FROM reach r JOIN e ON e.s = r.id),
+        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+        |j AS (SELECT d.doc_id,
+        |    CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS rep
+        |  FROM aug d LEFT JOIN comp c ON c.id = d.doc_id)
+        |SELECT doc_id, rep,
+        |  CASE WHEN CAST(concat('0x', substr(md5(
+        |           CAST(rep AS VARCHAR) || ':split'), 1, 14)) AS BIGINT)
+        |         % 1000000 < 800000 THEN 'train'
+        |       WHEN CAST(concat('0x', substr(md5(
+        |           CAST(rep AS VARCHAR) || ':split'), 1, 14)) AS BIGINT)
+        |         % 1000000 < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM j ORDER BY doc_id""".stripMargin,
     // the star-algorithm variant computes the SAME relation
     "q42b_dedup_components_star" -> ccClosureSql,
 

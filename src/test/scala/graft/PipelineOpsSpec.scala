@@ -820,6 +820,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dropped._6 != origG1._6)
   }
 
+  test("assignSplitLeakageSafe: every pair's endpoints share a split; " +
+    "unpaired docs match the naive assignment; append-stable for " +
+    "untouched clusters") {
+    import graft.operators.{Pipeline, TextAnalysis}
+    val docs = (1L to 60L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    // clusters: {1,2,3}, {10,11}, {20,21,22,23} via chains
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (22L, 23L)).toDF("id1", "id2")
+    val got = Pipeline.assignSplitLeakageSafe(docs, pairs)
+      .select("doc_id", "rep", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    // endpoints of every pair agree
+    Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (22L, 23L)).foreach { case (a, b) =>
+      assert(got(a)._2 == got(b)._2, s"($a,$b)")
+    }
+    // representatives are the component minima; members share them
+    assert(Seq(1L, 2L, 3L).map(got(_)._1).distinct == Seq(1L))
+    assert(Seq(20L, 21L, 22L, 23L).map(got(_)._1).distinct == Seq(20L))
+    // unpaired docs = the naive per-doc draw (rep falls back to own id)
+    val naive = TextAnalysis.assignSplit(docs, "doc_id",
+        Seq(("train", 800000L), ("val", 100000L), ("test", 100000L)))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    (1L to 60L).filterNot(Set(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L, 23L))
+      .foreach { id =>
+        assert(got(id)._1 == id && got(id)._2 == naive(id), s"doc $id") }
+    // the cluster draw equals the naive draw OF THE REPRESENTATIVE —
+    // so splits stay append-stable when a cluster gains members
+    assert(got(3L)._2 == naive(1L) && got(23L)._2 == naive(20L))
+    val morePairs = pairs.unionByName(Seq((3L, 4L)).toDF("id1", "id2"))
+    val grown = Pipeline.assignSplitLeakageSafe(docs, morePairs)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(grown(4L) == got(1L)._2)            // new member joins the split
+    assert(grown(20L) == got(20L)._2)          // untouched cluster unmoved
+  }
+
   test("corpusDiff: added/removed/changed classified, unchanged dropped, " +
     "null text is content (not absence)") {
     import graft.operators.Pipeline
