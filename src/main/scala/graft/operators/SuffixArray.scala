@@ -616,6 +616,86 @@ object SuffixArray {
       .withColumn("covered_frac", fracCol)
   }
 
+  /** SURGICAL eval decontamination — the acting half of
+    * [[evalOverlapStats]] (q96b measures, this excises):
+    * every `window`-token span of a TRAIN document, at EVERY alignment,
+    * that also occurs ANYWHERE in the eval corpus is removed from the
+    * train text. Dropping whole contaminated documents (the q53/q90
+    * rule) forfeits all their clean text; this keeps it — the Lee et
+    * al. 2022 §4.2 remedy applied as a transform rather than a filter.
+    *
+    * Mechanics: the [[substringDeduped]] window-key trick on the tagged
+    * union (eval rides −id−1) — O(1) window equality via two
+    * overlapping 2^k-block doubling ranks, so only floor(log2 W) levels
+    * are built; train windows semi-join the DISTINCT eval window-key
+    * set. NO canonical veto applies (unlike within-corpus dedup):
+    * eval-shared content must survive NOWHERE in train, so every
+    * covered position drops. Coverage and rebuild group by doc_id —
+    * one doc-hash exchange after the key join. Output: (doc_id, text,
+    * n_tokens_before, n_tokens_after) for every train doc. Same
+    * token-space rebuild caveat as [[substringDeduped]]: re-joining
+    * kept tokens can create NEW adjacencies; a second pass is a no-op
+    * on natural leak shapes (spec-gated) but not a universal
+    * identity. */
+  def evalDecontaminatedText(train: DataFrame, evalDocs: DataFrame,
+                             window: Int = 16,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    require(window >= 1 && window <= (1 << 24),
+      s"window out of range: $window")
+    def nonNeg(side: String) = {
+      val id = col(idCol).cast("long")
+      when(id < 0, raise_error(concat(lit(
+        s"evalDecontaminatedText: $side doc_id must be >= 0, got "), id)))
+        .otherwise(id)
+    }
+    val tr = train.select(nonNeg("train").as("doc_id"),
+      col(textCol).cast("string").as("text"))
+    val ev = evalDocs.select((-nonNeg("eval") - 1).as("doc_id"),
+      col(textCol).cast("string").as("text"))
+    val kLev = 63 - java.lang.Long.numberOfLeadingZeros(window.toLong)
+    val shift = window - (1 << kLev)
+    val wide = suffixRanks(tr.unionByName(ev), math.max(1, kLev),
+      "doc_id", "text")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val win = wide.select(col("doc_id"), col("pos"), col("len_rem"),
+        col(s"r$kLev").as("_k1"))
+      .withColumn("_k2",
+        if (shift == 0) col("_k1")
+        else lead(col("_k1"), shift).over(byPos))
+      .where(col("len_rem") >= window)
+    val evalKeys = win.where(col("doc_id") < 0)
+      .select("_k1", "_k2").distinct()
+    val dirty = win.where(col("doc_id") >= 0)
+      .join(evalKeys, Seq("_k1", "_k2"), "left_semi")
+      .select(col("doc_id"), col("pos"), lit(true).as("_d"))
+    val toks = tr
+      .where(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_tk"))
+      .select(col("doc_id"), posexplode(col("_tk")).as(Seq("_p", "_term")))
+      .select(col("doc_id"), col("_p").cast("long").as("pos"), col("_term"))
+    val covW = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = lit(window.toLong)
+    val cov = toks.join(dirty, Seq("doc_id", "pos"), "left")
+      .withColumn("_rr", max(when(col("_d"), col("pos") + w)
+        .otherwise(lit(-1L))).over(covW))
+      .withColumn("_kp", !(col("_rr") > col("pos")))
+    val reb = cov.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens_before"),
+      sum(when(col("_kp"), 1L).otherwise(0L)).as("n_tokens_after"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(
+          when(col("_kp"), struct(col("pos"), col("_term"))))),
+        x => x("_term"))).as("text"))
+    tr.select("doc_id")
+      .join(reb, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_tokens_before"), lit(0L)).as("n_tokens_before"),
+        coalesce(col("n_tokens_after"), lit(0L)).as("n_tokens_after"))
+  }
+
   /** EXACT duplicated-span REMOVAL — the acting half of Lee et al. 2022
     * that [[substringDedupStats]] only measures, on suffix-rank truth
     * instead of [[TextAnalysis.spanDeduped]]'s aligned-tile rolling-hash

@@ -80,7 +80,27 @@ object SuffixQueries {
           .where(org.apache.spark.sql.functions.pmod(
             org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.lit(5)) === 0),
-        window = MinLen).orderBy("doc_id"))
+        window = MinLen).orderBy("doc_id")),
+
+    // Q109: SURGICAL eval decontamination — the acting half of q96b on
+    // the SAME corpus (train shard + deliberately leaked stripped eval
+    // copies): every 16-token train span also occurring anywhere in the
+    // eval suite is excised, text rebuilt in token space. The leaked
+    // +30000 docs lose their shared tails; clean docs keep (almost) all
+    // their text instead of being dropped whole (the q53 rule's cost).
+    "q109_eval_decontaminated" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val evalSet = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+      val train = docs
+        .where(pmod(col("doc_id"), lit(97)) =!= 0 &&
+          pmod(col("doc_id"), lit(5)) === 0)
+        .unionByName(evalSet.select(
+          (col("doc_id") + 30000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+      SuffixArray.evalDecontaminatedText(train, evalSet,
+        window = MinLen).orderBy("doc_id")
+    })
   )
 
   /** Shared SQL fragments for the doubling + walk replays. Every
@@ -316,9 +336,58 @@ object SuffixQueries {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  /** q109: the q96b tagged-union corpus, doubling only to floor(log2 W),
+    * window keys, train windows matched against the DISTINCT eval key
+    * set, one removal carry (no canonical veto — eval-shared content
+    * survives nowhere), rebuild via ordered string_agg. */
+  private def evalRemovalSql(window: Int): String = {
+    val kLev = 63 - java.lang.Long.numberOfLeadingZeros(window.toLong)
+    s"""WITH corpus AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |    WHERE doc_id % 97 <> 0 AND doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 30000, regexp_replace(text, '^\\S+\\s+', '')
+       |    FROM documents WHERE doc_id % 97 = 0
+       |  UNION ALL
+       |  SELECT -doc_id - 1, text FROM documents WHERE doc_id % 97 = 0),
+       |${tokenChain("corpus")},
+       |${doubling(kLev)},
+       |ky AS (SELECT doc_id, pos, len_rem, r$kLev AS k1,
+       |    lead(r$kLev, ${window - (1 << kLev)})
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS k2
+       |  FROM lv$kLev),
+       |win AS MATERIALIZED (SELECT doc_id, pos, k1, k2 FROM ky
+       |  WHERE len_rem >= $window),
+       |ek AS MATERIALIZED (SELECT DISTINCT k1, k2 FROM win
+       |  WHERE doc_id < 0),
+       |dirty AS MATERIALIZED (SELECT w.doc_id, w.pos
+       |  FROM win w JOIN ek USING (k1, k2) WHERE w.doc_id >= 0),
+       |cov AS (SELECT t.doc_id, t.pos, t.term,
+       |    max(CASE WHEN d.pos IS NOT NULL THEN t.pos + $window
+       |      ELSE -1 END) OVER (PARTITION BY t.doc_id ORDER BY t.pos
+       |        ROWS UNBOUNDED PRECEDING) AS rr
+       |  FROM tok t LEFT JOIN dirty d
+       |    ON d.doc_id = t.doc_id AND d.pos = t.pos
+       |  WHERE t.doc_id >= 0),
+       |kp AS (SELECT doc_id, pos, term FROM cov WHERE NOT rr > pos),
+       |reb AS (SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS text,
+       |    count(*) AS n_after
+       |  FROM kp GROUP BY doc_id),
+       |nb AS (SELECT doc_id, count(*) AS n_before FROM tok
+       |  WHERE doc_id >= 0 GROUP BY doc_id)
+       |SELECT c.doc_id, coalesce(reb.text, '') AS text,
+       |  CAST(coalesce(nb.n_before, 0) AS BIGINT) AS n_tokens_before,
+       |  CAST(coalesce(reb.n_after, 0) AS BIGINT) AS n_tokens_after
+       |FROM (SELECT doc_id FROM corpus WHERE doc_id >= 0) c
+       |LEFT JOIN nb ON nb.doc_id = c.doc_id
+       |LEFT JOIN reb ON reb.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q96_suffix_lrs" -> lrsSql(Levels),
     "q96b_substring_contamination" -> contamSql(Levels),
-    "q101_substring_removal" -> removalSql(MinLen)
+    "q101_substring_removal" -> removalSql(MinLen),
+    "q109_eval_decontaminated" -> evalRemovalSql(MinLen)
   )
 }

@@ -359,6 +359,99 @@ class SuffixArraySpec extends SparkSpec {
       s"second pass removed tokens: ${again.mkString(", ")}")
   }
 
+  /** Brute-force reference for [[SuffixArray.evalDecontaminatedText]]:
+    * a train position is dropped iff covered by a window whose content
+    * occurs anywhere in the eval corpus — no canonical veto. */
+  private def bruteEvalDecon(train: Seq[(Long, String)],
+                             ev: Seq[(Long, String)], w: Int)
+      : Map[Long, (String, Long, Long)] = {
+    def toks(t: String) =
+      if (t.trim.isEmpty) Seq.empty[String] else t.trim.split("\\s+").toSeq
+    val evalWins = ev.map(_._2).flatMap { t =>
+      val ts = toks(t)
+      (0 to ts.length - w).map(s => ts.slice(s, s + w))
+    }.toSet
+    train.map { case (id, t) =>
+      val ts = toks(t)
+      val keep = ts.indices.map { p =>
+        !(math.max(0, p - w + 1) to p).exists(s =>
+          s + w <= ts.length && evalWins.contains(ts.slice(s, s + w)))
+      }
+      val kept = ts.zip(keep).collect { case (tk, true) => tk }
+      id -> (kept.mkString(" "), ts.length.toLong, kept.length.toLong)
+    }.toMap
+  }
+
+  private def runEvalDecon(train: Seq[(Long, String)],
+                           ev: Seq[(Long, String)], w: Int)
+      : Map[Long, (String, Long, Long)] =
+    SuffixArray.evalDecontaminatedText(train.toDF("doc_id", "text"),
+        ev.toDF("doc_id", "text"), w)
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (id, t, b, a) => id -> (t, b, a) }.toMap
+
+  test("evalDecontaminatedText matches brute force: planted leaks lose " +
+    "their shared spans, clean docs pass through, disjoint/empty eval " +
+    "are identities — power-of-two AND composite-key windows") {
+    val passage = (1 to 20).map(i => s"e$i").mkString(" ")
+    val ev = Seq(100L -> passage, 101L -> "q1 q2 q3 q4 q5 q6 q7 q8")
+    val train = Seq(
+      1L -> passage,                                  // full leak
+      2L -> ("intro1 intro2 " + passage + " outro"),  // embedded leak
+      3L -> (5 to 14).map(i => s"e$i").mkString(" "), // partial overlap
+      4L -> (1 to 18).map(i => s"c$i").mkString(" "), // clean
+      5L -> "tiny doc",                               // sub-window
+      6L -> "   ")                                    // whitespace-only
+    for (w <- Seq(4, 5, 8)) {
+      val got = runEvalDecon(train, ev, w)
+      assert(got == bruteEvalDecon(train, ev, w), s"window=$w")
+      // the full leak is erased entirely; the clean doc is untouched
+      assert(got(1L)._1.isEmpty && got(4L)._3 == got(4L)._2)
+    }
+    // disjoint eval: identity in token space
+    val disjoint = runEvalDecon(train, Seq(200L -> "z1 z2 z3 z4 z5"), 4)
+    train.foreach { case (id, t) =>
+      assert(disjoint(id)._1 ==
+        t.trim.split("\\s+").filter(_.nonEmpty).mkString(" "), s"doc $id")
+    }
+    // empty eval: identity too
+    val none = runEvalDecon(train, Seq.empty[(Long, String)], 4)
+    assert(none(2L)._2 == none(2L)._3)
+  }
+
+  test("evalDecontaminatedText matches brute force on seeded random " +
+    "corpora with injected eval snippets; output shares NO window with " +
+    "the eval corpus") {
+    val rnd = new scala.util.Random(77)
+    val evalDocs = (1L to 4L).map(i =>
+      i -> (1 to 12).map(j => s"E${i}_$j").mkString(" "))
+    val w = 4
+    val train = (10L to 40L).map { id =>
+      val body = Seq.fill(8 + rnd.nextInt(18))("t" + rnd.nextInt(10))
+      val planted =
+        if (id % 3 == 0) {
+          val src = evalDocs(rnd.nextInt(evalDocs.size))._2
+            .split(" ").toSeq.take(4 + rnd.nextInt(6))
+          body.patch(rnd.nextInt(body.length), src, 0)
+        } else body
+      id -> planted.mkString(" ")
+    }
+    val got = runEvalDecon(train, evalDocs, w)
+    assert(got == bruteEvalDecon(train, evalDocs, w))
+    // decontamination postcondition: no rebuilt doc shares any w-window
+    // with the eval corpus (modulo NEW adjacencies, absent here by
+    // construction: eval tokens are globally unique markers)
+    val evalWins = evalDocs.map(_._2).flatMap { t =>
+      val ts = t.split(" ").toSeq
+      (0 to ts.length - w).map(s => ts.slice(s, s + w))
+    }.toSet
+    got.values.map(_._1).filter(_.nonEmpty).foreach { t =>
+      val ts = t.split(" ").toSeq
+      (0 to ts.length - w).foreach(s =>
+        assert(!evalWins.contains(ts.slice(s, s + w))))
+    }
+  }
+
   test("evalOverlapStats rejects negative doc ids loudly (the -id-1 " +
     "namespacing would silently misfile suffixes)") {
     val good = Seq(1L -> "a b c d").toDF("doc_id", "text")
