@@ -38,6 +38,15 @@ object Pipeline {
     * that are the minimum-id copy of their exact text, and that share NO
     * `gramN`-gram with the eval suite; then assign train/val/test by the
     * md5 ppm draw. `docs` needs (doc_id, text); `evalSuite` needs text.
+    *
+    * The decontamination stage DROPS contaminated documents whole (the
+    * q53/q90 rule — one shared gram disqualifies). When the corpus is
+    * precious, excise instead: run
+    * [[SuffixArray.evalDecontaminatedText]] (q109) upstream to cut
+    * exactly the eval-shared spans and keep each document's clean
+    * text, then feed the rebuilt corpus through this funnel. And when
+    * split leakage matters more than the naive draw,
+    * [[assignSplitLeakageSafe]] (q108) replaces the final stage.
     */
   def curate(docs: DataFrame, evalSuite: DataFrame,
              lang: String = "en", gramN: Int = 4,
