@@ -116,4 +116,33 @@ object IntervalJoin {
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_lvl", "_bin")
   }
+
+  /** Interval-OVERLAP join: every (a, b) pair with
+    * [loA, hiA] ∩ [loB, hiB] ≠ ∅ (all bounds inclusive; empty intervals
+    * on either side drop). The classic quadratic-plan trap — Spark
+    * gives `maxLo <= minHi` a nested loop — decomposed into two
+    * point-in-interval halves that PARTITION the overlap cases by
+    * which interval starts later: overlap with loB >= loA ⟺ A contains
+    * B's start; overlap with loB < loA ⟺ B contains A's start. Each
+    * half is one tiered [[binnedAuto]] (B-starts probe A, A-starts
+    * probe B + the strict filter), so the whole join inherits its
+    * skew-proof Σ-bucket economics — whales cost their OUTPUT, never a
+    * bin fan-out — and the two halves are disjoint by construction: no
+    * dedup pass, the union IS the answer. Column names of `a` and `b`
+    * must be disjoint. */
+  def overlapAuto(a: DataFrame, b: DataFrame,
+                  loA: String, hiA: String,
+                  loB: String, hiB: String): DataFrame = {
+    val clash = a.columns.toSet.intersect(b.columns.toSet)
+    require(clash.isEmpty,
+      s"overlapAuto needs disjoint column names; both sides have $clash")
+    // each side plays POINT in one half — binnedAuto only drops empty
+    // intervals on its intervals side, so empties must go here too
+    val av = a.where(col(loA) <= col(hiA))
+    val bv = b.where(col(loB) <= col(hiB))
+    val laterB = binnedAuto(bv, av, loB, loA, hiA) // loB in [loA, hiA]
+    val laterA = binnedAuto(av, bv, loA, loB, hiB) // loA in [loB, hiB]
+      .where(col(loB) < col(loA)) // strict: ties live in laterB
+    laterB.unionByName(laterA.select(laterB.columns.map(col): _*))
+  }
 }

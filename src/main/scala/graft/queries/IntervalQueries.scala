@@ -42,6 +42,30 @@ object IntervalQueries {
         .orderBy("c_custkey")
     }),
 
+    // Q110: interval-OVERLAP join — customer hour-windows (the q98 set)
+    // against supplier hour-windows, rolled up per supplier (overlap
+    // count + custkey sum bounds the output). The engine runs the
+    // two-half tiered decomposition (B-start-in-A ∪ strict
+    // A-start-in-B); the oracle states the same join declaratively
+    // with greatest(lo) <= least(hi).
+    "q110_interval_overlap" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val h = math.max(1L, cust.count() * 12L / 25L)
+      val a = cust.select(col("c_custkey"),
+          pmod(col("c_custkey") * 37, lit(h)).cast("long").as("a_lo"))
+        .withColumn("a_hi",
+          col("a_lo") + pmod(col("c_custkey"), lit(30)).cast("long") + 1L)
+      val b = Tables.supplier(s, d).select(col("s_suppkey"),
+          pmod(col("s_suppkey") * 53, lit(h)).cast("long").as("b_lo"))
+        .withColumn("b_hi",
+          col("b_lo") + pmod(col("s_suppkey"), lit(20)).cast("long") + 5L)
+      IntervalJoin.overlapAuto(a, b, "a_lo", "a_hi", "b_lo", "b_hi")
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum("c_custkey").as("custkey_sum"))
+        .orderBy("s_suppkey")
+    }),
+
     // Q99: gap-based sessionization rollup — 6-hour gap over the events
     // stream, per-session event count + span. Windows partition by
     // user only (150 users x ~67 events at sf0.01); ties break on
@@ -73,6 +97,25 @@ object IntervalQueries {
         |FROM pts JOIN iv ON pts.hour BETWEEN iv.lo AND iv.hi
         |GROUP BY iv.c_custkey
         |ORDER BY iv.c_custkey""".stripMargin,
+
+    "q110_interval_overlap" ->
+      """WITH n AS (SELECT greatest(1, (count(*) * 12) // 25) AS h
+        |  FROM customer),
+        |a AS (SELECT c_custkey,
+        |    CAST((c_custkey * 37) % n.h AS BIGINT) AS a_lo,
+        |    CAST((c_custkey * 37) % n.h + (c_custkey % 30) + 1 AS BIGINT)
+        |      AS a_hi
+        |  FROM customer, n),
+        |b AS (SELECT s_suppkey,
+        |    CAST((s_suppkey * 53) % n.h AS BIGINT) AS b_lo,
+        |    CAST((s_suppkey * 53) % n.h + (s_suppkey % 20) + 5 AS BIGINT)
+        |      AS b_hi
+        |  FROM supplier, n)
+        |SELECT s_suppkey, count(*) AS n_overlaps,
+        |  CAST(sum(c_custkey) AS BIGINT) AS custkey_sum
+        |FROM a JOIN b ON greatest(a_lo, b_lo) <= least(a_hi, b_hi)
+        |GROUP BY s_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q99_sessionize" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id

@@ -93,6 +93,58 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got == Set((1L, 9L)))
   }
 
+  private def overlapRef(as: Seq[(Long, Long, Long)],
+                         bs: Seq[(Long, Long, Long)]): Set[(Long, Long)] =
+    (for {
+      (ai, alo, ahi) <- as
+      (bi, blo, bhi) <- bs
+      if alo <= ahi && blo <= bhi &&
+        math.max(alo, blo) <= math.min(ahi, bhi)
+    } yield (ai, bi)).toSet
+
+  private def runOverlap(as: Seq[(Long, Long, Long)],
+                         bs: Seq[(Long, Long, Long)]): Seq[(Long, Long)] =
+    IntervalJoin.overlapAuto(as.toDF("ai", "a_lo", "a_hi"),
+        bs.toDF("bi", "b_lo", "b_hi"), "a_lo", "a_hi", "b_lo", "b_hi")
+      .select("ai", "bi").as[(Long, Long)].collect().toSeq
+
+  test("overlapAuto equals the declarative overlap join on adversarial " +
+    "fixtures — containment, touching endpoints, ties, negatives, " +
+    "empties — and emits each pair exactly once") {
+    val as = Seq[(Long, Long, Long)](
+      (1L, 0L, 10L), (2L, -20L, -5L), (3L, 7L, 7L), (4L, 0L, 100L),
+      (5L, 50L, 40L),  // empty: dropped
+      (6L, 15L, 25L))
+    val bs = Seq[(Long, Long, Long)](
+      (1L, 10L, 20L),  // touches a1's endpoint
+      (2L, -6L, -6L),  // point inside a2
+      (3L, 0L, 10L),   // same start as a1 (the tie case)
+      (4L, 3L, 5L),    // contained in a1 and a4
+      (5L, 200L, 300L), // disjoint from everything
+      (6L, 30L, 20L))  // empty: dropped
+    val got = runOverlap(as, bs)
+    assert(got.toSet == overlapRef(as, bs))
+    assert(got.size == got.distinct.size, "pair emitted twice")
+  }
+
+  test("overlapAuto equals the declarative join on seeded random mixes " +
+    "including whales on BOTH sides; disjoint column names enforced") {
+    val rnd = new scala.util.Random(23)
+    val as = (1L to 400L).map { i =>
+      val lo = rnd.nextLong(5000); (i, lo, lo + rnd.nextLong(30))
+    } :+ ((999L, 0L, 4999L))     // whale in A
+    val bs = (1L to 300L).map { i =>
+      val lo = rnd.nextLong(5000); (i, lo, lo + rnd.nextLong(50))
+    } :+ ((888L, 0L, 4999L))     // whale in B
+    val got = runOverlap(as, bs)
+    assert(got.toSet == overlapRef(as, bs))
+    assert(got.size == got.distinct.size)
+    intercept[IllegalArgumentException] {
+      IntervalJoin.overlapAuto(as.toDF("id", "lo", "hi"),
+        bs.toDF("id", "b_lo", "b_hi"), "lo", "hi", "b_lo", "b_hi")
+    }
+  }
+
   test("the plan is an equi-join on the bin: no nested loop, no " +
     "cartesian") {
     val plan = IntervalJoin.binned(
