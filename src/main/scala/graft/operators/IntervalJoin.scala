@@ -81,7 +81,18 @@ object IntervalJoin {
     val withLvl = iv.withColumn("_lvl", lvl)
     val levels = withLvl.select("_lvl").distinct()
       .collect().map(_.getInt(0)).sorted.toSeq.map(l => (l, bwOf(l)))
-    val bwCol = levels.foldLeft(lit(-1L)) { case (acc, (l, bw)) =>
+    // fail-loud fallback: the level table was collected from this frame,
+    // but `exploded` re-evaluates the intervals source lazily at join
+    // time — a nondeterministic/changed source could mint a _lvl absent
+    // from the table, and a silent sentinel width would produce
+    // (_lvl,_bin) keys matching no probe row (rows quietly dropped)
+    val bwCol = levels.foldLeft(
+      raise_error(concat(
+        lit("tieredIntervals: level "), col("_lvl").cast("string"),
+        lit(" not in the planned level table — the intervals source " +
+          "changed (or is nondeterministic) between planning and " +
+          "execution; pin it (Ckpt.eager) before joining"))).cast("long")
+    ) { case (acc, (l, bw)) =>
       when(col("_lvl") === l, lit(bw)).otherwise(acc)
     }
     val exploded = withLvl

@@ -56,6 +56,8 @@ object Mixture {
       (s, tokenBudget * ppm / 1000000L)
     }.toDF("source", "_target"))
     val cellW = math.max(1L, (1L << 56) / buckets)
+    // the _key/_b/_n temps cannot collide with caller columns: this
+    // select narrows to exactly (doc_id, source, _n) first
     val d = docs
       .select(col("doc_id"), col("source"), counter(col("text")).as("_n"))
       .where(col("_n") > 0)
@@ -101,10 +103,15 @@ object Mixture {
     * `df` rides the range-partition shuffle. Rank the (id) projection
     * and join positions back if the payload is wide. */
   def shuffledOrder(df: DataFrame, idCol: String, salt: String = "shuf",
-                    out: String = "pos"): DataFrame =
+                    out: String = "pos"): DataFrame = {
+    // mirror globalDenseRank's _pid/_lrk guard: withColumn would silently
+    // overwrite a caller's _key and the final drop would lose it
+    require(!df.columns.contains("_key"),
+      "shuffledOrder: input must not contain a _key column")
     SuffixArray.globalDenseRank(
       df.withColumn("_key", Dedup.md5Long(
         concat(col(idCol).cast("string"), lit(":" + salt)))),
       Seq("_key", idCol), out)
       .drop("_key")
+  }
 }

@@ -62,8 +62,10 @@ object Packing {
     * running sequence or open the next one. Documents longer than
     * `seqLen` occupy a sequence alone, truncated to fit (`truncated`
     * marks them — upstream should have chunked these; the packer's
-    * contract is one sample per doc). Output per doc: shard,
-    * seq_in_shard (1-based), offset_in_seq, len_eff, truncated. */
+    * contract is one sample per doc). doc_id must be UNIQUE (duplicate
+    * ids would make the packing order, and thus seq/offset assignment,
+    * nondeterministic — the pass fails loudly on one). Output per doc:
+    * shard, seq_in_shard (1-based), offset_in_seq, len_eff, truncated. */
   def packGreedy(docs: DataFrame, seqLen: Long, shards: Int,
                  counter: Column => Column = TextAnalysis.subtokenCount)
       : DataFrame = {
@@ -100,12 +102,25 @@ object Packing {
         var curShard = Long.MinValue
         var seq = 0L
         var running = 0L
+        var prevDoc = Long.MinValue
         it.map { r =>
           val doc = r.getLong(r.fieldIndex("doc_id"))
           val sh = r.getLong(r.fieldIndex("shard"))
           val len = r.getLong(r.fieldIndex("len_eff"))
           val tr = r.getBoolean(r.fieldIndex("truncated"))
-          if (sh != curShard) { curShard = sh; seq = 0L; running = 0L }
+          if (sh != curShard) {
+            curShard = sh; seq = 0L; running = 0L; prevDoc = Long.MinValue
+          }
+          // duplicate ids are tie-rows in the (shard, doc_id) sort with
+          // unspecified relative order — seq/offset assignment would be
+          // nondeterministic across runs, breaking the oracle-replayable
+          // contract. Equal ids land in the same shard and sort adjacent,
+          // so the check is free in this pass.
+          if (doc == prevDoc) throw new IllegalArgumentException(
+            s"packGreedy: duplicate doc_id $doc — packing order (and " +
+              "thus seq/offset assignment) would be nondeterministic; " +
+              "dedup ids upstream")
+          prevDoc = doc
           val (s2, off, run2) =
             if (seq == 0L || running + len > seqLen) (seq + 1, 0L, len)
             else (seq, running, running + len)

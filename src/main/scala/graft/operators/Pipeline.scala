@@ -165,23 +165,6 @@ object Pipeline {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
   }
 
-  /** Per-group dataset publish manifest — the reproducibility artifact a
-    * 100 TB publish step emits beside the data: row/token counts, id
-    * bounds, and two ORDER-INVARIANT checksums (sums of 56-bit md5 keys
-    * mod 2^56 — partition layout, task order and engine cannot change
-    * them; exact integer arithmetic throughout, decimal(38,0)
-    * accumulation so no row count can overflow the sum).
-    *
-    *  - `id_checksum` over the ids alone: detects membership drift
-    *    (a dropped/added/duplicated row) even when counts collide.
-    *  - `content_checksum` over md5(id ‖ ":" ‖ text): binds each id to
-    *    its exact bytes — any single-character edit, id remap or
-    *    text swap between rows changes it.
-    *
-    * One hash aggregation; text never shuffles (the md5 reduces each
-    * row to a long at the scan). Two manifests are comparable iff their
-    * groups match row-for-row — the "did the rebuild produce the same
-    * dataset" audit without re-reading either side. */
   /** Leakage-safe split assignment: near-duplicate CLUSTERS land whole
     * in one split. The naive per-doc draw ([[TextAnalysis.assignSplit]])
     * leaks — a near-duplicate pair split across train/test inflates
@@ -238,6 +221,23 @@ object Pipeline {
       .select(col(idCol), col("status"))
   }
 
+  /** Per-group dataset publish manifest — the reproducibility artifact a
+    * 100 TB publish step emits beside the data: row/token counts, id
+    * bounds, and two ORDER-INVARIANT checksums (sums of 56-bit md5 keys
+    * mod 2^56 — partition layout, task order and engine cannot change
+    * them; exact integer arithmetic throughout, decimal(38,0)
+    * accumulation so no row count can overflow the sum).
+    *
+    *  - `id_checksum` over the ids alone: detects membership drift
+    *    (a dropped/added/duplicated row) even when counts collide.
+    *  - `content_checksum` over md5(id ‖ ":" ‖ text): binds each id to
+    *    its exact bytes — any single-character edit, id remap or
+    *    text swap between rows changes it.
+    *
+    * One hash aggregation; text never shuffles (the md5 reduces each
+    * row to a long at the scan). Two manifests are comparable iff their
+    * groups match row-for-row — the "did the rebuild produce the same
+    * dataset" audit without re-reading either side. */
   def datasetManifest(docs: DataFrame, groupCol: String,
                       idCol: String = "doc_id", textCol: String = "text",
                       counter: Column => Column =

@@ -43,7 +43,7 @@ object LayoutQueries {
        |  FROM orders),
        |mm AS (SELECT min(x) AS xmn, max(x) AS xmx,
        |    min(y) AS ymn, max(y) AS ymx FROM o),
-|n AS (SELECT o_orderkey,
+       |n AS (SELECT o_orderkey,
        |    (x - xmn) // (((xmx - xmn) // ${1L << bits}) + 1) AS xn,
        |    (y - ymn) // (((ymx - ymn) // ${1L << bits}) + 1) AS yn
        |  FROM o, mm)
