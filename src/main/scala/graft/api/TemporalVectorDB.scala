@@ -521,6 +521,33 @@ class TemporalVectorDB(
     }
   }
 
+  /** Release every pinned executor-storage frame this facade holds — the
+    * reference's `close()`/context-manager surface
+    * (temporal_database.py:544-553) re-expressed for Spark: the store
+    * itself needs no closing (parquet reads are stateless), but the
+    * maintained indexes are lineage-free checkpoints pinned in executor
+    * storage, and a long-lived session that opens many stores would
+    * accumulate their blocks forever. Unpersists the bases/latest/PQ
+    * frames and clears codebooks + drift bookkeeping. The facade stays
+    * usable after: the next cache/search call rebuilds from the store,
+    * and [[loadIndexes]] restores persisted state with zero recompute
+    * (persist BEFORE closing to keep the zero-rebuild startup path).
+    * Idempotent; safe to call with no live indexes. */
+  def close(): Unit = synchronized {
+    Seq(basesCache, latestCache, pqCodes).flatten.foreach(
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint)
+    basesCache = None
+    latestCache = None
+    latestCount = None
+    pqBooks = None
+    pqCents = None
+    pqCodes = None
+    pqParams = None
+    pqResidual = true
+    pqTrainedN = 0L
+    pqRefreshedSinceTrain = 0L
+  }
+
   /** Batch ingest of (content_id, ts, embedding[, metadata]) rows; assigns
     * sequence numbers after any existing versions and appends to the store
     * (reference add_content_version, temporal_database.py:86-178 — but one

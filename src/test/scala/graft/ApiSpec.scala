@@ -436,6 +436,41 @@ class ApiSpec extends SparkSpec {
     assert(db.applyBaseOptimization(maxCost = 2) == 0)
   }
 
+  test("close() releases every pinned index block (temporal_database.py" +
+    ":544-553 surface); loadIndexes still restores from parquet after") {
+    val db = freshDb()
+    val fleet = (0 until 24).map(i => (f"c$i%02d", ts(1), fleetVec(i)))
+    db.addVersions(fleet.toDF("content_id", "ts", "embedding"))
+    val sc = spark.sparkContext
+    val baseline = sc.getPersistentRDDs.size
+    // build all three maintained indexes, persist them for the reload leg
+    db.cacheBases(); db.cacheLatest(); db.cachePqIndex(nCells = 4)
+    db.persistIndexes()
+    val v5 = fleet(5)._3
+    val before = db.searchLatestVersionsPq(v5, k = 3, refine = 8)
+      .select("rank", "id", "sim").as[(Int, String, Double)].collect().toSeq
+    assert(sc.getPersistentRDDs.size >= baseline + 3,
+      "expected >=3 pinned index frames while the facade is open")
+
+    db.close()
+    // executor storage freed: every block this facade pinned is gone
+    assert(sc.getPersistentRDDs.size <= baseline,
+      s"close() left pinned RDDs: ${sc.getPersistentRDDs.size} > $baseline")
+    db.close() // idempotent
+
+    // the closed facade stays usable: loadIndexes restores the persisted
+    // materialized state and searches serve identical results
+    assert(db.loadIndexes())
+    assert(db.searchLatestVersionsPq(v5, k = 3, refine = 8)
+      .select("rank", "id", "sim").as[(Int, String, Double)]
+      .collect().toSeq == before)
+    // ...and a close WITHOUT a reload rebuilds from the store on demand
+    db.close()
+    assert(db.searchSimilarContent(v5, k = 1)
+      .select("id").as[String].collect().head == "c05#1")
+    db.close()
+  }
+
   test("getContentStatistics bundles counts + recon stats + integrity " +
     "(temporal_database.py:301-330 shape)") {
     val db = freshDb()
