@@ -114,4 +114,66 @@ object Mixture {
       Seq("_key", idCol), out)
       .drop("_key")
   }
+
+  /** Contiguous-range epoch shard assignment over the deterministic
+    * global shuffle order: all `df` columns + `pos` (1..N, the
+    * [[shuffledOrder]] permutation), `shard` (0..shards-1 — shard s
+    * holds the positions p-1 ∈ [⌈sN/S⌉, ⌈(s+1)N/S⌉), so sizes differ by
+    * at most one) and `pos_in_shard` (0-based within the shard) — the
+    * exact-integer split a dataloader mounts one rank per shard.
+    * Pure function of (corpus, salt, shards): engine-replayable
+    * (q112's oracle), append of new ids changes only ranks ≥ theirs.
+    * Overflow bound: (N-1)·shards must fit a long — fine for any real
+    * (corpus, shard-count) pair; guarded. Same pruning caveat as
+    * [[shuffledOrder]]: rank an (id) projection and join back if the
+    * payload is wide. */
+  def epochShardAssignment(df: DataFrame, idCol: String, shards: Int,
+                           salt: String = "shuf"): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    val n = df.count()
+    require(n > 0, "epochShardAssignment: empty input")
+    require(shards.toLong <= Long.MaxValue / math.max(1L, n),
+      s"(n=$n) * (shards=$shards) overflows the shard arithmetic")
+    shuffledOrder(df, idCol, salt)
+      .withColumn("shard", expr(s"((pos - 1) * $shards) div ${n}L"))
+      .withColumn("pos_in_shard",
+        expr(s"(pos - 1) - ((shard * ${n}L + ${shards - 1}) div $shards)"))
+  }
+
+  /** Materialize one training epoch as `shards` deterministic shard
+    * directories under `outDir` (`shard=s/` parquet, rows sorted by the
+    * global shuffle position) and return the per-shard AUDIT MANIFEST:
+    * (shard, n_docs, min_pos, max_pos, id_checksum, order_checksum) —
+    * id_checksum the order-invariant membership sum (the
+    * [[Pipeline.datasetManifest]] discipline), order_checksum binding
+    * each id to its exact position (sum of md5(pos ‖ ":" ‖ id) keys mod
+    * 2^56), so ANY membership or ordering drift between two epoch
+    * builds changes a checksum. Re-running over the same corpus + salt
+    * reproduces identical manifests (spec-gated).
+    *
+    * Scale shape: the ranking pass is the [[shuffledOrder]] range
+    * partition; the write repartitions by shard (one hash exchange) and
+    * sorts within partitions, so each shard directory's row order is
+    * the global order restricted to the shard; the manifest is one
+    * hash aggregation of (shard, pos, id) longs — text never shuffles
+    * twice. */
+  def writeEpochShards(df: DataFrame, outDir: String, shards: Int,
+                       idCol: String = "doc_id",
+                       salt: String = "shuf"): DataFrame = {
+    val assigned = epochShardAssignment(df, idCol, shards, salt)
+    assigned
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    val mod = lit(72057594037927936L) // 2^56
+    def ck(c: Column): Column =
+      pmod(sum(c.cast("decimal(38,0)")) % mod.cast("decimal(38,0)"),
+        mod.cast("decimal(38,0)")).cast("long")
+    assigned.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      min("pos").as("min_pos"), max("pos").as("max_pos"),
+      ck(Dedup.md5Long(col(idCol).cast("string"))).as("id_checksum"),
+      ck(Dedup.md5Long(concat(col("pos").cast("string"), lit(":"),
+        col(idCol).cast("string")))).as("order_checksum"))
+  }
 }

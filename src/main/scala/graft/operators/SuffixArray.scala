@@ -759,10 +759,24 @@ object SuffixArray {
       .select(col("doc_id"), col("pos"),
         (col("doc_id") === col("_keep.doc_id") &&
           col("pos") === col("_keep.pos")).as("_canon"))
-    val toks = docs
-      .where(length(trim(col(textCol))) > 0)
-      .select(col(idCol).cast("long").as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("_tk"))
+    rebuildWithVeto(docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("string").as("text")), flags, window)
+  }
+
+  /** Shared removal/rebuild tail of [[substringDeduped]] (also driven by
+    * [[SubstringIndex.appendDeduped]]'s content-key flags): `docsIdText`
+    * is the (doc_id LONG, text STRING) frame to rebuild; `flags` carries
+    * one row per duplicate-group window occurrence (doc_id, pos, _canon).
+    * Applies the canonical-veto removal rule per token position (see the
+    * [[substringDeduped]] doc), rebuilds text in token space, and reports
+    * before/after token counts; docs with no flagged window pass through
+    * in token space, whitespace-only docs rebuild to "". Both coverage
+    * carries and the rebuild group by doc_id — one doc-hash exchange. */
+  private[graft] def rebuildWithVeto(docsIdText: DataFrame, flags: DataFrame,
+                                     window: Int): DataFrame = {
+    val toks = docsIdText
+      .where(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_tk"))
       .select(col("doc_id"), posexplode(col("_tk")).as(Seq("_p", "_term")))
       .select(col("doc_id"), col("_p").cast("long").as("pos"), col("_term"))
     val covW = Window.partitionBy("doc_id").orderBy("pos")
@@ -782,7 +796,7 @@ object SuffixArray {
         array_sort(collect_list(
           when(col("_kp"), struct(col("pos"), col("_term"))))),
         x => x("_term"))).as("text"))
-    docs.select(col(idCol).cast("long").as("doc_id"))
+    docsIdText.select("doc_id")
       .join(reb, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("text"), lit("")).as("text"),

@@ -169,6 +169,20 @@ object PipelineQueries {
         .select("doc_id", "pos")
         .orderBy("doc_id")),
 
+    // Q112: epoch SHARD assignment — contiguous ranges of the q105
+    // shuffle order split into 8 near-equal shards with exact integer
+    // boundaries (shard s holds pos-1 in [ceil(sN/8), ceil((s+1)N/8)));
+    // the artifact a dataloader mounts one rank per shard.
+    // writeEpochShards materializes the directories + audit manifest
+    // (spec-gated byte-identical across re-runs); the declared query
+    // hashes the assignment itself.
+    "q112_epoch_shards" -> ((s, d) =>
+      Mixture.epochShardAssignment(
+          par(Tables.documents(s, d)).select("doc_id"), "doc_id",
+          shards = 8)
+        .select("doc_id", "pos", "shard", "pos_in_shard")
+        .orderBy("doc_id")),
+
     // Q82: deterministic 80/10/10 split assignment — the md5-keyed ppm
     // draw (the q63 keyed-rate discipline), so any engine reproduces
     // the identical train/val/test membership (randomSplit cannot: its
@@ -859,6 +873,19 @@ object PipelineQueries {
         |    ${key56("CAST(doc_id AS VARCHAR) || ':shuf'")}, doc_id)
         |    AS BIGINT) AS pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q112_epoch_shards" ->
+      s"""WITH r AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY
+        |      ${key56("CAST(doc_id AS VARCHAR) || ':shuf'")}, doc_id)
+        |      AS BIGINT) AS pos
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM r)
+        |SELECT doc_id, pos,
+        |  CAST(((pos - 1) * 8) // n AS BIGINT) AS shard,
+        |  CAST((pos - 1) - (((((pos - 1) * 8) // n) * n + 7) // 8)
+        |    AS BIGINT) AS pos_in_shard
+        |FROM r, n ORDER BY doc_id""".stripMargin,
 
     "q63_source_mixture" ->
       s"""WITH st AS (SELECT doc_id, source,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.SuffixArray
+import graft.operators.{SubstringIndex, SuffixArray}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -100,6 +100,41 @@ object SuffixQueries {
           regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
       SuffixArray.evalDecontaminatedText(train, evalSet,
         window = MinLen).orderBy("doc_id")
+    }),
+
+    // Q111: INCREMENTAL substring-dedup maintenance — the engine runs
+    // the maintained-index APPEND path (content-keyed window index over
+    // the q101 base shard, then graft.operators.SubstringIndex
+    // .appendDeduped for a batch of strictly-higher-id docs: a fresh
+    // slice (+100000, doc_id % 5 = 1) plus tail-stripped copies of base
+    // docs (+110000, % 5 = 0 and % 7 = 2 — these duplicate previously
+    // UNIQUE base windows, exercising the touched-base recompute and the
+    // canonical-veto re-activation). The oracle dedups the UNION from
+    // scratch with the q101 rank formulation, so hash equality IS the
+    // append-then-dedup ≡ from-scratch theorem.
+    "q111_incremental_substring_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val base = DedupQueries.augDocs(s, d)
+        .where(pmod(col("doc_id"), lit(5)) === 0)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val batch = docs.where(pmod(col("doc_id"), lit(5)) === 1)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        .unionByName(docs
+          .where(pmod(col("doc_id"), lit(5)) === 0 &&
+            pmod(col("doc_id"), lit(7)) === 2)
+          .select((col("doc_id") + 110000).as("doc_id"),
+            regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+      // the index and the previous dedup result are PERSISTED artifacts
+      // in the deployment (written beside the store by the prior round);
+      // pin them here so the declared query pays for each once, like the
+      // parquet read would — not once per downstream consumer
+      val prior = graft.operators.Ckpt.eager(
+        SuffixArray.substringDeduped(base, window = MinLen))
+      val index = graft.operators.Ckpt.eager(
+        SubstringIndex.buildIndex(base, MinLen))
+      SubstringIndex.appendDeduped(
+        baseDocs = base, baseDeduped = prior, index = index,
+        newDocs = batch, window = MinLen).orderBy("doc_id")
     })
   )
 
@@ -298,7 +333,17 @@ object SuffixQueries {
        |  WHERE doc_id % 5 = 0),
        |${tokenChain("sub")},
        |${doubling(kLev)},
-       |ky AS (SELECT doc_id, pos, len_rem, r$kLev AS k1,
+       |${removalTail(window)}""".stripMargin
+  }
+
+  /** The shared removal-replay tail (window keys → duplicate groups +
+    * canonical → the two coverage carries → rebuild), over a corpus CTE
+    * named `sub` that the caller supplies — q101 runs it on the base
+    * shard, q111 on base ∪ appended batch (from-scratch over the union
+    * IS the theorem the incremental engine path must hash-match). */
+  private def removalTail(window: Int): String = {
+    val kLev = 63 - java.lang.Long.numberOfLeadingZeros(window.toLong)
+    s"""ky AS (SELECT doc_id, pos, len_rem, r$kLev AS k1,
        |    lead(r$kLev, ${window - (1 << kLev)})
        |      OVER (PARTITION BY doc_id ORDER BY pos) AS k2
        |  FROM lv$kLev),
@@ -334,6 +379,28 @@ object SuffixQueries {
        |LEFT JOIN nb ON nb.doc_id = s.doc_id
        |LEFT JOIN reb ON reb.doc_id = s.doc_id
        |ORDER BY s.doc_id""".stripMargin
+  }
+
+  /** q111: the INCREMENTAL append theorem replayed from scratch — the
+    * oracle dedups the UNION (base shard + appended batch) with the rank
+    * formulation; the engine runs the maintained-index append path
+    * ([[graft.operators.SubstringIndex.appendDeduped]]), so hash
+    * equality proves append-then-dedup ≡ from-scratch dedup of the
+    * union, canonical-veto interactions included. */
+  private def incrementalSql(window: Int): String = {
+    val kLev = 63 - java.lang.Long.numberOfLeadingZeros(window.toLong)
+    val aug = DedupQueries.augDocsSql
+    s"""WITH $aug,
+       |sub AS MATERIALIZED (
+       |  SELECT doc_id, text FROM aug WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 110000, regexp_replace(text, '^\\S+\\s+', '')
+       |  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 = 2),
+       |${tokenChain("sub")},
+       |${doubling(kLev)},
+       |${removalTail(window)}""".stripMargin
   }
 
   /** q109: the q96b tagged-union corpus, doubling only to floor(log2 W),
@@ -388,6 +455,7 @@ object SuffixQueries {
     "q96_suffix_lrs" -> lrsSql(Levels),
     "q96b_substring_contamination" -> contamSql(Levels),
     "q101_substring_removal" -> removalSql(MinLen),
-    "q109_eval_decontaminated" -> evalRemovalSql(MinLen)
+    "q109_eval_decontaminated" -> evalRemovalSql(MinLen),
+    "q111_incremental_substring_dedup" -> incrementalSql(MinLen)
   )
 }

@@ -136,4 +136,57 @@ class MixtureSpec extends SparkSpec {
     val agree = (1L until 500L).count(i => a(i) < a(i + 1))
     assert(agree > 150 && agree < 350, s"suspiciously ordered: $agree")
   }
+
+  test("epochShardAssignment: contiguous balanced ranges of the shuffle " +
+    "order, 0-based in-shard positions, exact boundary formula") {
+    val df = (1L to 103L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val a = Mixture.epochShardAssignment(df, "doc_id", shards = 8)
+      .select("pos", "shard", "pos_in_shard")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.map(_._1).toSeq == (1L to 103L))
+    // shard sizes differ by at most one and sum to N
+    val sizes = a.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (0L to 7L).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1)
+    assert(sizes.values.sum == 103)
+    // shards are CONTIGUOUS in the global order and in-shard positions
+    // are 0-based and dense
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      val ps = rows.map(_._1).sorted
+      assert(ps.last - ps.head == ps.length - 1) // contiguous pos range
+      assert(rows.map(_._3).sorted.toSeq == (0L until ps.length)) // dense
+    }
+    // exact boundary formula (the oracle's): shard = (pos-1)*S div N
+    assert(a.forall { case (p, s, _) => s == (p - 1) * 8 / 103 })
+  }
+
+  test("writeEpochShards: shard directories land sorted by position and " +
+    "re-running reproduces byte-identical audit manifests") {
+    val df = (1L to 200L).map(i => (i, s"text $i body")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_epoch").toString
+    val m1 = Mixture.writeEpochShards(df, s"$dir/e1", shards = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val m2 = Mixture.writeEpochShards(df, s"$dir/e2", shards = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(m1 == m2) // byte-identical manifests across independent builds
+    assert(m1.map(_._2).sum == 200)
+    // directories exist per shard; rows inside carry the assignment and
+    // the two epochs' FILES hold identical content
+    val e1 = spark.read.parquet(s"$dir/e1")
+    assert(e1.select("shard").distinct().as[Long].collect().toSet ==
+      (0L to 3L).toSet)
+    val assigned = Mixture.epochShardAssignment(df, "doc_id", 4)
+      .select("doc_id", "pos", "shard", "pos_in_shard")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(e1.select("doc_id", "pos", "shard", "pos_in_shard")
+      .as[(Long, Long, Long, Long)].collect().toSet == assigned)
+    assert(spark.read.parquet(s"$dir/e2")
+      .select("doc_id", "pos", "shard", "pos_in_shard")
+      .as[(Long, Long, Long, Long)].collect().toSet == assigned)
+    // order inside one shard file set follows the global order
+    val s0 = e1.where(col("shard") === 0L).select("pos", "pos_in_shard")
+      .as[(Long, Long)].collect().sortBy(_._2)
+    assert(s0.map(_._1).toSeq == s0.map(_._1).sorted.toSeq)
+  }
 }
