@@ -249,6 +249,69 @@ object TextAnalysis {
       predLangExpr(col("text")).as("pred_lang"))
   }
 
+  /** Character-trigram language profiles — a shipped, trained-offline
+    * artifact (the [[BpeMergesDefault]] discipline: a deployment swaps in
+    * profiles trained on its own labeled corpus; these were curated from
+    * public letter-frequency knowledge). Each language lists its most
+    * DISCRIMINATIVE lowercase ASCII trigrams (function-word cores,
+    * characteristic affixes, digraphs); lists are near-disjoint by
+    * construction so cross-language bleed stays below the signal. The
+    * upgrade over the [[EnMarkers]] whole-word heuristic: a sentence with
+    * no function word at all still carries dozens of scoring trigrams
+    * (spec-gated ≥ the marker heuristic's accuracy on a mixed-language
+    * fixture). */
+  val LangTrigrams: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", " th", "he ", "ing", "ng ", "and", " of", "of ",
+      " to", "to ", "is ", "was", " wa", "ere", " it", "it "),
+    "de" -> Seq("der", "die", "und", "sch", "ich", "ein", "cht", "ung",
+      "gen", " ge", "ver", " ve", "ben", "eit", "che", "nen", "nde",
+      "den"),
+    "fr" -> Seq("les", " le", "le ", "ons", " qu", "que", "ait", "eur",
+      "oir", "ois", "eau", "aux", " et", "et ", "une", "ous", "our"),
+    "es" -> Seq("los", "las", " la", "la ", "el ", " el", "ado", "ada",
+      " y ", "nte", "sta", "ara", "cio", "dad", "os ", "as ", "del"))
+
+  /** All character trigrams of the lowercased text (one per position);
+    * empty array for texts shorter than 3 chars (the when-guard matters:
+    * an unguarded descending sequence() would throw). */
+  private def charTrigrams(text: Column): Column = {
+    val l = lower(text)
+    when(length(l) >= 3,
+      transform(sequence(lit(1), length(l) - 2), i => l.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Trigram-profile score: how many of the text's trigram OCCURRENCES
+    * hit the profile list (duplicates count — frequency is the signal). */
+  def langNgramScore(text: Column, grams: Seq[String]): Column =
+    size(filter(charTrigrams(text),
+      g => g.isin(grams.map(s => s: Any): _*))).cast("long")
+
+  /** The [[langIdNgram]] decision as a PURE column expression (map-only,
+    * pushable to the scan — the [[predLangExpr]] contract with the
+    * trigram profiles). Same zh rule and the same fixed tie order. */
+  def predLangNgramExpr(text: Column): Column = {
+    val Seq(en, de, fr, es) =
+      LangTrigrams.map { case (_, g) => langNgramScore(text, g) }
+    val nonAscii = length(regexp_replace(text, "[\\x00-\\x7f]", ""))
+    when(nonAscii > 0, "zh")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Character-n-gram language ID — [[langId]]'s marker heuristic
+    * upgraded to trigram profiles: per-language occurrence scores over
+    * [[LangTrigrams]] plus the shared prediction. One map-only
+    * projection (codegen CSEs the trigram array across the four
+    * scores); fully oracle-replayable (q21b). */
+  def langIdNgram(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +:
+      LangTrigrams.map { case (lang, g) =>
+        langNgramScore(col("text"), g).as(s"${lang}_s")
+      } :+ predLangNgramExpr(col("text")).as("pred_lang"): _*)
+
   /** Pack documents into training shards by token budget: each doc gets
     * the shard whose budget window contains the tokens BEFORE it in
     * doc_id order (greedy sequential packing — the standard pre-tokenizer

@@ -40,6 +40,16 @@ object TextQueries {
         .select("doc_id", "en_cnt", "de_cnt", "fr_cnt", "es_cnt", "pred_lang")
         .orderBy("doc_id")),
 
+    // Q21b: character-TRIGRAM-profile language ID — the q21 marker
+    // heuristic upgraded to shipped n-gram profiles (frequency-counted
+    // occurrences over near-disjoint per-language trigram lists, map-only,
+    // same zh rule / tie order). TextAnalysisSpec gates accuracy ≥ the
+    // marker heuristic on a real mixed-language fixture; this query pins
+    // the scoring bit-for-bit on the corpus table.
+    "q21b_langid_ngram" -> ((s, d) =>
+      TextAnalysis.langIdNgram(par(Tables.documents(s, d)))
+        .orderBy("doc_id")),
+
     // Q22: rolling-hash document fingerprint (order-sensitive, md5-derived
     // so the oracle can reproduce it bit-for-bit).
     "q22_fingerprint" -> ((s, d) => par(Tables.documents(s, d))
@@ -59,6 +69,17 @@ object TextQueries {
     // replays the running sum + boundary arithmetic exactly).
     "q102_pack_sequences" -> ((s, d) =>
       Packing.packSequences(par(Tables.documents(s, d)), seqLen = 64)
+        .orderBy("doc_id", "seq_id")),
+
+    // Q102b: the q102 manifest in REAL tokenizer units — packSequences
+    // budgeted by the merge-rank BPE counter (q73's compiled kernel)
+    // instead of the regex approximation: the combination a lab actually
+    // runs (sequence boundaries in the units the model trains on). The
+    // oracle composes the q73 merge recursion with the q102 chunk
+    // arithmetic, so hash equality checks tokenizer + packing together.
+    "q102b_pack_sequences_bpe" -> ((s, d) =>
+      Packing.packSequences(par(Tables.documents(s, d)), seqLen = 64,
+          counter = c => TextAnalysis.bpeMergeTokenCount(c))
         .orderBy("doc_id", "seq_id")),
 
     // Q103: boundary-respecting next-fit packing (256-token sequences,
@@ -272,6 +293,39 @@ object TextQueries {
         |       ELSE 'es' END AS pred_lang
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // q21b: trigram extraction + profile counts replayed with the SAME
+    // shipped lists the engine compiles (interpolated from one constant,
+    // so they cannot drift)
+    "q21b_langid_ngram" -> {
+      def inList(lang: String): String =
+        graft.operators.TextAnalysis.LangTrigrams.toMap.apply(lang)
+          .map(g => s"'$g'").mkString(", ")
+      s"""WITH g AS (SELECT doc_id,
+        |    list_transform(range(1, length(lower(text)) - 1),
+        |      i -> substr(lower(text), i, 3)) AS g3,
+        |    length(regexp_replace(text, '[\\x00-\\x7f]', '', 'g'))
+        |      AS non_ascii
+        |  FROM documents),
+        |sc AS (SELECT doc_id,
+        |    CAST(len(list_filter(g3, t -> t IN (${inList("en")})))
+        |      AS BIGINT) AS en_s,
+        |    CAST(len(list_filter(g3, t -> t IN (${inList("de")})))
+        |      AS BIGINT) AS de_s,
+        |    CAST(len(list_filter(g3, t -> t IN (${inList("fr")})))
+        |      AS BIGINT) AS fr_s,
+        |    CAST(len(list_filter(g3, t -> t IN (${inList("es")})))
+        |      AS BIGINT) AS es_s,
+        |    non_ascii
+        |  FROM g)
+        |SELECT doc_id, en_s, de_s, fr_s, es_s,
+        |  CASE WHEN non_ascii > 0 THEN 'zh'
+        |       WHEN en_s >= de_s AND en_s >= fr_s AND en_s >= es_s THEN 'en'
+        |       WHEN de_s >= fr_s AND de_s >= es_s THEN 'de'
+        |       WHEN fr_s >= es_s THEN 'fr'
+        |       ELSE 'es' END AS pred_lang
+        |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
     // q68: greedy longest-match-first replay — one recursive-CTE step
     // per emitted unit, run over DISTINCT pretokens only (the encode is
     // a pure function of the word); vocab interpolated from the SAME
@@ -392,6 +446,55 @@ object TextQueries {
         |    CAST(len(regexp_extract_all(text,
         |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n
         |  FROM documents),
+        |c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id) AS cum
+        |      FROM t),
+        |s AS (SELECT doc_id, n, CAST(cum AS BIGINT) AS cum,
+        |        CAST(cum - n AS BIGINT) AS start FROM c WHERE n > 0),
+        |e AS (SELECT doc_id, n, start,
+        |        unnest(range(start // 64, (cum - 1) // 64 + 1)) AS seq_id
+        |      FROM s)
+        |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(greatest(0, seq_id * 64 - start) AS BIGINT) AS tok_from,
+        |  CAST(least(n, (seq_id + 1) * 64 - start) AS BIGINT) AS tok_to,
+        |  CAST(greatest(0, start - seq_id * 64) AS BIGINT) AS pos_in_seq
+        |FROM e ORDER BY doc_id, seq_id""".stripMargin,
+
+    // q102b: the q73 merge-rank recursion (DISTINCT pretokens, one merge
+    // per step) supplies per-doc counts; the q102 running-sum + chunk
+    // arithmetic packs them. Same constants as the compiled kernel.
+    "q102b_pack_sequences_bpe" ->
+      s"""WITH RECURSIVE rk AS (SELECT MAP(
+        |    [${graft.operators.TextAnalysis.BpeMergesDefault
+                 .map { case (a, b) => s"'$a $b'" }.mkString(", ")}],
+        |    [${graft.operators.TextAnalysis.BpeMergesDefault.indices
+                 .map(_.toString).mkString(", ")}]) AS m),
+        |wd AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+        |dw AS (SELECT DISTINCT w FROM wd),
+        |st AS (
+        |  SELECT w,
+        |    list_transform(range(1, len(w) + 1), i -> w[i]) AS toks
+        |  FROM dw
+        |  UNION ALL
+        |  SELECT w,
+        |    toks[1:CAST(bk % 1048576 AS BIGINT) - 1]
+        |      || [toks[CAST(bk % 1048576 AS BIGINT)]
+        |          || toks[CAST(bk % 1048576 AS BIGINT) + 1]]
+        |      || toks[CAST(bk % 1048576 AS BIGINT) + 2:len(toks)] AS toks
+        |  FROM (
+        |    SELECT w, toks,
+        |      list_aggregate(list_transform(range(1, len(toks)), i ->
+        |        CASE WHEN len(map_extract(rk.m,
+        |            toks[i] || ' ' || toks[i + 1])) > 0
+        |          THEN CAST(map_extract(rk.m,
+        |            toks[i] || ' ' || toks[i + 1])[1] AS BIGINT)
+        |            * 1048576 + i
+        |          ELSE NULL END), 'min') AS bk
+        |    FROM st, rk) x
+        |  WHERE bk IS NOT NULL),
+        |mwc AS MATERIALIZED (SELECT w, min(len(toks)) AS units FROM st
+        |  GROUP BY w),
+        |t AS (SELECT wd.doc_id, CAST(sum(mwc.units) AS BIGINT) AS n
+        |  FROM wd JOIN mwc USING (w) GROUP BY wd.doc_id),
         |c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id) AS cum
         |      FROM t),
         |s AS (SELECT doc_id, n, CAST(cum AS BIGINT) AS cum,

@@ -460,4 +460,64 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got._1 == 6L, s"merge-rank count ${got._1}") // 1+1+1+3
     assert(got._2 == 4L, s"greedy count ${got._2}")     // 1+1+1+1
   }
+
+  test("trigram-profile langId beats the marker heuristic on a mixed-" +
+    "language fixture (marker-free sentences included) and stays " +
+    "deterministic") {
+    // ground truth in col 1; de/fr/es rows 2,3,5,6 (and es#2/es#6) carry
+    // NO marker word at all — the whole-word heuristic defaults those to
+    // 'en' (all counts 0 -> en wins the tie) or misfires on shared
+    // function words ('la' is an fr marker), the trigram profiles don't
+    val fixture = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog and runs away"),
+      ("en", "it was a bright cold day in april and the clocks struck"),
+      ("en", "nothing is certain except change itself"),
+      ("en", "reading books every evening brings lasting joy to anyone"),
+      ("en", "the meeting of the board was moved to monday morning"),
+      ("en", "strong winds kept sailing boats inside the harbour wall"),
+      ("de", "der hund und die katze schlafen unter dem alten baum"),
+      ("de", "heute scheint endlich wieder sonne nach langen tagen voller regen"),
+      ("de", "gestern haben wir einen wichtigen vertrag unterschrieben"),
+      ("de", "die kinder spielen gerne im park neben der schule"),
+      ("de", "manchmal regnet es stundenlang ohne ende"),
+      ("de", "zwischen bergen liegt ein kleines dorf mit roten daechern"),
+      ("fr", "le chat dort sur le canape pendant que la pluie tombe dehors"),
+      ("fr", "nous allons au marche pour acheter quelques fruits frais"),
+      ("fr", "elle aime beaucoup ecouter la radio chaque soir"),
+      ("fr", "quand viendras tu nous voir dans notre nouvelle maison"),
+      ("fr", "les oiseaux chantent dans le ciel bleu du matin"),
+      ("fr", "apres une longue journee il faut bien se reposer"),
+      ("es", "el perro corre por el parque mientras los ninos juegan"),
+      ("es", "manana vamos a visitar a nuestra abuela en la ciudad"),
+      ("es", "los estudiantes leen muchos libros en la biblioteca"),
+      ("es", "cada semana compramos frutas frescas en el mercado"),
+      ("es", "ellos cantan canciones bonitas durante la fiesta"),
+      ("es", "esta tarde vamos a nadar en la piscina del barrio"),
+      ("zh", "今天天气很好")
+    ).zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+      .toDF("doc_id", "truth", "text")
+    val scored = fixture.select(col("truth"),
+      TextAnalysis.predLangExpr(col("text")).as("marker"),
+      TextAnalysis.predLangNgramExpr(col("text")).as("ngram"))
+      .as[(String, String, String)].collect()
+    val markerAcc = scored.count(r => r._2 == r._1).toDouble / scored.length
+    val ngramAcc = scored.count(r => r._3 == r._1).toDouble / scored.length
+    assert(ngramAcc >= 0.9,
+      s"ngram accuracy $ngramAcc; misses: ${
+        scored.filter(r => r._3 != r._1).mkString("; ")}")
+    assert(ngramAcc > markerAcc,
+      s"ngram $ngramAcc must beat marker $markerAcc")
+    // the marker heuristic genuinely fails on the marker-free rows —
+    // the gap is real, not fixture slack
+    assert(markerAcc < 0.8, s"fixture too easy: marker acc $markerAcc")
+    // deterministic: a second evaluation agrees exactly
+    val again = fixture.select(
+      TextAnalysis.predLangNgramExpr(col("text"))).as[String].collect()
+    assert(again.toSeq == scored.map(_._3).toSeq)
+    // langIdNgram exposes the per-language scores the decision ranks
+    val cols = TextAnalysis.langIdNgram(
+      fixture.select(col("doc_id"), col("text"))).columns.toSeq
+    assert(cols == Seq("doc_id", "en_s", "de_s", "fr_s", "es_s",
+      "pred_lang"))
+  }
 }
