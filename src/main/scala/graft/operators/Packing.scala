@@ -39,10 +39,20 @@ object Packing {
     * nowhere. */
   def packSequences(docs: DataFrame, seqLen: Long,
                     counter: Column => Column = TextAnalysis.subtokenCount,
-                    bucketSize: Int = 4096): DataFrame = {
+                    bucketSize: Int = 4096): DataFrame =
+    packSequencesFromCounts(docs.select(col("doc_id"),
+      counter(col("text")).as("n_subtokens")), seqLen, bucketSize)
+
+  /** [[packSequences]] from a PRECOMPUTED (doc_id, n_subtokens) counts
+    * frame — same manifest, no text scan. The streaming read path:
+    * counting (the expensive text pass) streams per batch, the
+    * order-dependent running sum recomputes here over compact longs
+    * (~16 bytes/doc — a billion-doc corpus is one cheap job). */
+  def packSequencesFromCounts(counts: DataFrame, seqLen: Long,
+                              bucketSize: Int = 4096): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    val pre = TextAnalysis.packShards(docs, tokenBudget = seqLen,
-      bucketSize = bucketSize, counter = counter)
+    val pre = TextAnalysis.packShardsFromCounts(counts,
+      tokenBudget = seqLen, bucketSize = bucketSize)
     val st = pre.where(col("n_subtokens") > 0)
       .withColumn("_start", col("cum_subtokens") - col("n_subtokens"))
     st.withColumn("seq_id", explode(sequence(

@@ -326,16 +326,26 @@ object TextAnalysis {
     * rows on the driver-adjacent path — fine), never the corpus. */
   def packShards(docs: DataFrame, tokenBudget: Long,
                  bucketSize: Int = 4096,
-                 counter: Column => Column = subtokenCount): DataFrame = {
+                 counter: Column => Column = subtokenCount): DataFrame =
+    packShardsFromCounts(docs.select(col("doc_id"),
+      counter(col("text")).as("n_subtokens")), tokenBudget, bucketSize)
+
+  /** [[packShards]] from a PRECOMPUTED (doc_id, n_subtokens) counts
+    * frame — the path for callers that already materialized counts (the
+    * streaming packing surface commits per-batch count deltas and packs
+    * on read; see [[graft.streaming.StreamingIngest
+    * .readPackingManifest]]). Identical arithmetic, no text scan. */
+  def packShardsFromCounts(counts: DataFrame, tokenBudget: Long,
+                           bucketSize: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tokenBudget > 0 && bucketSize > 0)
-    // persisted: the (regex- or vocab-) token-count scan feeds BOTH the
-    // windowed branch and the totals aggregate — without this the
-    // dominant cost (the counting pass over all text) runs twice; the
+    // persisted: the counts scan feeds BOTH the windowed branch and the
+    // totals aggregate — without this the upstream cost (a counting pass
+    // over all text, when counts derive from one) runs twice; the
     // persisted projection is (doc_id, count, bucket) longs only,
-    // ~1000× smaller than the text it derives from
-    val d = docs.select(col("doc_id"),
-        counter(col("text")).as("n_subtokens"))
+    // ~1000× smaller than any text it derives from
+    val d = counts.select(col("doc_id"),
+        col("n_subtokens").cast("long").as("n_subtokens"))
       .withColumn("_b",
         expr(s"CAST(doc_id AS BIGINT) div $bucketSize"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

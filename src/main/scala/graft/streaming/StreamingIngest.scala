@@ -713,6 +713,76 @@ object StreamingIngest {
         .orderBy(desc("priority"), col(idCol)).limit(k)
   }
 
+  /** Maintain the TRAINING-SEQUENCE PACKING inputs (q102's manifest)
+    * over a document stream — closing the last batch-vs-stream
+    * asymmetry: [[graft.operators.Packing.packSequences]]' global
+    * running sum is ORDER-dependent and not per-batch mergeable (a
+    * late-arriving smaller doc_id shifts every later span), so the
+    * streamed state is the per-doc TOKEN COUNT frame — stateless per
+    * row, the expensive text pass — committed per batch as a
+    * (doc_id, n_subtokens) delta under `batch=<id>` behind the staged
+    * rename (replayed ids no-op, crash litter absorbed). The live
+    * manifest derives on read ([[readPackingManifest]]) by re-running
+    * the two-stage running sum over the committed counts: bit-equal to
+    * batch packSequences over every ingested doc (spec-gated), at a
+    * read cost bounded by the counts frame (~16 bytes/doc — a
+    * billion-doc corpus is one cheap job), never a text re-scan.
+    * Single-writer assumption, as with the store. */
+  def streamingPackingCounts(stream: DataFrame, countsPath: String,
+                             checkpoint: String,
+                             counter: org.apache.spark.sql.Column =>
+                               org.apache.spark.sql.Column =
+                               graft.operators.TextAnalysis.subtokenCount)
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processPackingBatch(batch, batchId, countsPath, counter)
+      }
+      .start()
+
+  /** One packing-counts micro-batch (exposed for replay/crash tests). */
+  private[graft] def processPackingBatch(batch: DataFrame, batchId: Long,
+                                         countsPath: String,
+                                         counter: org.apache.spark.sql
+                                           .Column => org.apache.spark.sql
+                                           .Column): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(s"$countsPath/batch=$batchId")
+    val fs = dst.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(dst)) return // committed: replayed batch is a no-op
+    val stg = new Path(s"$countsPath/_staging/b$batchId")
+    fs.delete(stg, true)
+    batch.select(col("doc_id"),
+        counter(col("text")).cast("long").as("n_subtokens"))
+      .write.mode("overwrite").parquet(stg.toString)
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(stg, dst))
+      sys.error(s"packing commit rename failed: $stg -> $dst")
+  }
+
+  /** The live packing manifest over everything ingested so far: the
+    * q102 (doc_id, seq_id, tok_from, tok_to, pos_in_seq) rows derived
+    * from the committed counts with
+    * [[graft.operators.Packing.packSequencesFromCounts]] — identical to
+    * a batch [[graft.operators.Packing.packSequences]] over the full
+    * ingested prefix. Empty (correct schema) before the first commit. */
+  def readPackingManifest(spark: org.apache.spark.sql.SparkSession,
+                          countsPath: String, seqLen: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(countsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasCommits = fs.exists(root) && fs.listStatus(root)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+    import spark.implicits._
+    val counts =
+      if (!hasCommits) Seq.empty[(Long, Long)].toDF("doc_id", "n_subtokens")
+      else spark.read.parquet(countsPath).select("doc_id", "n_subtokens")
+    graft.operators.Packing.packSequencesFromCounts(counts, seqLen)
+  }
+
   /** Maintained streaming BM25 postings index — the live lexical search
     * index over a document stream, beside the maintained CMS/sample.
     * Each micro-batch commits its documents' postings rows

@@ -80,4 +80,54 @@ class CkptSpec extends SparkSpec {
     assert(a == b)
     assert(a._1.nonEmpty && a._2.nonEmpty)
   }
+
+  /** Destroy every cached block in the context — the observable state an
+    * executor loss leaves behind for non-replicated localCheckpoint
+    * blocks (local mode cannot lose a remote executor, but the block
+    * store going away IS the failure: LocalCheckpointRDD has no lineage
+    * to recompute from, so a missing block is terminal by design). */
+  private def loseAllCachedBlocks(): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+
+  test("FAULT INJECTION: after total cached-block loss a reliable-mode " +
+    "pyramid still serves (checkpoint-dir files), identical results; " +
+    "local mode fails with the missing-checkpoint-block error") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog every single day"),
+      (2L, "completely unrelated text with no repeats at all here"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again")
+    ).toDF("doc_id", "text")
+    val edges = Seq[(Long, Long)]((1L, 2L), (2L, 3L), (3L, 1L), (1L, 9L),
+      (9L, 3L), (4L, 1L), (4L, 2L)).toDF("src", "dst")
+    val sc = spark.sparkContext
+
+    // --- local mode: the pyramid's frames die with their blocks ---
+    val localRanks = SuffixArray.suffixRanks(docs, levels = 4)
+    assert(localRanks.count() > 0) // healthy while blocks live
+    loseAllCachedBlocks()
+    val e = intercept[Exception](localRanks.count())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("Checkpoint block") ||
+      m.contains("block")), s"unexpected failure: $e")
+
+    // --- reliable mode: the q96 and q100 shapes survive the same loss ---
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(java.nio.file.Files
+        .createTempDirectory("graft_ckpt_fault").toString)
+    spark.conf.set(Ckpt.ReliableKey, "true")
+    try {
+      val relRanks = SuffixArray.suffixRanks(docs, levels = 4)
+      val ranksBefore = sortedRows(relRanks)
+      val relPr = Graph.pageRank(edges, iters = 6)
+      val prBefore = sortedRows(relPr)
+      loseAllCachedBlocks()
+      assert(sortedRows(relRanks) == ranksBefore) // served from the dir
+      assert(sortedRows(relPr) == prBefore)
+      // and downstream consumers of the survived frames keep working
+      loseAllCachedBlocks()
+      assert(relRanks.groupBy("doc_id").count().count() == 4)
+    } finally spark.conf.unset(Ckpt.ReliableKey)
+  }
 }

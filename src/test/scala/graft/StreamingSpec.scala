@@ -730,6 +730,59 @@ class StreamingSpec extends SparkSpec {
     assert(live.map(_._7) != drift.map(_._7)) // content does not
   }
 
+  test("streaming packing: committed count deltas derive the EXACT batch " +
+    "packSequences manifest of the ingested prefix; replayed and crashed " +
+    "batches absorbed; late smaller ids handled (read-side recompute)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Packing
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pack").toString
+    val pPath = s"$dir/counts"
+    // before any commit: empty manifest, correct q102 schema
+    val empty = StreamingIngest.readPackingManifest(spark, pPath, 8L)
+    assert(empty.count() == 0 && empty.columns.toSeq ==
+      Seq("doc_id", "seq_id", "tok_from", "tok_to", "pos_in_seq"))
+    val a = Seq((10L, "a b c d e"), (12L, "f g h i j k l"),
+      (14L, "m n o"))
+    // batch 2 arrives with SMALLER ids than batch 1 — the case that
+    // breaks any per-batch-mergeable packing state and forces the
+    // read-side recompute design
+    val b = Seq((1L, "p q r s t u"), (11L, "v w"))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.streamingPackingCounts(
+      stream.toDF().toDF("doc_id", "text"), pPath, s"$dir/ckpt")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Long)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    try {
+      stream.addData(a: _*); q.processAllAvailable()
+      // mid-stream prefix parity (first batch only)
+      assert(rows(StreamingIngest.readPackingManifest(spark, pPath, 8L)) ==
+        rows(Packing.packSequences(a.toDF("doc_id", "text"), 8L)))
+      stream.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    val batchEquiv = Packing.packSequences(
+      (a ++ b).toDF("doc_id", "text"), 8L)
+    assert(rows(StreamingIngest.readPackingManifest(spark, pPath, 8L)) ==
+      rows(batchEquiv))
+    // replayed micro-batch (same id, different data) is a no-op
+    StreamingIngest.processPackingBatch(
+      Seq((99L, "junk junk junk")).toDF("doc_id", "text"), 0L, pPath,
+      graft.operators.TextAnalysis.subtokenCount)
+    assert(rows(StreamingIngest.readPackingManifest(spark, pPath, 8L)) ==
+      rows(batchEquiv))
+    // crash litter in staging is absorbed by the replay
+    val litter = new java.io.File(s"$pPath/_staging/b7/part-junk")
+    litter.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(litter.toPath, "partial")
+    StreamingIngest.processPackingBatch(
+      Seq((20L, "x y z")).toDF("doc_id", "text"), 7L, pPath,
+      graft.operators.TextAnalysis.subtokenCount)
+    assert(rows(StreamingIngest.readPackingManifest(spark, pPath, 8L)) ==
+      rows(Packing.packSequences(
+        (a ++ b :+ ((20L, "x y z"))).toDF("doc_id", "text"), 8L)))
+  }
+
   test("maintained postings index: streamed deltas union to the batch " +
     "build; BM25 over the live index equals the batch search") {
     implicit val sqlCtx = spark.sqlContext
