@@ -442,20 +442,23 @@ class ApiSpec extends SparkSpec {
     val fleet = (0 until 24).map(i => (f"c$i%02d", ts(1), fleetVec(i)))
     db.addVersions(fleet.toDF("content_id", "ts", "embedding"))
     val sc = spark.sparkContext
-    val baseline = sc.getPersistentRDDs.size
+    // track the SPECIFIC RDD ids this facade pins (global counts race
+    // with the async ContextCleaner reaping earlier suites' dead frames)
+    val baseline = sc.getPersistentRDDs.keySet
     // build all three maintained indexes, persist them for the reload leg
     db.cacheBases(); db.cacheLatest(); db.cachePqIndex(nCells = 4)
     db.persistIndexes()
     val v5 = fleet(5)._3
     val before = db.searchLatestVersionsPq(v5, k = 3, refine = 8)
       .select("rank", "id", "sim").as[(Int, String, Double)].collect().toSeq
-    assert(sc.getPersistentRDDs.size >= baseline + 3,
+    val pinned = sc.getPersistentRDDs.keySet -- baseline
+    assert(pinned.size >= 3,
       "expected >=3 pinned index frames while the facade is open")
 
     db.close()
     // executor storage freed: every block this facade pinned is gone
-    assert(sc.getPersistentRDDs.size <= baseline,
-      s"close() left pinned RDDs: ${sc.getPersistentRDDs.size} > $baseline")
+    val leftover = sc.getPersistentRDDs.keySet.intersect(pinned)
+    assert(leftover.isEmpty, s"close() left pinned RDDs: $leftover")
     db.close() // idempotent
 
     // the closed facade stays usable: loadIndexes restores the persisted

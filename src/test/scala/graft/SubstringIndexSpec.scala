@@ -66,6 +66,14 @@ class SubstringIndexSpec extends SparkSpec {
       .where(col("doc_id") === 5L).count() == 0)
   }
 
+  test("windowKeys plans MAP-ONLY: tokenize, slide, hash in one " +
+    "projection — no exchange anywhere") {
+    val plan = SubstringIndex.windowKeys(baseDocs, W)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Sort"), plan)
+  }
+
   test("extendIndex(buildIndex(base), batch) == buildIndex(base ∪ batch)") {
     def rows(df: DataFrame): Set[(Long, Long, Long, Long, Long)] =
       df.select(col("k1"), col("k2"), col("keep.doc_id"), col("keep.pos"),
