@@ -1424,4 +1424,79 @@ object Dedup {
         "left_anti")
     }
   }
+
+  /** EXACT edit-distance-≤1 near-pairs over short keys via symmetric
+    * single-deletion signatures (the SymSpell blocking scheme,
+    * Garbe 2012 — public algorithm): each distinct key emits itself
+    * plus every single-character-deletion variant, and any two keys
+    * within Levenshtein distance 1 provably share a variant —
+    * substitution at position p ⇒ both sides' p-deletions coincide;
+    * insertion/deletion ⇒ the longer side's deletion equals the
+    * shorter side itself. So the variant equi-join is a COMPLETE
+    * candidate generator (no recall loss, unlike LSH banding) and
+    * `levenshtein` verification only discards false candidates.
+    *
+    * Scale shape: identical-key mass collapses FIRST (one row per
+    * distinct key, rep = min id, cnt carried — the same
+    * collapse-before-banding discipline as [[nearDupPairs]], so a
+    * million byte-identical titles cost one variant set, not 10^12
+    * candidate pairs); variant emission is map-only and linear in
+    * Σ key-length; the join keys are 56-bit md5 hashes of variants
+    * (16-byte shuffle rows, never the strings — hash collisions are
+    * harmless, the levenshtein check re-verifies on the carried keys);
+    * candidate cost is Σ variant-bucket², bounded by how many DISTINCT
+    * keys sit within distance 1 of each other — the near-dup structure
+    * itself, not corpus size.
+    *
+    * Keys are expected SHORT (titles, prefixes, normalized names —
+    * ≤ ~64 chars); `maxKeyLen` fails loudly on longer keys rather than
+    * silently emitting quadratic variant volume. Only distance ≤ 1 is
+    * supported: the deletion-signature family needs ≤d-deletion
+    * variant sets for distance d (combinatorial in d), and d=1 is the
+    * near-dup sweet spot for short keys.
+    *
+    * Output: one row per unordered pair of DISTINCT keys within
+    * distance 1 — (rep_a, rep_b, key_a, key_b, cnt_a, cnt_b, dist),
+    * rep_a < rep_b. Feed into [[connectedComponents]] for canonical
+    * key clusters. The reference has no fuzzy-string machinery (its
+    * dedup surface is vector-level; see reference storage_engine.py) —
+    * training-data-pipeline tier. */
+  def fuzzyKeyPairs(df: DataFrame, keyCol: String = "key",
+                    idCol: String = "doc_id",
+                    maxKeyLen: Int = 64): DataFrame = {
+    require(maxKeyLen >= 1 && maxKeyLen <= 1024,
+      s"maxKeyLen out of range: $maxKeyLen")
+    val lenGuard = when(length(col(keyCol)) > maxKeyLen,
+      raise_error(concat(lit("fuzzyKeyPairs: key length "),
+        length(col(keyCol)),
+        lit(s" exceeds maxKeyLen $maxKeyLen — long keys make the " +
+          "single-deletion variant set quadratic; truncate or hash " +
+          "upstream")))).otherwise(col(keyCol))
+    val keys = df.where(length(col(keyCol)) > 0)
+      .groupBy(lenGuard.as("key"))
+      .agg(min(col(idCol).cast("long")).as("rep"),
+        count(lit(1)).as("cnt"))
+    // identity + each single-deletion variant; array_distinct because a
+    // run of equal chars yields the same deletion string from every
+    // position in the run
+    val variants = keys.select(col("rep"), col("key"), col("cnt"),
+      explode(array_distinct(concat(array(col("key")),
+        transform(sequence(lit(1), length(col("key"))),
+          i => concat(col("key").substr(lit(1), i - 1),
+            col("key").substr(i + 1, length(col("key")) - i))))))
+        .as("_var"))
+      .select(col("rep"), col("key"), col("cnt"),
+        md5Long(col("_var")).as("_vh"))
+    val a = variants.select(col("_vh"), col("rep").as("rep_a"),
+      col("key").as("key_a"), col("cnt").as("cnt_a"))
+    val b = variants.select(col("_vh"), col("rep").as("rep_b"),
+      col("key").as("key_b"), col("cnt").as("cnt_b"))
+    a.join(b, Seq("_vh"))
+      .where(col("rep_a") < col("rep_b"))
+      .select("rep_a", "rep_b", "key_a", "key_b", "cnt_a", "cnt_b")
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("key_a"), col("key_b")).cast("long"))
+      .where(col("dist") <= 1L)
+  }
 }

@@ -100,6 +100,32 @@ object SubstringIndex {
       .agg(min(struct(col("doc_id"), col("pos"))).as("keep"),
         count(lit(1)).as("occ"))
 
+  /** Dedup a corpus straight from a prebuilt [[buildIndex]] /
+    * [[extendIndex]] / merged-streaming-partial index over EXACTLY that
+    * corpus — output-identical to [[SuffixArray.substringDeduped]]
+    * (spec-gated; the declared query shares q101's rank-formulation
+    * oracle) without re-paying the per-key aggregation: the corpus'
+    * windows re-derive map-only and equi-join the index's
+    * duplicated keys (occ ≥ 2) for their canonical flags, then the
+    * shared veto-rebuild tail runs. This is what a deployment holding
+    * the maintained index (e.g. the streaming-committed partials,
+    * [[graft.streaming.StreamingIngest.readSubstringIndex]]) runs at
+    * dedup time — the expensive key aggregation already happened at
+    * ingest. */
+  def dedupeWithIndex(docs: DataFrame, index: DataFrame, window: Int,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    checkWindow(window)
+    val d = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("string").as("text"))
+    val flags = windowKeys(d, window, "doc_id", "text")
+      .join(index.where(col("occ") >= 2L), KeyCols)
+      .select(col("doc_id"), col("pos"),
+        (col("doc_id") === col("keep.doc_id") &&
+          col("pos") === col("keep.pos")).as("_canon"))
+    SuffixArray.rebuildWithVeto(d, flags, window)
+  }
+
   /** Extend a persisted index with an appended batch — the artifact for
     * the NEXT append round: full-outer key merge, keep = least of the
     * two sides' minima, occ = sum. Equals [[buildIndex]] over the union

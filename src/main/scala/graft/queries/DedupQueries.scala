@@ -43,6 +43,30 @@ object DedupQueries {
     }
   }
 
+  /** Short normalized "title" keys with deterministic fuzz tiers for the
+    * symmetric-delete join (q113/q114): key = trimmed first 24 chars of
+    * the ASCII-normalized text (strip non-[A-Za-z0-9 ] BEFORE lowering —
+    * DuckDB's `levenshtein` is byte-based, so oracle parity needs pure
+    * ASCII keys); the +30000 tier substitutes one key char with 'z', the
+    * +40000 tier deletes one key char — both at position
+    * p = doc_id % 12 + 2, replayed verbatim in the oracle CTE. */
+  def fuzzKeys(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      trim(substring(lower(regexp_replace(col("text"),
+        "[^A-Za-z0-9 ]", "")), 1, 24)).as("key"))
+    val p = pmod(col("doc_id"), lit(12)) + 2
+    base
+      .unionByName(base.where(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat(col("key").substr(lit(1), p - 1), lit("z"),
+            col("key").substr(p + 1, length(col("key")))).as("key")))
+      .unionByName(base.where(pmod(col("doc_id"), lit(15)) === 0)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(col("key").substr(lit(1), p - 1),
+            col("key").substr(p + 1, length(col("key")))).as("key")))
+      .transform(par)
+  }
+
   /** Deterministic 32×32 grayscale PPM payloads for the image-dedup
     * queries (q69/q69b): pixel value a closed-form function of
     * (doc_id, x, y) — docs sharing doc_id % 25 are near-identical,
@@ -488,6 +512,30 @@ object DedupQueries {
       val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", tau = 0.5)
       Dedup.canonicalByQuality(docs, "doc_id", "margin_q", pairs)
         .orderBy("doc_id")
+    }),
+
+    // Q113: EXACT edit-distance-≤1 title pairs via symmetric single-
+    // deletion signatures (SymSpell blocking) — a COMPLETE candidate
+    // generator, unlike LSH banding: a substitution at p shares both
+    // sides' p-deletion variant, an insert/delete shares the longer
+    // side's deletion. The oracle replays variant generation with a
+    // lateral positions table and joins on the variant STRING; the
+    // engine joins on the variant's md5 (16-byte shuffle rows) —
+    // collisions only widen candidates, levenshtein verification makes
+    // the outputs identical.
+    "q113_fuzzy_key_pairs" -> ((s, d) =>
+      Dedup.fuzzyKeyPairs(fuzzKeys(s, d), "key", "doc_id")
+        .orderBy("rep_a", "rep_b")),
+
+    // Q114: canonical fuzzy-title clusters — connected components over
+    // the q113 pair graph (edges rep_a—rep_b), min-id labels; the
+    // dedup decision a curation pass acts on.
+    "q114_fuzzy_clusters" -> ((s, d) => {
+      val pairs = Dedup.fuzzyKeyPairs(fuzzKeys(s, d), "key", "doc_id")
+        .select(col("rep_a").as("id1"), col("rep_b").as("id2"))
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
     })
   )
 
@@ -674,6 +722,43 @@ object DedupQueries {
       |h AS MATERIALIZED (SELECT id,
       |    CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS sh
       |  FROM bits GROUP BY id)""".stripMargin
+
+  /** q113/q114 shared chain: [[fuzzKeys]] + distinct-key collapse +
+    * symmetric single-deletion variants + levenshtein-verified pairs.
+    * Joins on the variant string where the engine joins its md5 —
+    * hash collisions only widen the candidate set the verification
+    * filters, so outputs coincide. `regexp_replace(..., 'g')`: DuckDB
+    * defaults to first-occurrence replacement, Spark to global. */
+  private val fuzzPairsSql =
+    """base AS (
+      |  SELECT doc_id, trim(substr(lower(regexp_replace(text,
+      |    '[^A-Za-z0-9 ]', '', 'g')), 1, 24)) AS key FROM documents),
+      |fz AS (
+      |  SELECT doc_id, key FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 30000,
+      |    substr(key, 1, p - 1) || 'z' || substr(key, p + 1)
+      |  FROM (SELECT doc_id, key, doc_id % 12 + 2 AS p FROM base
+      |        WHERE doc_id % 10 = 0)
+      |  UNION ALL
+      |  SELECT doc_id + 40000, substr(key, 1, p - 1) || substr(key, p + 1)
+      |  FROM (SELECT doc_id, key, doc_id % 12 + 2 AS p FROM base
+      |        WHERE doc_id % 15 = 0)),
+      |ks AS (
+      |  SELECT key, min(doc_id) AS rep, count(*) AS cnt FROM fz
+      |  WHERE length(key) > 0 GROUP BY key),
+      |v AS (
+      |  SELECT rep, key, cnt, key AS var FROM ks
+      |  UNION ALL
+      |  SELECT rep, key, cnt,
+      |    substr(key, 1, i - 1) || substr(key, i + 1) AS var
+      |  FROM ks CROSS JOIN LATERAL
+      |    (SELECT unnest(range(1, length(key) + 1)) AS i) pos),
+      |fp AS (
+      |  SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b, a.key AS key_a,
+      |    b.key AS key_b, a.cnt AS cnt_a, b.cnt AS cnt_b
+      |  FROM v a JOIN v b ON a.var = b.var AND a.rep < b.rep
+      |  WHERE levenshtein(a.key, b.key) <= 1)""".stripMargin
 
   /** DuckDB closure of the q23b pair graph — the shared q42/q42b oracle. */
   private lazy val ccClosureSql: String =
@@ -1068,6 +1153,26 @@ object DedupQueries {
     // propagation (reach(id, lab) = "lab reaches id"; symmetric edges make
     // reachability = component membership, min(lab) = the component id)
     "q42_dedup_components" -> ccClosureSql,
+
+    // q113: the symmetric-delete chain verbatim
+    "q113_fuzzy_key_pairs" ->
+      s"""WITH $fuzzPairsSql
+        |SELECT rep_a, rep_b, key_a, key_b, cnt_a, cnt_b,
+        |  CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
+        |FROM fp ORDER BY rep_a, rep_b""".stripMargin,
+
+    // q114: the q42-style recursive closure over the q113 pair graph
+    "q114_fuzzy_clusters" ->
+      s"""WITH RECURSIVE $fuzzPairsSql,
+        |e AS (SELECT rep_a AS s, rep_b AS t FROM fp
+        |      UNION SELECT rep_b, rep_a FROM fp),
+        |reach AS (
+        |  SELECT s AS id, s AS lab FROM e
+        |  UNION
+        |  SELECT e.t AS id, r.lab FROM reach r JOIN e ON e.s = r.id)
+        |SELECT CAST(id AS BIGINT) AS doc_id,
+        |  CAST(min(lab) AS BIGINT) AS component
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // q108: the q42 closure, representative = COALESCE(component, own
     // id), then the q82 ppm draw on the representative

@@ -135,6 +135,25 @@ object SuffixQueries {
       SubstringIndex.appendDeduped(
         baseDocs = base, baseDeduped = prior, index = index,
         newDocs = batch, window = MinLen).orderBy("doc_id")
+    }),
+
+    // Q115: dedup served straight FROM the maintained index — what a
+    // deployment holding the persisted/streamed index artifact runs at
+    // dedup time (graft.streaming.StreamingIngest.readSubstringIndex
+    // merges per-batch partials into exactly this index): window keys
+    // re-derive map-only and equi-join the index for canonical flags;
+    // no per-key aggregation pass. Same corpus as q101 and the SAME
+    // rank-formulation oracle — hash equality proves the content-keyed
+    // index path ≡ the suffix-rank path, again (q111 proved it for
+    // append; this is the read path).
+    "q115_substring_dedup_indexed" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val corpus = DedupQueries.augDocs(s, d)
+        .where(pmod(col("doc_id"), lit(5)) === 0)
+      val index = graft.operators.Ckpt.eager(
+        SubstringIndex.buildIndex(corpus, MinLen))
+      SubstringIndex.dedupeWithIndex(corpus, index, MinLen)
+        .orderBy("doc_id")
     })
   )
 
@@ -456,6 +475,9 @@ object SuffixQueries {
     "q96b_substring_contamination" -> contamSql(Levels),
     "q101_substring_removal" -> removalSql(MinLen),
     "q109_eval_decontaminated" -> evalRemovalSql(MinLen),
-    "q111_incremental_substring_dedup" -> incrementalSql(MinLen)
+    "q111_incremental_substring_dedup" -> incrementalSql(MinLen),
+    // q115 shares q101's from-scratch rank-formulation oracle: the
+    // indexed read path must produce the identical deduped corpus
+    "q115_substring_dedup_indexed" -> removalSql(MinLen)
   )
 }

@@ -851,6 +851,78 @@ object StreamingIngest {
       spark.read.parquet(postingsPath).drop("batch")
   }
 
+  /** Maintained streaming SUBSTRING-DEDUP index — the live counterpart
+    * of [[graft.operators.SubstringIndex.buildIndex]] over a document
+    * stream, completing the maintained-artifact family (postings, CMS,
+    * HLL, manifest, packing counts). Each micro-batch commits its own
+    * batch-local index — the per-key (k1, k2, keep, occ) PARTIAL
+    * aggregate, which holds the expensive text pass (window hashing) —
+    * as a delta under `batch=<id>` behind the staged rename (replayed
+    * ids no-op, crash litter absorbed). Because the index aggregation
+    * is commutative-associative (keep = min of minima, occ = sum of
+    * counts), the live index derives on read
+    * ([[readSubstringIndex]]) by ONE re-aggregation over the committed
+    * partials — bit-equal to a batch `buildIndex` over every ingested
+    * document (spec-gated), at a read cost bounded by the partials
+    * (~32 bytes/window-key), never a text re-scan. Dedup of the
+    * ingested corpus then runs straight off the merged index via
+    * [[graft.operators.SubstringIndex.dedupeWithIndex]]. Single-writer
+    * assumption, as with the store; same single-ingest contract as
+    * postings (re-ingesting a doc_id would double-count its windows).
+    */
+  def streamingSubstringIndex(stream: DataFrame, indexPath: String,
+                              checkpoint: String,
+                              window: Int): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processSubstringBatch(batch, batchId, indexPath, window)
+      }
+      .start()
+
+  /** One substring-index micro-batch (exposed for replay/crash tests). */
+  private[graft] def processSubstringBatch(batch: DataFrame, batchId: Long,
+                                           indexPath: String,
+                                           window: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(s"$indexPath/batch=$batchId")
+    val fs = dst.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(dst)) return // committed: replayed batch is a no-op
+    val stg = new Path(s"$indexPath/_staging/b$batchId")
+    fs.delete(stg, true) // crashed earlier attempt's litter
+    graft.operators.SubstringIndex.buildIndex(batch, window)
+      .write.mode("overwrite").parquet(stg.toString)
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(stg, dst))
+      sys.error(s"substring-index commit rename failed: $stg -> $dst")
+  }
+
+  /** The live substring index: committed per-batch partials merged by
+    * the index's own associative aggregation (keep = least of the
+    * batch minima, occ = summed counts) — equal to
+    * [[graft.operators.SubstringIndex.buildIndex]] over the full
+    * ingested prefix EXACTLY. Empty (correct schema) before the first
+    * commit. */
+  def readSubstringIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, window: Int): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasCommits = fs.exists(root) && fs.listStatus(root)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+    if (!hasCommits) {
+      // schema DERIVED from an empty index build (no jobs run)
+      import spark.implicits._
+      graft.operators.SubstringIndex.buildIndex(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), window)
+    } else
+      spark.read.parquet(indexPath).drop("batch")
+        .groupBy("k1", "k2")
+        .agg(min(col("keep")).as("keep"), sum(col("occ")).as("occ"))
+  }
+
   /** Ingest-time duplicate guard for MEDIA payloads — the modality
     * counterpart of [[streamingNearDupGuard]]: drop (default) or keep
     * (`invert`) stream rows whose 56-bit perceptual fingerprint lands

@@ -737,4 +737,43 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("fuzzyKeyPairs: COMPLETE distance-≤1 pairs (brute-force parity), " +
+    "identical-key collapse carries counts, long keys fail loudly") {
+    val keys = Seq(
+      (1L, "apple pie"), (2L, "apple pi"), (3L, "apply pie"),
+      (4L, "apple pies"), (5L, "banana"), (6L, "bananna"), (7L, "banan"),
+      (8L, "orange"), (9L, "apple pie"), (10L, "apple pie"),
+      (11L, "grape"), (12L, "grappe"), (13L, "xapple pie"), (14L, "")
+    ).toDF("doc_id", "key")
+    val got = Dedup.fuzzyKeyPairs(keys, "key", "doc_id")
+    // completeness: the SymSpell variant join must recover EXACTLY the
+    // brute-force cross-join's verified pairs — no recall loss is the
+    // whole claim (vs LSH banding)
+    val t = keys.where(length(col("key")) > 0)
+      .groupBy("key").agg(min(col("doc_id")).as("rep"))
+    val brute = t.as("a").crossJoin(t.as("b"))
+      .where(col("a.rep") < col("b.rep") &&
+        levenshtein(col("a.key"), col("b.key")) <= 1)
+      .select(col("a.rep"), col("b.rep"),
+        levenshtein(col("a.key"), col("b.key")).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.select("rep_a", "rep_b", "dist")
+      .as[(Long, Long, Long)].collect().toSet == brute)
+    assert(brute.nonEmpty) // fixture sanity: sub/ins/del all represented
+    // identical-key collapse: "apple pie" ×3 (ids 1, 9, 10) is ONE
+    // distinct key, rep 1, cnt 3 on every pair it participates in
+    val cnts = got.where(col("rep_a") === 1L)
+      .select("cnt_a").distinct().as[Long].collect().toSeq
+    assert(cnts == Seq(3L))
+    // dist-0 pairs cannot exist: identical keys collapsed upstream
+    assert(got.where(col("dist") === 0L).count() == 0)
+    // oversized keys fail loudly instead of emitting quadratic variants
+    val boom = intercept[Exception] {
+      Dedup.fuzzyKeyPairs(
+        Seq((1L, "this key is far too long")).toDF("doc_id", "key"),
+        "key", "doc_id", maxKeyLen = 8).count()
+    }
+    assert(boom.getMessage != null)
+  }
 }

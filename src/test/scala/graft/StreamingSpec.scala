@@ -783,6 +783,66 @@ class StreamingSpec extends SparkSpec {
         (a ++ b :+ ((20L, "x y z"))).toDF("doc_id", "text"), 8L)))
   }
 
+  test("maintained substring index: streamed per-batch partials merge to " +
+    "the EXACT batch buildIndex (order-insensitive — late smaller ids " +
+    "fine); dedup served from the live index equals from-scratch; " +
+    "replay/crash absorbed") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{SubstringIndex, SuffixArray}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ssidx").toString
+    val iPath = s"$dir/ssindex"
+    val W = 3
+    // before any commit: empty index, correct (k1, k2, keep, occ) schema
+    val empty = StreamingIngest.readSubstringIndex(spark, iPath, W)
+    assert(empty.count() == 0 &&
+      empty.columns.toSeq == Seq("k1", "k2", "keep", "occ"))
+    val a = Seq((5L, "a b c d e f"), (9L, "x y z"), (6L, "a b c q r"))
+    // batch 2 arrives with SMALLER ids AND re-duplicates batch 1's
+    // windows — unlike the append path, the index merge is a pure
+    // min/sum aggregation, so out-of-order ids must still yield the
+    // exact batch build (keep = global least (doc_id, pos))
+    val b = Seq((1L, "p a b c d w"), (7L, "x y z"))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.streamingSubstringIndex(
+      stream.toDF().toDF("doc_id", "text"), iPath, s"$dir/ckpt", W)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k1"), col("k2"), col("keep.doc_id"),
+          col("keep.pos"), col("occ"))
+        .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    try {
+      stream.addData(a: _*); q.processAllAvailable()
+      // mid-stream prefix parity (first batch only)
+      assert(rows(StreamingIngest.readSubstringIndex(spark, iPath, W)) ==
+        rows(SubstringIndex.buildIndex(a.toDF("doc_id", "text"), W)))
+      stream.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    val union = (a ++ b).toDF("doc_id", "text")
+    val live = StreamingIngest.readSubstringIndex(spark, iPath, W)
+    assert(rows(live) == rows(SubstringIndex.buildIndex(union, W)))
+    // dedup of the ingested corpus served straight FROM the live index
+    // (the read path a deployment runs) == from-scratch substringDeduped
+    def ded(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "text", "n_tokens_before", "n_tokens_after")
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(ded(SubstringIndex.dedupeWithIndex(union, live, W)) ==
+      ded(SuffixArray.substringDeduped(union, W)))
+    // replayed micro-batch (same id, different data) is a no-op
+    StreamingIngest.processSubstringBatch(
+      Seq((99L, "j j j j")).toDF("doc_id", "text"), 0L, iPath, W)
+    assert(rows(StreamingIngest.readSubstringIndex(spark, iPath, W)) ==
+      rows(SubstringIndex.buildIndex(union, W)))
+    // crash litter in staging is absorbed by the replay
+    val litter = new java.io.File(s"$iPath/_staging/b7/part-junk")
+    litter.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(litter.toPath, "partial")
+    StreamingIngest.processSubstringBatch(
+      Seq((20L, "a b c")).toDF("doc_id", "text"), 7L, iPath, W)
+    val unionExtra = (a ++ b :+ ((20L, "a b c"))).toDF("doc_id", "text")
+    assert(rows(StreamingIngest.readSubstringIndex(spark, iPath, W)) ==
+      rows(SubstringIndex.buildIndex(unionExtra, W)))
+  }
+
   test("maintained postings index: streamed deltas union to the batch " +
     "build; BM25 over the live index equals the batch search") {
     implicit val sqlCtx = spark.sqlContext

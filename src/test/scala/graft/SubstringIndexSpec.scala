@@ -163,4 +163,20 @@ class SubstringIndexSpec extends SparkSpec {
       union1.unionByName(batch2), W)
     assert(collectOut(incr2) == collectOut(scratch2))
   }
+
+  test("dedupeWithIndex: dedup served FROM a prebuilt index equals " +
+    "from-scratch substringDeduped — on the base corpus, and on the " +
+    "union via an extended index") {
+    val fromIndex = SubstringIndex.dedupeWithIndex(
+      baseDocs, SubstringIndex.buildIndex(baseDocs, W), W)
+    assert(collectOut(fromIndex) ==
+      collectOut(SuffixArray.substringDeduped(baseDocs, W)))
+    // the read path also composes with extendIndex (the maintained
+    // artifact after an append) — same identity on the union
+    val union = baseDocs.unionByName(newDocs)
+    val extended = SubstringIndex.extendIndex(
+      SubstringIndex.buildIndex(baseDocs, W), newDocs, W)
+    assert(collectOut(SubstringIndex.dedupeWithIndex(union, extended, W))
+      == collectOut(SuffixArray.substringDeduped(union, W)))
+  }
 }
