@@ -713,6 +713,120 @@ object StreamingIngest {
         .orderBy(desc("priority"), col(idCol)).limit(k)
   }
 
+  // ---- delta-store compaction (shared by the row-state maintained
+  // artifacts: postings, packing counts, substring index) ----
+  //
+  // A months-long streaming job commits one `batch=<id>` directory per
+  // micro-batch; at cluster scale the artifact root accumulates
+  // thousands of small deltas and every read pays the listing + footer
+  // cost. Compaction rewrites the committed prefix as ONE
+  // `compacted_<M>` generation, marked by an append-only
+  // `_compacted/through=<M>` marker file (the atomic commit point —
+  // created with overwrite=false, highest marker wins, no
+  // delete-then-rename window). Readers resolve: latest marked
+  // generation + the batch deltas ABOVE it; writers treat any
+  // batchId ≤ M as already-committed even after its directory is
+  // pruned, so a replayed micro-batch can never re-commit compacted
+  // data. Crash anywhere: an unmarked `compacted_*` directory is
+  // invisible litter the next compaction overwrites; a marked
+  // generation with unpruned old deltas double-EXISTS but readers
+  // never union them (ids ≤ M are excluded), and the next compaction
+  // prunes them. Single-writer per artifact root, the store-wide
+  // contract (compaction runs in the maintenance window, not
+  // concurrently with the stream's commit of a NEW delta).
+
+  private[graft] def compactedThrough(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Long = {
+    val dir = new org.apache.hadoop.fs.Path(root, "_compacted")
+    if (!fs.exists(dir)) -1L
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("through="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("through=").toLong)
+        .toOption)
+      .foldLeft(-1L)(math.max)
+  }
+
+  private def committedBatchIds(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix("batch=").toLong).toOption)
+
+  /** The directories a reader unions: the latest marked compacted
+    * generation (if any) plus every committed delta above it. Empty =
+    * nothing ingested yet. */
+  private[graft] def deltaSources(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = compactedThrough(fs, root)
+    val gen = if (m >= 0) Seq(s"$path/compacted_$m") else Nil
+    gen ++ committedBatchIds(fs, root).filter(_ > m).sorted
+      .map(i => s"$path/batch=$i")
+  }
+
+  /** True when this batch id must NOT be (re-)committed: its delta
+    * directory exists, or it is covered by a compacted generation
+    * (whose delta directories may already be pruned). */
+  private[graft] def alreadyCommitted(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path, batchId: Long): Boolean =
+    fs.exists(dst) || batchId <= compactedThrough(fs, root)
+
+  /** Compact an artifact root: rewrite [latest generation + committed
+    * deltas] as one `compacted_<M>` generation, mark it, prune the
+    * absorbed directories. `merge` pre-aggregates the generation where
+    * the artifact supports it (the substring index's min/sum — shrinks
+    * the stored generation to one row per key); identity for pure
+    * row-state artifacts (postings, packing counts). Returns the new
+    * (or unchanged) compacted-through id; -1 when nothing is committed
+    * yet. */
+  def compactDeltas(spark: org.apache.spark.sql.SparkSession,
+                    path: String,
+                    merge: DataFrame => DataFrame = identity): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m0 = compactedThrough(fs, root)
+    val ids = committedBatchIds(fs, root).filter(_ > m0)
+    if (ids.isEmpty) return m0 // nothing new to absorb
+    val m = ids.max
+    val srcs = deltaSources(spark, path)
+    val stg = new org.apache.hadoop.fs.Path(s"$path/_staging/compact_$m")
+    fs.delete(stg, true) // a crashed earlier attempt's litter
+    merge(spark.read.parquet(srcs: _*).drop("batch"))
+      .write.mode("overwrite").parquet(stg.toString)
+    val dst = new org.apache.hadoop.fs.Path(s"$path/compacted_$m")
+    fs.delete(dst, true) // unmarked litter from a crash after rename
+    if (!fs.rename(stg, dst))
+      sys.error(s"compaction rename failed: $stg -> $dst")
+    // the commit point: append-only marker, highest wins
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$path/_compacted/through=$m")
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, false).close()
+    // prune absorbed directories (crash-safe: readers already exclude
+    // them via the marker; a partial prune is finished next time)
+    ids.foreach(i => fs.delete(
+      new org.apache.hadoop.fs.Path(s"$path/batch=$i"), true))
+    if (m0 >= 0)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/compacted_$m0"), true)
+    m
+  }
+
+  /** [[compactDeltas]] for the maintained substring index: the
+    * generation stores the MERGED index (one row per window key), so
+    * read-time aggregation shrinks to [new deltas + merged rows]. */
+  def compactSubstringIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Long =
+    compactDeltas(spark, path, df => df.groupBy("k1", "k2")
+      .agg(min(col("keep")).as("keep"), sum(col("occ")).as("occ")))
+
   /** Maintain the TRAINING-SEQUENCE PACKING inputs (q102's manifest)
     * over a document stream — closing the last batch-vs-stream
     * asymmetry: [[graft.operators.Packing.packSequences]]' global
@@ -752,7 +866,8 @@ object StreamingIngest {
     val dst = new Path(s"$countsPath/batch=$batchId")
     val fs = dst.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(dst)) return // committed: replayed batch is a no-op
+    // committed (directly or via a compacted generation): replay no-ops
+    if (alreadyCommitted(fs, new Path(countsPath), dst, batchId)) return
     val stg = new Path(s"$countsPath/_staging/b$batchId")
     fs.delete(stg, true)
     batch.select(col("doc_id"),
@@ -771,15 +886,11 @@ object StreamingIngest {
     * ingested prefix. Empty (correct schema) before the first commit. */
   def readPackingManifest(spark: org.apache.spark.sql.SparkSession,
                           countsPath: String, seqLen: Long): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(countsPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasCommits = fs.exists(root) && fs.listStatus(root)
-      .exists(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+    val srcs = deltaSources(spark, countsPath)
     import spark.implicits._
     val counts =
-      if (!hasCommits) Seq.empty[(Long, Long)].toDF("doc_id", "n_subtokens")
-      else spark.read.parquet(countsPath).select("doc_id", "n_subtokens")
+      if (srcs.isEmpty) Seq.empty[(Long, Long)].toDF("doc_id", "n_subtokens")
+      else spark.read.parquet(srcs: _*).select("doc_id", "n_subtokens")
     graft.operators.Packing.packSequencesFromCounts(counts, seqLen)
   }
 
@@ -818,7 +929,8 @@ object StreamingIngest {
     val dst = new Path(s"$postingsPath/batch=$batchId")
     val fs = dst.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(dst)) return // committed: replayed batch is a no-op
+    // committed (directly or via a compacted generation): replay no-ops
+    if (alreadyCommitted(fs, new Path(postingsPath), dst, batchId)) return
     val stg = new Path(s"$postingsPath/_staging/b$batchId")
     fs.delete(stg, true) // crashed earlier attempt's litter
     graft.operators.Retrieval.postings(batch)
@@ -837,18 +949,14 @@ object StreamingIngest {
     * of the union as one delta — the rows are the state. */
   def readPostings(spark: org.apache.spark.sql.SparkSession,
                    postingsPath: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(postingsPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasCommits = fs.exists(root) && fs.listStatus(root)
-      .exists(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-    if (!hasCommits) {
+    val srcs = deltaSources(spark, postingsPath)
+    if (srcs.isEmpty) {
       // schema DERIVED from an empty postings build (no jobs run)
       import spark.implicits._
       graft.operators.Retrieval.postings(
         Seq.empty[(Long, String)].toDF("doc_id", "text"))
     } else
-      spark.read.parquet(postingsPath).drop("batch")
+      spark.read.parquet(srcs: _*).drop("batch")
   }
 
   /** Maintained streaming SUBSTRING-DEDUP index — the live counterpart
@@ -889,7 +997,8 @@ object StreamingIngest {
     val dst = new Path(s"$indexPath/batch=$batchId")
     val fs = dst.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(dst)) return // committed: replayed batch is a no-op
+    // committed (directly or via a compacted generation): replay no-ops
+    if (alreadyCommitted(fs, new Path(indexPath), dst, batchId)) return
     val stg = new Path(s"$indexPath/_staging/b$batchId")
     fs.delete(stg, true) // crashed earlier attempt's litter
     graft.operators.SubstringIndex.buildIndex(batch, window)
@@ -907,18 +1016,14 @@ object StreamingIngest {
     * commit. */
   def readSubstringIndex(spark: org.apache.spark.sql.SparkSession,
                          indexPath: String, window: Int): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(indexPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasCommits = fs.exists(root) && fs.listStatus(root)
-      .exists(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-    if (!hasCommits) {
+    val srcs = deltaSources(spark, indexPath)
+    if (srcs.isEmpty) {
       // schema DERIVED from an empty index build (no jobs run)
       import spark.implicits._
       graft.operators.SubstringIndex.buildIndex(
         Seq.empty[(Long, String)].toDF("doc_id", "text"), window)
     } else
-      spark.read.parquet(indexPath).drop("batch")
+      spark.read.parquet(srcs: _*).drop("batch")
         .groupBy("k1", "k2")
         .agg(min(col("keep")).as("keep"), sum(col("occ")).as("occ"))
   }

@@ -843,6 +843,92 @@ class StreamingSpec extends SparkSpec {
       rows(SubstringIndex.buildIndex(unionExtra, W)))
   }
 
+  test("delta compaction: one marked generation replaces the committed " +
+    "deltas; reads identical before/after; replayed batches <= M no-op " +
+    "even with their directories pruned; post-compaction deltas merge; " +
+    "second compaction absorbs them") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Retrieval, SubstringIndex}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-compact").toString
+
+    // ---- postings (pure row-state artifact) ----
+    val pPath = s"$dir/postings"
+    val a = Seq((1L, "a b a c")); val b = Seq((2L, "b d"))
+    val c = Seq((3L, "a a d d e"))
+    StreamingIngest.processPostingsBatch(a.toDF("doc_id", "text"), 0, pPath)
+    StreamingIngest.processPostingsBatch(b.toDF("doc_id", "text"), 1, pPath)
+    StreamingIngest.processPostingsBatch(c.toDF("doc_id", "text"), 2, pPath)
+    def prows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "dl", "term_key", "tf")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val want = prows(Retrieval.postings((a ++ b ++ c).toDF("doc_id", "text")))
+    assert(StreamingIngest.compactDeltas(spark, pPath) == 2L)
+    // the absorbed delta directories are gone; one marked generation
+    val fs = new org.apache.hadoop.fs.Path(pPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$pPath/batch=0")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$pPath/compacted_2")))
+    assert(prows(StreamingIngest.readPostings(spark, pPath)) == want)
+    // the critical replay property: batch 1's directory no longer
+    // exists, but its id is covered by the generation — re-committing
+    // (with junk data) must still no-op
+    StreamingIngest.processPostingsBatch(
+      Seq((99L, "junk")).toDF("doc_id", "text"), 1, pPath)
+    assert(prows(StreamingIngest.readPostings(spark, pPath)) == want)
+    // a NEW delta above the generation merges on read
+    val d = Seq((4L, "e f"))
+    StreamingIngest.processPostingsBatch(d.toDF("doc_id", "text"), 3, pPath)
+    val want2 = prows(Retrieval.postings(
+      (a ++ b ++ c ++ d).toDF("doc_id", "text")))
+    assert(prows(StreamingIngest.readPostings(spark, pPath)) == want2)
+    // second compaction absorbs it and prunes the old generation
+    assert(StreamingIngest.compactDeltas(spark, pPath) == 3L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$pPath/compacted_2")))
+    assert(prows(StreamingIngest.readPostings(spark, pPath)) == want2)
+    // compaction with nothing new is a no-op
+    assert(StreamingIngest.compactDeltas(spark, pPath) == 3L)
+
+    // ---- substring index (merged generation) ----
+    val iPath = s"$dir/ssindex"; val W = 3
+    val x = Seq((5L, "a b c d")); val y = Seq((2L, "p a b c"))
+    StreamingIngest.processSubstringBatch(x.toDF("doc_id", "text"), 0, iPath, W)
+    StreamingIngest.processSubstringBatch(y.toDF("doc_id", "text"), 1, iPath, W)
+    def irows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k1"), col("k2"), col("keep.doc_id"),
+          col("keep.pos"), col("occ"))
+        .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val iwant = irows(SubstringIndex.buildIndex(
+      (x ++ y).toDF("doc_id", "text"), W))
+    assert(StreamingIngest.compactSubstringIndex(spark, iPath) == 1L)
+    assert(irows(StreamingIngest.readSubstringIndex(spark, iPath, W)) ==
+      iwant)
+    // the generation is PRE-MERGED: one row per key on disk
+    val gen = spark.read.parquet(s"$iPath/compacted_1")
+    assert(gen.count() == gen.select("k1", "k2").distinct().count())
+    // a post-compaction delta still merges (occ sums across
+    // generation + delta)
+    StreamingIngest.processSubstringBatch(
+      Seq((9L, "a b c")).toDF("doc_id", "text"), 2, iPath, W)
+    assert(irows(StreamingIngest.readSubstringIndex(spark, iPath, W)) ==
+      irows(SubstringIndex.buildIndex(
+        (x ++ y :+ ((9L, "a b c"))).toDF("doc_id", "text"), W)))
+
+    // ---- packing counts ----
+    val cPath = s"$dir/counts"
+    StreamingIngest.processPackingBatch(
+      Seq((10L, "a b c d e")).toDF("doc_id", "text"), 0, cPath,
+      graft.operators.TextAnalysis.subtokenCount)
+    StreamingIngest.processPackingBatch(
+      Seq((11L, "f g h")).toDF("doc_id", "text"), 1, cPath,
+      graft.operators.TextAnalysis.subtokenCount)
+    val mWant = StreamingIngest.readPackingManifest(spark, cPath, 4L)
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(StreamingIngest.compactDeltas(spark, cPath) == 1L)
+    assert(StreamingIngest.readPackingManifest(spark, cPath, 4L)
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq == mWant)
+  }
+
   test("maintained postings index: streamed deltas union to the batch " +
     "build; BM25 over the live index equals the batch search") {
     implicit val sqlCtx = spark.sqlContext
