@@ -76,7 +76,69 @@ case class BpeMergeCountExpr(child: Expression,
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** MERGE-RANK BPE ENCODING — the actual token sequence
+  * [[BpeMergeCountExpr]] only counts: per whitespace pretoken, the same
+  * lowest-rank-leftmost merge loop, emitting the final symbols joined by
+  * single spaces (symbols never contain whitespace — pretokens are
+  * whitespace-split — so the join is unambiguous and the column is
+  * hash-comparable / splittable downstream). This is the artifact a
+  * training pipeline actually materializes (the sequences packing
+  * consumes), where the count is only its budget. Same map-only cost
+  * shape; q116's oracle extracts the identical terminal state from the
+  * q73 recursion. */
+case class BpeMergeTokensExpr(child: Expression,
+                              merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got $t")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "graft_bpe_merge_tokens"
+
+  @transient private lazy val compiled = new BpeMerges(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeMergeCountExpr.encode(compiled, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", compiled,
+      classOf[BpeMerges].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeMergeCountExpr.encode($ref, $c)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object BpeMergeCountExpr {
+
+  /** The full merged token sequence, space-joined ([[BpeMergeTokensExpr]]).
+    * Empty pretokens (empty/blank input) contribute nothing. */
+  def encode(m: BpeMerges, text: UTF8String): UTF8String = {
+    val words = SimHashExpr.trimSpaces(text.toString).split("\\s+", -1)
+    val sb = new java.lang.StringBuilder()
+    var w = 0
+    while (w < words.length) {
+      if (words(w).nonEmpty) {
+        val toks = wordTokens(m, words(w))
+        var t = 0
+        while (t < toks.length) {
+          if (sb.length() > 0) sb.append(' ')
+          sb.append(toks(t))
+          t += 1
+        }
+      }
+      w += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
 
   /** Merge-rank token count over whitespace pretokens; static so
     * generated code calls straight into compiled bytecode. Symbols are

@@ -1440,32 +1440,39 @@ object Dedup {
     * distinct key, rep = min id, cnt carried — the same
     * collapse-before-banding discipline as [[nearDupPairs]], so a
     * million byte-identical titles cost one variant set, not 10^12
-    * candidate pairs); variant emission is map-only and linear in
-    * Σ key-length; the join keys are 56-bit md5 hashes of variants
-    * (16-byte shuffle rows, never the strings — hash collisions are
-    * harmless, the levenshtein check re-verifies on the carried keys);
-    * candidate cost is Σ variant-bucket², bounded by how many DISTINCT
-    * keys sit within distance 1 of each other — the near-dup structure
-    * itself, not corpus size.
+    * candidate pairs); variant emission is one compiled-kernel call per
+    * distinct key ([[graft.functions.DeleteVariantsExpr]]), map-only
+    * and linear in Σ C(key-length, maxEdit); the equi-join keys are the
+    * variant strings themselves (keys are short, so hashing every
+    * variant cost more than the bytes it saved — measured 2× on
+    * q113b); candidate cost is Σ variant-bucket², bounded by how many
+    * DISTINCT keys sit within `maxEdit` of each other — the near-dup
+    * structure itself, not corpus size.
     *
     * Keys are expected SHORT (titles, prefixes, normalized names —
     * ≤ ~64 chars); `maxKeyLen` fails loudly on longer keys rather than
-    * silently emitting quadratic variant volume. Only distance ≤ 1 is
-    * supported: the deletion-signature family needs ≤d-deletion
-    * variant sets for distance d (combinatorial in d), and d=1 is the
-    * near-dup sweet spot for short keys.
+    * silently emitting quadratic variant volume. `maxEdit` ∈ {1, 2}:
+    * the deletion-signature family needs ≤d-deletion variant sets for
+    * distance d — C(len, d) variants per key, so d=1 costs len+1 rows
+    * per distinct key and d=2 ~len²/2 (still map-only and linear in
+    * key count; beyond 2 the volume stops paying for itself on short
+    * keys).
     *
     * Output: one row per unordered pair of DISTINCT keys within
-    * distance 1 — (rep_a, rep_b, key_a, key_b, cnt_a, cnt_b, dist),
+    * `maxEdit` — (rep_a, rep_b, key_a, key_b, cnt_a, cnt_b, dist),
     * rep_a < rep_b. Feed into [[connectedComponents]] for canonical
     * key clusters. The reference has no fuzzy-string machinery (its
     * dedup surface is vector-level; see reference storage_engine.py) —
     * training-data-pipeline tier. */
   def fuzzyKeyPairs(df: DataFrame, keyCol: String = "key",
                     idCol: String = "doc_id",
-                    maxKeyLen: Int = 64): DataFrame = {
+                    maxKeyLen: Int = 64,
+                    maxEdit: Int = 1): DataFrame = {
     require(maxKeyLen >= 1 && maxKeyLen <= 1024,
       s"maxKeyLen out of range: $maxKeyLen")
+    require(maxEdit == 1 || maxEdit == 2,
+      s"maxEdit must be 1 or 2 (deletion-variant volume is " +
+        s"C(len, maxEdit) per key): $maxEdit")
     val lenGuard = when(length(col(keyCol)) > maxKeyLen,
       raise_error(concat(lit("fuzzyKeyPairs: key length "),
         length(col(keyCol)),
@@ -1476,17 +1483,22 @@ object Dedup {
       .groupBy(lenGuard.as("key"))
       .agg(min(col(idCol).cast("long")).as("rep"),
         count(lit(1)).as("cnt"))
-    // identity + each single-deletion variant; array_distinct because a
-    // run of equal chars yields the same deletion string from every
-    // position in the run
+    // identity + each ≤maxEdit-deletion variant (Garbe's symmetric
+    // deletes are a complete candidate cover for Levenshtein ≤ maxEdit),
+    // deduplicated, via the compiled kernel — the equivalent
+    // transform(sequence(...)) expression tree paid ~17 s of codegen
+    // compilation per ACTION (data-size-independent; measured on q113b)
+    // for work that is a microsecond per-row loop in bytecode
+    val varList = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.DeleteVariantsExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("key")),
+        maxEdit))
+    // join on the variant STRING itself: keys are short (≤ maxKeyLen),
+    // so a variant row is ~key-length bytes either way, and hashing
+    // 1.6M variants twice (both join sides re-evaluate the frame) cost
+    // more than the bytes it saved — measured 2× on q113b
     val variants = keys.select(col("rep"), col("key"), col("cnt"),
-      explode(array_distinct(concat(array(col("key")),
-        transform(sequence(lit(1), length(col("key"))),
-          i => concat(col("key").substr(lit(1), i - 1),
-            col("key").substr(i + 1, length(col("key")) - i))))))
-        .as("_var"))
-      .select(col("rep"), col("key"), col("cnt"),
-        md5Long(col("_var")).as("_vh"))
+      explode(varList).as("_vh"))
     val a = variants.select(col("_vh"), col("rep").as("rep_a"),
       col("key").as("key_a"), col("cnt").as("cnt_a"))
     val b = variants.select(col("_vh"), col("rep").as("rep_b"),
@@ -1497,6 +1509,6 @@ object Dedup {
       .distinct()
       .withColumn("dist",
         levenshtein(col("key_a"), col("key_b")).cast("long"))
-      .where(col("dist") <= 1L)
+      .where(col("dist") <= maxEdit.toLong)
   }
 }

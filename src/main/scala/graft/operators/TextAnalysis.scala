@@ -191,6 +191,18 @@ object TextAnalysis {
       graft.functions.BpeMergeCountExpr(
         org.apache.spark.sql.graftbridge.Bridge.expression(text), merges))
 
+  /** The merge-rank BPE token SEQUENCE (space-joined symbols) — the
+    * encoding artifact itself, where [[bpeMergeTokenCount]] is only its
+    * budget. Map-only compiled kernel ([[graft.functions
+    * .BpeMergeTokensExpr]]); q116 oracle-checks it against the terminal
+    * state of the q73 merge recursion. */
+  def bpeMergeTokens(text: Column,
+                     merges: Seq[(String, String)] = BpeMergesDefault)
+      : Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BpeMergeTokensExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), merges))
+
   /** doc_id, n_tokens, n_subtokens, text_len, alpha_ratio. */
   def textStats(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

@@ -519,12 +519,19 @@ object DedupQueries {
     // generator, unlike LSH banding: a substitution at p shares both
     // sides' p-deletion variant, an insert/delete shares the longer
     // side's deletion. The oracle replays variant generation with a
-    // lateral positions table and joins on the variant STRING; the
-    // engine joins on the variant's md5 (16-byte shuffle rows) —
-    // collisions only widen candidates, levenshtein verification makes
-    // the outputs identical.
+    // lateral positions table; engine and oracle both join on the
+    // variant string, and the same levenshtein verification closes the
+    // chain.
     "q113_fuzzy_key_pairs" -> ((s, d) =>
       Dedup.fuzzyKeyPairs(fuzzKeys(s, d), "key", "doc_id")
+        .orderBy("rep_a", "rep_b")),
+
+    // Q113b: the distance-≤2 tier (deletes of up to TWO characters —
+    // still a complete candidate cover, ~len²/2 variants per distinct
+    // key): catches the substitute+delete compound fuzz the +30000/+40000
+    // tiers create on shared-prefix keys, which d=1 provably cannot pair.
+    "q113b_fuzzy_key_pairs_d2" -> ((s, d) =>
+      Dedup.fuzzyKeyPairs(fuzzKeys(s, d), "key", "doc_id", maxEdit = 2)
         .orderBy("rep_a", "rep_b")),
 
     // Q114: canonical fuzzy-title clusters — connected components over
@@ -724,13 +731,28 @@ object DedupQueries {
       |  FROM bits GROUP BY id)""".stripMargin
 
   /** q113/q114 shared chain: [[fuzzKeys]] + distinct-key collapse +
-    * symmetric single-deletion variants + levenshtein-verified pairs.
-    * Joins on the variant string where the engine joins its md5 —
-    * hash collisions only widen the candidate set the verification
-    * filters, so outputs coincide. `regexp_replace(..., 'g')`: DuckDB
-    * defaults to first-occurrence replacement, Spark to global. */
-  private val fuzzPairsSql =
-    """base AS (
+    * symmetric ≤d-deletion variants + levenshtein-verified pairs, d
+    * parameterized (1 for q113/q114, 2 for q113b).
+    * `regexp_replace(..., 'g')`: DuckDB defaults to first-occurrence
+    * replacement, Spark to global. */
+  private def fuzzPairsSql(maxEdit: Int): String = {
+    // NOTE: no line below may START with '||' — the outer template's
+    // stripMargin would eat it as a margin char (concatenation operators
+    // stay at end-of-line)
+    val del2 =
+      if (maxEdit < 2) ""
+      else """
+        |  UNION ALL
+        |  SELECT rep, key, cnt,
+        |    substr(key, 1, i - 1) || substr(key, i + 1, j - i - 1) ||
+        |      substr(key, j + 1) AS var
+        |  FROM ks
+        |  CROSS JOIN LATERAL
+        |    (SELECT unnest(range(1, length(key))) AS i) p1
+        |  CROSS JOIN LATERAL
+        |    (SELECT unnest(range(i + 1, length(key) + 1)) AS j) p2"""
+          .stripMargin
+    s"""base AS (
       |  SELECT doc_id, trim(substr(lower(regexp_replace(text,
       |    '[^A-Za-z0-9 ]', '', 'g')), 1, 24)) AS key FROM documents),
       |fz AS (
@@ -753,12 +775,13 @@ object DedupQueries {
       |  SELECT rep, key, cnt,
       |    substr(key, 1, i - 1) || substr(key, i + 1) AS var
       |  FROM ks CROSS JOIN LATERAL
-      |    (SELECT unnest(range(1, length(key) + 1)) AS i) pos),
+      |    (SELECT unnest(range(1, length(key) + 1)) AS i) pos$del2),
       |fp AS (
       |  SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b, a.key AS key_a,
       |    b.key AS key_b, a.cnt AS cnt_a, b.cnt AS cnt_b
       |  FROM v a JOIN v b ON a.var = b.var AND a.rep < b.rep
-      |  WHERE levenshtein(a.key, b.key) <= 1)""".stripMargin
+      |  WHERE levenshtein(a.key, b.key) <= $maxEdit)""".stripMargin
+  }
 
   /** DuckDB closure of the q23b pair graph — the shared q42/q42b oracle. */
   private lazy val ccClosureSql: String =
@@ -1156,14 +1179,21 @@ object DedupQueries {
 
     // q113: the symmetric-delete chain verbatim
     "q113_fuzzy_key_pairs" ->
-      s"""WITH $fuzzPairsSql
+      s"""WITH ${fuzzPairsSql(1)}
+        |SELECT rep_a, rep_b, key_a, key_b, cnt_a, cnt_b,
+        |  CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
+        |FROM fp ORDER BY rep_a, rep_b""".stripMargin,
+
+    // q113b: the same chain with ≤2-deletion variants and threshold 2
+    "q113b_fuzzy_key_pairs_d2" ->
+      s"""WITH ${fuzzPairsSql(2)}
         |SELECT rep_a, rep_b, key_a, key_b, cnt_a, cnt_b,
         |  CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
         |FROM fp ORDER BY rep_a, rep_b""".stripMargin,
 
     // q114: the q42-style recursive closure over the q113 pair graph
     "q114_fuzzy_clusters" ->
-      s"""WITH RECURSIVE $fuzzPairsSql,
+      s"""WITH RECURSIVE ${fuzzPairsSql(1)},
         |e AS (SELECT rep_a AS s, rep_b AS t FROM fp
         |      UNION SELECT rep_b, rep_a FROM fp),
         |reach AS (

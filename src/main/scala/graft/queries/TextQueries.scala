@@ -182,6 +182,19 @@ object TextQueries {
           TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_greedy"))
         .orderBy("doc_id")),
 
+    // Q116: the BPE ENCODING itself — the token sequences q73 only
+    // counts (the artifact packing/training consumes). The oracle runs
+    // the SAME one-merge-per-step recursion and extracts each
+    // pretoken's TERMINAL state (arg_min by length — lengths strictly
+    // decrease, so the minimum is the fixpoint), re-assembled in word
+    // order; hash equality checks every symbol boundary, not a count.
+    "q116_bpe_encode" -> ((s, d) =>
+      par(Tables.documents(s, d))
+        .select(col("doc_id"),
+          TextAnalysis.bpeMergeTokens(col("text")).as("bpe_tokens"),
+          TextAnalysis.bpeMergeTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")),
+
     // Q55: PII scrubbing over a corpus with deterministically injected
     // emails/phones/IPs (the raw corpus is PII-free by construction, so
     // the redaction pass must be exercised on augmented text).
@@ -415,6 +428,49 @@ object TextQueries {
         |SELECT mb.doc_id, mb.n_bpe_merge, gb.n_bpe_greedy
         |FROM mb JOIN gb ON gb.doc_id = mb.doc_id
         |ORDER BY mb.doc_id""".stripMargin,
+
+    // q116: the q73 merge recursion with the terminal state EXTRACTED
+    // (arg_min toks by length — lengths strictly decrease, so the
+    // minimum is the fixpoint) and re-joined to word positions
+    "q116_bpe_encode" ->
+      s"""WITH RECURSIVE rk AS (SELECT MAP(
+        |    [${graft.operators.TextAnalysis.BpeMergesDefault
+                 .map { case (a, b) => s"'$a $b'" }.mkString(", ")}],
+        |    [${graft.operators.TextAnalysis.BpeMergesDefault.indices
+                 .map(_.toString).mkString(", ")}]) AS m),
+        |wd AS (SELECT doc_id, unnest($toks) AS w,
+        |    unnest(range(1, len($toks) + 1)) AS pos FROM documents),
+        |dw AS (SELECT DISTINCT w FROM wd),
+        |st AS (
+        |  SELECT w,
+        |    list_transform(range(1, len(w) + 1), i -> w[i]) AS toks
+        |  FROM dw
+        |  UNION ALL
+        |  SELECT w,
+        |    toks[1:CAST(bk % 1048576 AS BIGINT) - 1]
+        |      || [toks[CAST(bk % 1048576 AS BIGINT)]
+        |          || toks[CAST(bk % 1048576 AS BIGINT) + 1]]
+        |      || toks[CAST(bk % 1048576 AS BIGINT) + 2:len(toks)] AS toks
+        |  FROM (
+        |    SELECT w, toks,
+        |      list_aggregate(list_transform(range(1, len(toks)), i ->
+        |        CASE WHEN len(map_extract(rk.m,
+        |            toks[i] || ' ' || toks[i + 1])) > 0
+        |          THEN CAST(map_extract(rk.m,
+        |            toks[i] || ' ' || toks[i + 1])[1] AS BIGINT)
+        |            * 1048576 + i
+        |          ELSE NULL END), 'min') AS bk
+        |    FROM st, rk) x
+        |  WHERE bk IS NOT NULL),
+        |fin AS (SELECT w, arg_min(toks, len(toks)) AS toks
+        |  FROM st GROUP BY w),
+        |enc AS (SELECT wd.doc_id,
+        |    string_agg(array_to_string(fin.toks, ' '), ' '
+        |      ORDER BY wd.pos) AS bpe_tokens,
+        |    CAST(sum(len(fin.toks)) AS BIGINT) AS n_bpe
+        |  FROM wd JOIN fin USING (w) GROUP BY wd.doc_id)
+        |SELECT doc_id, bpe_tokens, n_bpe FROM enc
+        |ORDER BY doc_id""".stripMargin,
 
     "q22_fingerprint" ->
       s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents)

@@ -366,6 +366,67 @@ object StreamingIngest {
     }
   }
 
+  /** Ingest-time FUZZY-KEY duplicate guard — the q113 symmetric-delete
+    * cover ([[graft.operators.Dedup.fuzzyKeyPairs]]) as a stateless
+    * stream probe: drop (default) or keep (`invert`) stream rows whose
+    * short key (title / normalized name) sits within Levenshtein
+    * `maxEdit` of an already-ingested key. Same conservative contract
+    * as the band guards: two keys within `maxEdit` PROVABLY share a
+    * ≤maxEdit-deletion variant, so quarantining on variant collision is
+    * a SUPERSET of true fuzzy dups (a 56-bit hash collision or a
+    * shared-variant-but-distant pair quarantines a clean row — benign
+    * direction, the batch verify clears it); no true fuzzy dup ever
+    * slips through. The corpus side indexes the md5-56 of every variant
+    * of every distinct existing key (column kernel); each stream row
+    * pays one in-JVM variant expansion + that many probes against the
+    * broadcast exact-or-bloom index ([[keyIndex]]) — JVM md5-56 packing
+    * is the SAME first-7-digest-bytes form as the column `md5Long`
+    * (spec-gated bit-identical). Null/empty keys have no variants —
+    * always clean, mirroring the batch operator's filter. */
+  def streamingFuzzyKeyGuard(stream: DataFrame, existingKeys: DataFrame,
+                             keyCol: String = "key",
+                             maxEdit: Int = 1,
+                             invert: Boolean = false,
+                             exactKeyLimit: Long = 4L * 1000 * 1000,
+                             bloomFpp: Double = 0.01): DataFrame = {
+    val varCol = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.DeleteVariantsExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col(keyCol)),
+        maxEdit))
+    val index = keyIndex(existingKeys
+      .where(length(col(keyCol)) > 0)
+      .select(explode(varCol).as("_v"))
+      .select(graft.operators.Dedup.md5Long(col("_v")).as("_k")),
+      exactKeyLimit, bloomFpp)
+    val bIdx = stream.sparkSession.sparkContext.broadcast(index)
+    val idx = stream.schema.fieldIndex(keyCol)
+    stream.filter { row =>
+      val collides = !row.isNullAt(idx) && {
+        val k = row.getString(idx)
+        k.nonEmpty && fuzzyKeysJvm(k, maxEdit)
+          .exists(bIdx.value.mightContain)
+      }
+      collides == invert
+    }
+  }
+
+  /** JVM md5-56 over each ≤maxEdit-deletion variant — bit-identical to
+    * the column side's `md5Long(explode(DeleteVariantsExpr(...)))`
+    * (first 7 digest bytes, big-endian; spec-gated). */
+  private[graft] def fuzzyKeysJvm(key: String, maxEdit: Int): Seq[Long] = {
+    val arr = graft.functions.DeleteVariantsExpr.variants(
+      org.apache.spark.unsafe.types.UTF8String.fromString(key), maxEdit)
+    val md = bandDigest.get()
+    (0 until arr.numElements()).map { i =>
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      v
+    }
+  }
+
   /** Probe index over the corpus's packed band keys — the broadcast
     * payload of [[streamingNearDupGuard]]. `payloadBytes` is the
     * serialized probe size the memory-contract spec gates on. */

@@ -768,6 +768,19 @@ class DedupSpec extends SparkSpec {
     assert(cnts == Seq(3L))
     // dist-0 pairs cannot exist: identical keys collapsed upstream
     assert(got.where(col("dist") === 0L).count() == 0)
+    // maxEdit = 2: ≤2-deletion variants recover EXACTLY the brute-force
+    // distance-≤2 pairs (substitution+deletion compounds included)
+    val brute2 = t.as("a").crossJoin(t.as("b"))
+      .where(col("a.rep") < col("b.rep") &&
+        levenshtein(col("a.key"), col("b.key")) <= 2)
+      .select(col("a.rep"), col("b.rep"),
+        levenshtein(col("a.key"), col("b.key")).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val got2 = Dedup.fuzzyKeyPairs(keys, "key", "doc_id", maxEdit = 2)
+      .select("rep_a", "rep_b", "dist")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 == brute2)
+    assert(brute2.size > brute.size) // the d=2 tier genuinely adds pairs
     // oversized keys fail loudly instead of emitting quadratic variants
     val boom = intercept[Exception] {
       Dedup.fuzzyKeyPairs(

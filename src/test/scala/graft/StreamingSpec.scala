@@ -843,6 +843,45 @@ class StreamingSpec extends SparkSpec {
       rows(SubstringIndex.buildIndex(unionExtra, W)))
   }
 
+  test("fuzzy-key guard: quarantines stream keys within maxEdit of the " +
+    "corpus (complete cover — no fuzzy dup slips through), passes " +
+    "clean/empty/null keys; JVM and column md5-56 variant keys are " +
+    "bit-identical; invert emits the complement") {
+    import graft.operators.Dedup
+    val corpus = Seq((1L, "apple pie"), (2L, "banana"))
+      .toDF("doc_id", "key")
+    val rows = Seq((10L, "apple pi"), (11L, "orange"), (12L, "bananna"),
+      (13L, ""), (14L, "apple pie"))
+    val stream = rows.toDF("doc_id", "key")
+      .unionByName(Seq((15L, Option.empty[String])).toDF("doc_id", "key"))
+    val clean = StreamingIngest.streamingFuzzyKeyGuard(
+      stream, corpus, "key").select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(11L, 13L, 15L)) // 10/12 within d1, 14 exact
+    val quarantined = StreamingIngest.streamingFuzzyKeyGuard(
+      stream, corpus, "key", invert = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(quarantined == Set(10L, 12L, 14L))
+    // d=2 widens the reach: "appl pi" is TWO deletions from
+    // "apple pie" — the d1 guard passes it (variant lengths 7/6 vs 9/8
+    // can never meet), the d2 guard quarantines it
+    val farther = Seq((20L, "appl pi")).toDF("doc_id", "key")
+    assert(StreamingIngest.streamingFuzzyKeyGuard(
+      farther, corpus, "key", maxEdit = 1).count() == 1)
+    assert(StreamingIngest.streamingFuzzyKeyGuard(
+      farther, corpus, "key", maxEdit = 2).count() == 0)
+    // bit-identity: the JVM md5-56 variant keys equal the column side's
+    val colKeys = corpus.select(explode(
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.DeleteVariantsExpr(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col("key")),
+            2))).as("_v"))
+      .select(Dedup.md5Long(col("_v")).as("_k"))
+      .as[Long].collect().toSet
+    val jvmKeys = Seq("apple pie", "banana")
+      .flatMap(k => StreamingIngest.fuzzyKeysJvm(k, 2)).toSet
+    assert(colKeys == jvmKeys)
+  }
+
   test("delta compaction: one marked generation replaces the committed " +
     "deltas; reads identical before/after; replayed batches <= M no-op " +
     "even with their directories pruned; post-compaction deltas merge; " +

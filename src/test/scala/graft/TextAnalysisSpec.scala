@@ -461,6 +461,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got._2 == 4L, s"greedy count ${got._2}")     // 1+1+1+1
   }
 
+  test("bpeMergeTokens emits the sequence bpeMergeTokenCount budgets: " +
+    "known segmentations, count consistency, blank/null handling") {
+    val df = Seq(
+      (1L, "the spark data ation"),
+      (2L, "zzz"),
+      (3L, "  the   ation  "), // interior/edge whitespace collapses
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.bpeMergeTokens(col("text")).as("seq"),
+        TextAnalysis.bpeMergeTokenCount(col("text")).as("n"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => r._1 -> r._2).toMap == Map(
+      1L -> "the spark data at i on",
+      2L -> "z z z",
+      3L -> "the at i on",
+      4L -> ""))
+    // the count IS the sequence's length, including the empty case
+    got.foreach { case (_, seq, n) =>
+      val k = if (seq.isEmpty) 0 else seq.split(" ").length
+      assert(k.toLong == n, s"'$seq' count $n")
+    }
+  }
+
   test("trigram-profile langId beats the marker heuristic on a mixed-" +
     "language fixture (marker-free sentences included) and stays " +
     "deterministic") {
