@@ -54,6 +54,11 @@ object BenchScaleR11b {
           .select(col("rep_a").as("id1"), col("rep_b").as("id2")))
         .write.format("noop").mode("overwrite").save()
     }
+    // the distance-2 tier: ~len²/2 variants per key, the volume knob
+    val pairsD2Sec = floor {
+      Dedup.fuzzyKeyPairs(fz, "key", "doc_id", maxEdit = 2)
+        .write.format("noop").mode("overwrite").save()
+    }
 
     // --- 2. indexed-dedup read path vs from-scratch ---
     val W = 16
@@ -76,7 +81,8 @@ object BenchScaleR11b {
     println(
       s"""{"metric":"scale_r11b","sf":"$sfDir","repeats":$repeats,""" +
       s""""n_fuzzy_keys":$nKeys,"n_fuzzy_pairs":$nPairs,""" +
-      s""""fuzzy_pairs_sec":$pairsSec,"fuzzy_clusters_sec":$clustersSec,""" +
+      s""""fuzzy_pairs_sec":$pairsSec,"fuzzy_pairs_d2_sec":$pairsD2Sec,""" +
+      s""""fuzzy_clusters_sec":$clustersSec,""" +
       s""""n_substring_docs":$nDocs,""" +
       s""""dedup_indexed_sec":$indexedSec,"dedup_scratch_sec":$scratchSec}""")
     spark.stop()
