@@ -299,12 +299,25 @@ object TextAnalysis {
     size(filter(charTrigrams(text),
       g => g.isin(grams.map(s => s: Any): _*))).cast("long")
 
+  /** All four profile scores in one compiled pass over the lowercased
+    * text ([[graft.functions.LangTrigramScoresExpr]] — the declarative
+    * per-language `filter(...isin...)` chain re-derived the trigram
+    * array per score and per decision branch and paid ~70 string
+    * comparisons per trigram; measured 4.4 s → sub-second on q21b).
+    * Array in [[LangTrigrams]] order. */
+  private def langScoresExpr(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.LangTrigramScoresExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(lower(text)),
+        LangTrigrams.map(_._2)))
+
   /** The [[langIdNgram]] decision as a PURE column expression (map-only,
     * pushable to the scan — the [[predLangExpr]] contract with the
     * trigram profiles). Same zh rule and the same fixed tie order. */
   def predLangNgramExpr(text: Column): Column = {
+    val s = langScoresExpr(text)
     val Seq(en, de, fr, es) =
-      LangTrigrams.map { case (_, g) => langNgramScore(text, g) }
+      (1 to 4).map(i => element_at(s, i)).toSeq
     val nonAscii = length(regexp_replace(text, "[\\x00-\\x7f]", ""))
     when(nonAscii > 0, "zh")
       .when(en >= de && en >= fr && en >= es, "en")
@@ -316,13 +329,15 @@ object TextAnalysis {
   /** Character-n-gram language ID — [[langId]]'s marker heuristic
     * upgraded to trigram profiles: per-language occurrence scores over
     * [[LangTrigrams]] plus the shared prediction. One map-only
-    * projection (codegen CSEs the trigram array across the four
-    * scores); fully oracle-replayable (q21b). */
-  def langIdNgram(docs: DataFrame): DataFrame =
+    * projection through the compiled scorer; fully oracle-replayable
+    * (q21b). */
+  def langIdNgram(docs: DataFrame): DataFrame = {
+    val s = langScoresExpr(col("text"))
     docs.select(col("doc_id") +:
-      LangTrigrams.map { case (lang, g) =>
-        langNgramScore(col("text"), g).as(s"${lang}_s")
+      LangTrigrams.zipWithIndex.map { case ((lang, _), i) =>
+        element_at(s, i + 1).as(s"${lang}_s")
       } :+ predLangNgramExpr(col("text")).as("pred_lang"): _*)
+  }
 
   /** Pack documents into training shards by token budget: each doc gets
     * the shard whose budget window contains the tokens BEFORE it in

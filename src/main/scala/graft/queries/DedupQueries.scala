@@ -543,6 +543,24 @@ object DedupQueries {
       Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id")
+    }),
+
+    // Q114b: the ACTING half of q114 (the q45 pattern for the fuzzy
+    // family): the fuzzy-deduped key corpus — drop every distinct key
+    // whose rep is a non-minimum member of a q114 cluster, keep
+    // unpaired keys; cnt carries the collapsed exact-dup mass each
+    // surviving key represents.
+    "q114b_fuzzy_dedup_keys" -> ((s, d) => {
+      val fk = fuzzKeys(s, d)
+      val keys = fk.where(length(col("key")) > 0)
+        .groupBy("key")
+        .agg(min(col("doc_id").cast("long")).as("rep"),
+          count(lit(1)).as("cnt"))
+      val pairs = Dedup.fuzzyKeyPairs(fk, "key", "doc_id")
+        .select(col("rep_a").as("id1"), col("rep_b").as("id2"))
+      Dedup.dedupedCorpusCC(keys, "rep", pairs)
+        .select(col("rep"), col("key"), col("cnt"))
+        .orderBy("rep")
     })
   )
 
@@ -1190,6 +1208,24 @@ object DedupQueries {
         |SELECT rep_a, rep_b, key_a, key_b, cnt_a, cnt_b,
         |  CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
         |FROM fp ORDER BY rep_a, rep_b""".stripMargin,
+
+    // q114b: ks minus every rep that is a non-minimum member of the
+    // q114 closure (the q45 anti-join pattern)
+    "q114b_fuzzy_dedup_keys" ->
+      s"""WITH RECURSIVE ${fuzzPairsSql(1)},
+        |e AS (SELECT rep_a AS s, rep_b AS t FROM fp
+        |      UNION SELECT rep_b, rep_a FROM fp),
+        |reach AS (
+        |  SELECT s AS id, s AS lab FROM e
+        |  UNION
+        |  SELECT e.t AS id, r.lab FROM reach r JOIN e ON e.s = r.id),
+        |drop_ids AS (
+        |  SELECT id FROM (SELECT id, min(lab) AS component FROM reach
+        |                  GROUP BY id) x
+        |  WHERE id <> component)
+        |SELECT ks.rep, ks.key, ks.cnt FROM ks
+        |WHERE ks.rep NOT IN (SELECT id FROM drop_ids)
+        |ORDER BY ks.rep""".stripMargin,
 
     // q114: the q42-style recursive closure over the q113 pair graph
     "q114_fuzzy_clusters" ->
