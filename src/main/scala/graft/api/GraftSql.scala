@@ -80,7 +80,26 @@ object GraftSql {
             s"graft_sparse_diff expects a numeric constant threshold, got $other")
         }
         SparseDiffExpr(exprs(0), exprs(1), thr)
-      }))
+      }),
+    // text kernels over the shipped default artifacts (a deployment
+    // swapping in its own merge list / profiles uses the Scala API)
+    "graft_bpe_merge_count" ->
+      ((exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.BpeMergeCountExpr(exprs(0),
+          graft.operators.TextAnalysis.BpeMergesDefault)),
+    "graft_bpe_merge_tokens" ->
+      ((exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.BpeMergeTokensExpr(exprs(0),
+          graft.operators.TextAnalysis.BpeMergesDefault)),
+    "graft_lang_scores" ->
+      ((exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.LangTrigramScoresExpr(exprs(0),
+          graft.operators.TextAnalysis.LangTrigrams.map(_._2))),
+    "graft_delete_variants" ->
+      ((exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.DeleteVariantsExpr(exprs(0),
+          if (exprs.length > 1) intConst("graft_delete_variants", exprs(1))
+          else 1)))
 
   /** Register graft's custom expressions: `graft_dot(a, b)` and
     * `graft_hyperplane_bucket(vec, nBits, table)` (the latter two args must

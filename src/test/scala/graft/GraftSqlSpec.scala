@@ -100,12 +100,37 @@ class GraftSqlSpec extends SparkSpec {
           Dedup.simhashNative(lit(" a b a ")).as("s"))
         .collect().head.getLong(0)
       assert(sh == shApi)
-      // all seven functions resolvable
+      // every registered function resolvable, text kernels included
       for (fn <- Seq("graft_dot", "graft_hyperplane_bucket", "graft_minhash",
           "graft_simhash", "graft_l2_scale", "graft_apply_delta",
-          "graft_sparse_diff")) {
+          "graft_sparse_diff", "graft_bpe_merge_count",
+          "graft_bpe_merge_tokens", "graft_lang_scores",
+          "graft_delete_variants")) {
         assert(s2.catalog.functionExists(fn), s"$fn not injected")
       }
     }
+  }
+
+  test("text kernels from SQL match the Column API (default artifacts)") {
+    import graft.operators.TextAnalysis
+    GraftSql.registerFunctions(spark)
+    val t = "the spark data ation"
+    val row = spark.sql(
+      s"""SELECT graft_bpe_merge_count('$t') AS n,
+        |  graft_bpe_merge_tokens('$t') AS seq,
+        |  graft_lang_scores(lower('$t')) AS ls,
+        |  graft_delete_variants('abc') AS v1,
+        |  graft_delete_variants('abc', 2) AS v2""".stripMargin)
+      .collect().head
+    assert(row.getLong(0) == 6L)
+    assert(row.getString(1) == "the spark data at i on")
+    val api = TextAnalysis.langIdNgram(Seq((1L, t)).toDF("doc_id", "text"))
+      .select("en_s", "de_s", "fr_s", "es_s")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(row.getSeq[Long](2) == Seq(api._1, api._2, api._3, api._4))
+    assert(row.getSeq[String](3).toSet ==
+      Set("abc", "bc", "ac", "ab"))
+    assert(row.getSeq[String](4).toSet ==
+      Set("abc", "bc", "ac", "ab", "c", "b", "a"))
   }
 }
