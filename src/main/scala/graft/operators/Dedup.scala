@@ -1425,6 +1425,40 @@ object Dedup {
     }
   }
 
+  /** INCREMENTAL connected-components maintenance — the q111 economics
+    * for the MinHash family: a persisted `(id, component)` assignment
+    * (a previous [[connectedComponents]]/[[connectedComponentsStar]]
+    * run) extends under an appended batch's NEW edges
+    * (batch-internal [[nearDupPairs]] ∪ cross-corpus
+    * [[crossNearDupPairs]]) without re-banding or re-joining the base
+    * corpus. Each old component collapses to its STAR (component ←
+    * member edges): stars preserve exactly the old connectivity AND
+    * the old minima (the component label IS the min member id), so
+    * closing (stars ∪ newPairs) equals from-scratch CC over
+    * (old edges ∪ new edges) — q117 shares q42's closure oracle
+    * VERBATIM, so hash equality is the incremental ≡ from-scratch
+    * theorem itself. Cost: |assignment| + |new edges| rows through the
+    * large/small-star loop (old components enter at diameter ≤ 2),
+    * vs the full corpus's banding + Σ bucket² + closure.
+    *
+    * Economics, stated honestly: the closure-side win is |members| vs
+    * |pairs| — decisive for DENSE duplicate clusters (a K-member group
+    * holds K(K−1)/2 verified pairs; the crawl shape — measured 2M-pair
+    * fixture in bench_r11_cc.json), a wash on sparse 2–3-member groups
+    * where the star graph IS the pair graph. The larger win is what
+    * does NOT run: no re-banding/re-verifying the base corpus — only
+    * the batch's own and cross-corpus edges ([[crossNearDupPairs]])
+    * are generated. */
+  def extendComponents(assignments: DataFrame,
+                       newPairs: DataFrame): DataFrame = {
+    val star = assignments
+      .where(col("id") =!= col("component"))
+      .select(col("component").cast("long").as("id1"),
+        col("id").cast("long").as("id2"))
+    connectedComponentsStar(star.unionByName(
+      newPairs.select(col("id1").cast("long"), col("id2").cast("long"))))
+  }
+
   /** EXACT edit-distance-≤1 near-pairs over short keys via symmetric
     * single-deletion signatures (the SymSpell blocking scheme,
     * Garbe 2012 — public algorithm): each distinct key emits itself

@@ -367,6 +367,31 @@ object DedupQueries {
         .orderBy("new_id", "existing_id")
     }),
 
+    // Q117: INCREMENTAL component maintenance — the q111 discipline for
+    // the MinHash family: the raw corpus's persisted (id, component)
+    // assignment extends with ONLY the appended rows' new edges
+    // (batch-internal pairs + q65's cross-corpus pairs); the base
+    // corpus is never re-banded. Shares q42's from-scratch closure
+    // oracle VERBATIM — hash equality IS incremental ≡ from-scratch.
+    "q117_incremental_components" -> ((s, d) => {
+      val aug = augDocs(s, d)
+      val base = aug.where(col("doc_id") < 10000)
+      val batch = aug.where(col("doc_id") >= 10000)
+      // the persisted artifact a deployment holds from the prior round
+      val baseAsg = graft.operators.Ckpt.eager(
+        Dedup.connectedComponents(
+          Dedup.nearDupPairs(base, "doc_id", "text", tau = 0.5)))
+      val newEdges = Dedup
+        .nearDupPairs(batch, "doc_id", "text", tau = 0.5)
+        .select(col("id1"), col("id2"))
+        .unionByName(Dedup.crossNearDupPairs(batch, base,
+            "doc_id", "text", tau = 0.5)
+          .select(col("existing_id").as("id1"), col("new_id").as("id2")))
+      Dedup.extendComponents(baseAsg, newEdges)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash per doc (bulk explode+agg form — codegen'd).
     "q24_simhash" -> ((s, d) =>
       Dedup.simhashes(augDocs(s, d), "doc_id", "text")
@@ -1194,6 +1219,12 @@ object DedupQueries {
     // propagation (reach(id, lab) = "lab reaches id"; symmetric edges make
     // reachability = component membership, min(lab) = the component id)
     "q42_dedup_components" -> ccClosureSql,
+
+    // q117 shares the q42 from-scratch closure verbatim: the engine
+    // runs the star-extension of the persisted base assignment, the
+    // oracle closes the full pair graph from scratch — hash equality
+    // is the incremental ≡ from-scratch theorem (the q111 discipline)
+    "q117_incremental_components" -> ccClosureSql,
 
     // q113: the symmetric-delete chain verbatim
     "q113_fuzzy_key_pairs" ->

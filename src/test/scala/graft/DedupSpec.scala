@@ -738,6 +738,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("extendComponents: star-extension of a persisted assignment " +
+    "equals from-scratch CC over the full edge set — merges, joins, " +
+    "fresh components, untouched components") {
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id1", "id2")
+    val asg = Dedup.connectedComponents(oldEdges)
+    // new edges: 5-3 joins component {1,2,3}; 11-20 MERGES {10,11} with
+    // {20,21}; 30-31 is a fresh component; {1,2,3} minus the join stays
+    // internally untouched
+    val newEdges = Seq((3L, 5L), (11L, 20L), (30L, 31L))
+      .toDF("id1", "id2")
+    def cc(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "component").as[(Long, Long)].collect().toSet
+    val incr = cc(Dedup.extendComponents(asg, newEdges))
+    val scratch = cc(Dedup.connectedComponents(
+      oldEdges.unionByName(newEdges)))
+    assert(incr == scratch)
+    assert(incr.contains((5L, 1L)) && incr.contains((21L, 10L)) &&
+      incr.contains((31L, 30L)))
+    // no new edges at all: the assignment is a fixpoint
+    assert(cc(Dedup.extendComponents(asg,
+      Seq.empty[(Long, Long)].toDF("id1", "id2"))) == cc(asg))
+  }
+
   test("fuzzyKeyPairs: COMPLETE distance-≤1 pairs (brute-force parity), " +
     "identical-key collapse carries counts, long keys fail loudly") {
     val keys = Seq(
