@@ -91,9 +91,14 @@ object GraftSql {
       ((exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.BpeMergeTokensExpr(exprs(0),
           graft.operators.TextAnalysis.BpeMergesDefault)),
+    // lowercases the child at registration so a SQL caller passing raw
+    // text scores identically to the Scala API (langScoresExpr always
+    // wraps lower(text) — the trigram profiles are lowercase-only, so a
+    // raw-cased input would silently miss every profile hit otherwise)
     "graft_lang_scores" ->
       ((exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.LangTrigramScoresExpr(exprs(0),
+        graft.functions.LangTrigramScoresExpr(
+          org.apache.spark.sql.catalyst.expressions.Lower(exprs(0)),
           graft.operators.TextAnalysis.LangTrigrams.map(_._2))),
     "graft_delete_variants" ->
       ((exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -1448,15 +1448,47 @@ object Dedup {
     * where the star graph IS the pair graph. The larger win is what
     * does NOT run: no re-banding/re-verifying the base corpus — only
     * the batch's own and cross-corpus edges ([[crossNearDupPairs]])
-    * are generated. */
+    * are generated.
+    *
+    * Contract, enforced loudly: every assignment label must be ≤ its
+    * member id (labels are minimum member ids — a raise_error fires on
+    * the first violating row). Singleton assignments (id == component,
+    * no new edge) are preserved in the output as their own components,
+    * matching the from-scratch closure's self-pair contract. */
   def extendComponents(assignments: DataFrame,
                        newPairs: DataFrame): DataFrame = {
-    val star = assignments
+    // contract guard: the star construction's correctness REQUIRES the
+    // assignment label to be the minimum member id (what
+    // connectedComponents/connectedComponentsStar produce). A foreign
+    // assignment violating it would silently relabel components; the
+    // cheap necessary condition component ≤ id is checked loudly on
+    // every row, map-side (a full min-membership audit would cost a
+    // corpus aggregation per call — the label > id case is the one a
+    // hand-edited or foreign assignment actually produces)
+    val asg = assignments.select(col("id").cast("long").as("id"),
+      when(col("component").cast("long") > col("id").cast("long"),
+        raise_error(concat(lit("extendComponents: assignment label "),
+          col("component").cast("long"), lit(" exceeds member id "),
+          col("id").cast("long"),
+          lit(" — labels must be minimum member ids (a " +
+            "connectedComponents/connectedComponentsStar output)"))))
+        .otherwise(col("component").cast("long")).as("component"))
+    val star = asg
       .where(col("id") =!= col("component"))
-      .select(col("component").cast("long").as("id1"),
-        col("id").cast("long").as("id2"))
-    connectedComponentsStar(star.unionByName(
+      .select(col("component").as("id1"), col("id").as("id2"))
+    val closed = connectedComponentsStar(star.unionByName(
       newPairs.select(col("id1").cast("long"), col("id2").cast("long"))))
+    // singleton assignments (id == component, no member edge) vanish from
+    // the star graph; re-union any assignment id the closure did not
+    // emit as its own singleton — an id absent from the closure can only
+    // be a singleton (a non-singleton row contributes a star edge and a
+    // new-pair id always enters the closure), so (id, id) is its label.
+    // Preserves the from-scratch CC output contract verbatim (q42/q42b
+    // emit self-pair-only ids as singletons).
+    closed.unionByName(
+      asg.select(col("id"))
+        .join(closed.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component")))
   }
 
   /** EXACT edit-distance-≤1 near-pairs over short keys via symmetric

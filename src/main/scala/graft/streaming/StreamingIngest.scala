@@ -854,6 +854,13 @@ object StreamingIngest {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val m0 = compactedThrough(fs, root)
+    // finish any earlier run's interrupted prune FIRST: a crash between
+    // marker creation and prune leaves delta dirs ≤ marker and older
+    // compacted_* generations orphaned — readers already exclude them
+    // (the marker governs), but without this sweep they'd accumulate
+    // forever (the earlier code only deleted ids > the NEW m0 and the
+    // immediately previous generation)
+    if (m0 >= 0) pruneAbsorbed(fs, path, m0)
     val ids = committedBatchIds(fs, root).filter(_ > m0)
     if (ids.isEmpty) return m0 // nothing new to absorb
     val m = ids.max
@@ -872,12 +879,30 @@ object StreamingIngest {
     fs.mkdirs(marker.getParent)
     fs.create(marker, false).close()
     // prune absorbed directories (crash-safe: readers already exclude
-    // them via the marker; a partial prune is finished next time)
-    ids.foreach(i => fs.delete(
-      new org.apache.hadoop.fs.Path(s"$path/batch=$i"), true))
-    if (m0 >= 0)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/compacted_$m0"), true)
+    // them via the marker; a partial prune is finished by the NEXT run's
+    // opening sweep — pruneAbsorbed covers every delta ≤ marker and every
+    // older generation, not just this run's inputs)
+    pruneAbsorbed(fs, path, m)
     m
+  }
+
+  /** Delete every artifact directory a compaction marker at `through` has
+    * absorbed: committed `batch=` deltas with id ≤ `through` and every
+    * `compacted_<g>` generation with g < `through`. Idempotent; safe to
+    * run any time the marker exists (readers never union absorbed dirs). */
+  private def pruneAbsorbed(fs: org.apache.hadoop.fs.FileSystem,
+                            path: String, through: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    committedBatchIds(fs, root).filter(_ <= through).foreach(i =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/batch=$i"), true))
+    if (fs.exists(root)) fs.listStatus(root)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("compacted_"))
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix("compacted_").toLong).toOption
+        .map(g => (g, st.getPath)))
+      .filter(_._1 < through)
+      .foreach { case (_, p) => fs.delete(p, true) }
   }
 
   /** [[compactDeltas]] for the maintained substring index: the

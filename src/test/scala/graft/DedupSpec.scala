@@ -762,6 +762,38 @@ class DedupSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("id1", "id2"))) == cc(asg))
   }
 
+  test("extendComponents: singleton assignments survive; a non-min " +
+    "label fails loudly (the star contract's precondition)") {
+    def cc(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "component").as[(Long, Long)].collect().toSet
+    // singleton 3 with NO new edge must come back as its own component
+    // (the from-scratch CC contract for self-pair-only ids), not vanish
+    val asg = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("id", "component")
+    assert(cc(Dedup.extendComponents(asg,
+      Seq.empty[(Long, Long)].toDF("id1", "id2"))) ==
+      Set((1L, 1L), (2L, 1L), (3L, 3L)))
+    // a singleton that GAINS an edge joins the closure normally
+    assert(cc(Dedup.extendComponents(asg, Seq((3L, 4L)).toDF("id1", "id2")))
+      == Set((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)))
+    // a label exceeding its member id is not a min-member labeling —
+    // the loud guard must fire, not silently relabel
+    val bad = Seq((5L, 7L), (7L, 7L)).toDF("id", "component")
+    val ex = intercept[Exception] {
+      Dedup.extendComponents(bad, Seq((7L, 8L)).toDF("id1", "id2"))
+        .collect()
+    }
+    assert(ex.getMessage != null &&
+      exMessageChain(ex).contains("extendComponents"))
+  }
+
+  /** Full message chain (Spark wraps raise_error in job-failure layers). */
+  private def exMessageChain(e: Throwable): String = {
+    var cur: Throwable = e; val sb = new StringBuilder
+    while (cur != null) { sb.append(cur.getMessage).append('\n')
+      cur = cur.getCause }
+    sb.toString
+  }
+
   test("fuzzyKeyPairs: COMPLETE distance-≤1 pairs (brute-force parity), " +
     "identical-key collapse carries counts, long keys fail loudly") {
     val keys = Seq(

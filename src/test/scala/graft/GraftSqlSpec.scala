@@ -118,7 +118,7 @@ class GraftSqlSpec extends SparkSpec {
     val row = spark.sql(
       s"""SELECT graft_bpe_merge_count('$t') AS n,
         |  graft_bpe_merge_tokens('$t') AS seq,
-        |  graft_lang_scores(lower('$t')) AS ls,
+        |  graft_lang_scores('${t.toUpperCase}') AS ls,
         |  graft_delete_variants('abc') AS v1,
         |  graft_delete_variants('abc', 2) AS v2""".stripMargin)
       .collect().head

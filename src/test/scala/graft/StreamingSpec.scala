@@ -968,6 +968,44 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq == mWant)
   }
 
+  test("delta compaction: a crash between marker and prune leaves " +
+    "absorbed deltas and an old generation orphaned — the next " +
+    "compaction sweeps them even when it has nothing new to absorb") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Retrieval
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-compact-crash").toString
+    val pPath = s"$dir/postings"
+    val fs = new org.apache.hadoop.fs.Path(pPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val a = Seq((1L, "a b a c")); val b = Seq((2L, "b d"))
+    StreamingIngest.processPostingsBatch(a.toDF("doc_id", "text"), 0, pPath)
+    StreamingIngest.processPostingsBatch(b.toDF("doc_id", "text"), 1, pPath)
+    assert(StreamingIngest.compactDeltas(spark, pPath) == 1L)
+    StreamingIngest.processPostingsBatch(
+      Seq((3L, "e")).toDF("doc_id", "text"), 2, pPath)
+    // simulate the crash window of a compaction through=2: its generation
+    // and marker exist, but the absorbed batch=2 delta and the previous
+    // compacted_1 generation were never pruned
+    val gen2 = new org.apache.hadoop.fs.Path(s"$pPath/compacted_2")
+    spark.read.parquet(s"$pPath/compacted_1", s"$pPath/batch=2")
+      .write.parquet(gen2.toString)
+    fs.create(new org.apache.hadoop.fs.Path(s"$pPath/_compacted/through=2"),
+      false).close()
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$pPath/batch=2")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$pPath/compacted_1")))
+    val want = StreamingIngest.readPostings(spark, pPath)
+      .select("doc_id", "dl", "term_key", "tf")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    // nothing new to absorb — but the opening sweep must finish the prune
+    assert(StreamingIngest.compactDeltas(spark, pPath) == 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$pPath/batch=2")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$pPath/compacted_1")))
+    assert(StreamingIngest.readPostings(spark, pPath)
+      .select("doc_id", "dl", "term_key", "tf")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq == want)
+  }
+
   test("maintained postings index: streamed deltas union to the batch " +
     "build; BM25 over the live index equals the batch search") {
     implicit val sqlCtx = spark.sqlContext

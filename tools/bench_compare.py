@@ -33,6 +33,10 @@ def main():
     common = sorted(set(new) & set(old))
     ratios = sorted(((new[q] / old[q], q) for q in common if old[q] > 0))
     n = len(ratios)
+    if n == 0:
+        print("no common queries with nonzero old floors "
+              f"(new={len(new)} old={len(old)} common={len(common)})")
+        return
     med = ratios[n // 2][0] if n % 2 else (
         ratios[n // 2 - 1][0] + ratios[n // 2][0]) / 2
     print(f"common={n} median={med:.3f} "
