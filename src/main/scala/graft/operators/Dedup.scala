@@ -849,13 +849,19 @@ object Dedup {
     widths.scanLeft(0)(_ + _).zip(widths)
   }
 
-  private def bandedHashPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
-    val banded = sh.select(col("_id"), col("_sh"),
+  /** The pigeonhole band projection of a (_id, _sh) frame — one row per
+    * (band, band-value); shared by the self-join and cross-side pair
+    * paths so their band keys are bit-identical by construction. */
+  private def bandProjected(sh: DataFrame, maxHamming: Int): DataFrame =
+    sh.select(col("_id"), col("_sh"),
       posexplode(array(hammingBandSpec(maxHamming).map {
         case (offset, width) =>
           shiftright(col("_sh"), offset)
             .bitwiseAND(lit((1L << width) - 1))
       }: _*)).as(Seq("_band", "_bval")))
+
+  private def bandedHashPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = bandProjected(sh, maxHamming)
     banded.as("l").join(banded.as("r"),
         col("l._band") === col("r._band") &&
           col("l._bval") === col("r._bval") &&
@@ -867,6 +873,62 @@ object Dedup {
       // can be ~100× more numerous than matches)
       .where(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** CROSS-side banded Hamming pairs — [[crossNearDupPairs]]' shape for
+    * the 56-bit fingerprint family (image dHash, audio energy prints,
+    * video temporal-majority prints, text SimHash): an appended batch's
+    * fingerprints against the PERSISTED base fingerprint artifact,
+    * without re-banding base-vs-base. Feeds [[extendComponents]] —
+    * together with the batch's own [[hashPairs]] — to maintain a media
+    * corpus's dedup components incrementally (q118/q118b/q118c prove
+    * extension ≡ from-scratch [[hashDeduped]] over the union); the
+    * expensive full-corpus step that does NOT run is the batch-side
+    * media DECODE of the base (fingerprints are 8 bytes/doc — the
+    * persisted artifact is ~10^6× smaller than the media it summarizes)
+    * and the base×base band join.
+    *
+    * Pigeonhole-exact within `maxHamming` (same [[hammingBandSpec]]
+    * bands both sides, so a cross pair within the radius shares ≥ 1
+    * band — identical hashes across sides share ALL bands and surface
+    * as hamming 0). Identical-hash mass collapses per side before the
+    * band join (reps only — the [[hashPairs]] discipline), expanding to
+    * member pairs after. EAGER: materializes the pair set before
+    * returning (checkpoint-backed), freeing both persisted hash frames.
+    * Output: (new_id, existing_id, hamming), distinct. */
+  def crossHashPairs(newHashes: DataFrame, baseHashes: DataFrame,
+                     maxHamming: Int = 3): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val nh = newHashes.withColumnRenamed("simhash", "_sh").persist(lvl)
+    val bh = baseHashes.withColumnRenamed("simhash", "_sh").persist(lvl)
+    val ng = hashGroups(nh)
+    val bg = hashGroups(bh)
+    val memN = nh.join(ng.select(col("_sh"), col("_rep")), Seq("_sh"))
+      .select(col("_id"), col("_rep"))
+    val memB = bh.join(bg.select(col("_sh"), col("_rep")), Seq("_sh"))
+      .select(col("_id"), col("_rep"))
+    val repPairs = bandProjected(
+        ng.select(col("_rep").as("_id"), col("_sh")), maxHamming).as("l")
+      .join(bandProjected(
+        bg.select(col("_rep").as("_id"), col("_sh")), maxHamming).as("r"),
+        col("l._band") === col("r._band") &&
+          col("l._bval") === col("r._bval"))
+      .select(col("l._id").as("_rn"), col("r._id").as("_rb"),
+        hamming(col("l._sh"), col("r._sh")).cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+    // expand both sides' identical-hash groups (members share their
+    // rep's hash, so every member pair inherits the rep pair's hamming)
+    val out = repPairs
+      .join(memN.select(col("_rep").as("_rn"), col("_id").as("new_id")),
+        "_rn")
+      .join(memB.select(col("_rep").as("_rb"),
+        col("_id").as("existing_id")), "_rb")
+      .select("new_id", "existing_id", "hamming")
+      .transform(Ckpt.eager)
+    nh.unpersist(false)
+    bh.unpersist(false)
+    out
   }
 
   /** Linear-output Hamming-hash corpus dedup, FUSED with the identical-
@@ -1539,8 +1601,42 @@ object Dedup {
     require(maxEdit == 1 || maxEdit == 2,
       s"maxEdit must be 1 or 2 (deletion-variant volume is " +
         s"C(len, maxEdit) per key): $maxEdit")
+    val variants = fuzzyVariantIndex(df, keyCol, idCol, maxKeyLen, maxEdit)
+    val a = variants.select(col("_vh"), col("rep").as("rep_a"),
+      col("key").as("key_a"), col("cnt").as("cnt_a"))
+    val b = variants.select(col("_vh"), col("rep").as("rep_b"),
+      col("key").as("key_b"), col("cnt").as("cnt_b"))
+    a.join(b, Seq("_vh"))
+      .where(col("rep_a") < col("rep_b"))
+      .select("rep_a", "rep_b", "key_a", "key_b", "cnt_a", "cnt_b")
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("key_a"), col("key_b")).cast("long"))
+      .where(col("dist") <= maxEdit.toLong)
+  }
+
+  /** The PERSISTABLE symmetric-delete variant index behind
+    * [[fuzzyKeyPairs]] — one row per (distinct key, variant):
+    * (rep, key, cnt, _vh), rep = min id carrying the key, cnt the
+    * collapsed exact-dup mass, _vh the variant string (the key itself
+    * plus every ≤maxEdit-deletion). Write it beside the corpus and feed
+    * [[extendFuzzyKeyPairs]] per append: the index is what makes the
+    * fuzzy family batch-proportional — a new key batch joins the STORED
+    * variants instead of re-deriving the full corpus's (the q111/q117/
+    * q118 economics applied to the SymSpell join). Derivation is
+    * map-only (one compiled [[graft.functions.DeleteVariantsExpr]] call
+    * per distinct key) after the one distinct-key aggregation; the loud
+    * `maxKeyLen` guard rides the aggregation's key projection. */
+  def fuzzyVariantIndex(df: DataFrame, keyCol: String = "key",
+                        idCol: String = "doc_id",
+                        maxKeyLen: Int = 64,
+                        maxEdit: Int = 1): DataFrame = {
+    require(maxKeyLen >= 1 && maxKeyLen <= 1024,
+      s"maxKeyLen out of range: $maxKeyLen")
+    require(maxEdit == 1 || maxEdit == 2,
+      s"maxEdit must be 1 or 2: $maxEdit")
     val lenGuard = when(length(col(keyCol)) > maxKeyLen,
-      raise_error(concat(lit("fuzzyKeyPairs: key length "),
+      raise_error(concat(lit("fuzzyVariantIndex: key length "),
         length(col(keyCol)),
         lit(s" exceeds maxKeyLen $maxKeyLen — long keys make the " +
           "single-deletion variant set quadratic; truncate or hash " +
@@ -1554,27 +1650,91 @@ object Dedup {
     // deduplicated, via the compiled kernel — the equivalent
     // transform(sequence(...)) expression tree paid ~17 s of codegen
     // compilation per ACTION (data-size-independent; measured on q113b)
-    // for work that is a microsecond per-row loop in bytecode
+    // for work that is a microsecond per-row loop in bytecode.
+    // Joins run on the variant STRING itself: keys are short
+    // (≤ maxKeyLen), so a variant row is ~key-length bytes either way,
+    // and hashing 1.6M variants twice cost more than the bytes it saved
+    // — measured 2× on q113b
     val varList = org.apache.spark.sql.graftbridge.Bridge.column(
       graft.functions.DeleteVariantsExpr(
         org.apache.spark.sql.graftbridge.Bridge.expression(col("key")),
         maxEdit))
-    // join on the variant STRING itself: keys are short (≤ maxKeyLen),
-    // so a variant row is ~key-length bytes either way, and hashing
-    // 1.6M variants twice (both join sides re-evaluate the frame) cost
-    // more than the bytes it saved — measured 2× on q113b
-    val variants = keys.select(col("rep"), col("key"), col("cnt"),
+    keys.select(col("rep"), col("key"), col("cnt"),
       explode(varList).as("_vh"))
-    val a = variants.select(col("_vh"), col("rep").as("rep_a"),
-      col("key").as("key_a"), col("cnt").as("cnt_a"))
-    val b = variants.select(col("_vh"), col("rep").as("rep_b"),
-      col("key").as("key_b"), col("cnt").as("cnt_b"))
-    a.join(b, Seq("_vh"))
-      .where(col("rep_a") < col("rep_b"))
-      .select("rep_a", "rep_b", "key_a", "key_b", "cnt_a", "cnt_b")
+  }
+
+  /** INCREMENTAL fuzzy-pair maintenance: the pairs an appended key
+    * batch ADDS to a corpus whose [[fuzzyVariantIndex]] is persisted —
+    * batch-internal pairs among the batch's genuinely NEW distinct keys
+    * plus cross pairs (new key × stored key), both through the variant
+    * equi-join and levenshtein-verified. Feed — together with the
+    * persisted base component assignment — into [[extendComponents]]:
+    * q120 proves the extension hash-identical to from-scratch
+    * [[fuzzyKeyPairs]] + closure over the union.
+    *
+    * Soundness of the delta shape: a batch key already present in the
+    * base adds exact-dup MASS but no new edge (pairs connect distinct
+    * KEYS; its rep stays the base rep under the id guard below), so only
+    * new distinct keys generate edges, and every such edge has a new key
+    * on ≥ 1 side — exactly what this computes. APPEND CONTRACT
+    * (enforced loudly, the [[graft.operators.SubstringIndex]]
+    * discipline): every batch id must STRICTLY EXCEED every stored rep,
+    * so stored reps — the ids the persisted assignment is keyed by —
+    * are invariant under append.
+    *
+    * Output: (rep_a, rep_b, key_a, key_b, dist), rep_a < rep_b (cnt
+    * columns are omitted: counts grow under append, so a pair's cnt is
+    * epoch-relative — derive from the maintained index when needed).
+    * Cost shape: one batch-key aggregation, map-only batch variant
+    * emission, one equi-join against the stored index, one batch-side
+    * self-join — nothing proportional to the base corpus. */
+  def extendFuzzyKeyPairs(baseIndex: DataFrame, batch: DataFrame,
+                          keyCol: String = "key",
+                          idCol: String = "doc_id",
+                          maxKeyLen: Int = 64,
+                          maxEdit: Int = 1): DataFrame = {
+    // id-ordering guard: one min/max-statistics aggregation of the
+    // stored reps, then a map-side raise_error on the batch ids
+    val mx = baseIndex.agg(max(col("rep"))).collect()
+    val baseMaxRep =
+      if (mx.isEmpty || mx.head.isNullAt(0)) Long.MinValue
+      else mx.head.getLong(0)
+    val guardedId = {
+      val id = col(idCol).cast("long")
+      when(id <= baseMaxRep, raise_error(concat(
+        lit("extendFuzzyKeyPairs: batch id "), id,
+        lit(s" does not exceed the stored max rep $baseMaxRep — stored " +
+          "reps must be invariant under append for the persisted " +
+          "assignment to remain valid"))))
+        .otherwise(id)
+    }
+    val newVariants = fuzzyVariantIndex(
+        batch.select(guardedId.as(idCol), col(keyCol)),
+        keyCol, idCol, maxKeyLen, maxEdit)
+      // genuinely NEW keys only: a key the base already stores has its
+      // base rep and contributes no new edge
+      .join(baseIndex.select(col("key")).distinct(), Seq("key"),
+        "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cross pairs: base rep < batch rep always (the id guard), so the
+    // base side is rep_a verbatim
+    val cross = newVariants.as("n")
+      .join(baseIndex.as("b"), col("n._vh") === col("b._vh"))
+      .select(col("b.rep").as("rep_a"), col("n.rep").as("rep_b"),
+        col("b.key").as("key_a"), col("n.key").as("key_b"))
+    // batch-internal pairs among the new keys
+    val within = newVariants.as("a")
+      .join(newVariants.as("b"),
+        col("a._vh") === col("b._vh") && col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"),
+        col("a.key").as("key_a"), col("b.key").as("key_b"))
+    val out = cross.unionByName(within)
       .distinct()
       .withColumn("dist",
         levenshtein(col("key_a"), col("key_b")).cast("long"))
       .where(col("dist") <= maxEdit.toLong)
+      .transform(Ckpt.eager)
+    newVariants.unpersist(false)
+    out
   }
 }

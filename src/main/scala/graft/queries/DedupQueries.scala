@@ -67,6 +67,39 @@ object DedupQueries {
       .transform(par)
   }
 
+  /** Shared engine path of q118/q118b/q118c: split a modality's
+    * fingerprint frame (_id, simhash) into a base three-quarters and an
+    * appended quarter (doc_id % 4 == 3 — cuts across the % 25 near-dup
+    * families, so merge/join/fresh component cases all occur), persist
+    * the base artifacts a deployment holds (fingerprints + component
+    * assignment), extend with ONLY batch-internal + cross edges, and
+    * emit the kept corpus — the exact output of from-scratch
+    * [[Dedup.hashDeduped]] over the union (the modality's q69b/q74b/q75b
+    * oracle replays that closure). The fingerprint frame is pinned once:
+    * a deployment reads base prints from parquet and decodes only the
+    * batch's media. */
+  private def incrementalHashDedup(s: SparkSession, d: String,
+                                   hashes: DataFrame): DataFrame = {
+    val h = graft.operators.Ckpt.eager(hashes)
+    val baseH = h.where(pmod(col("_id"), lit(4)) =!= 3)
+    val batchH = h.where(pmod(col("_id"), lit(4)) === 3)
+    // the persisted artifact from the prior round: base components
+    val baseAsg = graft.operators.Ckpt.eager(
+      Dedup.connectedComponents(
+        Dedup.hashPairs(baseH, maxHamming = 3).select("id1", "id2")))
+    val newEdges = Dedup.hashPairs(batchH, maxHamming = 3)
+      .select("id1", "id2")
+      .unionByName(Dedup.crossHashPairs(batchH, baseH, maxHamming = 3)
+        .select(col("existing_id").as("id1"), col("new_id").as("id2")))
+    val drop = Dedup.extendComponents(baseAsg, newEdges)
+      .where(col("id") =!= col("component"))
+      .select(col("id").as("_drop_id"))
+    val ids = Tables.documents(s, d).select(col("doc_id"))
+    ids.join(drop, ids("doc_id") === drop("_drop_id"), "left_anti")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic 32×32 grayscale PPM payloads for the image-dedup
     * queries (q69/q69b): pixel value a closed-form function of
     * (doc_id, x, y) — docs sharing doc_id % 25 are near-identical,
@@ -304,6 +337,27 @@ object DedupQueries {
         .select(col("doc_id").cast("long").as("doc_id"))
         .orderBy("doc_id")
     }),
+
+    // Q118 / Q118b / Q118c: INCREMENTAL media-corpus dedup — the q117
+    // discipline for the fingerprint families: the base half's persisted
+    // artifacts (8-byte fingerprints + (id, component) assignment) extend
+    // with ONLY the appended half's edges (batch-internal hashPairs +
+    // crossHashPairs against the persisted base fingerprints); the base
+    // media is never re-DECODED and base×base is never re-banded — the
+    // two costs that dominate a media modality at corpus scale. Each
+    // shares its modality's from-scratch q69b/q74b/q75b closure oracle
+    // VERBATIM, so hash equality IS the incremental ≡ from-scratch
+    // theorem on the union.
+    "q118_incremental_image_dedup" -> ((s, d) =>
+      incrementalHashDedup(s, d,
+        graft.operators.Multimodal.dHashes(mediaFrame(s, d)))),
+    "q118b_incremental_audio_dedup" -> ((s, d) =>
+      incrementalHashDedup(s, d,
+        graft.operators.Audio.fingerprints(audioFrame(s, d)))),
+    "q118c_incremental_video_dedup" -> ((s, d) =>
+      incrementalHashDedup(s, d,
+        graft.operators.Video.fingerprints(videoFrame(s, d),
+          frameStep = 2))),
 
     // Q70: SemDeDup-shape semantic dedup — full-corpus k-means (8 cells,
     // 3 Lloyd rounds, the q62 trainer) over the AUGMENTED embeddings,
@@ -586,6 +640,33 @@ object DedupQueries {
       Dedup.dedupedCorpusCC(keys, "rep", pairs)
         .select(col("rep"), col("key"), col("cnt"))
         .orderBy("rep")
+    }),
+
+    // Q120: INCREMENTAL fuzzy-cluster maintenance — the q117 discipline
+    // for the SymSpell family: the un-fuzzed base tier's persisted
+    // artifacts (variant index + component assignment) extend with ONLY
+    // the fuzz tiers' new-key edges (extendFuzzyKeyPairs: batch variants
+    // join the STORED index; base variants are never re-derived, base
+    // keys never re-joined). Shares q114's from-scratch closure oracle
+    // VERBATIM — hash equality is incremental ≡ from-scratch over the
+    // union.
+    "q120_incremental_fuzzy_clusters" -> ((s, d) => {
+      val fk = fuzzKeys(s, d)
+      val base = fk.where(col("doc_id") < 30000)
+      val batch = fk.where(col("doc_id") >= 30000)
+      // the persisted artifacts a deployment holds from the prior round
+      val baseIdx = graft.operators.Ckpt.eager(
+        Dedup.fuzzyVariantIndex(base, "key", "doc_id"))
+      val baseAsg = graft.operators.Ckpt.eager(
+        Dedup.connectedComponents(
+          Dedup.fuzzyKeyPairs(base, "key", "doc_id")
+            .select(col("rep_a").as("id1"), col("rep_b").as("id2"))))
+      val newPairs = Dedup.extendFuzzyKeyPairs(baseIdx, batch,
+          "key", "doc_id")
+        .select(col("rep_a").as("id1"), col("rep_b").as("id2"))
+      Dedup.extendComponents(baseAsg, newPairs)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
     })
   )
 
@@ -773,6 +854,48 @@ object DedupQueries {
       |    CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS sh
       |  FROM bits GROUP BY id)""".stripMargin
 
+  /** The shared modality-closure oracle: brute-force Hamming pairs over
+    * a fingerprint CTE (pigeonhole banding is exact, so brute force
+    * replays it), the recursive label-prop closure, one kept doc per
+    * component. Shared verbatim by each modality's from-scratch query
+    * (q69b/q74b/q75b) AND its incremental twin (q118 family) — the
+    * q42/q117 discipline. */
+  private def hashClosureSql(hashCte: String, alias: String): String =
+    s"""WITH RECURSIVE $hashCte,
+      |pr AS (SELECT a.id AS id1, b.id AS id2
+      |  FROM $alias a JOIN $alias b ON a.id < b.id
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+      |e AS (SELECT id1 AS s, id2 AS t FROM pr
+      |      UNION SELECT id2, id1 FROM pr),
+      |reach AS (
+      |  SELECT s AS id, s AS lab FROM e
+      |  UNION
+      |  SELECT e.t AS id, r.lab FROM reach r JOIN e ON e.s = r.id),
+      |drp AS (SELECT id FROM reach GROUP BY id
+      |        HAVING id <> min(lab))
+      |SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+      |FROM documents d LEFT JOIN drp ON drp.id = d.doc_id
+      |WHERE drp.id IS NULL
+      |ORDER BY doc_id""".stripMargin
+
+  private lazy val imageClosureSql = hashClosureSql(imageHashSql, "h")
+  private lazy val audioClosureSql = hashClosureSql(audioHashSql, "ah")
+  private lazy val videoClosureSql = hashClosureSql(videoHashSql, "vh")
+
+  /** The q42-style recursive closure over the q113 pair graph — shared
+    * verbatim by q114 (from-scratch) and q120 (incremental extension). */
+  private lazy val fuzzyClusterSql: String =
+    s"""WITH RECURSIVE ${fuzzPairsSql(1)},
+      |e AS (SELECT rep_a AS s, rep_b AS t FROM fp
+      |      UNION SELECT rep_b, rep_a FROM fp),
+      |reach AS (
+      |  SELECT s AS id, s AS lab FROM e
+      |  UNION
+      |  SELECT e.t AS id, r.lab FROM reach r JOIN e ON e.s = r.id)
+      |SELECT CAST(id AS BIGINT) AS doc_id,
+      |  CAST(min(lab) AS BIGINT) AS component
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** q113/q114 shared chain: [[fuzzKeys]] + distinct-key collapse +
     * symmetric ≤d-deletion variants + levenshtein-verified pairs, d
     * parameterized (1 for q113/q114, 2 for q113b).
@@ -887,64 +1010,25 @@ object DedupQueries {
 
     // q75b: the q75 pair graph closed with the recursive label-prop CTE
     // (q69b's shape on the video modality) — one kept doc per component
-    "q75b_video_corpus_dedup" ->
-      s"""WITH RECURSIVE $videoHashSql,
-        |pr AS (SELECT a.id AS id1, b.id AS id2
-        |  FROM vh a JOIN vh b ON a.id < b.id
-        |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
-        |e AS (SELECT id1 AS s, id2 AS t FROM pr
-        |      UNION SELECT id2, id1 FROM pr),
-        |reach AS (
-        |  SELECT s AS id, s AS lab FROM e
-        |  UNION
-        |  SELECT e.t AS id, r.lab FROM reach r JOIN e ON e.s = r.id),
-        |drp AS (SELECT id FROM reach GROUP BY id
-        |        HAVING id <> min(lab))
-        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id
-        |FROM documents d LEFT JOIN drp ON drp.id = d.doc_id
-        |WHERE drp.id IS NULL
-        |ORDER BY doc_id""".stripMargin,
+    "q75b_video_corpus_dedup" -> videoClosureSql,
 
     // q74b: the q74 pair graph closed with the recursive label-prop CTE
     // (q69b's shape on the audio modality) — one kept doc per component
-    "q74b_audio_corpus_dedup" ->
-      s"""WITH RECURSIVE $audioHashSql,
-        |pr AS (SELECT a.id AS id1, b.id AS id2
-        |  FROM ah a JOIN ah b ON a.id < b.id
-        |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
-        |e AS (SELECT id1 AS s, id2 AS t FROM pr
-        |      UNION SELECT id2, id1 FROM pr),
-        |reach AS (
-        |  SELECT s AS id, s AS lab FROM e
-        |  UNION
-        |  SELECT e.t AS id, r.lab FROM reach r JOIN e ON e.s = r.id),
-        |drp AS (SELECT id FROM reach GROUP BY id
-        |        HAVING id <> min(lab))
-        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id
-        |FROM documents d LEFT JOIN drp ON drp.id = d.doc_id
-        |WHERE drp.id IS NULL
-        |ORDER BY doc_id""".stripMargin,
+    "q74b_audio_corpus_dedup" -> audioClosureSql,
 
     // q69b: the q69 pair graph closed with the recursive label-prop CTE
     // (q42's closure shape), one kept image per component (= the min id,
     // since labels are min reachable ids), unpaired images kept
-    "q69b_image_corpus_dedup" ->
-      s"""WITH RECURSIVE $imageHashSql,
-        |pr AS (SELECT a.id AS id1, b.id AS id2
-        |  FROM h a JOIN h b ON a.id < b.id
-        |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
-        |e AS (SELECT id1 AS s, id2 AS t FROM pr
-        |      UNION SELECT id2, id1 FROM pr),
-        |reach AS (
-        |  SELECT s AS id, s AS lab FROM e
-        |  UNION
-        |  SELECT e.t AS id, r.lab FROM reach r JOIN e ON e.s = r.id),
-        |drp AS (SELECT id FROM reach GROUP BY id
-        |        HAVING id <> min(lab))
-        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id
-        |FROM documents d LEFT JOIN drp ON drp.id = d.doc_id
-        |WHERE drp.id IS NULL
-        |ORDER BY doc_id""".stripMargin,
+    "q69b_image_corpus_dedup" -> imageClosureSql,
+
+    // q118 family shares each modality's from-scratch closure oracle
+    // VERBATIM (the q117 discipline): the engine extends the base half's
+    // persisted assignment with only batch + cross fingerprint edges; the
+    // oracle closes the full union pair graph from scratch — hash
+    // equality is the incremental ≡ from-scratch theorem per modality
+    "q118_incremental_image_dedup" -> imageClosureSql,
+    "q118b_incremental_audio_dedup" -> audioClosureSql,
+    "q118c_incremental_video_dedup" -> videoClosureSql,
 
     // q70: the q62 k-means replay (normalize -> 1/1024 grid -> c0 = 8
     // lowest ids -> 3 unrolled Lloyd rounds -> final argmax assignment)
@@ -1258,18 +1342,14 @@ object DedupQueries {
         |WHERE ks.rep NOT IN (SELECT id FROM drop_ids)
         |ORDER BY ks.rep""".stripMargin,
 
+    // q120 shares q114's from-scratch closure verbatim: the engine
+    // star-extends the base tier's persisted assignment with only the
+    // fuzz tiers' new-key edges; the oracle closes the full union pair
+    // graph from scratch (the q117 discipline for the SymSpell family)
+    "q120_incremental_fuzzy_clusters" -> fuzzyClusterSql,
+
     // q114: the q42-style recursive closure over the q113 pair graph
-    "q114_fuzzy_clusters" ->
-      s"""WITH RECURSIVE ${fuzzPairsSql(1)},
-        |e AS (SELECT rep_a AS s, rep_b AS t FROM fp
-        |      UNION SELECT rep_b, rep_a FROM fp),
-        |reach AS (
-        |  SELECT s AS id, s AS lab FROM e
-        |  UNION
-        |  SELECT e.t AS id, r.lab FROM reach r JOIN e ON e.s = r.id)
-        |SELECT CAST(id AS BIGINT) AS doc_id,
-        |  CAST(min(lab) AS BIGINT) AS component
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q114_fuzzy_clusters" -> fuzzyClusterSql,
 
     // q108: the q42 closure, representative = COALESCE(component, own
     // id), then the q82 ppm draw on the representative

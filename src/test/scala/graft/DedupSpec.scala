@@ -845,4 +845,77 @@ class DedupSpec extends SparkSpec {
     }
     assert(boom.getMessage != null)
   }
+
+  test("extendFuzzyKeyPairs + extendComponents: batch append over the " +
+    "persisted variant index equals from-scratch pairs + closure over " +
+    "the union; shared batch keys add no edges; id guard fails loudly") {
+    val base = Seq(
+      (1L, "apple pie"), (2L, "apple pi"), (5L, "banana"),
+      (8L, "orange"), (9L, "apple pie"), (11L, "grape")
+    ).toDF("doc_id", "key")
+    val batch = Seq(
+      (21L, "apply pie"),  // new key pairing into the apple cluster
+      (22L, "banan"),      // new key pairing with base "banana"
+      (23L, "orange"),     // SHARED key — mass only, no new edge
+      (24L, "melon"), (25L, "melonn"), // new keys pairing with each other
+      (26L, "kiwi")        // new key pairing with nothing (absent from pairs)
+    ).toDF("doc_id", "key")
+    val union = base.unionByName(batch)
+    val idx = Dedup.fuzzyVariantIndex(base, "key", "doc_id")
+    val newPairs = Dedup.extendFuzzyKeyPairs(idx, batch, "key", "doc_id")
+    // pair-level: base pairs ∪ new pairs == from-scratch pairs over union
+    def prs(df: org.apache.spark.sql.DataFrame) =
+      df.select("rep_a", "rep_b", "dist")
+        .as[(Long, Long, Long)].collect().toSet
+    val fromScratch = prs(Dedup.fuzzyKeyPairs(union, "key", "doc_id"))
+    val basePairs = prs(Dedup.fuzzyKeyPairs(base, "key", "doc_id"))
+    assert(basePairs.union(prs(newPairs)) == fromScratch)
+    // the shared key contributed no edge: every new pair has a batch rep
+    assert(prs(newPairs).forall { case (a, b, _) => a > 20 || b > 20 })
+    // component-level: extension ≡ from-scratch closure
+    def cc(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "component").as[(Long, Long)].collect().toSet
+    val baseAsg = Dedup.connectedComponents(
+      Dedup.fuzzyKeyPairs(base, "key", "doc_id")
+        .select(col("rep_a").as("id1"), col("rep_b").as("id2")))
+    val ext = cc(Dedup.extendComponents(baseAsg,
+      newPairs.select(col("rep_a").as("id1"), col("rep_b").as("id2"))))
+    val scratch = cc(Dedup.connectedComponents(
+      Dedup.fuzzyKeyPairs(union, "key", "doc_id")
+        .select(col("rep_a").as("id1"), col("rep_b").as("id2"))))
+    assert(ext == scratch)
+    // a batch id at or below the stored max rep breaks rep invariance —
+    // must fail loudly, not silently relabel
+    val bad = intercept[Exception] {
+      Dedup.extendFuzzyKeyPairs(idx,
+        Seq((3L, "pear")).toDF("doc_id", "key"), "key", "doc_id").count()
+    }
+    assert(exMessageChain(bad).contains("extendFuzzyKeyPairs"))
+  }
+
+  test("crossHashPairs: banded cross-side Hamming pairs equal the " +
+    "brute-force cross join (hamming-0 included); identical-hash mass " +
+    "expands through reps") {
+    // hand-built 56-bit hashes: h(1)=h(2)=h(21) (cross hamming 0 through
+    // an identical-hash group on BOTH sides), h(22) 1 bit off h(1),
+    // h(23) 4 bits off everything (outside radius), h(3) isolated base
+    val H0 = 0x00FF00FF00L
+    val base = Seq((1L, H0), (2L, H0), (3L, 0x123456789AL))
+      .toDF("_id", "simhash")
+    val batch = Seq((21L, H0), (22L, H0 ^ 1L), (23L, H0 ^ 0xF000000000L),
+      (24L, 0x123456789AL ^ 6L)).toDF("_id", "simhash")
+    val got = Dedup.crossHashPairs(batch, base, maxHamming = 3)
+      .select("new_id", "existing_id", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = batch.as("n").crossJoin(base.as("b"))
+      .withColumn("hamming", bit_count(col("n.simhash")
+        .bitwiseXOR(col("b.simhash"))).cast("int"))
+      .where(col("hamming") <= 3)
+      .select(col("n._id"), col("b._id"), col("hamming"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute)
+    assert(got.contains((21L, 1L, 0)) && got.contains((21L, 2L, 0)) &&
+      got.contains((22L, 1L, 1)) && got.contains((24L, 3L, 2)))
+    assert(!got.exists(_._1 == 23L))
+  }
 }
