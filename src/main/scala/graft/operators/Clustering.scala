@@ -79,6 +79,39 @@ object Clustering {
     cents.map(_.map(_.toFloat))
   }
 
+  /** The trained centroids at FULL double precision — the frozen-centroid
+    * artifact for incremental semantic dedup
+    * ([[graft.operators.Dedup.extendSemanticDeduped]]): assignment via
+    * [[assignVecWithCentroids]] over these doubles is bit-identical to
+    * the trainer's own final assignment, so a persisted base assignment
+    * and later batch assignments live in ONE exact metric space (the
+    * float round-trip of [[kmeansCentroids]] would perturb argmax
+    * tie-breaks). k·dim doubles — driver/artifact-bounded like the PQ
+    * codebooks (the facade's persisted-codebook discipline). */
+  def kmeansCentroidsD(corpus: DataFrame, nCells: Int = 8,
+                       iters: Int = 3): Array[Array[Double]] = {
+    val (nrm, cents) = train(corpus, nCells, iters)
+    nrm.unpersist(false)
+    cents
+  }
+
+  /** Map-only assignment of a corpus to FROZEN centroids — the batch
+    * half of incremental semantic dedup: (vec_id, cell, sim, dv), the
+    * exact [[kmeansAssignVec]] output schema and arithmetic (same
+    * normalize → 1/1024 grid → compiled argmax chain), with the trainer
+    * skipped. `assignVecWithCentroids(base, kmeansCentroidsD(base, k,
+    * it))` is bit-identical to `kmeansAssignVec(base, k, it)`
+    * (spec-gated), so a deployment persists the centroids once and
+    * assigns every appended batch against them — no full-corpus Lloyd
+    * rounds per append. */
+  def assignVecWithCentroids(corpus: DataFrame,
+                             cents: Array[Array[Double]]): DataFrame = {
+    require(cents.nonEmpty, "assignVecWithCentroids: empty centroids")
+    withCellD(quantized(corpus), cents)
+      .withColumn("sim", col("_sim"))
+      .select("vec_id", "cell", "sim", "dv")
+  }
+
   /** Map-only assignment through the compiled
     * [[graft.functions.CellArgmaxExpr]] kernel: `cell` = argmax with
     * first-max (lowest-cell) tie-break, `sim` = its dot — the shape
@@ -115,19 +148,25 @@ object Clustering {
 
   /** Shared pipeline: persisted quantized corpus projection + `iters`
     * aggregate-collect rounds. Caller owns unpersisting the frame. */
+  /** The normalize → 1/1024 integer grid projection every k-means path
+    * shares: (vec_id, qv, dv), zero-norm rows dropped. NOT persisted —
+    * [[train]] persists it across its iteration jobs;
+    * [[assignVecWithCentroids]] consumes it once, map-only. */
+  private def quantized(corpus: DataFrame): DataFrame = corpus
+    .withColumn("_n", l2NormNative(col("embedding")))
+    .where(col("_n") > 0)
+    .withColumn("_v", l2NormalizeWithNative(col("embedding"), col("_n")))
+    .select(col("vec_id"),
+      transform(col("_v"),
+        x => floor(x.cast("double") * lit(1024.0) + lit(0.5)).cast("long"))
+        .as("qv"))
+    .withColumn("dv",
+      transform(col("qv"), q => q.cast("double") / lit(1024.0)))
+
   private def train(corpus: DataFrame, nCells: Int, iters: Int)
       : (DataFrame, Array[Array[Double]]) = {
     require(nCells > 0 && iters >= 0)
-    val nrm = corpus
-      .withColumn("_n", l2NormNative(col("embedding")))
-      .where(col("_n") > 0)
-      .withColumn("_v", l2NormalizeWithNative(col("embedding"), col("_n")))
-      .select(col("vec_id"),
-        transform(col("_v"),
-          x => floor(x.cast("double") * lit(1024.0) + lit(0.5)).cast("long"))
-          .as("qv"))
-      .withColumn("dv",
-        transform(col("qv"), q => q.cast("double") / lit(1024.0)))
+    val nrm = quantized(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     var cents: Array[Array[Double]] = nrm.orderBy("vec_id").limit(nCells)

@@ -1553,6 +1553,93 @@ object Dedup {
         .select(col("id"), col("id").as("component")))
   }
 
+  /** Within-cell cosine pairs over a PRECOMPUTED assignment frame
+    * (vec_id, cell, sim, dv) — [[semanticDupPairs]]' pair stage with the
+    * trainer factored out, for deployments that persist the assignment
+    * artifact ([[graft.operators.Clustering.kmeansAssignVec]] /
+    * [[graft.operators.Clustering.assignVecWithCentroids]]) and pair on
+    * demand. Uncollapsed (one row per vector); identical-vector-heavy
+    * corpora should go through [[semanticDupPairs]]' guarded branch
+    * instead. Output: (id1, id2, cell, cosine), id1 < id2. */
+  def assignmentDupPairs(asg: DataFrame, tau: Double): DataFrame =
+    asg.as("a").join(asg.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", dotNativeD(col("a.dv"), col("b.dv")))
+      .where(col("cosine") >= tau)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        col("a.cell").as("cell"), col("cosine"))
+
+  /** INCREMENTAL SemDeDup under FROZEN centroids — the q111/q117/q118
+    * economics for the semantic family: a deployment persists three
+    * artifacts from its last full run (the trained centroids,
+    * [[graft.operators.Clustering.kmeansCentroidsD]]; the base
+    * assignment, `(vec_id, cell, sim, dv)`; and the base pair-graph
+    * components) and processes an appended batch with ONLY
+    * batch-proportional work — map-only batch assignment against the
+    * frozen centroids, batch×batch and batch×base pairs within
+    * batch-touched cells, and the [[extendComponents]] star closure.
+    * The base corpus is never re-clustered and base×base never re-pairs.
+    *
+    * THEOREM (q119's oracle replays it from scratch): under frozen
+    * centroids, base cell assignments — and therefore base×base pairs —
+    * are invariant under append, so closing (base components ∪ new
+    * edges) equals the from-scratch closure over the union's within-cell
+    * pair graph, and the keep policy (per component, keep the member
+    * LEAST similar to its centroid, ties to the lowest id — the
+    * [[semanticDeduped]] policy) ranks over the SAME (sim, id) keys both
+    * ways. Freezing is also where the approximation lives: the paper's
+    * trainer would drift with the data, so — exactly like the facade's
+    * PQ codebook staleness gate (`TemporalVectorDB.cacheBases`) — the
+    * frozen-cell path is gated by `maxStaleFrac`: once the appended mass
+    * exceeds that fraction of the base it fails LOUDLY, telling the
+    * caller to retrain + re-run full [[semanticDeduped]] and re-freeze
+    * (spec-gated; the check is two cheap counts on frames the caller
+    * already pinned).
+    *
+    * Inputs: `corpus` = the UNION's rows to filter (any payload; must
+    * contain `idCol` = the vec_id space); `baseAsg`/`baseComp` the
+    * persisted artifacts; `batch` = (vec_id, embedding ARRAY<FLOAT>)
+    * appended rows (ids disjoint from the base); `cents` the frozen
+    * centroids. Returns the kept `corpus` rows. */
+  def extendSemanticDeduped(corpus: DataFrame, idCol: String,
+                            baseAsg: DataFrame, baseComp: DataFrame,
+                            batch: DataFrame,
+                            cents: Array[Array[Double]],
+                            tau: Double = 0.95,
+                            maxStaleFrac: Double = 0.5): DataFrame = {
+    val nBase = baseAsg.count()
+    val nBatch = batch.count()
+    require(nBase == 0 || nBatch <= maxStaleFrac * nBase,
+      s"extendSemanticDeduped: appended mass $nBatch exceeds " +
+        s"maxStaleFrac=$maxStaleFrac of the base ($nBase) — the frozen " +
+        "centroids are stale; retrain (kmeansCentroidsD), re-run " +
+        "semanticDeduped from scratch, and re-freeze the artifacts")
+    val batchAsg = Clustering.assignVecWithCentroids(batch, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val within = assignmentDupPairs(batchAsg, tau)
+      .select(col("id1"), col("id2"))
+    val cross = batchAsg.as("n").join(baseAsg.as("b"),
+        col("n.cell") === col("b.cell"))
+      .withColumn("cosine", dotNativeD(col("n.dv"), col("b.dv")))
+      .where(col("cosine") >= tau)
+      .select(col("b.vec_id").as("id1"), col("n.vec_id").as("id2"))
+    val comp = extendComponents(baseComp, within.unionByName(cross))
+    val sims = baseAsg.select(col("vec_id"), col("sim"))
+      .unionByName(batchAsg.select(col("vec_id"), col("sim")))
+    val drop = comp
+      .join(sims, comp("id") === sims("vec_id"))
+      .withColumn("_rnk", row_number().over(org.apache.spark.sql
+        .expressions.Window.partitionBy("component").orderBy(
+          col("sim").asc, col("id").asc)))
+      .where(col("_rnk") > 1)
+      .select(col("id").as("_drop_id"))
+      .transform(Ckpt.eager)
+    batchAsg.unpersist(false)
+    corpus.join(drop, corpus(idCol).cast("long") === drop("_drop_id"),
+      "left_anti")
+  }
+
   /** EXACT edit-distance-≤1 near-pairs over short keys via symmetric
     * single-deletion signatures (the SymSpell blocking scheme,
     * Garbe 2012 — public algorithm): each distinct key emits itself

@@ -406,6 +406,34 @@ object DedupQueries {
         .orderBy("vec_id")
     }),
 
+    // Q119: INCREMENTAL semantic dedup under FROZEN centroids — the
+    // q117/q118/q120 discipline for the SemDeDup family: the raw
+    // embeddings play the base (persisted artifacts: double-precision
+    // centroids, assignment, pair components), the jittered +10000 rows
+    // the appended batch. Batch work only: map-only frozen-cell
+    // assignment, batch×batch + batch×base pairs within cells, star
+    // extension, the least-similar keep policy over the union. The
+    // oracle replays the WHOLE frozen-centroid chain from scratch
+    // (trainer on the base slice, assignment over the union) — hash
+    // equality is incremental ≡ from-scratch under frozen centroids.
+    "q119_incremental_semantic_dedup" -> ((s, d) => {
+      val corpus = augEmb(s, d)
+      val base = corpus.where(col("vec_id") < 10000)
+      val batch = corpus.where(col("vec_id") >= 10000)
+      // the persisted artifacts a deployment holds from the prior round
+      val cents = graft.operators.Clustering.kmeansCentroidsD(base, 8, 3)
+      val baseAsg = graft.operators.Ckpt.eager(
+        graft.operators.Clustering.assignVecWithCentroids(base, cents))
+      val baseComp = graft.operators.Ckpt.eager(
+        Dedup.connectedComponents(
+          Dedup.assignmentDupPairs(baseAsg, 0.95)
+            .select("id1", "id2")))
+      Dedup.extendSemanticDeduped(corpus, "vec_id", baseAsg, baseComp,
+          batch, cents, tau = 0.95)
+        .select(col("vec_id").cast("long").as("vec_id"))
+        .orderBy("vec_id")
+    }),
+
     // Q65: cross-corpus (incremental) dedup — the augmented rows
     // (ids >= 10000: synthetic near-dups + exact copies) play the
     // INCOMING batch, the raw corpus the kept side; the oracle replays
@@ -1096,6 +1124,66 @@ object DedupQueries {
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, dv AS cv
         |  FROM (SELECT vec_id, dv FROM dz ORDER BY vec_id LIMIT 8)),
         |${(1 to 3).map(PipelineQueries.kmeansIter).mkString(",\n")},
+        |af AS MATERIALIZED (
+        |  SELECT vec_id, cell, d AS sim FROM (
+        |    SELECT d.vec_id, c.cell,
+        |      list_sum(list_transform(range(0, 64), i ->
+        |        d.dv[i+1] * c.cv[i+1])) AS d,
+        |      row_number() OVER (PARTITION BY d.vec_id
+        |        ORDER BY list_sum(list_transform(range(0, 64), i ->
+        |          d.dv[i+1] * c.cv[i+1])) DESC, c.cell) AS rnk
+        |    FROM dz d CROSS JOIN c3 c) x
+        |  WHERE rnk = 1),
+        |pr AS MATERIALIZED (
+        |  SELECT fa.vec_id AS id1, fb.vec_id AS id2
+        |  FROM af fa JOIN af fb ON fa.cell = fb.cell
+        |    AND fa.vec_id < fb.vec_id
+        |  JOIN dz da ON da.vec_id = fa.vec_id
+        |  JOIN dz db ON db.vec_id = fb.vec_id
+        |  WHERE $pcos >= 0.95),
+        |e AS (SELECT id1 AS s, id2 AS t FROM pr
+        |      UNION SELECT id2, id1 FROM pr),
+        |reach AS (
+        |  SELECT s AS id, s AS lab FROM e
+        |  UNION
+        |  SELECT e.t AS id, r.lab FROM reach r JOIN e ON e.s = r.id),
+        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+        |rk AS (SELECT c.id,
+        |    row_number() OVER (PARTITION BY c.component
+        |      ORDER BY a.sim ASC, c.id ASC) AS rnk
+        |  FROM comp c JOIN af a ON a.vec_id = c.id),
+        |drp AS (SELECT id FROM rk WHERE rnk > 1)
+        |SELECT CAST(v.vec_id AS BIGINT) AS vec_id
+        |FROM aug v LEFT JOIN drp ON drp.id = v.vec_id
+        |WHERE drp.id IS NULL
+        |ORDER BY vec_id""".stripMargin
+    },
+
+    // q119: q70b's chain with the trainer restricted to the BASE slice
+    // (dzb — the frozen-centroid contract: c0 seeds from the base's 8
+    // lowest ids, the 3 Lloyd rounds see only base vectors) while the
+    // final assignment, pairs, closure, and keep policy run over the
+    // FULL union — the from-scratch replay of what the engine computes
+    // incrementally from its persisted artifacts
+    "q119_incremental_semantic_dedup" -> {
+      val pcos =
+        "list_sum(list_transform(range(0, 64), i -> da.dv[i+1] * db.dv[i+1]))"
+      s"""WITH RECURSIVE $augEmbSql,
+        |$normEmbSql,
+        |dz AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(v, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv,
+        |    list_transform(list_transform(v, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)),
+        |      q -> CAST(q AS DOUBLE) / 1024.0) AS dv
+        |  FROM nv),
+        |dzb AS MATERIALIZED (SELECT * FROM dz WHERE vec_id < 10000),
+        |c0 AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, dv AS cv
+        |  FROM (SELECT vec_id, dv FROM dzb ORDER BY vec_id LIMIT 8)),
+        |${(1 to 3).map(t => PipelineQueries.kmeansIter(t, "dzb"))
+          .mkString(",\n")},
         |af AS MATERIALIZED (
         |  SELECT vec_id, cell, d AS sim FROM (
         |    SELECT d.vec_id, c.cell,

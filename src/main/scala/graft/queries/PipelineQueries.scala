@@ -462,7 +462,12 @@ object PipelineQueries {
       |    (2, 'vector'), (2, 'join'), (2, 'fast')) v(query_id, term)""".stripMargin
 
   /** q62 iteration CTEs, q35-style but over the FULL corpus `dz`. */
-  private[queries] def kmeansIter(t: Int): String = {
+  private[queries] def kmeansIter(t: Int): String = kmeansIter(t, "dz")
+
+  /** One unrolled Lloyd round over trainer source `src` (default the
+    * full `dz` grid CTE; q119 trains on the base-only slice `dzb` to
+    * replay the FROZEN-centroid contract). */
+  private[queries] def kmeansIter(t: Int, src: String): String = {
     val dot = (a: String, b: String) =>
       s"list_sum(list_transform(range(0, 64), i -> $a[i+1] * $b[i+1]))"
     s"""a$t AS (
@@ -470,7 +475,7 @@ object PipelineQueries {
       |    SELECT d.vec_id, d.qv, c.cell,
       |      row_number() OVER (PARTITION BY d.vec_id
       |        ORDER BY ${dot("d.dv", "c.cv")} DESC, c.cell) AS rnk
-      |    FROM dz d CROSS JOIN c${t - 1} c) x
+      |    FROM $src d CROSS JOIN c${t - 1} c) x
       |  WHERE rnk = 1),
       |s$t AS (
       |  SELECT cell, ii.i, CAST(sum(qv[ii.i + 1]) AS BIGINT) AS sq,

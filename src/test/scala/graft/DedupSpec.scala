@@ -893,6 +893,68 @@ class DedupSpec extends SparkSpec {
     assert(exMessageChain(bad).contains("extendFuzzyKeyPairs"))
   }
 
+  test("extendSemanticDeduped: frozen-centroid extension equals the " +
+    "from-scratch frozen chain over the union; assignVecWithCentroids " +
+    "is bit-identical to the trainer's own assignment; staleness gate " +
+    "fails loudly") {
+    import graft.operators.Clustering
+    // deterministic 8-dim corpus with planted near-dups: ids 100+ are
+    // jittered copies of id%4-family vectors (the augEmb shape)
+    val baseRows = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j =>
+        (math.sin(i % 4 + j * 0.7) + 2.0).toFloat))
+    }
+    val batchRows = (0L until 12L).map { k =>
+      val i = k * 3 % 4
+      (100L + k, Array.tabulate(8)(j =>
+        (math.sin(i + j * 0.7) + 2.0 +
+          (if (j == 0) 0.003 else 0.0)).toFloat))
+    }
+    val base = baseRows.toDF("vec_id", "embedding")
+    val batch = batchRows.toDF("vec_id", "embedding")
+    val union = base.unionByName(batch)
+    val cents = Clustering.kmeansCentroidsD(base, 3, 2)
+    // (a) frozen assignment over the training corpus == the trainer's
+    // own final assignment, bit for bit
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell"), col("sim"),
+          col("dv").cast("string"))
+        .as[(Long, Int, Double, String)].collect().toSet
+    assert(rows(Clustering.assignVecWithCentroids(base, cents)) ==
+      rows(Clustering.kmeansAssignVec(base, 3, 2)))
+    // (b) incremental == from-scratch under the SAME frozen centroids
+    val baseAsg = Clustering.assignVecWithCentroids(base, cents)
+      .persist()
+    val baseComp = Dedup.connectedComponents(
+      Dedup.assignmentDupPairs(baseAsg, 0.98).select("id1", "id2"))
+    val kept = Dedup.extendSemanticDeduped(union, "vec_id",
+        baseAsg, baseComp, batch, cents, tau = 0.98)
+      .select(col("vec_id").cast("long")).as[Long].collect().toSet
+    val unionAsg = Clustering.assignVecWithCentroids(union, cents)
+      .persist()
+    val scratchDrop = Dedup.connectedComponents(
+        Dedup.assignmentDupPairs(unionAsg, 0.98).select("id1", "id2"))
+      .join(unionAsg.select(col("vec_id"), col("sim")),
+        col("id") === col("vec_id"))
+      .withColumn("_rnk", row_number().over(org.apache.spark.sql
+        .expressions.Window.partitionBy("component")
+        .orderBy(col("sim").asc, col("id").asc)))
+      .where(col("_rnk") > 1)
+      .select(col("id")).as[Long].collect().toSet
+    val scratchKept = (baseRows.map(_._1) ++ batchRows.map(_._1)).toSet
+      .diff(scratchDrop)
+    assert(kept == scratchKept)
+    assert(kept.size < 52) // something was actually dropped
+    // (c) the staleness gate: appended mass beyond maxStaleFrac of the
+    // base must fail loudly (the PQ-codebook retrain discipline)
+    val boom = intercept[IllegalArgumentException] {
+      Dedup.extendSemanticDeduped(union, "vec_id", baseAsg, baseComp,
+        batch, cents, tau = 0.98, maxStaleFrac = 0.1)
+    }
+    assert(boom.getMessage.contains("stale"))
+    baseAsg.unpersist(); unionAsg.unpersist()
+  }
+
   test("crossHashPairs: banded cross-side Hamming pairs equal the " +
     "brute-force cross join (hamming-0 included); identical-hash mass " +
     "expands through reps") {
