@@ -3,6 +3,7 @@ package graft.api
 import graft.operators.{Ckpt, SubstringIndex, SuffixArray}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** PERSISTED incremental substring-dedup store — the deployment packaging
@@ -10,39 +11,52 @@ import org.apache.spark.sql.functions._
   * every append, with the maintained artifacts written beside the data the
   * way [[graft.operators.VersionStore]] persists versions and the facade
   * persists its PQ codes. q111 proves the append path hash-identical to a
-  * from-scratch rebuild; `bench/bench_r11_scale.json` prices the gap
-  * (append ≪ rebuild, structurally — batch-proportional vs
-  * corpus-proportional); this class makes the flow a durable API instead
-  * of a recipe the caller re-derives.
+  * from-scratch rebuild; this class makes the flow a durable API AND keeps
+  * per-append WRITE volume batch-proportional: an append persists only
+  * the index rows its batch touched and the deduped rows it changed
+  * (touched ∪ batch), never the full corpus artifacts — the round-11
+  * design's one O(corpus)-per-append cost, removed.
   *
   * Layout under `root/` (all parquet):
   * {{{
   *   corpus/epoch=N/    the batch APPENDED at epoch N (corpus = union ≤ N)
-  *   index/epoch=N/     the FULL window-key index as of epoch N
-  *   deduped/epoch=N/   the FULL deduped corpus as of epoch N
+  *   index/epoch=N/     snapshot epochs: the FULL window-key index;
+  *                      delta epochs: merged rows for BATCH-PRESENT keys
+  *   deduped/epoch=N/   snapshot epochs: the FULL deduped corpus;
+  *                      delta epochs: the rows the append CHANGED
+  *                      (recomputed touched base docs + the new batch)
   *   _commits/N         empty marker file — the epoch's commit point
+  *   _snapshots/N       marks epoch N's index/deduped as full snapshots
   * }}}
   *
-  * Crash safety, single-writer (the store-wide contract): an epoch's three
-  * artifact directories are written FIRST (idempotent overwrites), then
-  * the marker is created atomically with overwrite=false. Readers resolve
-  * the store at the highest MARKED epoch, so a crash mid-append leaves
-  * unmarked litter that the retry simply overwrites; a replayed
-  * append onto an already-marked epoch fails the marker create and is
-  * rejected loudly (same duplicate-commit discipline as the streaming
-  * staged renames — see [[graft.streaming.StreamingIngest
-  * .processSubstringBatch]]).
+  * Epoch 0 (init) is a snapshot; [[append]] writes deltas; readers resolve
+  * at the latest committed epoch by LATEST-EPOCH-WINS — per window key for
+  * the index (the [[graft.operators.SubstringIndex.extendIndexDelta]] merge
+  * is per-key, so a key untouched since epoch k is byte-identical to k's
+  * row) and per doc_id for the deduped corpus (an untouched doc's latest
+  * row is the last epoch that rewrote it). [[compact]] rewrites the
+  * resolved state as ONE new snapshot epoch and prunes the absorbed
+  * index/deduped delta directories (the
+  * [[graft.streaming.StreamingIngest.compactDeltas]] generation
+  * discipline applied to the epoch chain) — bounding read-side resolution
+  * work on a long-lived store. `corpus/` epochs are NEVER pruned: each
+  * holds an appended batch, i.e. the data itself, not a derived snapshot.
   *
-  * Costs, stated honestly: each append WRITES the full merged index and
-  * full deduped corpus (read-optimized artifacts, one predictable scan to
-  * open) while COMPUTING only batch + touched work — the I/O is the
-  * artifact size, the compute is incremental. A deployment whose index
-  * outgrows per-epoch rewrites holds partials instead and merges on read:
-  * that trade is already built as the streaming path
-  * ([[graft.streaming.StreamingIngest.readSubstringIndex]] +
-  * [[graft.operators.SubstringIndex.dedupeWithIndex]]). Old epochs are
-  * retained for time-travel/audit and prunable by deleting
-  * `epoch<N` directories plus nothing else (markers are per-epoch).
+  * Crash safety, single-writer (the store-wide contract): an epoch's
+  * artifact directories are written FIRST (idempotent overwrites), then
+  * the commit marker is created atomically with overwrite=false. Readers
+  * resolve at the highest MARKED epoch, so a crash mid-append leaves
+  * unmarked litter the retry simply overwrites; a replayed append onto an
+  * already-marked epoch fails the marker create loudly. [[compact]]'s
+  * snapshot marker is created AFTER its commit marker: a crash between
+  * the two leaves a committed epoch whose full artifacts read correctly
+  * as deltas (latest-wins over a full index IS that index), and the next
+  * [[compact]] re-marks; a crash mid-prune leaves absorbed directories
+  * the next [[compact]] sweeps (readers never resolve below the latest
+  * snapshot, so they are invisible either way).
+  *
+  * Time-travel: [[dedupedAt]] serves any epoch at or above the latest
+  * snapshot; epochs below it were pruned by [[compact]] and fail loudly.
   *
   * The reference engine has no substring machinery (vector-level dedup
   * only; reference storage_engine.py) — training-data-pipeline tier.
@@ -54,21 +68,59 @@ class SubstringDedupStore private (val spark: SparkSession,
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def marker(n: Long) = new Path(s"$root/_commits/$n")
+  private def snapMarker(n: Long) = new Path(s"$root/_snapshots/$n")
 
-  /** Highest committed epoch, or -1 for an empty/initialized-never store. */
-  def epoch: Long = {
-    val dir = new Path(s"$root/_commits")
+  private def maxMarked(dir: Path): Long =
     if (!fs.exists(dir)) -1L
     else fs.listStatus(dir).map(_.getPath.getName)
       .flatMap(n => scala.util.Try(n.toLong).toOption)
       .foldLeft(-1L)(math.max)
-  }
+
+  /** Highest committed epoch, or -1 for an empty/initialized-never store. */
+  def epoch: Long = maxMarked(new Path(s"$root/_commits"))
+
+  /** Highest epoch whose index/deduped artifacts are full snapshots
+    * (epoch 0 after [[SubstringDedupStore.init]]; bumped by [[compact]]). */
+  def latestSnapshot: Long = maxMarked(new Path(s"$root/_snapshots"))
 
   private def requireCommitted(): Long = {
     val e = epoch
     require(e >= 0, s"SubstringDedupStore at $root has no committed epoch")
     e
   }
+
+  /** Snapshot base for reads at epoch `e` — fails loudly when `e`
+    * predates the latest compaction (its deltas were pruned). */
+  private def snapshotFor(e: Long): Long = {
+    val s = latestSnapshot
+    require(s >= 0 && s <= e,
+      s"epoch $e at $root is below the latest snapshot $s — its delta " +
+        "epochs were pruned by compact(); time-travel only reaches " +
+        "epochs at or above the snapshot")
+    s
+  }
+
+  /** Latest-epoch-wins resolution of a delta-epoch artifact chain. */
+  private def resolve(kind: String, from: Long, to: Long,
+                      keyCols: Seq[String],
+                      outCols: Seq[String]): DataFrame = {
+    val df = spark.read.option("basePath", s"$root/$kind")
+      .parquet((from to to).map(n => s"$root/$kind/epoch=$n"): _*)
+    if (from == to) df.select(outCols.map(col): _*)
+    else df
+      .withColumn("_rk", row_number().over(Window
+        .partitionBy(keyCols.map(col): _*).orderBy(col("epoch").desc)))
+      .where(col("_rk") === 1)
+      .select(outCols.map(col): _*)
+  }
+
+  private def indexAt(e: Long): DataFrame =
+    resolve("index", snapshotFor(e), e, Seq("k1", "k2"),
+      Seq("k1", "k2", "keep", "occ"))
+
+  private def dedupedResolved(e: Long): DataFrame =
+    resolve("deduped", snapshotFor(e), e, Seq("doc_id"),
+      Seq("doc_id", "text", "n_tokens_before", "n_tokens_after"))
 
   /** The full corpus at the latest committed epoch (union of appended
     * batches — epoch pruning via the partition column). */
@@ -79,19 +131,20 @@ class SubstringDedupStore private (val spark: SparkSession,
       .select(col("doc_id"), col("text"))
   }
 
-  /** The maintained window-key index at the latest committed epoch. */
-  def index: DataFrame =
-    spark.read.parquet(s"$root/index/epoch=${requireCommitted()}")
+  /** The maintained window-key index at the latest committed epoch
+    * (snapshot + deltas, latest-epoch-wins per key). */
+  def index: DataFrame = indexAt(requireCommitted())
 
   /** The deduped corpus at the latest committed epoch. */
-  def deduped: DataFrame =
-    spark.read.parquet(s"$root/deduped/epoch=${requireCommitted()}")
+  def deduped: DataFrame = dedupedResolved(requireCommitted())
 
-  /** Dedup result as of a PAST committed epoch (audit/time-travel). */
+  /** Dedup result as of a PAST committed epoch (audit/time-travel) —
+    * reaches any epoch at or above the latest snapshot; older epochs
+    * were pruned by [[compact]] and fail loudly. */
   def dedupedAt(e: Long): DataFrame = {
     require(e >= 0 && e <= epoch && fs.exists(marker(e)),
       s"epoch $e not committed at $root")
-    spark.read.parquet(s"$root/deduped/epoch=$e")
+    dedupedResolved(e)
   }
 
   private def writeEpoch(n: Long, batch: DataFrame, idx: DataFrame,
@@ -108,30 +161,82 @@ class SubstringDedupStore private (val spark: SparkSession,
   }
 
   /** Append a batch (ids strictly above every stored id — enforced by
-    * [[graft.operators.SubstringIndex.appendDeduped]]'s guard), extend
-    * the index, dedup incrementally, commit epoch+1. Returns the new
-    * epoch. */
+    * [[graft.operators.SubstringIndex]]'s guard), commit epoch+1 as a
+    * DELTA epoch: compute is batch + touched
+    * ([[graft.operators.SubstringIndex.appendDedupedDelta]]) and the
+    * WRITE is exactly those rows plus the batch-present index keys —
+    * never the full corpus artifacts. Returns the new epoch. */
   def append(batch: DataFrame): Long = {
     val e = requireCommitted()
     val n = e + 1
     val b = Ckpt.eager(batch.select(col("doc_id").cast("long")
       .as("doc_id"), col("text").cast("string").as("text")))
     val baseDocs = corpus
-    // the persisted artifacts, pinned once each across their consumers
-    val idx = Ckpt.eager(spark.read.parquet(s"$root/index/epoch=$e"))
-    val ded = SubstringIndex.appendDeduped(
-      baseDocs, dedupedAt(e), idx, b, window)
-    val nextIndex = SubstringIndex.extendIndex(idx, b, window)
-    writeEpoch(n, b, nextIndex, ded)
+    // the resolved base index, pinned once across its consumers (the
+    // delta computation joins it twice; resolution itself is one
+    // window over snapshot + deltas — bounded by compact())
+    val idx = Ckpt.eager(indexAt(e))
+    val dedDelta = SubstringIndex.appendDedupedDelta(
+      baseDocs, idx, b, window)
+    val idxDelta = SubstringIndex.extendIndexDelta(idx, b, window)
+    writeEpoch(n, b, idxDelta, dedDelta)
     n
+  }
+
+  /** Rewrite the resolved index + deduped state as ONE new snapshot
+    * epoch and prune the absorbed index/deduped delta directories (and
+    * their snapshot markers) below it — the epoch-chain analogue of
+    * [[graft.streaming.StreamingIngest.compactDeltas]]. The new epoch
+    * appends NO data (its corpus delta is empty); `corpus/` directories
+    * are all retained. Idempotent: compacting an already-snapshot head
+    * only finishes any interrupted prune. Returns the snapshot epoch. */
+  def compact(): Long = {
+    val e = requireCommitted()
+    val s = latestSnapshot
+    if (s == e) { pruneBelow(s); return e }
+    val n = e + 1
+    val emptyBatch = spark.read
+      .parquet(s"$root/corpus/epoch=0").select("doc_id", "text").limit(0)
+    writeEpoch(n, emptyBatch,
+      Ckpt.eager(indexAt(e)), Ckpt.eager(dedupedResolved(e)))
+    // the snapshot marker comes AFTER the commit marker: a crash between
+    // the two leaves epoch n committed as a (full-content) delta, which
+    // reads identically under latest-wins; the next compact() re-marks
+    fs.mkdirs(snapMarker(n).getParent)
+    if (!fs.exists(snapMarker(n))) fs.create(snapMarker(n), false).close()
+    pruneBelow(n)
+    n
+  }
+
+  /** Delete index/deduped epoch directories and snapshot markers below
+    * the latest snapshot. Readers never resolve below it, so this is
+    * safe to (re-)run any time — [[compact]] uses it both as its prune
+    * step and as the recovery sweep for an interrupted prune. */
+  private def pruneBelow(snap: Long): Unit = {
+    Seq("index", "deduped").foreach { kind =>
+      val dir = new Path(s"$root/$kind")
+      if (fs.exists(dir)) fs.listStatus(dir)
+        .filter(_.getPath.getName.startsWith("epoch="))
+        .flatMap(st => scala.util.Try(
+          st.getPath.getName.stripPrefix("epoch=").toLong).toOption
+          .map(v => (v, st.getPath)))
+        .filter(_._1 < snap)
+        .foreach { case (_, p) => fs.delete(p, true) }
+    }
+    val sDir = new Path(s"$root/_snapshots")
+    if (fs.exists(sDir)) fs.listStatus(sDir)
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption
+        .map(v => (v, st.getPath)))
+      .filter(_._1 < snap)
+      .foreach { case (_, p) => fs.delete(p, true) }
   }
 }
 
 object SubstringDedupStore {
 
   /** Create the store at `root` from an initial corpus: epoch 0 holds the
-    * corpus itself, its index, and its from-scratch dedup. Fails loudly
-    * if the root already has a committed epoch. */
+    * corpus itself, its full index, and its from-scratch dedup (the first
+    * snapshot). Fails loudly if the root already has a committed epoch. */
   def init(spark: SparkSession, root: String, docs: DataFrame,
            window: Int): SubstringDedupStore = {
     val s = new SubstringDedupStore(spark, root, window)
@@ -142,6 +247,10 @@ object SubstringDedupStore {
     s.writeEpoch(0L, d,
       SubstringIndex.buildIndex(d, window),
       SuffixArray.substringDeduped(d, window))
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$root/_snapshots"))
+    fs.create(new Path(s"$root/_snapshots/0"), false).close()
     s
   }
 

@@ -144,6 +144,28 @@ object SubstringIndex {
           .as("occ"))
   }
 
+  /** The per-epoch index DELTA under append: merged (keep, occ) for
+    * EXACTLY the batch-present keys — what a delta-epoch store persists
+    * instead of [[extendIndex]]'s full merge. Latest-epoch-wins
+    * resolution over a snapshot plus these deltas reconstructs
+    * [[extendIndex]]'s output exactly (the merge is per-key, so a key
+    * no batch touched is byte-identical to the last epoch that wrote
+    * it; a touched key's merged value here IS the union value) —
+    * spec-gated, and [[graft.api.SubstringDedupStore]]'s epoch-read ≡
+    * from-scratch gate covers the composed chain. Cost: one batch-sized
+    * aggregation + one key-equi join against the index; output rows =
+    * batch-present keys, not corpus keys. */
+  def extendIndexDelta(index: DataFrame, newDocs: DataFrame, window: Int,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    buildIndex(newDocs, window, idCol, textCol)
+      .withColumnRenamed("keep", "_nk").withColumnRenamed("occ", "_no")
+      .join(index, KeyCols, "left")
+      .select(col("k1"), col("k2"),
+        when(col("keep").isNull, col("_nk"))
+          .otherwise(least(col("keep"), col("_nk"))).as("keep"),
+        (coalesce(col("occ"), lit(0L)) + col("_no")).as("occ"))
+
   /** Base docs whose rebuilt text the batch can change: owners of a
     * window UNIQUE in the base (occ == 1 ⇒ `keep` IS the owning
     * occurrence) that the batch duplicates. Package-private so the spec
@@ -180,6 +202,36 @@ object SubstringIndex {
                     index: DataFrame, newDocs: DataFrame, window: Int,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
+    val (touched, changed) =
+      appendCore(baseDocs, index, newDocs, window, idCol, textCol)
+    baseDeduped
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("n_tokens_before"), col("n_tokens_after"))
+      .join(touched, Seq("doc_id"), "left_anti")
+      .unionByName(changed)
+      .transform(Ckpt.eager)
+  }
+
+  /** [[appendDeduped]] WITHOUT the untouched-base carry — exactly the
+    * rows the append CHANGED (the recomputed touched base docs + the
+    * deduped batch), for the delta-epoch store shape: persist only
+    * these per epoch and resolve on read by latest-epoch-wins per
+    * doc_id (an untouched doc's latest row is its last epoch's, which
+    * the carry would have copied verbatim). Same compute as
+    * [[appendDeduped]] minus the carry anti-join; write volume is
+    * |touched ∪ batch|, never |corpus|. */
+  def appendDedupedDelta(baseDocs: DataFrame, index: DataFrame,
+                         newDocs: DataFrame, window: Int,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame =
+    appendCore(baseDocs, index, newDocs, window, idCol, textCol)._2
+
+  /** Shared core: (touched base ids, EAGER changed rows =
+    * recomputed-touched ∪ deduped-batch). */
+  private def appendCore(baseDocs: DataFrame, index: DataFrame,
+                         newDocs: DataFrame, window: Int,
+                         idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
     checkWindow(window)
     // id-ordering guard: a parquet min/max-statistics scan of the id
     // column on the base side, then a map-side raise_error on the batch
@@ -230,7 +282,9 @@ object SubstringIndex {
     // re-flag against (index stats + batch deltas); every window of a
     // base doc is in the index, so the left-joined base side is always
     // present and `keep` never needs the batch minimum
-    val touched = touchedBaseIds(index, newAgg)
+    // pinned: consumed by tb's semi-join during materialization below
+    // AND by appendDeduped's carry anti-join after this returns
+    val touched = Ckpt.eager(touchedBaseIds(index, newAgg))
     val tb = baseDocs.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).cast("string").as("text"))
       .join(touched, Seq("doc_id"), "left_semi")
@@ -245,15 +299,9 @@ object SubstringIndex {
           col("pos") === col("keep.pos")).as("_canon"))
     val tOut = SuffixArray.rebuildWithVeto(tb, tFlags, window)
 
-    val out = baseDeduped
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
-        col("n_tokens_before"), col("n_tokens_after"))
-      .join(touched, Seq("doc_id"), "left_anti")
-      .unionByName(tOut)
-      .unionByName(newOut)
-      .transform(Ckpt.eager)
+    val changed = tOut.unionByName(newOut).transform(Ckpt.eager)
     newKeys.unpersist(false)
     newAgg.unpersist(false)
-    out
+    (touched, changed)
   }
 }

@@ -97,4 +97,87 @@ class SubstringDedupStoreSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("does not exceed")), e.toString)
   }
+
+  test("delta epochs: per-append write volume is touched∪batch, not " +
+    "corpus; compact() snapshots and prunes; pruned epochs fail loudly; " +
+    "an interrupted compact (no snapshot marker) still reads correctly") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sds3").toString + "/store"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/$p"))
+
+    val s = SubstringDedupStore.init(spark, root, baseDocs, W)
+    s.append(batch1)
+    s.append(batch2)
+    val union1 = baseDocs.unionByName(batch1)
+    val union2 = union1.unionByName(batch2)
+    val want2 = collectOut(SuffixArray.substringDeduped(union2, W))
+    assert(collectOut(s.deduped) == want2)
+
+    // WRITE VOLUME: epoch 2's deduped delta holds exactly the changed
+    // rows — batch2's two docs plus the base docs batch2 touched (doc 1:
+    // "e f g h" was base-unique and doc 20 duplicates it; "a b c d" was
+    // already duplicated in the base, so doc 21 touches nothing) — never
+    // the 8-doc corpus
+    val d2 = spark.read.parquet(s"$root/deduped/epoch=2")
+    assert(d2.count() == 3L,
+      s"expected 3 delta rows, got ${d2.count()}")
+    assert(d2.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 20L, 21L))
+    // epoch 2's index delta holds only batch2-present keys
+    val i2 = spark.read.parquet(s"$root/index/epoch=2")
+    val batchKeys = graft.operators.SubstringIndex
+      .windowKeys(batch2, W).select("k1", "k2").distinct().count()
+    assert(i2.count() == batchKeys)
+
+    // an INTERRUPTED compact (commit marker written, snapshot marker
+    // not): epoch 3 holds full artifacts but reads as a delta —
+    // latest-wins over a full index/deduped IS that state
+    graft.operators.Ckpt.eager(s.index)
+      .write.parquet(s"$root/index/epoch=3")
+    graft.operators.Ckpt.eager(s.deduped)
+      .write.parquet(s"$root/deduped/epoch=3")
+    s.corpus.limit(0).write.parquet(s"$root/corpus/epoch=3")
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_commits/3"), false)
+      .close()
+    assert(s.epoch == 3L && s.latestSnapshot == 0L)
+    assert(collectOut(s.deduped) == want2)
+
+    // a real compact() absorbs everything into a new snapshot epoch,
+    // prunes the absorbed index/deduped deltas, keeps every corpus dir
+    val snap = s.compact()
+    assert(snap == 4L && s.latestSnapshot == 4L)
+    assert(collectOut(s.deduped) == want2)
+    assert(collectOut(s.dedupedAt(4L)) == want2)
+    assert(!exists("deduped/epoch=1") && !exists("index/epoch=2") &&
+      !exists("deduped/epoch=3") && !exists("_snapshots/0"))
+    assert(exists("corpus/epoch=1") && exists("corpus/epoch=2"))
+    // time-travel below the snapshot fails loudly
+    val gone = intercept[IllegalArgumentException] { s.dedupedAt(1L) }
+    assert(gone.getMessage.contains("pruned"))
+    // compact on an already-snapshot head is a no-op sweep
+    assert(s.compact() == 4L)
+
+    // the index snapshot equals a from-scratch build over the union
+    val wantIdx = graft.operators.SubstringIndex.buildIndex(union2, W)
+      .select(col("k1"), col("k2"), col("keep.doc_id"), col("keep.pos"),
+        col("occ")).as[(Long, Long, Long, Long, Long)]
+      .collect().sorted.toSeq
+    assert(s.index
+      .select(col("k1"), col("k2"), col("keep.doc_id"), col("keep.pos"),
+        col("occ")).as[(Long, Long, Long, Long, Long)]
+      .collect().sorted.toSeq == wantIdx)
+
+    // appends continue over the snapshot, and a reopened store agrees
+    val batch3 = Seq((30L, "x1 a b c d n1 n2 n3")).toDF("doc_id", "text")
+    assert(s.append(batch3) == 5L)
+    val want3 = collectOut(SuffixArray.substringDeduped(
+      union2.unionByName(batch3), W))
+    assert(collectOut(s.deduped) == want3)
+    assert(collectOut(SubstringDedupStore.open(spark, root, W).deduped)
+      == want3)
+  }
 }
