@@ -165,6 +165,15 @@ object Mixture {
       .repartition(shards, col("shard"))
       .sortWithinPartitions("shard", "pos")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    shardManifest(assigned, idCol)
+  }
+
+  /** The per-shard audit manifest of an assigned epoch frame — factored
+    * so [[writeEpochShards]] (derives it from what it wrote) and
+    * [[readEpochShards]] (re-derives it from what it READ) share the
+    * exact aggregation, making drift detection a value comparison. */
+  private def shardManifest(assigned: DataFrame, idCol: String)
+      : DataFrame = {
     val mod = lit(72057594037927936L) // 2^56
     def ck(c: Column): Column =
       pmod(sum(c.cast("decimal(38,0)")) % mod.cast("decimal(38,0)"),
@@ -175,5 +184,40 @@ object Mixture {
       ck(Dedup.md5Long(col(idCol).cast("string"))).as("id_checksum"),
       ck(Dedup.md5Long(concat(col("pos").cast("string"), lit(":"),
         col(idCol).cast("string")))).as("order_checksum"))
+  }
+
+  /** Read an epoch materialized by [[writeEpochShards]] back and VERIFY
+    * it against its audit manifest BEFORE serving — the round-trip the
+    * publish manifest closes for corpora, closed for the dataloader
+    * artifact: per shard, the stored rows' recomputed (n_docs, min_pos,
+    * max_pos, id_checksum, order_checksum) must equal the manifest's;
+    * any membership drift, ordering drift (the order checksum binds
+    * each id to its exact global position), missing shard, or stray
+    * shard fails LOUDLY with the offending shard ids. Returns the full
+    * epoch frame (payload + pos/shard/pos_in_shard); the global
+    * training order is `orderBy(pos)` and a rank's slice is
+    * `where(shard === r)` ordered by pos_in_shard — both spec-gated
+    * equal to the assignment [[writeEpochShards]] derived from.
+    * Verification is ONE aggregation over the shard directories (the
+    * manifest side is shards-sized); the data itself is not re-sorted
+    * or re-shuffled. */
+  def readEpochShards(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, manifest: DataFrame,
+                      idCol: String = "doc_id"): DataFrame = {
+    val rows = spark.read.parquet(dir)
+    val got = shardManifest(rows, idCol)
+    val cols = Seq("n_docs", "min_pos", "max_pos", "id_checksum",
+      "order_checksum")
+    val exp = manifest.select(col("shard") +:
+      cols.map(c => col(c).as(s"_e_$c")): _*)
+    val bad = got.join(exp, Seq("shard"), "full_outer")
+      .where(cols.map(c => !(col(c) <=> col(s"_e_$c")))
+        .reduce(_ || _))
+      .select("shard").collect().map(_.get(0)).toSeq
+    require(bad.isEmpty,
+      s"readEpochShards: shard(s) ${bad.mkString(",")} at $dir drifted " +
+        "from the audit manifest — membership or order differs from " +
+        "what writeEpochShards committed")
+    rows
   }
 }

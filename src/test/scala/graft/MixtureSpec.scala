@@ -189,4 +189,59 @@ class MixtureSpec extends SparkSpec {
       .as[(Long, Long)].collect().sortBy(_._2)
     assert(s0.map(_._1).toSeq == s0.map(_._1).sorted.toSeq)
   }
+
+  test("readEpochShards: read(write(x)) reassembles the exact global " +
+    "order under manifest re-verification; membership and order " +
+    "tampering both fail loudly") {
+    val df = (1L to 150L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_epoch_rt").toString
+    val manifest = Mixture.writeEpochShards(df, s"$dir/e", shards = 4)
+      .persist()
+    manifest.count()
+    val back = Mixture.readEpochShards(spark, s"$dir/e", manifest)
+    // the reassembled global order IS the deterministic shuffle order
+    val wantOrder = Mixture.shuffledOrder(df.select("doc_id"), "doc_id")
+      .orderBy("pos").select("doc_id").as[Long].collect().toSeq
+    assert(back.orderBy("pos").select("doc_id").as[Long].collect().toSeq
+      == wantOrder)
+    // a rank's slice is contiguous in the global order
+    val r2 = back.where(col("shard") === 2L)
+      .orderBy("pos_in_shard").select("pos").as[Long].collect().toSeq
+    assert(r2 == (r2.head to r2.last).toSeq)
+    // MEMBERSHIP tampering: drop one row from a shard directory
+    val e2 = s"$dir/e2"
+    val m2 = Mixture.writeEpochShards(df, e2, shards = 4).persist()
+    m2.count()
+    val shard0 = spark.read.parquet(s"$e2/shard=0")
+    shard0.where(col("doc_id") =!= shard0.select("doc_id")
+        .as[Long].head()).write.mode("overwrite")
+      .parquet(s"$dir/tmp0")
+    spark.read.parquet(s"$dir/tmp0").write.mode("overwrite")
+      .parquet(s"$e2/shard=0")
+    val drop = intercept[IllegalArgumentException] {
+      Mixture.readEpochShards(spark, e2, m2)
+    }
+    assert(drop.getMessage.contains("drifted"))
+    // ORDER tampering: swap two ids' positions inside one shard (same
+    // membership, same pos set — only the binding changes)
+    val e3 = s"$dir/e3"
+    val m3 = Mixture.writeEpochShards(df, e3, shards = 4).persist()
+    m3.count()
+    val s1 = spark.read.parquet(s"$e3/shard=1")
+    val twoIds = s1.orderBy("pos").select("doc_id").as[Long]
+      .collect().take(2)
+    val swapped = s1.withColumn("doc_id",
+      when(col("doc_id") === twoIds(0), twoIds(1))
+        .when(col("doc_id") === twoIds(1), twoIds(0))
+        .otherwise(col("doc_id")))
+    swapped.write.mode("overwrite").parquet(s"$dir/tmp1")
+    spark.read.parquet(s"$dir/tmp1").write.mode("overwrite")
+      .parquet(s"$e3/shard=1")
+    val swap = intercept[IllegalArgumentException] {
+      Mixture.readEpochShards(spark, e3, m3)
+    }
+    assert(swap.getMessage.contains("drifted"))
+    manifest.unpersist(); m2.unpersist(); m3.unpersist()
+  }
 }
