@@ -954,16 +954,7 @@ object Dedup {
     val grp = hashGroups(sh)
     val mem = sh.join(grp.select(col("_sh"), col("_rep")), Seq("_sh"))
       .select(col("_id"), col("_rep"))
-    val reps = grp.select(col("_rep").as("_id"), col("_sh"))
-    val repComp = connectedComponents(
-      bandedHashPairs(reps, maxHamming).select(col("id1"), col("id2")))
-    // isolated multi-member groups: a hamming-0 clique with no external
-    // edge is its own component, labeled by its minimum member id = rep
-    val cliqueOnly = grp.where(col("_e") > 1)
-      .select(col("_rep").cast("long").as("id"),
-        col("_rep").cast("long").as("component"))
-      .join(repComp.select(col("id")), Seq("id"), "left_anti")
-    val allComp = repComp.unionByName(cliqueOnly)
+    val allComp = hashComponentsOf(grp, maxHamming)
     // drop set pinned so the hash frame frees NOW (the returned anti-join
     // would otherwise re-decode the corpus per downstream action)
     val drop = mem
@@ -972,6 +963,128 @@ object Dedup {
       .select(col("_id").cast("long").as("_drop_id"))
       .transform(Ckpt.eager)
     sh.unpersist(false)
+    corpus.join(drop, corpus(idCol).cast("long") === drop("_drop_id"),
+      "left_anti")
+  }
+
+  /** The rep-level component closure over a [[hashGroups]] frame:
+    * banded pairs between distinct-hash representatives, closed, PLUS
+    * every multi-member group with no external edge as its own
+    * component (a hamming-0 clique) — (id = group rep, component = min
+    * member id of the whole near-dup cluster; reps ARE group minima, so
+    * the rep-graph minimum is the member minimum). */
+  private def hashComponentsOf(grp: DataFrame,
+                               maxHamming: Int): DataFrame = {
+    val reps = grp.select(col("_rep").as("_id"), col("_sh"))
+    val repComp = connectedComponents(
+      bandedHashPairs(reps, maxHamming).select(col("id1"), col("id2")))
+    val cliqueOnly = grp.where(col("_e") > 1)
+      .select(col("_rep").cast("long").as("id"),
+        col("_rep").cast("long").as("component"))
+      .join(repComp.select(col("id")), Seq("id"), "left_anti")
+    repComp.unionByName(cliqueOnly)
+  }
+
+  /** The PERSISTABLE component artifact behind [[hashDeduped]] — one row
+    * per distinct-hash representative that belongs to a multi-member
+    * cluster (banded pairs closed, plus isolated hamming-0 cliques):
+    * (id = rep, component = min member id). Write it beside the
+    * fingerprint frame and feed [[extendHashDeduped]] per append; a
+    * corpus rebuild is `hashDeduped(corpus, hashes)` and this artifact
+    * refreshes with it. */
+  def hashComponents(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = hashes.withColumnRenamed("simhash", "_sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = Ckpt.eager(hashComponentsOf(hashGroups(sh), maxHamming))
+    sh.unpersist(false)
+    out
+  }
+
+  /** INCREMENTAL [[hashDeduped]] — the append path of the fingerprint
+    * families (image dHash, audio prints, video prints, SimHash),
+    * REP-LEVEL throughout: the persisted base artifacts are the base
+    * fingerprint frame (`baseHashes`, 8 bytes/doc — the media itself is
+    * never re-decoded) and its [[hashComponents]] closure; the appended
+    * batch contributes its own fingerprints and the extension runs over
+    * DISTINCT-hash representatives — member pairs never materialize
+    * (the [[hashDeduped]] fused-collapse discipline, kept under append:
+    * a replica-flood batch costs reps², not members²).
+    *
+    * Edge construction, hash-keyed: a batch hash IDENTICAL to a base
+    * hash joins that base group through one (base rep, batch rep) edge
+    * (its members are hamming-0 to the group); batch-NEW hashes band
+    * against base reps (cross) and each other (within). Node labels are
+    * recomputed by the closure, so a batch id smaller than every base
+    * member correctly takes over as the cluster's canonical keep — the
+    * output is EXACTLY `hashDeduped(corpus, baseHashes ∪ newHashes)`
+    * (spec-gated on adversarial id interleavings; q118/q118b/q118c's
+    * oracles replay the from-scratch closure verbatim).
+    *
+    * Cost shape: batch fingerprinting + one batch hash aggregation +
+    * band joins sized by batch reps × (base reps + batch reps), one
+    * group aggregation over the base PRINT artifact (not the media),
+    * and the star closure over the rep graph. Returns the kept rows of
+    * `corpus` (the union's id space). */
+  def extendHashDeduped(corpus: DataFrame, idCol: String,
+                        baseHashes: DataFrame, baseComp: DataFrame,
+                        newHashes: DataFrame,
+                        maxHamming: Int = 3): DataFrame = {
+    val dt = corpus.schema(idCol).dataType
+    require(dt == org.apache.spark.sql.types.LongType ||
+      dt == org.apache.spark.sql.types.IntegerType ||
+      dt == org.apache.spark.sql.types.ShortType,
+      s"extendHashDeduped needs an integral $idCol; got $dt")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bh = baseHashes.withColumnRenamed("simhash", "_sh").persist(lvl)
+    val nh = newHashes.withColumnRenamed("simhash", "_sh").persist(lvl)
+    val bg = hashGroups(bh).persist(lvl)
+    val ng = hashGroups(nh).persist(lvl)
+    // batch hashes the base already carries: one rep-level edge wires
+    // the batch members into the existing group (hamming 0)
+    val sharedEdges = ng.as("n")
+      .join(bg.as("b"), col("n._sh") === col("b._sh"))
+      .select(col("b._rep").as("id1"), col("n._rep").as("id2"))
+    // batch-NEW hashes: band against base reps and against each other
+    val newOnly = ng.join(bg.select(col("_sh")), Seq("_sh"), "left_anti")
+      .select(col("_rep").as("_id"), col("_sh"))
+    val crossEdges = bandProjected(newOnly, maxHamming).as("l")
+      .join(bandProjected(
+        bg.select(col("_rep").as("_id"), col("_sh")), maxHamming).as("r"),
+        col("l._band") === col("r._band") &&
+          col("l._bval") === col("r._bval"))
+      .select(col("r._id").as("id1"), col("l._id").as("id2"),
+        hamming(col("l._sh"), col("r._sh")).cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .select("id1", "id2").distinct()
+    val withinEdges = bandedHashPairs(newOnly, maxHamming)
+      .select("id1", "id2")
+    // batch-internal hamming-0 mass: a multi-member NEW-hash group is a
+    // clique — wire it as (rep, rep)-labeled singleton so it survives
+    // even with no external edge (extendComponents preserves singletons)
+    val newCliques = ng
+      .join(bg.select(col("_sh")), Seq("_sh"), "left_anti")
+      .where(col("_e") > 1)
+      .select(col("_rep").cast("long").as("id"),
+        col("_rep").cast("long").as("component"))
+    val comp = extendComponents(
+      baseComp.unionByName(newCliques
+        .join(baseComp.select("id"), Seq("id"), "left_anti")),
+      sharedEdges.unionByName(crossEdges).unionByName(withinEdges))
+    // member mapping rides the hash: base members through base reps,
+    // batch members through the base rep when the hash is shared, their
+    // own rep otherwise
+    val node = bg.select(col("_sh"), col("_rep").as("_node"))
+    val memB = bh.join(node, Seq("_sh")).select(col("_id"), col("_node"))
+    val nodeN = ng.select(col("_sh"), col("_rep"))
+      .join(node, Seq("_sh"), "left")
+      .select(col("_sh"), coalesce(col("_node"), col("_rep")).as("_node"))
+    val memN = nh.join(nodeN, Seq("_sh")).select(col("_id"), col("_node"))
+    val drop = memB.unionByName(memN)
+      .join(comp, col("_node").cast("long") === comp("id"))
+      .where(col("_id").cast("long") =!= col("component"))
+      .select(col("_id").cast("long").as("_drop_id"))
+      .transform(Ckpt.eager)
+    Seq(bh, nh, bg, ng).foreach(_.unpersist(false))
     corpus.join(drop, corpus(idCol).cast("long") === drop("_drop_id"),
       "left_anti")
   }

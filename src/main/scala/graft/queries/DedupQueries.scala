@@ -83,19 +83,12 @@ object DedupQueries {
     val h = graft.operators.Ckpt.eager(hashes)
     val baseH = h.where(pmod(col("_id"), lit(4)) =!= 3)
     val batchH = h.where(pmod(col("_id"), lit(4)) === 3)
-    // the persisted artifact from the prior round: base components
-    val baseAsg = graft.operators.Ckpt.eager(
-      Dedup.connectedComponents(
-        Dedup.hashPairs(baseH, maxHamming = 3).select("id1", "id2")))
-    val newEdges = Dedup.hashPairs(batchH, maxHamming = 3)
-      .select("id1", "id2")
-      .unionByName(Dedup.crossHashPairs(batchH, baseH, maxHamming = 3)
-        .select(col("existing_id").as("id1"), col("new_id").as("id2")))
-    val drop = Dedup.extendComponents(baseAsg, newEdges)
-      .where(col("id") =!= col("component"))
-      .select(col("id").as("_drop_id"))
-    val ids = Tables.documents(s, d).select(col("doc_id"))
-    ids.join(drop, ids("doc_id") === drop("_drop_id"), "left_anti")
+    // the persisted artifacts from the prior round: the base prints and
+    // their rep-level component closure
+    val baseComp = Dedup.hashComponents(baseH, maxHamming = 3)
+    Dedup.extendHashDeduped(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id",
+        baseH, baseComp, batchH, maxHamming = 3)
       .select(col("doc_id").cast("long").as("doc_id"))
       .orderBy("doc_id")
   }

@@ -955,6 +955,47 @@ class DedupSpec extends SparkSpec {
     baseAsg.unpersist(); unionAsg.unpersist()
   }
 
+  test("extendHashDeduped: rep-level extension equals from-scratch " +
+    "hashDeduped over the union — shared-hash takeover by a smaller " +
+    "batch id, new-hash bridge merging two base components, isolated " +
+    "batch cliques, singletons") {
+    val H0 = 0x00FF00FF00L; val H1 = H0 ^ 1L // hamming 1 apart
+    val H2 = 0x7700AA0011L; val H3 = H2 ^ 6L // hamming 2 apart
+    val HB = (H0 ^ 0x0F0000000FL) & ((1L << 56) - 1) // far from H0 family
+    val HC = 0x0123456789L
+    // base: {10,12}@H0, {14}@H1 (paired via banding), {20}@H2, {22}@H3
+    // (a second component), {30,31}@HC (isolated clique), {40}@HB
+    // (singleton group, unpaired)
+    val base = Seq((10L, H0), (12L, H0), (14L, H1), (20L, H2), (22L, H3),
+      (30L, HC), (31L, HC), (40L, HB)).toDF("_id", "simhash")
+    // batch: 3@H0 (SHARED hash, smaller than every base member — takes
+    // over as keep), 50@(H1^2) bridging... plus a new-hash pair
+    // {60,61}@HD (isolated batch clique), 70@HB (shared with the base
+    // singleton), and 80@(H2^1) joining the second component
+    val HD = 0x5544332211L
+    val batch = Seq((3L, H0), (60L, HD), (61L, HD), (70L, HB),
+      (80L, H2 ^ 1L)).toDF("_id", "simhash")
+    val union = base.unionByName(batch)
+    val allIds = union.select(col("_id").as("doc_id"))
+    val baseComp = Dedup.hashComponents(base, maxHamming = 3)
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").cast("long")).as[Long].collect().toSet
+    val incr = kept(Dedup.extendHashDeduped(allIds, "doc_id",
+      base, baseComp, batch, maxHamming = 3))
+    val scratch = kept(Dedup.hashDeduped(allIds, "doc_id", union,
+      maxHamming = 3))
+    assert(incr == scratch)
+    // the takeover happened: 3 is kept, base keep 10 dropped
+    assert(incr.contains(3L) && !incr.contains(10L))
+    // isolated batch clique deduped to its min
+    assert(incr.contains(60L) && !incr.contains(61L))
+    // the base singleton group gained a member and deduped
+    assert(incr.contains(40L) && !incr.contains(70L))
+    // second component keeps its min
+    assert(incr.contains(20L) && !incr.contains(80L) &&
+      !incr.contains(22L))
+  }
+
   test("crossHashPairs: banded cross-side Hamming pairs equal the " +
     "brute-force cross join (hamming-0 included); identical-hash mass " +
     "expands through reps") {
