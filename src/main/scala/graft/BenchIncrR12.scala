@@ -70,9 +70,15 @@ object BenchIncrR12 {
       noop(graft.operators.Multimodal.dHashes(batchMedia))
     }
 
-    // ---- FUZZY keys: batch = replica-0 fuzz tiers, base = the rest ----
+    // ---- FUZZY keys: batch = the HIGHEST replica block's fuzz tiers
+    // (extendFuzzyKeyPairs' append contract: batch ids must exceed every
+    // stored rep — the fixed-size batch has to sit at the id top), base =
+    // everything else ----
     val fk = DedupQueries.fuzzKeys(spark, sfDir)
-    val isFuzz = col("doc_id") >= 30000L && col("doc_id") < 50000L
+    val maxBlock = fk.agg(max(col("doc_id"))).head().getLong(0) /
+      10000000L * 10000000L
+    val isFuzz = col("doc_id") >= maxBlock + 30000L &&
+      col("doc_id") < maxBlock + 50000L
     val fBase = fk.where(!isFuzz)
     val fBatch = fk.where(isFuzz)
     val baseIdx = Ckpt.eager(Dedup.fuzzyVariantIndex(fBase, "key", "doc_id"))
