@@ -161,6 +161,17 @@ class SubstringDedupStoreSpec extends SparkSpec {
     // compact on an already-snapshot head is a no-op sweep
     assert(s.compact() == 4L)
 
+    // an INTERRUPTED PRUNE (snapshot + markers written, old dirs left):
+    // readers never resolve below the snapshot so the litter is
+    // invisible, and the next compact() — with nothing new to absorb —
+    // finishes the sweep
+    s.deduped.limit(1).write.mode("overwrite")
+      .parquet(s"$root/deduped/epoch=2")
+    assert(collectOut(s.deduped) == want2) // litter invisible
+    assert(s.compact() == 4L)              // no-op absorb, sweeps
+    assert(!exists("deduped/epoch=2"))
+    assert(collectOut(s.deduped) == want2)
+
     // the index snapshot equals a from-scratch build over the union
     val wantIdx = graft.operators.SubstringIndex.buildIndex(union2, W)
       .select(col("k1"), col("k2"), col("keep.doc_id"), col("keep.pos"),

@@ -85,6 +85,25 @@ class SubstringIndexSpec extends SparkSpec {
     assert(rows(extended) == rows(scratch))
   }
 
+  test("extendIndexDelta: latest-epoch-wins over (base, delta) equals " +
+    "extendIndex's full merge — the delta-epoch store's read theorem " +
+    "at the unit level") {
+    def rows(df: DataFrame): Set[(Long, Long, Long, Long, Long)] =
+      df.select(col("k1"), col("k2"), col("keep.doc_id"), col("keep.pos"),
+        col("occ")).as[(Long, Long, Long, Long, Long)].collect().toSet
+    val base = SubstringIndex.buildIndex(baseDocs, W)
+    val delta = SubstringIndex.extendIndexDelta(base, newDocs, W)
+    // delta rows are exactly the batch-present keys
+    assert(rows(delta).map(r => (r._1, r._2)) ==
+      rows(SubstringIndex.buildIndex(newDocs, W)).map(r => (r._1, r._2)))
+    // latest-wins resolution: delta overrides base per key
+    val resolved = base.join(delta.select("k1", "k2"),
+        Seq("k1", "k2"), "left_anti")
+      .unionByName(delta)
+    assert(rows(resolved) ==
+      rows(SubstringIndex.extendIndex(base, newDocs, W)))
+  }
+
   test("appendDeduped == from-scratch substringDeduped over the union, " +
     "including the canonical-veto re-activation on a touched base doc") {
     val baseDeduped = SuffixArray.substringDeduped(baseDocs, W)
