@@ -95,6 +95,37 @@ object Clustering {
     cents
   }
 
+  /** Persist a frozen-centroid artifact beside the store — one parquet
+    * row per (cell, cv ARRAY<DOUBLE>). Parquet DOUBLEs are IEEE-754
+    * exact, so [[loadCentroids]] restores the bits and every later
+    * [[assignVecWithCentroids]] replays the identical argmax — the same
+    * persist/reload discipline as the facade's PQ codebooks. */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+                    cents: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case (cv, i) => (i, cv.toSeq) }.toSeq
+      .toDF("cell", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a [[saveCentroids]] artifact, cell order restored. */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Array[Array[Double]] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("cell").cast("int"), col("cv"))
+      .as[(Int, Seq[Double])].collect()
+    require(rows.nonEmpty, s"no centroids at $path")
+    val out = new Array[Array[Double]](rows.length)
+    rows.foreach { case (i, cv) =>
+      require(i >= 0 && i < rows.length && out(i) == null,
+        s"corrupt centroid artifact at $path: bad/duplicate cell $i")
+      out(i) = cv.toArray
+    }
+    out
+  }
+
   /** Map-only assignment of a corpus to FROZEN centroids — the batch
     * half of incremental semantic dedup: (vec_id, cell, sim, dv), the
     * exact [[kmeansAssignVec]] output schema and arithmetic (same

@@ -952,6 +952,16 @@ class DedupSpec extends SparkSpec {
         batch, cents, tau = 0.98, maxStaleFrac = 0.1)
     }
     assert(boom.getMessage.contains("stale"))
+    // (d) the frozen artifact round-trips through parquet bit-exactly:
+    // assignment over reloaded centroids is identical
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cents").toString + "/cents"
+    Clustering.saveCentroids(spark, cents, dir)
+    val back = Clustering.loadCentroids(spark, dir)
+    assert(back.length == cents.length &&
+      back.zip(cents).forall { case (a, b) => a.sameElements(b) })
+    assert(rows(Clustering.assignVecWithCentroids(union, back)) ==
+      rows(unionAsg))
     baseAsg.unpersist(); unionAsg.unpersist()
   }
 
