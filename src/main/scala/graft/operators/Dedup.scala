@@ -1039,6 +1039,56 @@ object Dedup {
     val nh = newHashes.withColumnRenamed("simhash", "_sh").persist(lvl)
     val bg = hashGroups(bh).persist(lvl)
     val ng = hashGroups(nh).persist(lvl)
+    val comp = extendHashComponentsOf(bg, ng, baseComp, maxHamming)
+    // member mapping rides the hash: base members through base reps,
+    // batch members through the base rep when the hash is shared, their
+    // own rep otherwise
+    val node = bg.select(col("_sh"), col("_rep").as("_node"))
+    val memB = bh.join(node, Seq("_sh")).select(col("_id"), col("_node"))
+    val nodeN = ng.select(col("_sh"), col("_rep"))
+      .join(node, Seq("_sh"), "left")
+      .select(col("_sh"), coalesce(col("_node"), col("_rep")).as("_node"))
+    val memN = nh.join(nodeN, Seq("_sh")).select(col("_id"), col("_node"))
+    val drop = memB.unionByName(memN)
+      .join(comp, col("_node").cast("long") === comp("id"))
+      .where(col("_id").cast("long") =!= col("component"))
+      .select(col("_id").cast("long").as("_drop_id"))
+      .transform(Ckpt.eager)
+    Seq(bh, nh, bg, ng).foreach(_.unpersist(false))
+    corpus.join(drop, corpus(idCol).cast("long") === drop("_drop_id"),
+      "left_anti")
+  }
+
+  /** The component-extension half of [[extendHashDeduped]], exposed as
+    * the ARTIFACT REFRESHER for a persisted fingerprint store
+    * ([[graft.api.FingerprintStore]]): given the PERSISTED base
+    * fingerprints' component assignment and an appended batch's
+    * fingerprints, returns the updated rep-level assignment over the
+    * union — a node superset of from-scratch [[hashComponents]] on the
+    * union (for a shared hash both the base rep and the batch rep
+    * appear as nodes; they share a component, and the group's union
+    * minimum is always among the nodes, so labels equal the
+    * from-scratch member minima and every union-group representative is
+    * present — the two properties the kept-corpus derivation and the
+    * NEXT append's extension rely on; spec-gated through chained
+    * appends). */
+  def extendHashComponents(baseHashes: DataFrame, baseComp: DataFrame,
+                           newHashes: DataFrame,
+                           maxHamming: Int = 3): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bh = baseHashes.withColumnRenamed("simhash", "_sh").persist(lvl)
+    val nh = newHashes.withColumnRenamed("simhash", "_sh").persist(lvl)
+    val bg = hashGroups(bh).persist(lvl)
+    val ng = hashGroups(nh).persist(lvl)
+    val out = Ckpt.eager(
+      extendHashComponentsOf(bg, ng, baseComp, maxHamming))
+    Seq(bh, nh, bg, ng).foreach(_.unpersist(false))
+    out
+  }
+
+  private def extendHashComponentsOf(bg: DataFrame, ng: DataFrame,
+                                     baseComp: DataFrame,
+                                     maxHamming: Int): DataFrame = {
     // batch hashes the base already carries: one rep-level edge wires
     // the batch members into the existing group (hamming 0)
     val sharedEdges = ng.as("n")
@@ -1066,27 +1116,10 @@ object Dedup {
       .where(col("_e") > 1)
       .select(col("_rep").cast("long").as("id"),
         col("_rep").cast("long").as("component"))
-    val comp = extendComponents(
+    extendComponents(
       baseComp.unionByName(newCliques
         .join(baseComp.select("id"), Seq("id"), "left_anti")),
       sharedEdges.unionByName(crossEdges).unionByName(withinEdges))
-    // member mapping rides the hash: base members through base reps,
-    // batch members through the base rep when the hash is shared, their
-    // own rep otherwise
-    val node = bg.select(col("_sh"), col("_rep").as("_node"))
-    val memB = bh.join(node, Seq("_sh")).select(col("_id"), col("_node"))
-    val nodeN = ng.select(col("_sh"), col("_rep"))
-      .join(node, Seq("_sh"), "left")
-      .select(col("_sh"), coalesce(col("_node"), col("_rep")).as("_node"))
-    val memN = nh.join(nodeN, Seq("_sh")).select(col("_id"), col("_node"))
-    val drop = memB.unionByName(memN)
-      .join(comp, col("_node").cast("long") === comp("id"))
-      .where(col("_id").cast("long") =!= col("component"))
-      .select(col("_id").cast("long").as("_drop_id"))
-      .transform(Ckpt.eager)
-    Seq(bh, nh, bg, ng).foreach(_.unpersist(false))
-    corpus.join(drop, corpus(idCol).cast("long") === drop("_drop_id"),
-      "left_anti")
   }
 
   /** 56-bit SimHash over word tokens: bit j is set iff the majority of

@@ -1,0 +1,106 @@
+package graft
+
+import graft.api.FingerprintStore
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted fingerprint store: every committed epoch's kept corpus
+  * must equal from-scratch [[Dedup.hashDeduped]] over the prints stored
+  * as of that epoch — across appends (including a batch id taking over
+  * a cluster minimum), reopen, time-travel, crash litter, replayed
+  * commits, and the duplicate-id guard. */
+class FingerprintStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H0 = 0x00FF00FF00L
+  private val H2 = 0x7700AA0011L
+  private val HC = 0x0123456789L
+
+  private def base: DataFrame = Seq(
+    (10L, H0), (12L, H0),      // identical-hash pair
+    (14L, H0 ^ 1L),            // banded into the H0 cluster
+    (20L, H2), (22L, H2 ^ 6L), // a second cluster
+    (30L, HC),                 // unpaired singleton
+    (40L, 0x5544332211L)       // singleton whose hash batch2 shares
+  ).toDF("_id", "simhash")
+
+  // batch1: id 3 takes over the H0 cluster minimum; {60, 61} an isolated
+  // new-hash clique; 80 joins the H2 cluster
+  private def batch1: DataFrame = Seq(
+    (3L, H0), (60L, 0x13572468ACL), (61L, 0x13572468ACL),
+    (80L, H2 ^ 1L)).toDF("_id", "simhash")
+
+  // batch2: 90 shares the base singleton 40's hash (group becomes
+  // multi-member); 95 bridges nothing (fresh singleton)
+  private def batch2: DataFrame = Seq(
+    (90L, 0x5544332211L), (95L, 0x7FFFFFFFFFL)).toDF("_id", "simhash")
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select(col("doc_id").cast("long")).as[Long].collect().toSet
+
+  private def scratch(prints: DataFrame, corpus: DataFrame): Set[Long] =
+    ids(Dedup.hashDeduped(corpus, "doc_id", prints, maxHamming = 3))
+
+  test("init → append → reopen → append: every epoch's kept corpus " +
+    "equals from-scratch hashDeduped over that epoch's prints; " +
+    "time-travel serves old epochs; min takeover happens") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-fps").toString + "/store"
+    val allIds = (base.select("_id") unionByName batch1.select("_id")
+      unionByName batch2.select("_id")).select(col("_id").as("doc_id"))
+    val s0 = FingerprintStore.init(spark, root, base)
+    assert(s0.epoch == 0L)
+    assert(ids(s0.kept(allIds)) == scratch(base, allIds))
+
+    assert(s0.append(batch1) == 1L)
+    val u1 = base.unionByName(batch1)
+    val want1 = scratch(u1, allIds)
+    assert(ids(s0.kept(allIds)) == want1)
+    // the takeover: batch id 3 is the H0 cluster's new keep
+    assert(want1.contains(3L) && !want1.contains(10L))
+
+    val s1 = FingerprintStore.open(spark, root)
+    assert(s1.epoch == 1L)
+    assert(s1.append(batch2) == 2L)
+    val u2 = u1.unionByName(batch2)
+    assert(ids(s1.kept(allIds)) == scratch(u2, allIds))
+    // the base singleton 40's group became multi-member and deduped
+    assert(!ids(s1.kept(allIds)).contains(90L) &&
+      ids(s1.kept(allIds)).contains(40L))
+    // time-travel: epoch 1's drop set ignores batch2
+    assert(ids(s1.keptAt(1L, allIds)) == want1)
+    assert(s1.prints.count() == u2.count())
+  }
+
+  test("crash litter invisible and overwritten; replayed commit fails " +
+    "loudly; duplicate batch id fails loudly; double init fails") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-fps2").toString + "/store"
+    FingerprintStore.init(spark, root, base)
+    intercept[IllegalArgumentException] {
+      FingerprintStore.init(spark, root, base)
+    }
+    // unmarked epoch-1 litter
+    Seq((99L, 1L)).toDF("_id", "simhash")
+      .write.mode("overwrite").parquet(s"$root/prints/epoch=1")
+    val s = FingerprintStore.open(spark, root)
+    assert(s.epoch == 0L)
+    assert(s.append(batch1) == 1L)
+    val allIds = (base.select("_id") unionByName batch1.select("_id"))
+      .select(col("_id").as("doc_id"))
+    assert(ids(s.kept(allIds)) ==
+      scratch(base.unionByName(batch1), allIds))
+    // replaying the same epoch commit is rejected at the marker
+    intercept[Exception] {
+      val m = new org.apache.hadoop.fs.Path(s"$root/_commits/1")
+      m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(m, false).close()
+    }
+    // an already-stored id is rejected loudly
+    val dup = intercept[IllegalArgumentException] {
+      s.append(Seq((12L, 7L)).toDF("_id", "simhash"))
+    }
+    assert(dup.getMessage.contains("already stored"))
+  }
+}
