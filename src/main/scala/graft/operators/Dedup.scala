@@ -1763,6 +1763,27 @@ object Dedup {
         "semanticDeduped from scratch, and re-freeze the artifacts")
     val batchAsg = Clustering.assignVecWithCentroids(batch, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val comp = extendSemanticComponents(baseAsg, baseComp, batchAsg, tau)
+    val sims = baseAsg.select(col("vec_id"), col("sim"))
+      .unionByName(batchAsg.select(col("vec_id"), col("sim")))
+    val drop = semanticDropIds(comp, sims).transform(Ckpt.eager)
+    batchAsg.unpersist(false)
+    corpus.join(drop, corpus(idCol).cast("long") === drop("_drop_id"),
+      "left_anti")
+  }
+
+  /** The component-extension half of [[extendSemanticDeduped]] over a
+    * PRECOMPUTED batch assignment
+    * ([[graft.operators.Clustering.assignVecWithCentroids]] against the
+    * frozen centroids) — factored so a store that persists the
+    * assignment and component artifacts ([[graft.api.SemanticDedupStore]])
+    * assigns ONCE and feeds both the epoch write and the closure.
+    * Batch-proportional: batch×batch and batch×base pairs within
+    * batch-touched cells, then the [[extendComponents]] star closure.
+    * Callers pin `batchAsg` (consumed twice here, once more for sims). */
+  def extendSemanticComponents(baseAsg: DataFrame, baseComp: DataFrame,
+                               batchAsg: DataFrame,
+                               tau: Double): DataFrame = {
     val within = assignmentDupPairs(batchAsg, tau)
       .select(col("id1"), col("id2"))
     val cross = batchAsg.as("n").join(baseAsg.as("b"),
@@ -1770,21 +1791,21 @@ object Dedup {
       .withColumn("cosine", dotNativeD(col("n.dv"), col("b.dv")))
       .where(col("cosine") >= tau)
       .select(col("b.vec_id").as("id1"), col("n.vec_id").as("id2"))
-    val comp = extendComponents(baseComp, within.unionByName(cross))
-    val sims = baseAsg.select(col("vec_id"), col("sim"))
-      .unionByName(batchAsg.select(col("vec_id"), col("sim")))
-    val drop = comp
+    extendComponents(baseComp, within.unionByName(cross))
+  }
+
+  /** The SemDeDup keep policy as a drop set — per component keep the
+    * member LEAST similar to its centroid (ties to the lowest id, the
+    * [[semanticDeduped]] policy); everything else drops. `sims` =
+    * (vec_id, sim) for every assigned vector. Output: (_drop_id). */
+  def semanticDropIds(comp: DataFrame, sims: DataFrame): DataFrame =
+    comp
       .join(sims, comp("id") === sims("vec_id"))
       .withColumn("_rnk", row_number().over(org.apache.spark.sql
         .expressions.Window.partitionBy("component").orderBy(
           col("sim").asc, col("id").asc)))
       .where(col("_rnk") > 1)
       .select(col("id").as("_drop_id"))
-      .transform(Ckpt.eager)
-    batchAsg.unpersist(false)
-    corpus.join(drop, corpus(idCol).cast("long") === drop("_drop_id"),
-      "left_anti")
-  }
 
   /** EXACT edit-distance-≤1 near-pairs over short keys via symmetric
     * single-deletion signatures (the SymSpell blocking scheme,
@@ -1926,6 +1947,33 @@ object Dedup {
                           idCol: String = "doc_id",
                           maxKeyLen: Int = 64,
                           maxEdit: Int = 1): DataFrame = {
+    val newVariants = fuzzyNewVariants(baseIndex, batch, keyCol, idCol,
+        maxKeyLen, maxEdit)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = extendFuzzyKeyPairsOf(baseIndex, newVariants, maxEdit)
+      .transform(Ckpt.eager)
+    newVariants.unpersist(false)
+    out
+  }
+
+  /** The NEW-KEY variant rows an appended batch adds to a persisted
+    * [[fuzzyVariantIndex]] — the index DELTA a durable store commits per
+    * epoch ([[graft.api.FuzzyKeyStore]]): the batch's distinct keys
+    * (id-guarded: every batch id must strictly exceed every stored rep,
+    * enforced with a map-side raise_error after one min/max-statistics
+    * aggregation of the stored reps) minus keys the base already stores,
+    * with their ≤maxEdit-deletion variants. Because each epoch stores
+    * only genuinely-new keys and stored reps are invariant under the id
+    * guard, the resolved index at any epoch is the PLAIN UNION of the
+    * epoch deltas — no latest-wins resolution needed (unlike the
+    * substring store, whose per-key merge rewrites rows). `cnt` is
+    * deliberately ABSENT: counts grow under append, so they are
+    * epoch-relative — derive from the stored key batches when needed. */
+  def fuzzyNewVariants(baseIndex: DataFrame, batch: DataFrame,
+                       keyCol: String = "key",
+                       idCol: String = "doc_id",
+                       maxKeyLen: Int = 64,
+                       maxEdit: Int = 1): DataFrame = {
     // id-ordering guard: one min/max-statistics aggregation of the
     // stored reps, then a map-side raise_error on the batch ids
     val mx = baseIndex.agg(max(col("rep"))).collect()
@@ -1941,14 +1989,24 @@ object Dedup {
           "assignment to remain valid"))))
         .otherwise(id)
     }
-    val newVariants = fuzzyVariantIndex(
+    fuzzyVariantIndex(
         batch.select(guardedId.as(idCol), col(keyCol)),
         keyCol, idCol, maxKeyLen, maxEdit)
       // genuinely NEW keys only: a key the base already stores has its
       // base rep and contributes no new edge
       .join(baseIndex.select(col("key")).distinct(), Seq("key"),
         "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("rep"), col("key"), col("_vh"))
+  }
+
+  /** The pair-join half of [[extendFuzzyKeyPairs]] over PRECOMPUTED
+    * new-key variants ([[fuzzyNewVariants]]) — factored so a store that
+    * persists the variant delta computes variants ONCE and feeds both
+    * the epoch write and the edge extension. Callers should pin
+    * `newVariants` (persist/checkpoint): it is consumed three times. */
+  private[graft] def extendFuzzyKeyPairsOf(baseIndex: DataFrame,
+                                           newVariants: DataFrame,
+                                           maxEdit: Int): DataFrame = {
     // cross pairs: base rep < batch rep always (the id guard), so the
     // base side is rep_a verbatim
     val cross = newVariants.as("n")
@@ -1961,13 +2019,10 @@ object Dedup {
         col("a._vh") === col("b._vh") && col("a.rep") < col("b.rep"))
       .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"),
         col("a.key").as("key_a"), col("b.key").as("key_b"))
-    val out = cross.unionByName(within)
+    cross.unionByName(within)
       .distinct()
       .withColumn("dist",
         levenshtein(col("key_a"), col("key_b")).cast("long"))
       .where(col("dist") <= maxEdit.toLong)
-      .transform(Ckpt.eager)
-    newVariants.unpersist(false)
-    out
   }
 }
