@@ -22,41 +22,53 @@ import org.apache.spark.sql.functions._
   * {{{
   *   prints/epoch=N/  the batch's fingerprints (_id, simhash) — appended
   *                    at N; NEVER pruned (they ARE the maintained artifact)
-  *   comp/epoch=N/    the FULL rep-level component assignment as of N
-  *                    (id = distinct-hash representative, component = min
-  *                    member id; one row per rep in a multi-member
-  *                    cluster — sized by cluster structure, not corpus)
+  *   comp/epoch=N/    the rep-level component assignment (id = distinct-
+  *                    hash representative, component = min member id):
+  *                    snapshot epochs (init, [[compact]]) hold the FULL
+  *                    assignment; append epochs only the rows the append
+  *                    ADDED or RELABELED
   *   _commits/N       empty marker file — the epoch's commit point
+  *   _snapshots/N     marks epoch N's comp as a full snapshot
   * }}}
   *
-  * `comp` epochs are SELF-CONTAINED snapshots (unlike
-  * [[SubstringDedupStore]]'s delta epochs — the assignment is small, so
-  * full rewrites are the right trade here): any `comp/epoch=<N` directory
-  * below the epochs you still time-travel to can be deleted; `prints`
-  * epochs must all be retained.
+  * Readers resolve `comp` LATEST-EPOCH-WINS per id from the latest
+  * snapshot — valid because the assignment is append-monotone: extension
+  * only adds reps or relabels a rep's component to a smaller minimum,
+  * never deletes a row. Per-append WRITE volume therefore tracks the
+  * batch's cluster impact, not the corpus — under heavy duplication the
+  * full assignment is corpus-sized (every duplicated doc's rep is a
+  * member row), which made the round-12 first cut's full-per-epoch comp
+  * rewrite the same write-amplification cliff the delta
+  * [[SubstringDedupStore]] epochs fixed for text. [[compact]] rewrites
+  * the resolved assignment as ONE snapshot epoch and prunes absorbed
+  * comp deltas; `prints` epochs must all be retained. Time-travel
+  * ([[keptAt]]) reaches epochs at or above the latest snapshot.
   *
-  * Crash safety, single-writer: artifacts first (idempotent overwrites),
-  * then the marker with overwrite=false — unmarked litter is invisible
-  * and a replayed append onto a marked epoch fails loudly. Appended ids
-  * must be DISJOINT from every stored id (checked, fails loudly — a
-  * duplicated id would double its membership weight in the drop set).
+  * Crash safety, single-writer (the [[EpochStoreKit]] contract):
+  * artifacts first (idempotent overwrites), then the marker with
+  * overwrite=false — unmarked litter is invisible and a replayed append
+  * onto a marked epoch fails loudly. [[compact]]'s snapshot marker comes
+  * AFTER its commit marker: a crash between the two leaves a committed
+  * epoch whose full assignment reads correctly as a (full-content)
+  * delta under latest-wins, and the next [[compact]] re-marks; a crash
+  * mid-prune is swept by the next [[compact]]. Appended ids must be
+  * DISJOINT from every stored id (checked, fails loudly — a duplicated
+  * id would double its membership weight in the drop set).
   */
 class FingerprintStore private (val spark: SparkSession,
                                 val root: String, val maxHamming: Int) {
 
-  private def fs =
-    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def fs = EpochStoreKit.fsOf(spark, root)
 
   private def marker(n: Long) = new Path(s"$root/_commits/$n")
 
   /** Highest committed epoch, or -1 for a never-initialized root. */
-  def epoch: Long = {
-    val dir = new Path(s"$root/_commits")
-    if (!fs.exists(dir)) -1L
-    else fs.listStatus(dir).map(_.getPath.getName)
-      .flatMap(n => scala.util.Try(n.toLong).toOption)
-      .foldLeft(-1L)(math.max)
-  }
+  def epoch: Long = EpochStoreKit.maxMarked(fs, new Path(s"$root/_commits"))
+
+  /** Highest epoch whose comp artifact is a full snapshot (0 after
+    * [[FingerprintStore.init]]; bumped by [[compact]]). */
+  def latestSnapshot: Long =
+    EpochStoreKit.maxMarked(fs, new Path(s"$root/_snapshots"))
 
   private def requireCommitted(): Long = {
     val e = epoch
@@ -64,36 +76,44 @@ class FingerprintStore private (val spark: SparkSession,
     e
   }
 
+  private def snapshotFor(e: Long): Long = {
+    val s = latestSnapshot
+    require(s >= 0 && s <= e,
+      s"epoch $e at $root is below the latest snapshot $s — its comp " +
+        "deltas were pruned by compact(); time-travel only reaches " +
+        "epochs at or above the snapshot")
+    s
+  }
+
   private def printsAt(e: Long): DataFrame =
-    spark.read.option("basePath", s"$root/prints")
-      .parquet((0L to e).map(n => s"$root/prints/epoch=$n"): _*)
-      .select(col("_id"), col("simhash"))
+    EpochStoreKit.unionEpochs(spark, root, "prints", 0L, e,
+      Seq("_id", "simhash"))
 
   private def compAt(e: Long): DataFrame = {
     require(e >= 0 && e <= epoch && fs.exists(marker(e)),
       s"epoch $e not committed at $root")
-    spark.read.parquet(s"$root/comp/epoch=$e")
-      .select(col("id"), col("component"))
+    EpochStoreKit.resolveLatestWins(spark, root, "comp",
+      snapshotFor(e), e, Seq("id"), Seq("id", "component"))
   }
 
   /** Every stored fingerprint at the latest committed epoch. */
   def prints: DataFrame = printsAt(requireCommitted())
 
-  /** The maintained rep-level component assignment (latest epoch). */
+  /** The maintained rep-level component assignment (latest epoch,
+    * snapshot + deltas resolved latest-wins). */
   def components: DataFrame = compAt(requireCommitted())
 
   private def writeEpoch(n: Long, batch: DataFrame,
                          comp: DataFrame): Unit = {
     batch.write.mode("overwrite").parquet(s"$root/prints/epoch=$n")
     comp.write.mode("overwrite").parquet(s"$root/comp/epoch=$n")
-    fs.mkdirs(marker(n).getParent)
-    val out = fs.create(marker(n), false) // atomic commit point
-    out.close()
+    EpochStoreKit.commitMarker(fs, marker(n))
   }
 
   /** Append a batch's fingerprints (_id, simhash) — ids disjoint from
     * every stored id (fails loudly) — extend the component assignment
-    * with batch-only work, commit epoch+1. Returns the new epoch. */
+    * with batch-only work, commit epoch+1 writing only the assignment
+    * rows the batch ADDED or RELABELED. Returns the new epoch. */
   def append(batchHashes: DataFrame): Long = {
     val e = requireCommitted()
     val n = e + 1
@@ -108,9 +128,43 @@ class FingerprintStore private (val spark: SparkSession,
       s"FingerprintStore.append: batch id ${clash.headOption.map(_.get(0))
         .getOrElse("")} already stored at $root — appended ids must be " +
         "disjoint (a duplicated id would double-count in the drop set)")
-    val comp = Dedup.extendHashComponents(base, compAt(e), b, maxHamming)
-    writeEpoch(n, b, comp)
+    val oldComp = compAt(e)
+    val comp = Dedup.extendHashComponents(base, oldComp, b, maxHamming)
+    // the delta: rows whose (id → component) mapping is new or changed
+    // — extension never deletes a row, so latest-wins reconstruction
+    // over (old resolved state + this delta) IS the new assignment
+    val delta = comp.join(oldComp, Seq("id", "component"), "left_anti")
+    writeEpoch(n, b, delta)
     n
+  }
+
+  /** Rewrite the resolved assignment as ONE new snapshot epoch (empty
+    * prints delta) and prune the absorbed comp delta directories below
+    * it — bounding read-side resolution work on a long-lived store.
+    * Idempotent: compacting an already-snapshot head only finishes any
+    * interrupted prune. Returns the snapshot epoch. */
+  def compact(): Long = {
+    val e = requireCommitted()
+    val s = latestSnapshot
+    if (s == e) { pruneBelow(s); return e }
+    val n = e + 1
+    val emptyBatch = spark.read.parquet(s"$root/prints/epoch=0")
+      .select("_id", "simhash").limit(0)
+    writeEpoch(n, emptyBatch, Ckpt.eager(compAt(e)))
+    // snapshot marker AFTER the commit marker: a crash between the two
+    // leaves epoch n committed as a full-content delta, which reads
+    // identically under latest-wins; the next compact() re-marks
+    val sm = new Path(s"$root/_snapshots/$n")
+    fs.mkdirs(sm.getParent)
+    if (!fs.exists(sm)) fs.create(sm, false).close()
+    pruneBelow(n)
+    n
+  }
+
+  private def pruneBelow(snap: Long): Unit = {
+    EpochStoreKit.pruneEpochDirsBelow(fs, root, "comp", snap)
+    EpochStoreKit.pruneMarkersBelow(fs, new Path(s"$root/_snapshots"),
+      snap)
   }
 
   /** The kept rows of `corpus` (one per duplicate cluster — the min
@@ -120,8 +174,10 @@ class FingerprintStore private (val spark: SparkSession,
   def kept(corpus: DataFrame, idCol: String = "doc_id"): DataFrame =
     keptAt(requireCommitted(), corpus, idCol)
 
-  /** [[kept]] as of a PAST committed epoch (audit/time-travel) — the
-    * drop set uses only fingerprints appended at or before `e`. */
+  /** [[kept]] as of a PAST committed epoch at or above the latest
+    * snapshot (audit/time-travel; older epochs' comp deltas were pruned
+    * by [[compact]], fails loudly) — the drop set uses only
+    * fingerprints appended at or before `e`. */
   def keptAt(e: Long, corpus: DataFrame,
              idCol: String = "doc_id"): DataFrame = {
     val comp = compAt(e)
@@ -143,8 +199,8 @@ object FingerprintStore {
 
   /** Create the store at `root` from an initial fingerprint frame
     * (_id, simhash): epoch 0 holds the prints and their from-scratch
-    * [[graft.operators.Dedup.hashComponents]] closure. Fails loudly if
-    * the root already has a committed epoch. */
+    * [[graft.operators.Dedup.hashComponents]] closure (the first
+    * snapshot). Fails loudly if the root already has a committed epoch. */
   def init(spark: SparkSession, root: String, hashes: DataFrame,
            maxHamming: Int = 3): FingerprintStore = {
     val s = new FingerprintStore(spark, root, maxHamming)
@@ -153,6 +209,8 @@ object FingerprintStore {
     val h = Ckpt.eager(hashes.select(col("_id").cast("long").as("_id"),
       col("simhash").cast("long").as("simhash")))
     s.writeEpoch(0L, h, Dedup.hashComponents(h, maxHamming))
+    val fs = EpochStoreKit.fsOf(spark, root)
+    EpochStoreKit.commitMarker(fs, new Path(s"$root/_snapshots/0"))
     s
   }
 

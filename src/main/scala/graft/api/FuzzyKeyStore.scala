@@ -22,15 +22,20 @@ import org.apache.spark.sql.functions._
   * {{{
   *   keys/epoch=N/   the batch APPENDED at N (doc_id, key) — the data;
   *                   NEVER pruned
-  *   index/epoch=N/  variant rows (rep, key, _vh) for the distinct keys
-  *                   GENUINELY NEW at N — epochs are disjoint key
+  *   index/epoch=N/  variant rows (rep, key, _vh): snapshot epochs hold
+  *                   the FULL index; append epochs only the distinct
+  *                   keys GENUINELY NEW at N — epochs are disjoint key
   *                   slices, so the resolved index is their PLAIN UNION
-  *                   (no latest-wins window needed); never pruned
-  *   comp/epoch=N/   the FULL rep-level component assignment as of N
-  *                   (paired reps only — sized by fuzzy-cluster
-  *                   structure, not corpus); epochs below your
-  *                   time-travel horizon can be deleted
+  *                   from the latest snapshot (no latest-wins window:
+  *                   a stored key's rep and variants never change)
+  *   comp/epoch=N/   the rep-level cluster assignment (paired reps
+  *                   only — fuzzy-cluster-structure sized): snapshot
+  *                   epochs FULL, append epochs only the rows the
+  *                   append ADDED or RELABELED, resolved
+  *                   latest-epoch-wins per id (extension never deletes
+  *                   a row)
   *   _commits/N      empty marker file — the epoch's commit point
+  *   _snapshots/N    marks epoch N's index/comp as full snapshots
   * }}}
   *
   * The index stores NO `cnt` column: counts grow under append, so a
@@ -39,14 +44,24 @@ import org.apache.spark.sql.functions._
   * under the id contract below, so the derived rep always equals the
   * stored rep).
   *
-  * Crash safety, single-writer (the store-wide contract): artifacts
-  * first (idempotent overwrites), then the marker with overwrite=false
-  * — unmarked litter is invisible and a replayed append onto a marked
-  * epoch fails loudly. APPEND CONTRACT: every batch id must STRICTLY
-  * EXCEED every stored doc id (one parquet min/max-statistics
-  * aggregation per side, fails loudly) — this keeps stored reps
-  * invariant, which is what lets epoch index slices union instead of
-  * merge.
+  * [[compact]] rewrites the resolved index + assignment as ONE snapshot
+  * epoch and prunes the absorbed delta directories — bounding read-side
+  * union/resolution fan-in on a long-lived store; `keys/` is never
+  * pruned. Time-travel ([[keptKeysAt]]) reaches epochs at or above the
+  * latest snapshot.
+  *
+  * Crash safety, single-writer (the [[EpochStoreKit]] contract):
+  * artifacts first (idempotent overwrites), then the marker with
+  * overwrite=false — unmarked litter is invisible and a replayed append
+  * onto a marked epoch fails loudly. [[compact]]'s snapshot marker
+  * comes AFTER its commit marker (a full index re-unioned above the old
+  * snapshot would double keys — but the commit-then-mark window is
+  * safe here because the compaction epoch's index holds EXACTLY the
+  * union it replaces and its comp reads correctly as a full-content
+  * delta; see [[compact]]). APPEND CONTRACT: every batch id must
+  * STRICTLY EXCEED every stored doc id (fails loudly) — this keeps
+  * stored reps invariant, which is what lets epoch index slices union
+  * instead of merge.
   *
   * The reference has no fuzzy-string machinery (its dedup surface is
   * vector-level; reference storage_engine.py) —
@@ -55,19 +70,17 @@ import org.apache.spark.sql.functions._
 class FuzzyKeyStore private (val spark: SparkSession, val root: String,
                              val maxKeyLen: Int, val maxEdit: Int) {
 
-  private def fs =
-    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def fs = EpochStoreKit.fsOf(spark, root)
 
   private def marker(n: Long) = new Path(s"$root/_commits/$n")
 
   /** Highest committed epoch, or -1 for a never-initialized root. */
-  def epoch: Long = {
-    val dir = new Path(s"$root/_commits")
-    if (!fs.exists(dir)) -1L
-    else fs.listStatus(dir).map(_.getPath.getName)
-      .flatMap(n => scala.util.Try(n.toLong).toOption)
-      .foldLeft(-1L)(math.max)
-  }
+  def epoch: Long = EpochStoreKit.maxMarked(fs, new Path(s"$root/_commits"))
+
+  /** Highest epoch whose index/comp artifacts are full snapshots (0
+    * after [[FuzzyKeyStore.init]]; bumped by [[compact]]). */
+  def latestSnapshot: Long =
+    EpochStoreKit.maxMarked(fs, new Path(s"$root/_snapshots"))
 
   private def requireCommitted(): Long = {
     val e = epoch
@@ -75,21 +88,28 @@ class FuzzyKeyStore private (val spark: SparkSession, val root: String,
     e
   }
 
+  private def snapshotFor(e: Long): Long = {
+    val s = latestSnapshot
+    require(s >= 0 && s <= e,
+      s"epoch $e at $root is below the latest snapshot $s — its delta " +
+        "epochs were pruned by compact(); time-travel only reaches " +
+        "epochs at or above the snapshot")
+    s
+  }
+
   private def keysAt(e: Long): DataFrame =
-    spark.read.option("basePath", s"$root/keys")
-      .parquet((0L to e).map(n => s"$root/keys/epoch=$n"): _*)
-      .select(col("doc_id"), col("key"))
+    EpochStoreKit.unionEpochs(spark, root, "keys", 0L, e,
+      Seq("doc_id", "key"))
 
   private def indexAt(e: Long): DataFrame =
-    spark.read.option("basePath", s"$root/index")
-      .parquet((0L to e).map(n => s"$root/index/epoch=$n"): _*)
-      .select(col("rep"), col("key"), col("_vh"))
+    EpochStoreKit.unionEpochs(spark, root, "index", snapshotFor(e), e,
+      Seq("rep", "key", "_vh"))
 
   private def compAt(e: Long): DataFrame = {
     require(e >= 0 && e <= epoch && fs.exists(marker(e)),
       s"epoch $e not committed at $root")
-    spark.read.parquet(s"$root/comp/epoch=$e")
-      .select(col("id"), col("component"))
+    EpochStoreKit.resolveLatestWins(spark, root, "comp",
+      snapshotFor(e), e, Seq("id"), Seq("id", "component"))
   }
 
   /** Every stored (doc_id, key) row at the latest committed epoch. */
@@ -98,7 +118,8 @@ class FuzzyKeyStore private (val spark: SparkSession, val root: String,
   /** The maintained variant index (rep, key, _vh) — latest epoch. */
   def index: DataFrame = indexAt(requireCommitted())
 
-  /** The maintained rep-level fuzzy-cluster assignment (latest epoch). */
+  /** The maintained rep-level fuzzy-cluster assignment (latest epoch,
+    * snapshot + deltas resolved latest-wins). */
   def components: DataFrame = compAt(requireCommitted())
 
   private def writeEpoch(n: Long, batch: DataFrame, idx: DataFrame,
@@ -106,15 +127,15 @@ class FuzzyKeyStore private (val spark: SparkSession, val root: String,
     batch.write.mode("overwrite").parquet(s"$root/keys/epoch=$n")
     idx.write.mode("overwrite").parquet(s"$root/index/epoch=$n")
     comp.write.mode("overwrite").parquet(s"$root/comp/epoch=$n")
-    fs.mkdirs(marker(n).getParent)
-    val out = fs.create(marker(n), false) // atomic commit point
-    out.close()
+    EpochStoreKit.commitMarker(fs, marker(n))
   }
 
   /** Append a key batch (doc_id, key) — ids strictly above every stored
     * id (fails loudly) — extend the variant index with the batch's
     * genuinely-new keys and the cluster assignment with their edges,
-    * commit epoch+1. Returns the new epoch. */
+    * commit epoch+1 writing only the new-key variants and the
+    * assignment rows the batch ADDED or RELABELED. Returns the new
+    * epoch. */
   def append(batch: DataFrame): Long = {
     val e = requireCommitted()
     val n = e + 1
@@ -139,9 +160,46 @@ class FuzzyKeyStore private (val spark: SparkSession, val root: String,
       maxKeyLen, maxEdit))
     val pairs = Dedup.extendFuzzyKeyPairsOf(idx, nv, maxEdit)
       .select(col("rep_a").as("id1"), col("rep_b").as("id2"))
-    val comp = Ckpt.eager(Dedup.extendComponents(compAt(e), pairs))
-    writeEpoch(n, b, nv, comp)
+    val oldComp = compAt(e)
+    val comp = Ckpt.eager(Dedup.extendComponents(oldComp, pairs))
+    // the delta: rows whose (id → component) mapping is new or changed
+    val delta = comp.join(oldComp, Seq("id", "component"), "left_anti")
+    writeEpoch(n, b, nv, delta)
     n
+  }
+
+  /** Rewrite the resolved index + assignment as ONE new snapshot epoch
+    * (empty keys delta) and prune the absorbed index/comp delta
+    * directories below it. The snapshot marker comes AFTER the commit
+    * marker — safe because the compaction epoch's index is EXACTLY the
+    * union of the directories it absorbs (unioning both double-counts
+    * nothing the next compact() won't re-resolve: readers between the
+    * crash and the re-mark would union duplicate index rows, which the
+    * variant join tolerates — pairs are distinct()-ed — and the comp
+    * full-content delta reads identically under latest-wins).
+    * Idempotent: compacting an already-snapshot head only finishes any
+    * interrupted prune. Returns the snapshot epoch. */
+  def compact(): Long = {
+    val e = requireCommitted()
+    val s = latestSnapshot
+    if (s == e) { pruneBelow(s); return e }
+    val n = e + 1
+    val emptyBatch = spark.read.parquet(s"$root/keys/epoch=0")
+      .select("doc_id", "key").limit(0)
+    writeEpoch(n, emptyBatch, Ckpt.eager(indexAt(e)),
+      Ckpt.eager(compAt(e)))
+    val sm = new Path(s"$root/_snapshots/$n")
+    fs.mkdirs(sm.getParent)
+    if (!fs.exists(sm)) fs.create(sm, false).close()
+    pruneBelow(n)
+    n
+  }
+
+  private def pruneBelow(snap: Long): Unit = {
+    EpochStoreKit.pruneEpochDirsBelow(fs, root, "index", snap)
+    EpochStoreKit.pruneEpochDirsBelow(fs, root, "comp", snap)
+    EpochStoreKit.pruneMarkersBelow(fs, new Path(s"$root/_snapshots"),
+      snap)
   }
 
   /** The fuzzy-deduped key corpus at the latest epoch — one row per
@@ -152,7 +210,9 @@ class FuzzyKeyStore private (val spark: SparkSession, val root: String,
     * assignment — no variant work. */
   def keptKeys: DataFrame = keptKeysAt(requireCommitted())
 
-  /** [[keptKeys]] as of a PAST committed epoch (audit/time-travel). */
+  /** [[keptKeys]] as of a PAST committed epoch at or above the latest
+    * snapshot (audit/time-travel; older epochs' deltas were pruned by
+    * [[compact]], fails loudly). */
   def keptKeysAt(e: Long): DataFrame = {
     val comp = compAt(e)
     val ks = keysAt(e).where(length(col("key")) > 0)
@@ -170,8 +230,8 @@ object FuzzyKeyStore {
 
   /** Create the store at `root` from an initial key frame (doc_id,
     * key): epoch 0 holds the keys, their full variant index, and the
-    * from-scratch pair-graph closure. Fails loudly if the root already
-    * has a committed epoch. */
+    * from-scratch pair-graph closure (the first snapshot). Fails loudly
+    * if the root already has a committed epoch. */
   def init(spark: SparkSession, root: String, keys: DataFrame,
            maxKeyLen: Int = 64, maxEdit: Int = 1): FuzzyKeyStore = {
     val s = new FuzzyKeyStore(spark, root, maxKeyLen, maxEdit)
@@ -187,6 +247,8 @@ object FuzzyKeyStore {
       .select(col("rep_a").as("id1"), col("rep_b").as("id2"))
     s.writeEpoch(0L, d, idx,
       Ckpt.eager(Dedup.connectedComponents(pairs)))
+    EpochStoreKit.commitMarker(EpochStoreKit.fsOf(spark, root),
+      new Path(s"$root/_snapshots/0"))
     s
   }
 

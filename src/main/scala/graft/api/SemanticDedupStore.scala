@@ -26,9 +26,15 @@ import org.apache.spark.sql.functions._
   *                       append epochs the batch's rows — vec_ids are
   *                       disjoint across epochs, so resolution is the
   *                       PLAIN UNION from the latest snapshot
-  *   comp/epoch=N/       the FULL pair-graph component assignment as of
-  *                       N (paired vec_ids only — cluster-structure
-  *                       sized)
+  *   comp/epoch=N/       the pair-graph component assignment (paired
+  *                       vec_ids only): snapshot epochs FULL, append
+  *                       epochs only the rows the append ADDED or
+  *                       RELABELED, resolved latest-epoch-wins per id —
+  *                       extension never deletes a row, and under heavy
+  *                       duplication the full assignment is
+  *                       corpus-sized, so full-per-epoch rewrites would
+  *                       be the write-amplification cliff the delta
+  *                       [[SubstringDedupStore]] epochs fixed for text
   *   centroids/epoch=S/  the frozen-centroid artifact for snapshot S
   *                       ([[graft.operators.Clustering.saveCentroids]] —
   *                       IEEE-754-exact doubles, so every later
@@ -77,19 +83,12 @@ class SemanticDedupStore private (val spark: SparkSession,
                                   val root: String, val tau: Double,
                                   val maxStaleFrac: Double) {
 
-  private def fs =
-    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def fs = EpochStoreKit.fsOf(spark, root)
 
   private def marker(n: Long) = new Path(s"$root/_commits/$n")
 
   /** Highest committed epoch, or -1 for a never-initialized root. */
-  def epoch: Long = {
-    val dir = new Path(s"$root/_commits")
-    if (!fs.exists(dir)) -1L
-    else fs.listStatus(dir).map(_.getPath.getName)
-      .flatMap(n => scala.util.Try(n.toLong).toOption)
-      .foldLeft(-1L)(math.max)
-  }
+  def epoch: Long = EpochStoreKit.maxMarked(fs, new Path(s"$root/_commits"))
 
   /** Highest full-assignment snapshot epoch: the highest COMMITTED
     * epoch carrying a centroids artifact (0 after init; bumped by every
@@ -123,23 +122,18 @@ class SemanticDedupStore private (val spark: SparkSession,
   }
 
   private def vecsAt(e: Long): DataFrame =
-    spark.read.option("basePath", s"$root/vecs")
-      .parquet((0L to e).map(n => s"$root/vecs/epoch=$n"): _*)
-      .select(col("vec_id"), col("embedding"))
+    EpochStoreKit.unionEpochs(spark, root, "vecs", 0L, e,
+      Seq("vec_id", "embedding"))
 
-  private def asgAt(e: Long): DataFrame = {
-    val s = snapshotFor(e)
-    spark.read.option("basePath", s"$root/asg")
-      .parquet((s to e).map(n => s"$root/asg/epoch=$n"): _*)
-      .select(col("vec_id"), col("cell"), col("sim"), col("dv"))
-  }
+  private def asgAt(e: Long): DataFrame =
+    EpochStoreKit.unionEpochs(spark, root, "asg", snapshotFor(e), e,
+      Seq("vec_id", "cell", "sim", "dv"))
 
   private def compAt(e: Long): DataFrame = {
     require(e >= 0 && e <= epoch && fs.exists(marker(e)),
       s"epoch $e not committed at $root")
-    snapshotFor(e) // comp epochs below the snapshot were pruned: loud
-    spark.read.parquet(s"$root/comp/epoch=$e")
-      .select(col("id"), col("component"))
+    EpochStoreKit.resolveLatestWins(spark, root, "comp",
+      snapshotFor(e), e, Seq("id"), Seq("id", "component"))
   }
 
   /** Every stored (vec_id, embedding) row at the latest epoch. */
@@ -178,9 +172,7 @@ class SemanticDedupStore private (val spark: SparkSession,
     batch.write.mode("overwrite").parquet(s"$root/vecs/epoch=$n")
     asg.write.mode("overwrite").parquet(s"$root/asg/epoch=$n")
     comp.write.mode("overwrite").parquet(s"$root/comp/epoch=$n")
-    fs.mkdirs(marker(n).getParent)
-    val out = fs.create(marker(n), false) // atomic commit point
-    out.close()
+    EpochStoreKit.commitMarker(fs, marker(n))
   }
 
   /** Append an embedding batch (vec_id, embedding) — ids disjoint from
@@ -219,15 +211,21 @@ class SemanticDedupStore private (val spark: SparkSession,
     val cents = Clustering.loadCentroids(spark, s"$root/centroids/epoch=$s")
     val batchAsg = Ckpt.eager(
       Clustering.assignVecWithCentroids(b, cents))
+    val oldComp = compAt(e)
     val comp = Ckpt.eager(Dedup.extendSemanticComponents(
-      asgAt(e), compAt(e), batchAsg, tau))
+      asgAt(e), oldComp, batchAsg, tau))
+    // the delta: rows whose (id → component) mapping is new or changed
+    // — extension never deletes a row, so latest-wins reconstruction
+    // over (old resolved state + this delta) IS the new assignment
+    val compDelta = comp.join(oldComp, Seq("id", "component"),
+      "left_anti")
     // torn-retrain litter: a crashed retrain may have left a centroids
     // dir at this (then-uncommitted) epoch; once THIS append commits
     // the epoch, that litter would falsely read as a snapshot and
     // truncate assignment resolution — clear it before the marker lands
     val cdir = new Path(s"$root/centroids/epoch=$n")
     if (fs.exists(cdir)) fs.delete(cdir, true)
-    writeEpoch(n, b, batchAsg, comp)
+    writeEpoch(n, b, batchAsg, compDelta)
     n
   }
 
@@ -261,16 +259,8 @@ class SemanticDedupStore private (val spark: SparkSession,
     * snapshot); [[retrain]] uses it as both prune and interrupted-prune
     * recovery. */
   private def pruneBelow(snap: Long): Unit =
-    Seq("asg", "comp", "centroids").foreach { kind =>
-      val dir = new Path(s"$root/$kind")
-      if (fs.exists(dir)) fs.listStatus(dir)
-        .filter(_.getPath.getName.startsWith("epoch="))
-        .flatMap(st => scala.util.Try(
-          st.getPath.getName.stripPrefix("epoch=").toLong).toOption
-          .map(v => (v, st.getPath)))
-        .filter(_._1 < snap)
-        .foreach { case (_, p) => fs.delete(p, true) }
-    }
+    Seq("asg", "comp", "centroids").foreach(kind =>
+      EpochStoreKit.pruneEpochDirsBelow(fs, root, kind, snap))
 
   /** The kept rows of `corpus` at the latest epoch under the SemDeDup
     * keep policy (per component keep the member LEAST similar to its

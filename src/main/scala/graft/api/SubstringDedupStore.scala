@@ -64,24 +64,18 @@ import org.apache.spark.sql.functions._
 class SubstringDedupStore private (val spark: SparkSession,
                                    val root: String, val window: Int) {
 
-  private def fs =
-    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def fs = EpochStoreKit.fsOf(spark, root)
 
   private def marker(n: Long) = new Path(s"$root/_commits/$n")
   private def snapMarker(n: Long) = new Path(s"$root/_snapshots/$n")
 
-  private def maxMarked(dir: Path): Long =
-    if (!fs.exists(dir)) -1L
-    else fs.listStatus(dir).map(_.getPath.getName)
-      .flatMap(n => scala.util.Try(n.toLong).toOption)
-      .foldLeft(-1L)(math.max)
-
   /** Highest committed epoch, or -1 for an empty/initialized-never store. */
-  def epoch: Long = maxMarked(new Path(s"$root/_commits"))
+  def epoch: Long = EpochStoreKit.maxMarked(fs, new Path(s"$root/_commits"))
 
   /** Highest epoch whose index/deduped artifacts are full snapshots
     * (epoch 0 after [[SubstringDedupStore.init]]; bumped by [[compact]]). */
-  def latestSnapshot: Long = maxMarked(new Path(s"$root/_snapshots"))
+  def latestSnapshot: Long =
+    EpochStoreKit.maxMarked(fs, new Path(s"$root/_snapshots"))
 
   private def requireCommitted(): Long = {
     val e = epoch
@@ -100,36 +94,20 @@ class SubstringDedupStore private (val spark: SparkSession,
     s
   }
 
-  /** Latest-epoch-wins resolution of a delta-epoch artifact chain. */
-  private def resolve(kind: String, from: Long, to: Long,
-                      keyCols: Seq[String],
-                      outCols: Seq[String]): DataFrame = {
-    val df = spark.read.option("basePath", s"$root/$kind")
-      .parquet((from to to).map(n => s"$root/$kind/epoch=$n"): _*)
-    if (from == to) df.select(outCols.map(col): _*)
-    else df
-      .withColumn("_rk", row_number().over(Window
-        .partitionBy(keyCols.map(col): _*).orderBy(col("epoch").desc)))
-      .where(col("_rk") === 1)
-      .select(outCols.map(col): _*)
-  }
-
   private def indexAt(e: Long): DataFrame =
-    resolve("index", snapshotFor(e), e, Seq("k1", "k2"),
-      Seq("k1", "k2", "keep", "occ"))
+    EpochStoreKit.resolveLatestWins(spark, root, "index",
+      snapshotFor(e), e, Seq("k1", "k2"), Seq("k1", "k2", "keep", "occ"))
 
   private def dedupedResolved(e: Long): DataFrame =
-    resolve("deduped", snapshotFor(e), e, Seq("doc_id"),
+    EpochStoreKit.resolveLatestWins(spark, root, "deduped",
+      snapshotFor(e), e, Seq("doc_id"),
       Seq("doc_id", "text", "n_tokens_before", "n_tokens_after"))
 
   /** The full corpus at the latest committed epoch (union of appended
     * batches — epoch pruning via the partition column). */
-  def corpus: DataFrame = {
-    val e = requireCommitted()
-    spark.read.option("basePath", s"$root/corpus")
-      .parquet((0L to e).map(n => s"$root/corpus/epoch=$n"): _*)
-      .select(col("doc_id"), col("text"))
-  }
+  def corpus: DataFrame =
+    EpochStoreKit.unionEpochs(spark, root, "corpus", 0L,
+      requireCommitted(), Seq("doc_id", "text"))
 
   /** The maintained window-key index at the latest committed epoch
     * (snapshot + deltas, latest-epoch-wins per key). */
@@ -152,12 +130,7 @@ class SubstringDedupStore private (val spark: SparkSession,
     batch.write.mode("overwrite").parquet(s"$root/corpus/epoch=$n")
     idx.write.mode("overwrite").parquet(s"$root/index/epoch=$n")
     ded.write.mode("overwrite").parquet(s"$root/deduped/epoch=$n")
-    fs.mkdirs(marker(n).getParent)
-    // atomic create, overwrite=false: the commit point; a second append
-    // racing/replaying onto the same epoch fails HERE, after which its
-    // (identical-input) artifact overwrites have harmed nothing
-    val out = fs.create(marker(n), false)
-    out.close()
+    EpochStoreKit.commitMarker(fs, marker(n))
   }
 
   /** Append a batch (ids strictly above every stored id — enforced by
@@ -213,22 +186,10 @@ class SubstringDedupStore private (val spark: SparkSession,
     * safe to (re-)run any time — [[compact]] uses it both as its prune
     * step and as the recovery sweep for an interrupted prune. */
   private def pruneBelow(snap: Long): Unit = {
-    Seq("index", "deduped").foreach { kind =>
-      val dir = new Path(s"$root/$kind")
-      if (fs.exists(dir)) fs.listStatus(dir)
-        .filter(_.getPath.getName.startsWith("epoch="))
-        .flatMap(st => scala.util.Try(
-          st.getPath.getName.stripPrefix("epoch=").toLong).toOption
-          .map(v => (v, st.getPath)))
-        .filter(_._1 < snap)
-        .foreach { case (_, p) => fs.delete(p, true) }
-    }
-    val sDir = new Path(s"$root/_snapshots")
-    if (fs.exists(sDir)) fs.listStatus(sDir)
-      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption
-        .map(v => (v, st.getPath)))
-      .filter(_._1 < snap)
-      .foreach { case (_, p) => fs.delete(p, true) }
+    Seq("index", "deduped").foreach(kind =>
+      EpochStoreKit.pruneEpochDirsBelow(fs, root, kind, snap))
+    EpochStoreKit.pruneMarkersBelow(fs, new Path(s"$root/_snapshots"),
+      snap)
   }
 }
 

@@ -1889,16 +1889,35 @@ object Dedup {
       s"maxKeyLen out of range: $maxKeyLen")
     require(maxEdit == 1 || maxEdit == 2,
       s"maxEdit must be 1 or 2: $maxEdit")
-    val lenGuard = when(length(col(keyCol)) > maxKeyLen,
+    // EVALUATE THE CALLER'S KEY EXPRESSION EXACTLY ONCE. The key column
+    // is typically the expensive end of a pipeline (regex/normalization
+    // over raw text), and without a barrier it gets re-evaluated per
+    // consumer AND per operator: the empty-key filter, the group-by
+    // key, and each side of [[fuzzyKeyPairs]]' a×b self-join are
+    // separate operators whose codegen does NOT share subexpressions
+    // across them. Measured at the 100× decade (500k docs, ~13 s per
+    // key-derivation pass): the naive chain paid ~5 passes (96.5 s
+    // wall), and even a single groupBy action paid 2.5 passes (44.6 s)
+    // because filter + grouping each recompute the expression. The fix
+    // is two cheap eager checkpoints: the raw (id, key) projection
+    // (one key-expression pass, tiny rows), then the distinct-key
+    // aggregate over the PINNED column (one row per distinct key) with
+    // the length guard applied post-aggregation — per distinct key,
+    // same loudness. Whole from-scratch chain after: ~15 s — one
+    // unavoidable derivation pass + ~2 s of join work.
+    val projected = Ckpt.eager(df.select(
+      col(idCol).cast("long").as("_fid"), col(keyCol).as("key")))
+    val lenGuard = when(length(col("key")) > maxKeyLen,
       raise_error(concat(lit("fuzzyVariantIndex: key length "),
-        length(col(keyCol)),
+        length(col("key")),
         lit(s" exceeds maxKeyLen $maxKeyLen — long keys make the " +
           "single-deletion variant set quadratic; truncate or hash " +
-          "upstream")))).otherwise(col(keyCol))
-    val keys = df.where(length(col(keyCol)) > 0)
-      .groupBy(lenGuard.as("key"))
-      .agg(min(col(idCol).cast("long")).as("rep"),
+          "upstream")))).otherwise(col("key"))
+    val keys = Ckpt.eager(projected.where(length(col("key")) > 0)
+      .groupBy(col("key"))
+      .agg(min(col("_fid")).as("rep"),
         count(lit(1)).as("cnt"))
+      .select(lenGuard.as("key"), col("rep"), col("cnt")))
     // identity + each ≤maxEdit-deletion variant (Garbe's symmetric
     // deletes are a complete candidate cover for Levenshtein ≤ maxEdit),
     // deduplicated, via the compiled kernel — the equivalent

@@ -71,6 +71,35 @@ class FingerprintStoreSpec extends SparkSpec {
     // time-travel: epoch 1's drop set ignores batch2
     assert(ids(s1.keptAt(1L, allIds)) == want1)
     assert(s1.prints.count() == u2.count())
+
+    // DELTA CONTENT: epoch 1's comp directory holds exactly the rows
+    // batch1 added or relabeled — the takeover relabels the H0 cluster
+    // (3→3, 10→3, 14→3), 80 joins H2 (80→20), {60,61}'s new-hash clique
+    // enters as its rep singleton (60→60); the UNTOUCHED H2 base rows
+    // (20→20), (22→20) are NOT rewritten
+    val delta1 = spark.read.parquet(s"$root/comp/epoch=1")
+      .select(col("id").cast("long"), col("component").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(delta1 == Set((3L, 3L), (10L, 3L), (14L, 3L), (80L, 20L),
+      (60L, 60L)))
+
+    // COMPACT: rewrites the resolved assignment as one snapshot epoch,
+    // prunes absorbed deltas, reads unchanged; pruned epochs fail loudly
+    val preKept = ids(s1.kept(allIds))
+    val snap = s1.compact()
+    assert(snap == 3L && s1.latestSnapshot == 3L)
+    assert(ids(s1.kept(allIds)) == preKept)
+    assert(!new java.io.File(s"$root/comp/epoch=1").exists)
+    val old = intercept[IllegalArgumentException] {
+      s1.keptAt(1L, allIds)
+    }
+    assert(old.getMessage.contains("below the latest snapshot"))
+    // appends keep extending from the compacted snapshot
+    assert(s1.append(Seq((200L, HC)).toDF("_id", "simhash")) == 4L)
+    val u3 = u2.unionByName(Seq((200L, HC)).toDF("_id", "simhash"))
+    val all3 = allIds.unionByName(
+      Seq(200L).toDF("doc_id").select(col("doc_id").cast("long")))
+    assert(ids(s1.kept(all3)) == scratch(u3, all3))
   }
 
   test("crash litter invisible and overwritten; replayed commit fails " +

@@ -89,6 +89,35 @@ class FuzzyKeyStoreSpec extends SparkSpec {
     // time-travel: epoch 1's view ignores batch2
     assert(keptSet(s1.keptKeysAt(1L)) == scratchKept(u1))
     assert(s1.keys.count() == u2.count())
+
+    // DELTA CONTENT: each epoch's comp directory holds exactly the rows
+    // its batch added or relabeled. Epoch 1: alphc joins the alpha
+    // cluster → (10→1) only (the cluster's base rows (1→1),(3→1) keep
+    // their label and are NOT rewritten). Epoch 2: gammb pairs with the
+    // base key gamma → {(5,5),(20,5)}; zzzzx pairs with batch1's zzzzz
+    // → {(11,11),(21,11)}.
+    def deltaOf(n: Long): Set[(Long, Long)] =
+      spark.read.parquet(s"$root/comp/epoch=$n")
+        .select(col("id").cast("long"), col("component").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    assert(deltaOf(1L) == Set((10L, 1L)))
+    assert(deltaOf(2L) == Set((5L, 5L), (20L, 5L), (11L, 11L),
+      (21L, 11L)))
+
+    // COMPACT: one snapshot epoch, absorbed deltas pruned, reads
+    // unchanged; pruned epochs fail loudly; appends keep extending
+    val preKept = keptSet(s1.keptKeys)
+    val snap = s1.compact()
+    assert(snap == 3L && s1.latestSnapshot == 3L)
+    assert(keptSet(s1.keptKeys) == preKept)
+    assert(!new java.io.File(s"$root/comp/epoch=1").exists)
+    assert(!new java.io.File(s"$root/index/epoch=1").exists)
+    val old = intercept[IllegalArgumentException] { s1.keptKeysAt(1L) }
+    assert(old.getMessage.contains("below the latest snapshot"))
+    assert(s1.append(Seq((100L, "deltb")).toDF("doc_id", "key")) == 4L)
+    val u3 = u2.unionByName(Seq((100L, "deltb")).toDF("doc_id", "key"))
+    assert(keptSet(s1.keptKeys) == scratchKept(u3))
+    assert(compSet(s1.components) == scratchComp(u3))
   }
 
   test("crash litter invisible; replayed commit fails loudly; " +

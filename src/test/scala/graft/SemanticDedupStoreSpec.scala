@@ -78,6 +78,22 @@ class SemanticDedupStoreSpec extends SparkSpec {
     val u1 = base.unionByName(batch1)
     assert(ids(s0.kept(u1)) == scratchKept(u1, cents))
 
+    // DELTA CONTENT: epoch 1's comp directory holds exactly the rows
+    // the append added or relabeled — the from-scratch frozen-chain
+    // replays over base and union pin the expected difference
+    def compSet(v: DataFrame): Set[(Long, Long)] = {
+      val asg = Clustering.assignVecWithCentroids(v, cents)
+      Dedup.connectedComponents(
+          Dedup.assignmentDupPairs(asg, TAU).select("id1", "id2"))
+        .select(col("id").cast("long"), col("component").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    }
+    val delta1 = spark.read.parquet(s"$root/comp/epoch=1")
+      .select(col("id").cast("long"), col("component").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(delta1 == compSet(u1) -- compSet(base))
+    assert(delta1.nonEmpty) // batch1 genuinely paired
+
     val s1 = SemanticDedupStore.open(spark, root, TAU,
       maxStaleFrac = 0.8)
     assert(s1.epoch == 1L)
