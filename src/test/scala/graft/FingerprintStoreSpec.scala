@@ -132,4 +132,39 @@ class FingerprintStoreSpec extends SparkSpec {
     }
     assert(dup.getMessage.contains("already stored"))
   }
+
+  test("interrupted compact: a committed compaction epoch with NO " +
+    "snapshot marker (the crash window between the two markers, before " +
+    "any prune) reads identically — the full assignment is just a " +
+    "full-content delta under latest-wins — and the next compact() " +
+    "finishes the job") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-fps3").toString + "/store"
+    val allIds = (base.select("_id") unionByName batch1.select("_id"))
+      .select(col("_id").as("doc_id"))
+    val s = FingerprintStore.init(spark, root, base)
+    s.append(batch1)
+    val want = ids(s.kept(allIds))
+    // hand-build the torn state compact() would leave if it crashed
+    // right after its commit marker: epoch 2 holds an empty prints
+    // delta + the FULL resolved assignment, commit marker present,
+    // snapshot marker ABSENT, nothing pruned
+    s.components.write.parquet(s"$root/comp/epoch=2")
+    spark.read.parquet(s"$root/prints/epoch=0").limit(0)
+      .write.parquet(s"$root/prints/epoch=2")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_commits/2"), false)
+      .close()
+    val s2 = FingerprintStore.open(spark, root)
+    assert(s2.epoch == 2L && s2.latestSnapshot == 0L)
+    assert(ids(s2.kept(allIds)) == want) // reads unchanged
+    // the retried compact writes its own snapshot epoch, marks it, and
+    // prunes every absorbed delta (including the torn epoch 2)
+    val snap2 = s2.compact()
+    assert(snap2 == 3L && s2.latestSnapshot == 3L)
+    assert(ids(s2.kept(allIds)) == want)
+    assert(!new java.io.File(s"$root/comp/epoch=1").exists)
+    assert(!new java.io.File(s"$root/comp/epoch=2").exists)
+  }
 }

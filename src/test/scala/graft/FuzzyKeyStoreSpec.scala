@@ -147,4 +147,42 @@ class FuzzyKeyStoreSpec extends SparkSpec {
     }
     assert(low.getMessage.contains("strictly above"))
   }
+
+  test("interrupted compact: a committed compaction epoch with NO " +
+    "snapshot marker reads identically (comp is a full-content delta " +
+    "under latest-wins; duplicated index rows are tolerated by the " +
+    "distinct()-ed pair join) and the next compact() + append finish " +
+    "correctly") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-fks3").toString + "/store"
+    val s = FuzzyKeyStore.init(spark, root, base)
+    s.append(batch1)
+    val u1 = base.unionByName(batch1)
+    val want = keptSet(s.keptKeys)
+    // the torn state: epoch 2 = empty keys delta + FULL index + FULL
+    // comp, commit marker present, snapshot marker absent, no prune
+    s.index.write.parquet(s"$root/index/epoch=2")
+    s.components.write.parquet(s"$root/comp/epoch=2")
+    spark.read.parquet(s"$root/keys/epoch=0").limit(0)
+      .write.parquet(s"$root/keys/epoch=2")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_commits/2"), false)
+      .close()
+    val s2 = FuzzyKeyStore.open(spark, root)
+    assert(s2.epoch == 2L && s2.latestSnapshot == 0L)
+    assert(keptSet(s2.keptKeys) == want)
+    // an append lands correctly on the torn state (its variant probe
+    // sees duplicated index rows — harmless: edges are distinct()-ed)
+    assert(s2.append(batch2) == 3L)
+    val u2 = u1.unionByName(batch2)
+    assert(keptSet(s2.keptKeys) == scratchKept(u2))
+    assert(compSet(s2.components) == scratchComp(u2))
+    // the retried compact absorbs everything below its snapshot
+    val snap = s2.compact()
+    assert(snap == 4L && s2.latestSnapshot == 4L)
+    assert(keptSet(s2.keptKeys) == scratchKept(u2))
+    assert(!new java.io.File(s"$root/index/epoch=2").exists)
+    assert(!new java.io.File(s"$root/comp/epoch=2").exists)
+  }
 }
