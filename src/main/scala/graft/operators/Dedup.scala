@@ -1918,6 +1918,9 @@ object Dedup {
       .agg(min(col("_fid")).as("rep"),
         count(lit(1)).as("cnt"))
       .select(lenGuard.as("key"), col("rep"), col("cnt")))
+    // the projection's blocks are dead once the keys aggregate has its
+    // own checkpoint — free them now rather than at driver GC
+    org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(projected)
     // identity + each ≤maxEdit-deletion variant (Garbe's symmetric
     // deletes are a complete candidate cover for Levenshtein ≤ maxEdit),
     // deduplicated, via the compiled kernel — the equivalent
