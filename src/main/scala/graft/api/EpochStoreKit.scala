@@ -22,10 +22,109 @@ import org.apache.spark.sql.functions._
   *    which readers never resolve, so an interrupted prune is finished
   *    by the next compaction's sweep.
   */
-private[api] object EpochStoreKit {
+private[graft] object EpochStoreKit {
 
   def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---- fault-injection boundaries (test-only) -----------------------
+  //
+  // Every MUTATING filesystem operation a store performs (artifact
+  // write, marker create, token write, prune delete) announces itself
+  // here before executing. Production cost is one empty-map check; the
+  // fault-sweep spec registers a hook under a store root and throws at
+  // the k-th boundary, turning "the crash windows we thought of" into
+  // an exhaustive kill-at-every-boundary sweep. Hooks are keyed by root
+  // prefix so concurrent suites cannot trip each other.
+  private val faultHooks =
+    new java.util.concurrent.ConcurrentHashMap[String, String => Unit]()
+
+  private[graft] def installFaultHook(rootPrefix: String,
+                                      hook: String => Unit): Unit =
+    faultHooks.put(rootPrefix, hook)
+
+  private[graft] def clearFaultHook(rootPrefix: String): Unit =
+    faultHooks.remove(rootPrefix)
+
+  /** Announce a mutating operation on `path` — fires any hook whose
+    * registered root prefixes it. Called BEFORE the mutation, so a
+    * throwing hook simulates a crash that prevented it. */
+  private[graft] def boundary(path: String): Unit =
+    if (!faultHooks.isEmpty) {
+      val it = faultHooks.entrySet().iterator()
+      while (it.hasNext) {
+        val en = it.next()
+        if (path.startsWith(en.getKey)) en.getValue.apply(path)
+      }
+    }
+
+  /** Overwrite-mode parquet write with a fault boundary — ALL store
+    * artifact writes go through here so the sweep sees them. */
+  def writeParquet(df: DataFrame, path: String): Unit = {
+    boundary(path)
+    df.write.mode("overwrite").parquet(path)
+  }
+
+  // ---- idempotence tokens (the streaming bridge) --------------------
+  //
+  // append(batch, token) must be an exactly-once operation under
+  // Structured Streaming's replay contract: foreachBatch re-delivers
+  // the last batch after a restart, so the sink needs a durable record
+  // of "this batch already committed". The token file (content = the
+  // epoch it committed) is written AFTER the epoch's artifacts and
+  // BEFORE its commit marker:
+  //   - crash before the token: no record, litter invisible — the
+  //     replay recomputes everything (inputs unchanged: the epoch never
+  //     committed);
+  //   - crash between token and marker: the replay finds the token
+  //     naming epoch+1 — artifacts are fully written but uncommitted;
+  //     recompute-and-commit converges (same inputs, idempotent
+  //     overwrites);
+  //   - crash after the marker: the replay finds the token naming a
+  //     committed epoch — a no-op.
+
+  def tokenPath(root: String, token: String): Path = {
+    val safe = token.map(c =>
+      if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.') c
+      else '_')
+    new Path(s"$root/_tokens/$safe")
+  }
+
+  def writeToken(fs: FileSystem, path: Path, epoch: Long): Unit = {
+    boundary(path.toString)
+    fs.mkdirs(path.getParent)
+    val out = fs.create(path, true)
+    out.write(epoch.toString.getBytes("UTF-8"))
+    out.close()
+  }
+
+  def readToken(fs: FileSystem, path: Path): Option[Long] =
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      try {
+        val buf = new Array[Byte](32)
+        val k = in.read(buf)
+        Some(new String(buf, 0, math.max(0, k), "UTF-8").trim.toLong)
+      } finally in.close()
+    }
+
+  /** The shared replay protocol for token-carrying appends: returns
+    * `Some(epoch)` when `token` already committed (the caller no-ops),
+    * `None` when the append must (re-)run — after checking that a torn
+    * token (recorded but uncommitted) names exactly the next epoch. */
+  def replayCheck(fs: FileSystem, root: String, token: String,
+                  currentEpoch: Long): Option[Long] =
+    readToken(fs, tokenPath(root, token)) match {
+      case Some(n) if n <= currentEpoch => Some(n)
+      case Some(n) =>
+        require(n == currentEpoch + 1,
+          s"token '$token' at $root recorded epoch $n but the store " +
+            s"is at $currentEpoch — the token file is corrupt or the " +
+            "store was rolled back under it")
+        None
+      case None => None
+    }
 
   /** Highest numeric child of `dir` (commit/snapshot marker dirs), or
     * -1 when the directory does not exist / has no numeric child. */
@@ -40,9 +139,19 @@ private[api] object EpochStoreKit {
     * after which its (identical-input) artifact overwrites have harmed
     * nothing. */
   def commitMarker(fs: FileSystem, marker: Path): Unit = {
+    boundary(marker.toString)
     fs.mkdirs(marker.getParent)
     val out = fs.create(marker, false)
     out.close()
+  }
+
+  /** Idempotent marker create (snapshot marks, compact sentinels):
+    * unlike [[commitMarker]], an existing file is fine — re-marking
+    * after a torn window must converge, not fail. */
+  def markFile(fs: FileSystem, path: Path): Unit = {
+    boundary(path.toString)
+    fs.mkdirs(path.getParent)
+    if (!fs.exists(path)) fs.create(path, false).close()
   }
 
   /** Plain union of `kind`'s epoch directories `from..to` — the
@@ -84,7 +193,7 @@ private[api] object EpochStoreKit {
         st.getPath.getName.stripPrefix("epoch=").toLong).toOption
         .map(v => (v, st.getPath)))
       .filter(_._1 < snap)
-      .foreach { case (_, p) => fs.delete(p, true) }
+      .foreach { case (_, p) => boundary(p.toString); fs.delete(p, true) }
   }
 
   /** Delete numeric marker files below `snap` in a marker directory. */
@@ -93,5 +202,5 @@ private[api] object EpochStoreKit {
       .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption
         .map(v => (v, st.getPath)))
       .filter(_._1 < snap)
-      .foreach { case (_, p) => fs.delete(p, true) }
+      .foreach { case (_, p) => boundary(p.toString); fs.delete(p, true) }
 }

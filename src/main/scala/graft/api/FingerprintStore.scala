@@ -56,7 +56,8 @@ import org.apache.spark.sql.functions._
   * id would double its membership weight in the drop set).
   */
 class FingerprintStore private (val spark: SparkSession,
-                                val root: String, val maxHamming: Int) {
+                                val root: String, val maxHamming: Int,
+                                val autoCompactEpochs: Int) {
 
   private def fs = EpochStoreKit.fsOf(spark, root)
 
@@ -103,18 +104,33 @@ class FingerprintStore private (val spark: SparkSession,
     * snapshot + deltas resolved latest-wins). */
   def components: DataFrame = compAt(requireCommitted())
 
-  private def writeEpoch(n: Long, batch: DataFrame,
-                         comp: DataFrame): Unit = {
-    batch.write.mode("overwrite").parquet(s"$root/prints/epoch=$n")
-    comp.write.mode("overwrite").parquet(s"$root/comp/epoch=$n")
+  private def writeEpoch(n: Long, batch: DataFrame, comp: DataFrame,
+                         token: Option[String] = None): Unit = {
+    EpochStoreKit.writeParquet(batch, s"$root/prints/epoch=$n")
+    EpochStoreKit.writeParquet(comp, s"$root/comp/epoch=$n")
+    token.foreach(t =>
+      EpochStoreKit.writeToken(fs, EpochStoreKit.tokenPath(root, t), n))
     EpochStoreKit.commitMarker(fs, marker(n))
   }
 
   /** Append a batch's fingerprints (_id, simhash) — ids disjoint from
     * every stored id (fails loudly) — extend the component assignment
     * with batch-only work, commit epoch+1 writing only the assignment
-    * rows the batch ADDED or RELABELED. Returns the new epoch. */
-  def append(batchHashes: DataFrame): Long = {
+    * rows the batch ADDED or RELABELED. Returns the new epoch (the
+    * head may advance further when `autoCompactEpochs` triggers a
+    * compaction — read-identical, spec-gated). */
+  def append(batchHashes: DataFrame): Long = appendImpl(batchHashes, None)
+
+  /** Exactly-once append for replayable callers (the Structured
+    * Streaming `foreachBatch` bridge): a replayed call with the same
+    * `token` is a NO-OP returning the original epoch; every crash
+    * window converges on retry (the [[EpochStoreKit]] token protocol). */
+  def append(batchHashes: DataFrame, token: String): Long =
+    EpochStoreKit.replayCheck(fs, root, token, epoch)
+      .getOrElse(appendImpl(batchHashes, Some(token)))
+
+  private def appendImpl(batchHashes: DataFrame,
+                         token: Option[String]): Long = {
     val e = requireCommitted()
     val n = e + 1
     val b = Ckpt.eager(batchHashes.select(
@@ -134,7 +150,9 @@ class FingerprintStore private (val spark: SparkSession,
     // — extension never deletes a row, so latest-wins reconstruction
     // over (old resolved state + this delta) IS the new assignment
     val delta = comp.join(oldComp, Seq("id", "component"), "left_anti")
-    writeEpoch(n, b, delta)
+    writeEpoch(n, b, delta, token)
+    if (autoCompactEpochs > 0 && n - latestSnapshot >= autoCompactEpochs)
+      compact()
     n
   }
 
@@ -154,9 +172,7 @@ class FingerprintStore private (val spark: SparkSession,
     // snapshot marker AFTER the commit marker: a crash between the two
     // leaves epoch n committed as a full-content delta, which reads
     // identically under latest-wins; the next compact() re-marks
-    val sm = new Path(s"$root/_snapshots/$n")
-    fs.mkdirs(sm.getParent)
-    if (!fs.exists(sm)) fs.create(sm, false).close()
+    EpochStoreKit.markFile(fs, new Path(s"$root/_snapshots/$n"))
     pruneBelow(n)
     n
   }
@@ -202,23 +218,38 @@ object FingerprintStore {
     * [[graft.operators.Dedup.hashComponents]] closure (the first
     * snapshot). Fails loudly if the root already has a committed epoch. */
   def init(spark: SparkSession, root: String, hashes: DataFrame,
-           maxHamming: Int = 3): FingerprintStore = {
-    val s = new FingerprintStore(spark, root, maxHamming)
+           maxHamming: Int = 3,
+           autoCompactEpochs: Int = 0): FingerprintStore = {
+    val s = new FingerprintStore(spark, root, maxHamming,
+      autoCompactEpochs)
     require(s.epoch < 0,
       s"FingerprintStore already initialized at $root (epoch ${s.epoch})")
     val h = Ckpt.eager(hashes.select(col("_id").cast("long").as("_id"),
       col("simhash").cast("long").as("simhash")))
     s.writeEpoch(0L, h, Dedup.hashComponents(h, maxHamming))
     val fs = EpochStoreKit.fsOf(spark, root)
-    EpochStoreKit.commitMarker(fs, new Path(s"$root/_snapshots/0"))
+    EpochStoreKit.markFile(fs, new Path(s"$root/_snapshots/0"))
     s
   }
 
-  /** Open an existing store (any committed epoch present). */
-  def open(spark: SparkSession, root: String,
-           maxHamming: Int = 3): FingerprintStore = {
-    val s = new FingerprintStore(spark, root, maxHamming)
-    s.requireCommitted()
+  /** Open an existing store (any committed epoch present).
+    *
+    * Legacy migration: roots written before the `_snapshots/` marker
+    * format carried a FULL component assignment at every epoch (the
+    * round-12 first-cut layout) but no snapshot marker, so every read
+    * would fail `snapshotFor`'s `s >= 0` even though the latest epoch's
+    * comp reads correctly as a snapshot. Opening such a root performs
+    * the one-touch migration: mark the LATEST committed epoch as the
+    * snapshot (its full-per-epoch comp IS one). Time-travel below that
+    * epoch is not preserved — the same contract `compact()` applies. */
+  def open(spark: SparkSession, root: String, maxHamming: Int = 3,
+           autoCompactEpochs: Int = 0): FingerprintStore = {
+    val s = new FingerprintStore(spark, root, maxHamming,
+      autoCompactEpochs)
+    val e = s.requireCommitted()
+    val fs = EpochStoreKit.fsOf(spark, root)
+    if (!fs.exists(new Path(s"$root/_snapshots")))
+      EpochStoreKit.commitMarker(fs, new Path(s"$root/_snapshots/$e"))
     s
   }
 }

@@ -68,7 +68,8 @@ import org.apache.spark.sql.functions._
   * training-data-pipeline tier.
   */
 class FuzzyKeyStore private (val spark: SparkSession, val root: String,
-                             val maxKeyLen: Int, val maxEdit: Int) {
+                             val maxKeyLen: Int, val maxEdit: Int,
+                             val autoCompactEpochs: Int) {
 
   private def fs = EpochStoreKit.fsOf(spark, root)
 
@@ -123,10 +124,13 @@ class FuzzyKeyStore private (val spark: SparkSession, val root: String,
   def components: DataFrame = compAt(requireCommitted())
 
   private def writeEpoch(n: Long, batch: DataFrame, idx: DataFrame,
-                         comp: DataFrame): Unit = {
-    batch.write.mode("overwrite").parquet(s"$root/keys/epoch=$n")
-    idx.write.mode("overwrite").parquet(s"$root/index/epoch=$n")
-    comp.write.mode("overwrite").parquet(s"$root/comp/epoch=$n")
+                         comp: DataFrame,
+                         token: Option[String] = None): Unit = {
+    EpochStoreKit.writeParquet(batch, s"$root/keys/epoch=$n")
+    EpochStoreKit.writeParquet(idx, s"$root/index/epoch=$n")
+    EpochStoreKit.writeParquet(comp, s"$root/comp/epoch=$n")
+    token.foreach(t =>
+      EpochStoreKit.writeToken(fs, EpochStoreKit.tokenPath(root, t), n))
     EpochStoreKit.commitMarker(fs, marker(n))
   }
 
@@ -135,8 +139,20 @@ class FuzzyKeyStore private (val spark: SparkSession, val root: String,
     * genuinely-new keys and the cluster assignment with their edges,
     * commit epoch+1 writing only the new-key variants and the
     * assignment rows the batch ADDED or RELABELED. Returns the new
-    * epoch. */
-  def append(batch: DataFrame): Long = {
+    * epoch (the head may advance further when `autoCompactEpochs`
+    * triggers a compaction — read-identical, spec-gated). */
+  def append(batch: DataFrame): Long = appendImpl(batch, None)
+
+  /** Exactly-once append for replayable callers (the Structured
+    * Streaming `foreachBatch` bridge): a replayed call with the same
+    * `token` is a NO-OP returning the original epoch; every crash
+    * window converges on retry (the [[EpochStoreKit]] token protocol). */
+  def append(batch: DataFrame, token: String): Long =
+    EpochStoreKit.replayCheck(fs, root, token, epoch)
+      .getOrElse(appendImpl(batch, Some(token)))
+
+  private def appendImpl(batch: DataFrame,
+                         token: Option[String]): Long = {
     val e = requireCommitted()
     val n = e + 1
     val b = Ckpt.eager(batch.select(
@@ -164,7 +180,9 @@ class FuzzyKeyStore private (val spark: SparkSession, val root: String,
     val comp = Ckpt.eager(Dedup.extendComponents(oldComp, pairs))
     // the delta: rows whose (id → component) mapping is new or changed
     val delta = comp.join(oldComp, Seq("id", "component"), "left_anti")
-    writeEpoch(n, b, nv, delta)
+    writeEpoch(n, b, nv, delta, token)
+    if (autoCompactEpochs > 0 && n - latestSnapshot >= autoCompactEpochs)
+      compact()
     n
   }
 
@@ -176,9 +194,16 @@ class FuzzyKeyStore private (val spark: SparkSession, val root: String,
     * nothing the next compact() won't re-resolve: readers between the
     * crash and the re-mark would union duplicate index rows, which the
     * variant join tolerates — pairs are distinct()-ed — and the comp
-    * full-content delta reads identically under latest-wins).
-    * Idempotent: compacting an already-snapshot head only finishes any
-    * interrupted prune. Returns the snapshot epoch. */
+    * full-content delta reads identically under latest-wins). The index
+    * snapshot is written DISTINCT: after a torn compact (commit marker
+    * present, snapshot marker absent), `indexAt` unions the old
+    * snapshot with the torn epoch's full index, and persisting that
+    * union verbatim would bake the duplicate rows into the new snapshot
+    * permanently (doubling per torn window) — a no-op shuffle in the
+    * normal disjoint-slice case buys the guarantee that no snapshot
+    * ever holds duplicate (rep, key, _vh) rows. Idempotent: compacting
+    * an already-snapshot head only finishes any interrupted prune.
+    * Returns the snapshot epoch. */
   def compact(): Long = {
     val e = requireCommitted()
     val s = latestSnapshot
@@ -186,11 +211,10 @@ class FuzzyKeyStore private (val spark: SparkSession, val root: String,
     val n = e + 1
     val emptyBatch = spark.read.parquet(s"$root/keys/epoch=0")
       .select("doc_id", "key").limit(0)
-    writeEpoch(n, emptyBatch, Ckpt.eager(indexAt(e)),
+    writeEpoch(n, emptyBatch,
+      Ckpt.eager(indexAt(e).dropDuplicates("rep", "key", "_vh")),
       Ckpt.eager(compAt(e)))
-    val sm = new Path(s"$root/_snapshots/$n")
-    fs.mkdirs(sm.getParent)
-    if (!fs.exists(sm)) fs.create(sm, false).close()
+    EpochStoreKit.markFile(fs, new Path(s"$root/_snapshots/$n"))
     pruneBelow(n)
     n
   }
@@ -233,8 +257,10 @@ object FuzzyKeyStore {
     * from-scratch pair-graph closure (the first snapshot). Fails loudly
     * if the root already has a committed epoch. */
   def init(spark: SparkSession, root: String, keys: DataFrame,
-           maxKeyLen: Int = 64, maxEdit: Int = 1): FuzzyKeyStore = {
-    val s = new FuzzyKeyStore(spark, root, maxKeyLen, maxEdit)
+           maxKeyLen: Int = 64, maxEdit: Int = 1,
+           autoCompactEpochs: Int = 0): FuzzyKeyStore = {
+    val s = new FuzzyKeyStore(spark, root, maxKeyLen, maxEdit,
+      autoCompactEpochs)
     require(s.epoch < 0,
       s"FuzzyKeyStore already initialized at $root (epoch ${s.epoch})")
     val d = Ckpt.eager(keys.select(col("doc_id").cast("long")
@@ -247,7 +273,7 @@ object FuzzyKeyStore {
       .select(col("rep_a").as("id1"), col("rep_b").as("id2"))
     s.writeEpoch(0L, d, idx,
       Ckpt.eager(Dedup.connectedComponents(pairs)))
-    EpochStoreKit.commitMarker(EpochStoreKit.fsOf(spark, root),
+    EpochStoreKit.markFile(EpochStoreKit.fsOf(spark, root),
       new Path(s"$root/_snapshots/0"))
     s
   }
@@ -256,8 +282,10 @@ object FuzzyKeyStore {
     * and `maxEdit` must match the values the store was initialized
     * with — they parameterize the stored variant family. */
   def open(spark: SparkSession, root: String, maxKeyLen: Int = 64,
-           maxEdit: Int = 1): FuzzyKeyStore = {
-    val s = new FuzzyKeyStore(spark, root, maxKeyLen, maxEdit)
+           maxEdit: Int = 1,
+           autoCompactEpochs: Int = 0): FuzzyKeyStore = {
+    val s = new FuzzyKeyStore(spark, root, maxKeyLen, maxEdit,
+      autoCompactEpochs)
     s.requireCommitted()
     s
   }

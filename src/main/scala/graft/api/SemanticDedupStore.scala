@@ -35,24 +35,41 @@ import org.apache.spark.sql.functions._
   *                       corpus-sized, so full-per-epoch rewrites would
   *                       be the write-amplification cliff the delta
   *                       [[SubstringDedupStore]] epochs fixed for text
-  *   centroids/epoch=S/  the frozen-centroid artifact for snapshot S
+  *   centroids/epoch=T/  the frozen-centroid artifact for TRAIN epoch T
   *                       ([[graft.operators.Clustering.saveCentroids]] —
   *                       IEEE-754-exact doubles, so every later
   *                       assignment replays the identical argmax)
+  *   _trainmass/T        the full-corpus assignment mass at train time
+  *                       (one ASCII long) — survives compaction pruning
+  *                       so staleness stays train-relative
+  *   _compacts/N         sentinel marking epoch N a trainer-free
+  *                       [[compact]] snapshot (full asg+comp under the
+  *                       SAME frozen centroids)
   *   _commits/N          empty marker file — the epoch's commit point
   * }}}
   *
-  * A COMMITTED epoch with a `centroids/epoch=N` directory IS a snapshot
-  * — no separate snapshot marker. This is deliberate: assignment
-  * resolution here is a plain union over disjoint vec_id slices, so the
-  * [[SubstringDedupStore]] trick (a committed-but-unmarked snapshot
-  * reads correctly as a full-content delta under latest-wins) does NOT
-  * carry over — a full assignment resolved as a delta would duplicate
-  * every vec_id under two different metric spaces. Deriving
-  * snapshot-ness from the centroids directory (written BEFORE the
-  * commit marker) removes the torn window entirely: either the marker
-  * exists and the epoch is a complete snapshot, or it doesn't and the
-  * litter is invisible.
+  * A COMMITTED epoch is a snapshot iff it carries a `centroids/epoch=N`
+  * directory (init/[[retrain]]) or a `_compacts/N` sentinel
+  * ([[compact]]) — no post-commit snapshot marker. This is deliberate:
+  * assignment resolution here is a plain union over disjoint vec_id
+  * slices, so the [[SubstringDedupStore]] trick (a
+  * committed-but-unmarked snapshot reads correctly as a full-content
+  * delta under latest-wins) does NOT carry over — a full assignment
+  * resolved as a delta would duplicate every vec_id. Deriving
+  * snapshot-ness from artifacts written BEFORE the commit marker
+  * removes the torn window entirely: either the marker exists and the
+  * epoch is a complete snapshot, or it doesn't and the litter is
+  * invisible (and swept by the next [[append]]).
+  *
+  * SNAPSHOT ≠ TRAIN GENERATION: [[compact]] bounds read-side
+  * resolution (the asg union fan-in and the comp latest-wins window)
+  * WITHOUT retraining — sound because extension under frozen centroids
+  * is append-monotone, so the resolved asg+comp at any epoch is itself
+  * a valid snapshot of the same frozen generation. The centroids
+  * artifact therefore lives at the latest TRAIN epoch (which a compact
+  * leaves in place, possibly below the latest snapshot), and staleness
+  * is measured against the TRAIN-time mass (persisted in
+  * `_trainmass/T`), so compacting never masks drift.
   *
   * THE FREEZE IS THE APPROXIMATION, so it is gated like the facade's PQ
   * codebook staleness: [[append]] fails LOUDLY once the CUMULATIVE mass
@@ -84,17 +101,19 @@ class SemanticDedupStore private (val spark: SparkSession,
                                   val maxStaleFrac: Double) {
 
   private def fs = EpochStoreKit.fsOf(spark, root)
+  private[api] def fsPub = fs
 
   private def marker(n: Long) = new Path(s"$root/_commits/$n")
 
   /** Highest committed epoch, or -1 for a never-initialized root. */
   def epoch: Long = EpochStoreKit.maxMarked(fs, new Path(s"$root/_commits"))
 
-  /** Highest full-assignment snapshot epoch: the highest COMMITTED
-    * epoch carrying a centroids artifact (0 after init; bumped by every
-    * [[retrain]]). Centroid litter at an uncommitted epoch is invisible
-    * (the `<= epoch` filter). */
-  def latestSnapshot: Long = {
+  /** Highest committed TRAIN epoch — the epoch whose centroids are the
+    * frozen generation every later assignment replays (0 after init;
+    * bumped by every [[retrain]]; NOT bumped by [[compact]]). Centroid
+    * litter at an uncommitted epoch is invisible (the `<= epoch`
+    * filter). */
+  def latestTrain: Long = {
     val e = epoch
     val dir = new Path(s"$root/centroids")
     if (e < 0 || !fs.exists(dir)) -1L
@@ -104,6 +123,21 @@ class SemanticDedupStore private (val spark: SparkSession,
         scala.util.Try(n.stripPrefix("epoch=").toLong).toOption)
       .filter(_ <= e)
       .foldLeft(-1L)(math.max)
+  }
+
+  /** Highest full-assignment snapshot epoch — the resolution base for
+    * asg/comp reads: the latest committed TRAIN epoch or trainer-free
+    * [[compact]] epoch, whichever is higher. */
+  def latestSnapshot: Long = {
+    val e = epoch
+    val dir = new Path(s"$root/_compacts")
+    val compacts =
+      if (e < 0 || !fs.exists(dir)) -1L
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .flatMap(n => scala.util.Try(n.toLong).toOption)
+        .filter(_ <= e) // sentinel litter above the committed head
+        .foldLeft(-1L)(math.max)
+    math.max(latestTrain, compacts)
   }
 
   private def requireCommitted(): Long = {
@@ -145,33 +179,53 @@ class SemanticDedupStore private (val spark: SparkSession,
   /** The maintained pair-graph component assignment (latest epoch). */
   def components: DataFrame = compAt(requireCommitted())
 
-  /** The frozen centroids of the latest snapshot generation. */
-  def centroids: Array[Array[Double]] =
-    Clustering.loadCentroids(spark,
-      s"$root/centroids/epoch=${snapshotFor(requireCommitted())}")
+  /** The frozen centroids of the latest TRAIN generation (init or
+    * [[retrain]] — a [[compact]] snapshot reuses them). */
+  def centroids: Array[Array[Double]] = {
+    requireCommitted()
+    val t = latestTrain
+    require(t >= 0, s"SemanticDedupStore at $root has no trained " +
+      "centroids artifact")
+    Clustering.loadCentroids(spark, s"$root/centroids/epoch=$t")
+  }
 
-  /** Mass appended since the last snapshot as a fraction of the
-    * snapshot's mass — [[append]] fails once a batch would push this
-    * past `maxStaleFrac`. */
+  /** `(trainMass, sinceMass)` at epoch `e`: the full-corpus assignment
+    * mass when the frozen centroids were TRAINED (persisted in
+    * `_trainmass/T` so it survives compaction pruning; legacy roots
+    * fall back to counting the train epoch's asg directory, which they
+    * still hold — they never compacted) and the mass assigned since.
+    * Shared by [[staleFrac]] and [[append]]'s gate so the two can never
+    * diverge. Train-relative, NOT snapshot-relative: a trainer-free
+    * [[compact]] must not reset drift accounting. */
+  private def staleCounts(e: Long): (Long, Long) = {
+    val t = latestTrain
+    require(t >= 0, s"SemanticDedupStore at $root has no trained " +
+      "centroids artifact")
+    val trainMass = EpochStoreKit
+      .readToken(fs, new Path(s"$root/_trainmass/$t"))
+      .getOrElse(spark.read.parquet(s"$root/asg/epoch=$t").count())
+    val totalMass = asgAt(e).count()
+    (trainMass, totalMass - trainMass)
+  }
+
+  /** Mass appended since the last [[retrain]] as a fraction of the
+    * train-time mass — [[append]] fails once a batch would push this
+    * past `maxStaleFrac`. Unchanged by [[compact]] (spec-gated). */
   def staleFrac: Double = {
-    val e = requireCommitted()
-    val s = snapshotFor(e)
-    if (s == e) 0.0
-    else {
-      val snapMass = spark.read.parquet(s"$root/asg/epoch=$s").count()
-      val since = spark.read
-        .parquet(((s + 1) to e).map(n => s"$root/asg/epoch=$n"): _*)
-        .count()
-      if (snapMass == 0) Double.PositiveInfinity
-      else since.toDouble / snapMass
-    }
+    val (trainMass, since) = staleCounts(requireCommitted())
+    if (since == 0) 0.0
+    else if (trainMass == 0) Double.PositiveInfinity
+    else since.toDouble / trainMass
   }
 
   private def writeEpoch(n: Long, batch: DataFrame, asg: DataFrame,
-                         comp: DataFrame): Unit = {
-    batch.write.mode("overwrite").parquet(s"$root/vecs/epoch=$n")
-    asg.write.mode("overwrite").parquet(s"$root/asg/epoch=$n")
-    comp.write.mode("overwrite").parquet(s"$root/comp/epoch=$n")
+                         comp: DataFrame,
+                         token: Option[String] = None): Unit = {
+    EpochStoreKit.writeParquet(batch, s"$root/vecs/epoch=$n")
+    EpochStoreKit.writeParquet(asg, s"$root/asg/epoch=$n")
+    EpochStoreKit.writeParquet(comp, s"$root/comp/epoch=$n")
+    token.foreach(t =>
+      EpochStoreKit.writeToken(fs, EpochStoreKit.tokenPath(root, t), n))
     EpochStoreKit.commitMarker(fs, marker(n))
   }
 
@@ -179,11 +233,22 @@ class SemanticDedupStore private (val spark: SparkSession,
     * every stored id (fails loudly) — assign against the frozen
     * centroids, extend the pair-graph components with batch-only work,
     * commit epoch+1 as a delta. Fails loudly when the cumulative
-    * post-snapshot mass would exceed `maxStaleFrac` of the snapshot —
-    * call [[retrain]] first. Returns the new epoch. */
-  def append(batch: DataFrame): Long = {
+    * post-TRAIN mass would exceed `maxStaleFrac` of the train-time
+    * mass — call [[retrain]] first. Returns the new epoch. */
+  def append(batch: DataFrame): Long = appendImpl(batch, None)
+
+  /** Exactly-once append for replayable callers (the Structured
+    * Streaming `foreachBatch` bridge): a replayed call with the same
+    * `token` is a NO-OP returning the original epoch; every crash
+    * window converges on retry (the [[EpochStoreKit]] token protocol). */
+  def append(batch: DataFrame, token: String): Long =
+    EpochStoreKit.replayCheck(fs, root, token, epoch)
+      .getOrElse(appendImpl(batch, Some(token)))
+
+  private def appendImpl(batch: DataFrame,
+                         token: Option[String]): Long = {
     val e = requireCommitted()
-    val s = snapshotFor(e)
+    val t = latestTrain
     val n = e + 1
     val b = Ckpt.eager(batch.select(col("vec_id").cast("long")
       .as("vec_id"), col("embedding")))
@@ -195,20 +260,24 @@ class SemanticDedupStore private (val spark: SparkSession,
         .map(_.get(0)).getOrElse("")} already stored at $root — " +
         "appended ids must be disjoint")
     // cumulative staleness gate (the PQ-codebook discipline): count the
-    // post-snapshot assignment mass, not just this batch
-    val snapMass = spark.read.parquet(s"$root/asg/epoch=$s").count()
-    val since =
-      if (s == e) 0L
-      else spark.read
-        .parquet(((s + 1) to e).map(k => s"$root/asg/epoch=$k"): _*)
-        .count()
+    // post-TRAIN assignment mass, not just this batch — via the same
+    // helper staleFrac reports, so the gate and the metric cannot
+    // diverge
+    val (trainMass, since) = staleCounts(e)
     val nb = b.count()
-    require(snapMass > 0 && since + nb <= maxStaleFrac * snapMass,
+    require(trainMass > 0,
+      s"SemanticDedupStore.append: the frozen centroids at $root " +
+        "assigned ZERO rows at train time (an unassignable corpus — " +
+        "all zero-norm embeddings?) — staleness cannot be bounded " +
+        "against an empty baseline, and retrain() on the same corpus " +
+        "would reproduce it; re-init the store once assignable rows " +
+        "exist")
+    require(since + nb <= maxStaleFrac * trainMass,
       s"SemanticDedupStore.append: appending $nb rows would put " +
-        s"${since + nb} post-snapshot rows over maxStaleFrac=" +
-        s"$maxStaleFrac of the snapshot mass $snapMass — the frozen " +
+        s"${since + nb} post-train rows over maxStaleFrac=" +
+        s"$maxStaleFrac of the train-time mass $trainMass — the frozen " +
         "centroids are stale; call retrain() to re-freeze, then append")
-    val cents = Clustering.loadCentroids(spark, s"$root/centroids/epoch=$s")
+    val cents = Clustering.loadCentroids(spark, s"$root/centroids/epoch=$t")
     val batchAsg = Ckpt.eager(
       Clustering.assignVecWithCentroids(b, cents))
     val oldComp = compAt(e)
@@ -219,13 +288,17 @@ class SemanticDedupStore private (val spark: SparkSession,
     // over (old resolved state + this delta) IS the new assignment
     val compDelta = comp.join(oldComp, Seq("id", "component"),
       "left_anti")
-    // torn-retrain litter: a crashed retrain may have left a centroids
-    // dir at this (then-uncommitted) epoch; once THIS append commits
-    // the epoch, that litter would falsely read as a snapshot and
-    // truncate assignment resolution — clear it before the marker lands
+    // torn-retrain/torn-compact litter: a crashed retrain may have left
+    // a centroids dir (+ trainmass file) at this (then-uncommitted)
+    // epoch, a crashed compact its _compacts sentinel; once THIS append
+    // commits the epoch, that litter would falsely read as a snapshot
+    // and truncate assignment resolution — clear it before the marker
+    // lands
     val cdir = new Path(s"$root/centroids/epoch=$n")
     if (fs.exists(cdir)) fs.delete(cdir, true)
-    writeEpoch(n, b, batchAsg, compDelta)
+    Seq(new Path(s"$root/_compacts/$n"), new Path(s"$root/_trainmass/$n"))
+      .foreach(p => if (fs.exists(p)) fs.delete(p, false))
+    writeEpoch(n, b, batchAsg, compDelta, token)
     n
   }
 
@@ -247,20 +320,82 @@ class SemanticDedupStore private (val spark: SparkSession,
     val comp = Ckpt.eager(Dedup.connectedComponents(
       Dedup.assignmentDupPairs(asg, tau).select("id1", "id2")))
     // the centroids dir IS the snapshot marker once the commit marker
-    // lands, so it must be durable BEFORE writeEpoch creates the marker
+    // lands, so it (and the train-mass record staleness needs after a
+    // later compact prunes this epoch's asg) must be durable BEFORE
+    // writeEpoch creates the marker
+    EpochStoreKit.boundary(s"$root/centroids/epoch=$n")
     Clustering.saveCentroids(spark, cents, s"$root/centroids/epoch=$n")
+    EpochStoreKit.writeToken(fs, new Path(s"$root/_trainmass/$n"),
+      asg.count())
     writeEpoch(n, all.limit(0), asg, comp)
-    pruneBelow(n)
+    pruneForRetrain(n)
     n
   }
 
-  /** Delete asg/comp/centroids epoch directories below the latest
-    * snapshot — safe to re-run (readers never resolve below the
-    * snapshot); [[retrain]] uses it as both prune and interrupted-prune
-    * recovery. */
-  private def pruneBelow(snap: Long): Unit =
+  /** Trainer-free compaction: rewrite the resolved asg + comp as ONE
+    * new snapshot epoch under the SAME frozen centroids — bounding the
+    * asg union fan-in and the comp latest-wins window without paying
+    * [[retrain]]'s Lloyd passes. Sound because extension under frozen
+    * centroids is append-monotone: the resolved state at any epoch IS a
+    * valid full snapshot of the same generation. [[staleFrac]] is
+    * UNCHANGED (it is train-relative by construction). The `_compacts`
+    * sentinel is written BEFORE the commit marker — snapshot-ness stays
+    * atomic with the commit (the same argument as the centroids dir),
+    * so there is no torn commit-then-mark window; sentinel litter from
+    * a crash before the marker is invisible and swept by the next
+    * [[append]]. A crash mid-prune is finished by the next
+    * [[compact]]/[[retrain]] sweep. Idempotent: compacting an
+    * already-snapshot head only finishes any interrupted prune.
+    * Returns the snapshot epoch. */
+  def compact(): Long = {
+    val e = requireCommitted()
+    val s = latestSnapshot
+    if (s == e) { pruneForCompact(s); return e }
+    val n = e + 1
+    val fullAsg = Ckpt.eager(asgAt(e))
+    val fullComp = Ckpt.eager(compAt(e))
+    val emptyBatch = spark.read.parquet(s"$root/vecs/epoch=0")
+      .select("vec_id", "embedding").limit(0)
+    // legacy roots (pre-_trainmass) still hold the train epoch's asg
+    // dir; persist its mass before the prune below deletes the only
+    // place staleness could fall back to
+    val t = latestTrain
+    val tm = new Path(s"$root/_trainmass/$t")
+    if (!fs.exists(tm))
+      EpochStoreKit.writeToken(fs, tm,
+        spark.read.parquet(s"$root/asg/epoch=$t").count())
+    EpochStoreKit.markFile(fs, new Path(s"$root/_compacts/$n"))
+    writeEpoch(n, emptyBatch, fullAsg, fullComp)
+    pruneForCompact(n)
+    n
+  }
+
+  /** Retrain prune: everything below the new TRAIN snapshot is
+    * absorbed — asg/comp/centroids epoch dirs and the compact/trainmass
+    * sentinels. Safe to re-run (readers never resolve below the latest
+    * snapshot); doubles as the interrupted-prune recovery sweep. */
+  private def pruneForRetrain(snap: Long): Unit = {
     Seq("asg", "comp", "centroids").foreach(kind =>
       EpochStoreKit.pruneEpochDirsBelow(fs, root, kind, snap))
+    EpochStoreKit.pruneMarkersBelow(fs, new Path(s"$root/_compacts"),
+      snap)
+    EpochStoreKit.pruneMarkersBelow(fs, new Path(s"$root/_trainmass"),
+      snap)
+  }
+
+  /** Compact prune: asg/comp below the new snapshot are absorbed, but
+    * the TRAIN-generation artifacts (centroids dir, `_trainmass`)
+    * survive down to [[latestTrain]] — the frozen generation is still
+    * in use below the snapshot. */
+  private def pruneForCompact(snap: Long): Unit = {
+    Seq("asg", "comp").foreach(kind =>
+      EpochStoreKit.pruneEpochDirsBelow(fs, root, kind, snap))
+    EpochStoreKit.pruneMarkersBelow(fs, new Path(s"$root/_compacts"),
+      snap)
+    val t = latestTrain
+    EpochStoreKit.pruneEpochDirsBelow(fs, root, "centroids", t)
+    EpochStoreKit.pruneMarkersBelow(fs, new Path(s"$root/_trainmass"), t)
+  }
 
   /** The kept rows of `corpus` at the latest epoch under the SemDeDup
     * keep policy (per component keep the member LEAST similar to its
@@ -299,7 +434,10 @@ object SemanticDedupStore {
     val asg = Ckpt.eager(Clustering.assignVecWithCentroids(v, cents))
     val comp = Ckpt.eager(Dedup.connectedComponents(
       Dedup.assignmentDupPairs(asg, tau).select("id1", "id2")))
+    EpochStoreKit.boundary(s"$root/centroids/epoch=0")
     Clustering.saveCentroids(spark, cents, s"$root/centroids/epoch=0")
+    EpochStoreKit.writeToken(s.fsPub, new Path(s"$root/_trainmass/0"),
+      asg.count())
     s.writeEpoch(0L, v, asg, comp)
     s
   }

@@ -62,7 +62,8 @@ import org.apache.spark.sql.functions._
   * only; reference storage_engine.py) — training-data-pipeline tier.
   */
 class SubstringDedupStore private (val spark: SparkSession,
-                                   val root: String, val window: Int) {
+                                   val root: String, val window: Int,
+                                   val autoCompactEpochs: Int) {
 
   private def fs = EpochStoreKit.fsOf(spark, root)
 
@@ -126,10 +127,13 @@ class SubstringDedupStore private (val spark: SparkSession,
   }
 
   private def writeEpoch(n: Long, batch: DataFrame, idx: DataFrame,
-                         ded: DataFrame): Unit = {
-    batch.write.mode("overwrite").parquet(s"$root/corpus/epoch=$n")
-    idx.write.mode("overwrite").parquet(s"$root/index/epoch=$n")
-    ded.write.mode("overwrite").parquet(s"$root/deduped/epoch=$n")
+                         ded: DataFrame,
+                         token: Option[String] = None): Unit = {
+    EpochStoreKit.writeParquet(batch, s"$root/corpus/epoch=$n")
+    EpochStoreKit.writeParquet(idx, s"$root/index/epoch=$n")
+    EpochStoreKit.writeParquet(ded, s"$root/deduped/epoch=$n")
+    token.foreach(t =>
+      EpochStoreKit.writeToken(fs, EpochStoreKit.tokenPath(root, t), n))
     EpochStoreKit.commitMarker(fs, marker(n))
   }
 
@@ -138,8 +142,24 @@ class SubstringDedupStore private (val spark: SparkSession,
     * DELTA epoch: compute is batch + touched
     * ([[graft.operators.SubstringIndex.appendDedupedDelta]]) and the
     * WRITE is exactly those rows plus the batch-present index keys —
-    * never the full corpus artifacts. Returns the new epoch. */
-  def append(batch: DataFrame): Long = {
+    * never the full corpus artifacts. Returns the new epoch (the head
+    * may advance further when `autoCompactEpochs` triggers a
+    * compaction — read-identical, spec-gated). */
+  def append(batch: DataFrame): Long = appendImpl(batch, None)
+
+  /** Exactly-once append for replayable callers (the Structured
+    * Streaming `foreachBatch` bridge, [[graft.streaming.StoreSink]]):
+    * `token` (e.g. the stream's batchId) is recorded durably between
+    * the epoch's artifacts and its commit marker, so a replayed call
+    * with the same token is a NO-OP returning the original epoch, and
+    * every crash window in between converges on retry (the
+    * [[EpochStoreKit]] token protocol). */
+  def append(batch: DataFrame, token: String): Long =
+    EpochStoreKit.replayCheck(fs, root, token, epoch)
+      .getOrElse(appendImpl(batch, Some(token)))
+
+  private def appendImpl(batch: DataFrame,
+                         token: Option[String]): Long = {
     val e = requireCommitted()
     val n = e + 1
     val b = Ckpt.eager(batch.select(col("doc_id").cast("long")
@@ -152,9 +172,18 @@ class SubstringDedupStore private (val spark: SparkSession,
     val dedDelta = SubstringIndex.appendDedupedDelta(
       baseDocs, idx, b, window)
     val idxDelta = SubstringIndex.extendIndexDelta(idx, b, window)
-    writeEpoch(n, b, idxDelta, dedDelta)
+    writeEpoch(n, b, idxDelta, dedDelta, token)
+    maybeAutoCompact(n)
     n
   }
+
+  /** The auto-compaction policy: once the latest-wins resolution window
+    * spans more than `autoCompactEpochs` delta epochs, fold it. The
+    * threshold trades append-side compaction wall against read-side
+    * window fan-in — SCALE.md's measured curve sizes it; 0 disables. */
+  private def maybeAutoCompact(n: Long): Unit =
+    if (autoCompactEpochs > 0 && n - latestSnapshot >= autoCompactEpochs)
+      compact()
 
   /** Rewrite the resolved index + deduped state as ONE new snapshot
     * epoch and prune the absorbed index/deduped delta directories (and
@@ -175,8 +204,7 @@ class SubstringDedupStore private (val spark: SparkSession,
     // the snapshot marker comes AFTER the commit marker: a crash between
     // the two leaves epoch n committed as a (full-content) delta, which
     // reads identically under latest-wins; the next compact() re-marks
-    fs.mkdirs(snapMarker(n).getParent)
-    if (!fs.exists(snapMarker(n))) fs.create(snapMarker(n), false).close()
+    EpochStoreKit.markFile(fs, snapMarker(n))
     pruneBelow(n)
     n
   }
@@ -199,8 +227,10 @@ object SubstringDedupStore {
     * corpus itself, its full index, and its from-scratch dedup (the first
     * snapshot). Fails loudly if the root already has a committed epoch. */
   def init(spark: SparkSession, root: String, docs: DataFrame,
-           window: Int): SubstringDedupStore = {
-    val s = new SubstringDedupStore(spark, root, window)
+           window: Int,
+           autoCompactEpochs: Int = 0): SubstringDedupStore = {
+    val s = new SubstringDedupStore(spark, root, window,
+      autoCompactEpochs)
     require(s.epoch < 0,
       s"SubstringDedupStore already initialized at $root (epoch ${s.epoch})")
     val d = Ckpt.eager(docs.select(col("doc_id").cast("long").as("doc_id"),
@@ -208,17 +238,16 @@ object SubstringDedupStore {
     s.writeEpoch(0L, d,
       SubstringIndex.buildIndex(d, window),
       SuffixArray.substringDeduped(d, window))
-    val fs = new Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new Path(s"$root/_snapshots"))
-    fs.create(new Path(s"$root/_snapshots/0"), false).close()
+    EpochStoreKit.markFile(EpochStoreKit.fsOf(spark, root),
+      new Path(s"$root/_snapshots/0"))
     s
   }
 
   /** Open an existing store (any committed epoch present). */
-  def open(spark: SparkSession, root: String,
-           window: Int): SubstringDedupStore = {
-    val s = new SubstringDedupStore(spark, root, window)
+  def open(spark: SparkSession, root: String, window: Int,
+           autoCompactEpochs: Int = 0): SubstringDedupStore = {
+    val s = new SubstringDedupStore(spark, root, window,
+      autoCompactEpochs)
     s.requireCommitted()
     s
   }

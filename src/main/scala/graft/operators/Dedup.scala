@@ -175,6 +175,36 @@ object Dedup {
     // one corpus text scan either way: both the probe and both branches
     // read this persisted signature frame
     val sig0 = signatures0(docs, idCol, textCol, n, numHashes)
+    val out = sigNearDupPairsOf(sig0, tau, numHashes, bands,
+      collapseExactDups)
+    sig0.unpersist(false)
+    out
+  }
+
+  /** [[nearDupPairs]] over a PREBUILT signature frame (the
+    * [[signatureFrame]] shape, e.g. read back from a persisted
+    * artifact) — no text scan: the frame already carries the minima,
+    * the exact-group keys, and the shingle sets. The store read/append
+    * path ([[graft.api.MinHashDedupStore]]). */
+  def sigNearDupPairs(sig: DataFrame, tau: Double, numHashes: Int = 16,
+                      bands: Int = 4,
+                      collapseExactDups: Option[Boolean] = None)
+      : DataFrame = {
+    val sig0 = sig
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = sigNearDupPairsOf(sig0, tau, numHashes, bands,
+      collapseExactDups)
+    sig0.unpersist(false)
+    out
+  }
+
+  /** Shared body of [[nearDupPairs]]/[[sigNearDupPairs]] — `sig0` must
+    * already be persisted (both the collapse probe and both branches
+    * re-read it); the CALLER unpersists it. */
+  private def sigNearDupPairsOf(sig0: DataFrame, tau: Double,
+                                numHashes: Int, bands: Int,
+                                collapseExactDups: Option[Boolean])
+      : DataFrame = {
     val doCollapse = collapseExactDups.getOrElse {
       val maxE = sig0.groupBy("_g").agg(count(lit(1)).as("_e"))
         .agg(coalesce(max(col("_e")), lit(0L))).head().getLong(0)
@@ -235,7 +265,6 @@ object Dedup {
         repSig.unpersist(false)
         paired
       }
-    sig0.unpersist(false)
     out
   }
 
@@ -330,11 +359,27 @@ object Dedup {
   def crossNearDupPairs(newDocs: DataFrame, existing: DataFrame,
                         idCol: String, textCol: String, tau: Double,
                         n: Int = 3, numHashes: Int = 16,
-                        bands: Int = 4): DataFrame = {
-    val (sigN, memN, repN) = exactCollapsed(newDocs, idCol, textCol, n,
-      numHashes)
-    val (sigE, memE, repE) = exactCollapsed(existing, idCol, textCol, n,
-      numHashes)
+                        bands: Int = 4): DataFrame =
+    crossSigNearDupPairs(
+      signatureFrame(newDocs, idCol, textCol, n, numHashes),
+      signatureFrame(existing, idCol, textCol, n, numHashes),
+      tau, numHashes, bands)
+
+  /** [[crossNearDupPairs]] over PREBUILT signature frames (the
+    * [[signatureFrame]] shape) — the deployment form that note promises:
+    * the existing side IS the persisted signature artifact, so a batch
+    * bands against stored minima and jaccard-verifies against stored
+    * shingle sets without ever touching base text
+    * ([[graft.api.MinHashDedupStore.append]]). */
+  def crossSigNearDupPairs(newSig: DataFrame, existingSig: DataFrame,
+                           tau: Double, numHashes: Int = 16,
+                           bands: Int = 4): DataFrame = {
+    val sigN = newSig
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (memN, repN) = collapseFromSignatures(sigN)
+    val sigE = existingSig
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (memE, repE) = collapseFromSignatures(sigE)
     val cand = bandedProjection(repN, numHashes, bands).as("l")
       .join(bandedProjection(repE, numHashes, bands).as("r"),
         col("l._band") === col("r._band") &&
@@ -440,11 +485,18 @@ object Dedup {
     * joins cost more than that until groups reach the tens. */
   private[graft] val collapseGroupThreshold = 8L
 
-  /** Per-doc signature frame (_id, _g = md5(text), _m0.._m{k-1}, _h):
-    * the one corpus text scan every near-dup path shares. Persisted —
-    * the caller unpersists. */
-  private def signatures0(docs: DataFrame, idCol: String, textCol: String,
-                          n: Int, numHashes: Int): DataFrame =
+  /** The MinHash family's PERSISTABLE per-doc signature frame
+    * (_id, _g = md5(text), _m0.._m{k-1}, _h = distinct shingle-hash
+    * set) — ONE text scan producing everything every near-dup path
+    * needs: the minima for banding, the exact-group key for the
+    * crawl-corpus collapse, and the shingle set for the jaccard verify.
+    * This is the artifact a deployment persists beside its corpus
+    * ([[graft.api.MinHashDedupStore]] writes it per epoch): appended
+    * batches band against the STORED frame, so base text is never
+    * re-shingled and base×base never re-bands. ~100× smaller than the
+    * text it summarizes. */
+  def signatureFrame(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, numHashes: Int): DataFrame =
     docs.select(col(idCol).as("_id"),
         md5(col(textCol).cast("binary")).as("_g"),
         minhashNative(col(textCol), n, numHashes).as("_mh"))
@@ -453,6 +505,11 @@ object Dedup {
         (0 until numHashes).map(j =>
           col("_mh.sig").getItem(j).as(s"_m$j")) :+
         col("_mh.hashes").as("_h"): _*)
+
+  /** [[signatureFrame]], persisted — the caller unpersists. */
+  private def signatures0(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, numHashes: Int): DataFrame =
+    signatureFrame(docs, idCol, textCol, n, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private[graft] def exactCollapsed(docs: DataFrame, idCol: String,

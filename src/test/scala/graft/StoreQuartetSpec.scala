@@ -1,21 +1,22 @@
 package graft
 
-import graft.api.{FingerprintStore, FuzzyKeyStore, SemanticDedupStore, SubstringDedupStore}
+import graft.api.{FingerprintStore, FuzzyKeyStore, MinHashDedupStore, SemanticDedupStore, SubstringDedupStore}
 import graft.operators.{Clustering, Dedup, SuffixArray}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** CROSS-STORE INTEGRATION: one corpus, all four durable stores
-  * (substring, fingerprint, fuzzy-key, semantic), one base→append
-  * cycle each — every store's kept-read must equal its family's
-  * from-scratch chain over the union, AND the COMPOSED curation filter
-  * (a doc survives iff it survives every family) must be identical
-  * whether derived from the four maintained stores or from four
-  * from-scratch runs. This is the deployment shape: a curation
-  * pipeline applies all the dedup families to the same corpus and
-  * appends batches over time; per-family equivalence does not by
+/** CROSS-STORE INTEGRATION: one corpus, all five durable stores
+  * (substring, fingerprint, fuzzy-key, semantic, MinHash near-dup),
+  * one base→append cycle each — every store's kept-read must equal its
+  * family's from-scratch chain over the union, AND the COMPOSED
+  * curation filter (a doc survives iff it survives every family) must
+  * be identical whether derived from the five maintained stores or
+  * from five from-scratch runs. This is the deployment shape: a
+  * curation pipeline applies all the dedup families to the same corpus
+  * and appends batches over time; per-family equivalence does not by
   * itself guarantee the stores agree on ONE corpus with shared ids —
-  * this gate does. */
+  * this gate does. (Historically the quartet gate; round 13 made it a
+  * quintet.) */
 class StoreQuartetSpec extends SparkSpec {
   import spark.implicits._
 
@@ -59,7 +60,7 @@ class StoreQuartetSpec extends SparkSpec {
   private def ids(df: DataFrame, c: String = "doc_id"): Set[Long] =
     df.select(col(c).cast("long")).as[Long].collect().toSet
 
-  test("four stores on one corpus: per-family kept-reads and the " +
+  test("five stores on one corpus: per-family kept-reads and the " +
     "COMPOSED curation filter both equal their from-scratch twins " +
     "after a shared base→append cycle") {
     val tmp = java.nio.file.Files
@@ -83,6 +84,10 @@ class StoreQuartetSpec extends SparkSpec {
     val fz = FuzzyKeyStore.init(spark, s"$tmp/fz",
       b.select("doc_id", "key"))
     fz.append(a.select("doc_id", "key"))
+
+    val mh = MinHashDedupStore.init(spark, s"$tmp/mh",
+      b.select("doc_id", "text"), tau = 0.5)
+    mh.append(a.select("doc_id", "text"))
 
     val sm = SemanticDedupStore.init(spark, s"$tmp/sm",
       b.select(col("doc_id").as("vec_id"), col("embedding")),
@@ -133,9 +138,17 @@ class StoreQuartetSpec extends SparkSpec {
     }
     assert(smKept == smScratch)
 
-    // --- the COMPOSED curation filter: survive ALL four families ---
-    val composedStores = subKept & fpKept & fzKept & smKept
-    val composedScratch = subScratch & fpScratch & fzScratch & smScratch
+    val mhKept = ids(mh.kept(allIds))
+    val mhScratch = ids(Dedup.dedupedCorpusCC(allIds, "doc_id",
+      Dedup.nearDupPairs(union.select("doc_id", "text"),
+        "doc_id", "text", 0.5).select("id1", "id2")))
+    assert(mhKept == mhScratch)
+    assert(!mhKept.contains(4L) && !mhKept.contains(11L)) // exact dups
+
+    // --- the COMPOSED curation filter: survive ALL five families ---
+    val composedStores = subKept & fpKept & fzKept & smKept & mhKept
+    val composedScratch =
+      subScratch & fpScratch & fzScratch & smScratch & mhScratch
     assert(composedStores == composedScratch)
     // the composition is strictly tighter than any single family here:
     // each family drops at least one doc the others keep
