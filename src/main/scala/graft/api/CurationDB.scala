@@ -1,0 +1,214 @@
+package graft.api
+
+import graft.operators.{Dedup, Pipeline}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ONE-CALL deployment surface for the proven five-store curation
+  * composition (the StoreQuartetSpec-turned-quintet gate, productized):
+  * a corpus row carries (doc_id, text, key, embedding), and a document
+  * survives curation iff it survives EVERY dedup family —
+  *
+  *  - substring windows ([[SubstringDedupStore]], exact-span removal),
+  *  - text fingerprints ([[FingerprintStore]] over doc-level SimHash),
+  *  - fuzzy keys ([[FuzzyKeyStore]], edit-distance clusters),
+  *  - MinHash/Jaccard near-dups ([[MinHashDedupStore]]),
+  *  - embedding semantics ([[SemanticDedupStore]], SemDeDup).
+  *
+  * Each family keeps its own durable epoch-committed store under
+  * `root/{sub,fp,fz,mh,sm}`; this facade adds the cross-store append
+  * protocol and the composed read.
+  *
+  * APPEND PROTOCOL (crash-convergent, exactly-once): a five-store
+  * append cannot be atomic, so [[append]] rides the
+  * [[EpochStoreKit]] token protocol END TO END — every store receives
+  * the SAME token (derived from the facade's next epoch, or supplied by
+  * a streaming caller), so a crash after any subset of stores committed
+  * is repaired by replaying the call verbatim: committed stores no-op
+  * on their recorded token, stragglers commit, and only then does the
+  * facade write its own token + commit marker. The facade epoch
+  * therefore counts COMPLETED quintet appends; individual stores may
+  * run ahead transiently (mid-recovery) or independently via their own
+  * `compact()`/`retrain()` (which bump only their internal epochs —
+  * the facade reads always resolve each store's latest state, so
+  * per-store maintenance is invisible to the composition).
+  *
+  * Reads: [[kept]] filters any corpus frame through all five families;
+  * [[keptCorpus]] applies it to the stored corpus (the substring
+  * store's data epochs); [[manifest]] emits the
+  * [[graft.operators.Pipeline.datasetManifest]] publish artifact for
+  * the current epoch's kept corpus — the order-invariant checksums a
+  * downstream consumer re-verifies. Cross-store TIME-TRAVEL is out of
+  * scope: per-store `keptAt` remains available on the members.
+  *
+  * The reference's public surface is the single-store facade
+  * (reference temporal_database.py); this is its curation-pipeline
+  * counterpart over the store family. */
+class CurationDB private (val spark: SparkSession, val root: String,
+                          val substring: SubstringDedupStore,
+                          val fingerprint: FingerprintStore,
+                          val fuzzy: FuzzyKeyStore,
+                          val minhash: MinHashDedupStore,
+                          val semantic: SemanticDedupStore) {
+
+  private def fs = EpochStoreKit.fsOf(spark, root)
+  private def marker(n: Long) = new Path(s"$root/_commits/$n")
+  private var pinned: List[DataFrame] = Nil
+
+  /** Completed quintet appends (0 after [[CurationDB.init]]). */
+  def epoch: Long = EpochStoreKit.maxMarked(fs, new Path(s"$root/_commits"))
+
+  /** Append one batch — (doc_id, text, key, embedding) — to all five
+    * stores, exactly once per facade epoch. Idempotent under retry
+    * after ANY crash window (see the class protocol note). Returns the
+    * new facade epoch. */
+  def append(batch: DataFrame): Long = {
+    val n = epoch + 1
+    append(batch, s"cdb-$n")
+  }
+
+  /** [[append]] with a caller-supplied idempotence token (the
+    * Structured Streaming `foreachBatch` bridge — pass
+    * `"stream-<batchId>"`). A replayed token is a NO-OP returning the
+    * originally committed facade epoch. */
+  def append(batch: DataFrame, token: String): Long =
+    EpochStoreKit.replayCheck(fs, root, token, epoch).getOrElse {
+      val n = epoch + 1
+      val b = batch.select(col("doc_id").cast("long").as("doc_id"),
+        col("text").cast("string").as("text"),
+        col("key").cast("string").as("key"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      substring.append(b.select("doc_id", "text"), token)
+      fingerprint.append(CurationDB.textHashes(b), token)
+      fuzzy.append(b.select("doc_id", "key"), token)
+      minhash.append(b.select("doc_id", "text"), "doc_id", "text", token)
+      semantic.append(b.select(col("doc_id").as("vec_id"),
+        col("embedding")), token)
+      b.unpersist(false)
+      EpochStoreKit.writeToken(fs,
+        EpochStoreKit.tokenPath(root, token), n)
+      EpochStoreKit.markFile(fs, marker(n))
+      n
+    }
+
+  /** The stored corpus (doc_id, text) — the substring store's data
+    * epochs, which the facade treats as the corpus of record. */
+  def corpus: DataFrame = substring.corpus
+
+  /** Filter ANY corpus frame through the composed curation policy: a
+    * row survives iff its id survives every family. One semi-join per
+    * membership family (substring, fuzzy-rep) + the three stores' own
+    * kept anti-joins — no shingling, banding, or clustering at read
+    * time; everything rides the maintained artifacts. */
+  def kept(corpus: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val afterSub = corpus.join(
+      substring.deduped.select(col("doc_id").cast("long").as("_sub_id")),
+      corpus(idCol).cast("long") === col("_sub_id"), "left_semi")
+    // fuzzy keeps KEYS; the doc-level policy (the quintet-gate lift): a
+    // doc survives iff it carries a surviving key as that key's rep
+    val afterFz = afterSub.join(
+      fuzzy.keptKeys.select(col("rep").cast("long").as("_fz_id"))
+        .distinct(),
+      afterSub(idCol).cast("long") === col("_fz_id"), "left_semi")
+    semantic.kept(
+      minhash.kept(fingerprint.kept(afterFz, idCol), idCol), idCol)
+  }
+
+  /** The curated corpus at the current epoch. */
+  def keptCorpus: DataFrame = kept(corpus, "doc_id")
+
+  /** Pin the curated corpus for repeated downstream reads; freed by
+    * [[close]]. */
+  def cacheKept(): DataFrame = {
+    val k = keptCorpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinned = k :: pinned
+    k
+  }
+
+  /** The publish manifest of the CURRENT epoch's kept corpus — one row
+    * keyed by the facade epoch, with the order-invariant id/content
+    * checksums ([[graft.operators.Pipeline.datasetManifest]]). Emitted
+    * per epoch, it is the audit trail a downstream consumer verifies a
+    * delivered dataset against. */
+  def manifest: DataFrame =
+    Pipeline.datasetManifest(
+      keptCorpus.withColumn("epoch", lit(epoch)), "epoch")
+
+  /** Run every member store's compaction (trainer-free across the
+    * board) — bounds each family's read-side resolution window. Member
+    * epochs advance independently; the facade epoch is untouched. */
+  def compactAll(): Unit = {
+    substring.compact(); fingerprint.compact(); fuzzy.compact()
+    minhash.compact(); semantic.compact()
+  }
+
+  /** Free every frame [[cacheKept]] pinned. */
+  def close(): Unit = {
+    pinned.foreach(_.unpersist(false))
+    pinned = Nil
+  }
+}
+
+object CurationDB {
+
+  /** Store-family knobs; defaults match the declared-query pins. */
+  case class Config(window: Int = 8, maxHamming: Int = 3,
+                    maxKeyLen: Int = 64, maxEdit: Int = 1,
+                    minhashTau: Double = 0.5, shingleN: Int = 3,
+                    numHashes: Int = 16, bands: Int = 4,
+                    semanticTau: Double = 0.95, nCells: Int = 16,
+                    kmeansIters: Int = 3, maxStaleFrac: Double = 0.5)
+
+  /** Doc-level text SimHash frame — the fingerprint family's input (one
+    * compiled-kernel projection). */
+  private[api] def textHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("_id"),
+      Dedup.simhashNative(col("text")).as("simhash"))
+
+  /** Initialize all five stores at `root` from a base corpus
+    * (doc_id, text, key, embedding); facade epoch 0 = the base. */
+  def init(spark: SparkSession, root: String, base: DataFrame,
+           cfg: Config = Config()): CurationDB = {
+    val b = base.select(col("doc_id").cast("long").as("doc_id"),
+      col("text").cast("string").as("text"),
+      col("key").cast("string").as("key"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val db = new CurationDB(spark, root,
+      SubstringDedupStore.init(spark, s"$root/sub",
+        b.select("doc_id", "text"), cfg.window),
+      FingerprintStore.init(spark, s"$root/fp", textHashes(b),
+        cfg.maxHamming),
+      FuzzyKeyStore.init(spark, s"$root/fz", b.select("doc_id", "key"),
+        cfg.maxKeyLen, cfg.maxEdit),
+      MinHashDedupStore.init(spark, s"$root/mh",
+        b.select("doc_id", "text"), cfg.minhashTau, "doc_id", "text",
+        cfg.shingleN, cfg.numHashes, cfg.bands),
+      SemanticDedupStore.init(spark, s"$root/sm",
+        b.select(col("doc_id").as("vec_id"), col("embedding")),
+        cfg.nCells, cfg.kmeansIters, cfg.semanticTau, cfg.maxStaleFrac))
+    b.unpersist(false)
+    EpochStoreKit.markFile(EpochStoreKit.fsOf(spark, root),
+      new Path(s"$root/_commits/0"))
+    db
+  }
+
+  /** Open an existing facade (all five member stores must be
+    * committed). Knobs must match init's — they parameterize the
+    * stored artifacts. */
+  def open(spark: SparkSession, root: String,
+           cfg: Config = Config()): CurationDB = {
+    val db = new CurationDB(spark, root,
+      SubstringDedupStore.open(spark, s"$root/sub", cfg.window),
+      FingerprintStore.open(spark, s"$root/fp", cfg.maxHamming),
+      FuzzyKeyStore.open(spark, s"$root/fz", cfg.maxKeyLen, cfg.maxEdit),
+      MinHashDedupStore.open(spark, s"$root/mh", cfg.minhashTau,
+        cfg.shingleN, cfg.numHashes, cfg.bands),
+      SemanticDedupStore.open(spark, s"$root/sm", cfg.semanticTau,
+        cfg.maxStaleFrac))
+    require(db.epoch >= 0,
+      s"CurationDB at $root has no committed facade epoch")
+    db
+  }
+}

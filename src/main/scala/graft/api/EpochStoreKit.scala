@@ -47,14 +47,18 @@ private[graft] object EpochStoreKit {
     faultHooks.remove(rootPrefix)
 
   /** Announce a mutating operation on `path` — fires any hook whose
-    * registered root prefixes it. Called BEFORE the mutation, so a
-    * throwing hook simulates a crash that prevented it. */
+    * registered root the path CONTAINS (containment, not prefix: paths
+    * sourced from `fs.listStatus` carry a `file:` scheme that a
+    * scheme-less registered root would never prefix-match — which would
+    * silently exempt every prune delete from the sweep). Called BEFORE
+    * the mutation, so a throwing hook simulates a crash that prevented
+    * it. */
   private[graft] def boundary(path: String): Unit =
     if (!faultHooks.isEmpty) {
       val it = faultHooks.entrySet().iterator()
       while (it.hasNext) {
         val en = it.next()
-        if (path.startsWith(en.getKey)) en.getValue.apply(path)
+        if (path.contains(en.getKey)) en.getValue.apply(path)
       }
     }
 

@@ -467,6 +467,28 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Q121: the DURABLE MinHashDedupStore driven end to end — q117's
+    // compute path behind its deployment packaging: init the store on
+    // the base slice (persisting the signature artifact + from-scratch
+    // closure as epoch 0), append the batch (batch-only banding against
+    // the STORED signature frame — base text never re-shingles), then
+    // read the maintained assignment back from the epoch chain. Shares
+    // q42's from-scratch closure oracle VERBATIM — hash equality proves
+    // the PERSISTED artifact chain (epoch commits, delta resolution),
+    // not just the in-memory compute, equals from-scratch over the
+    // union.
+    "q121_minhash_store" -> ((s, d) => {
+      val aug = augDocs(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q121").toString + "/store"
+      val st = graft.api.MinHashDedupStore.init(s, root,
+        aug.where(col("doc_id") < 10000), tau = 0.5)
+      st.append(aug.where(col("doc_id") >= 10000))
+      graft.api.MinHashDedupStore.open(s, root, 0.5).components
+        .select(col("id").cast("long").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash per doc (bulk explode+agg form — codegen'd).
     "q24_simhash" -> ((s, d) =>
       Dedup.simhashes(augDocs(s, d), "doc_id", "text")
@@ -1390,6 +1412,11 @@ object DedupQueries {
     // oracle closes the full pair graph from scratch — hash equality
     // is the incremental ≡ from-scratch theorem (the q111 discipline)
     "q117_incremental_components" -> ccClosureSql,
+
+    // q121 shares the same closure oracle: the durable store's persisted
+    // assignment (init base + append batch) must hash-equal the
+    // from-scratch closure over the union's pair graph
+    "q121_minhash_store" -> ccClosureSql,
 
     // q113: the symmetric-delete chain verbatim
     "q113_fuzzy_key_pairs" ->

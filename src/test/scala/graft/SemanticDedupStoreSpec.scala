@@ -139,6 +139,62 @@ class SemanticDedupStoreSpec extends SparkSpec {
     assert(ids(s.kept(u3)) == scratchKept(u3, s.centroids))
   }
 
+  test("trainer-free compact(): reads identical, staleFrac UNCHANGED " +
+    "(compaction must not mask centroid drift), centroids still the " +
+    "TRAIN generation's, appends extend from the compacted snapshot, " +
+    "and the stale gate still trips at the train-relative limit; a " +
+    "torn compact (sentinel litter, no commit) stays invisible and the " +
+    "retry converges") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sds4").toString + "/store"
+    val s = SemanticDedupStore.init(spark, root, base, K, IT, TAU,
+      maxStaleFrac = 0.8)
+    s.append(batch1)
+    val cents = s.centroids
+    val u1 = base.unionByName(batch1)
+    val preKept = ids(s.kept(u1))
+    val preStale = s.staleFrac
+    assert(preStale > 0.0)
+
+    val snap = s.compact()
+    assert(snap == 2L && s.latestSnapshot == 2L && s.latestTrain == 0L)
+    assert(ids(s.kept(u1)) == preKept)
+    assert(s.staleFrac == preStale) // train-relative, NOT reset
+    assert(s.centroids.map(_.toSeq).toSeq ==
+      cents.map(_.toSeq).toSeq) // same frozen generation
+    // absorbed asg/comp deltas pruned; time-travel below fails loudly
+    assert(!new java.io.File(s"$root/asg/epoch=1").exists)
+    val old = intercept[IllegalArgumentException] { s.keptAt(1L, u1) }
+    assert(old.getMessage.contains("below the latest snapshot"))
+
+    // appends extend from the compacted snapshot under the SAME frozen
+    // chain (scratch replay uses the ORIGINAL centroids)
+    assert(s.append(batch2) == 3L)
+    val u2 = u1.unionByName(batch2)
+    assert(ids(s.kept(u2)) == scratchKept(u2, cents))
+    // the gate limit is still train-relative: 6 train rows * 0.8 = 4.8,
+    // 4 appended → a further 1-row append tips past it even though the
+    // SNAPSHOT now carries the full corpus
+    val stale = intercept[IllegalArgumentException] { s.append(batch3) }
+    assert(stale.getMessage.contains("retrain"))
+
+    // torn compact: sentinel + artifacts written, commit crashed — the
+    // next compact() must converge (the sweep covers every window; this
+    // pins the sentinel-litter one explicitly on a reopened handle)
+    val s2 = SemanticDedupStore.open(spark, root, TAU,
+      maxStaleFrac = 0.8)
+    graft.api.EpochStoreKit.installFaultHook(root, p =>
+      if (p.contains("/_commits/")) throw new RuntimeException("boom"))
+    intercept[RuntimeException] { s2.compact() }
+    graft.api.EpochStoreKit.clearFaultHook(root)
+    assert(s2.epoch == 3L && s2.latestSnapshot == 2L) // litter invisible
+    assert(ids(s2.kept(u2)) == scratchKept(u2, cents))
+    val snap2 = s2.compact()
+    assert(snap2 == 4L && s2.latestSnapshot == 4L)
+    assert(ids(s2.kept(u2)) == scratchKept(u2, cents))
+    assert(s2.staleFrac == s.staleFrac)
+  }
+
   test("crash litter invisible (including a centroid dir at an " +
     "uncommitted epoch); replayed commit fails loudly; duplicate " +
     "vec_id fails loudly; double init fails") {
