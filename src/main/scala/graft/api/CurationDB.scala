@@ -39,8 +39,16 @@ import org.apache.spark.sql.functions._
   * store's data epochs); [[manifest]] emits the
   * [[graft.operators.Pipeline.datasetManifest]] publish artifact for
   * the current epoch's kept corpus — the order-invariant checksums a
-  * downstream consumer re-verifies. Cross-store TIME-TRAVEL is out of
-  * scope: per-store `keptAt` remains available on the members.
+  * downstream consumer re-verifies.
+  *
+  * TIME-TRAVEL: each facade commit marker RECORDS the five member
+  * epochs it bound together, so [[keptAt]] serves the composed filter
+  * as of any committed facade epoch by replaying each member's
+  * `keptAt` at its recorded epoch. Member maintenance prunes below its
+  * latest snapshot — facade epochs whose recorded member epochs were
+  * absorbed by a later member `compact()`/`retrain()` fail loudly with
+  * that member's message (the same contract the members themselves
+  * apply).
   *
   * The reference's public surface is the single-store facade
   * (reference temporal_database.py); this is its curation-pipeline
@@ -79,16 +87,22 @@ class CurationDB private (val spark: SparkSession, val root: String,
         col("text").cast("string").as("text"),
         col("key").cast("string").as("key"), col("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      substring.append(b.select("doc_id", "text"), token)
-      fingerprint.append(CurationDB.textHashes(b), token)
-      fuzzy.append(b.select("doc_id", "key"), token)
-      minhash.append(b.select("doc_id", "text"), "doc_id", "text", token)
-      semantic.append(b.select(col("doc_id").as("vec_id"),
+      val subE = substring.append(b.select("doc_id", "text"), token)
+      val fpE = fingerprint.append(CurationDB.textHashes(b), token)
+      val fzE = fuzzy.append(b.select("doc_id", "key"), token)
+      val mhE = minhash.append(b.select("doc_id", "text"), "doc_id",
+        "text", token)
+      val smE = semantic.append(b.select(col("doc_id").as("vec_id"),
         col("embedding")), token)
       b.unpersist(false)
       EpochStoreKit.writeToken(fs,
         EpochStoreKit.tokenPath(root, token), n)
-      EpochStoreKit.markFile(fs, marker(n))
+      // the facade marker RECORDS the member epochs this commit bound
+      // together — the time-travel map keptAt replays (on a crash
+      // replay the members no-op and return the same recorded epochs,
+      // so the rewrite is byte-identical)
+      EpochStoreKit.writeText(fs, marker(n),
+        CurationDB.memberRecord(subE, fpE, fzE, mhE, smE))
       n
     }
 
@@ -117,6 +131,43 @@ class CurationDB private (val spark: SparkSession, val root: String,
 
   /** The curated corpus at the current epoch. */
   def keptCorpus: DataFrame = kept(corpus, "doc_id")
+
+  /** [[kept]] as of a PAST committed facade epoch: each member filter
+    * replays at the member epoch the facade's commit marker recorded
+    * (audit/time-travel). Fails loudly when a member's recorded epoch
+    * was absorbed by a later member compact()/retrain() — the members'
+    * own time-travel contract. */
+  def keptAt(n: Long, corpus: DataFrame,
+             idCol: String = "doc_id"): DataFrame = {
+    val (subE, fpE, fzE, mhE, smE) = memberEpochsAt(n)
+    val afterSub = corpus.join(
+      substring.dedupedAt(subE)
+        .select(col("doc_id").cast("long").as("_sub_id")),
+      corpus(idCol).cast("long") === col("_sub_id"), "left_semi")
+    val afterFz = afterSub.join(
+      fuzzy.keptKeysAt(fzE).select(col("rep").cast("long").as("_fz_id"))
+        .distinct(),
+      afterSub(idCol).cast("long") === col("_fz_id"), "left_semi")
+    semantic.keptAt(smE,
+      minhash.keptAt(mhE, fingerprint.keptAt(fpE, afterFz, idCol),
+        idCol), idCol)
+  }
+
+  /** The member epochs facade epoch `n` bound together, parsed from
+    * its commit marker record. */
+  def memberEpochsAt(n: Long): (Long, Long, Long, Long, Long) = {
+    require(n >= 0 && n <= epoch && fs.exists(marker(n)),
+      s"facade epoch $n not committed at $root")
+    val rec = EpochStoreKit.readText(fs, marker(n)).getOrElse(
+      throw new IllegalArgumentException(
+        s"facade epoch $n at $root carries no member-epoch record — " +
+          "markers written before the time-travel format only serve " +
+          "latest reads"))
+    val m = rec.split(",").map(_.split("=")).collect {
+      case Array(k, v) => k -> v.toLong
+    }.toMap
+    (m("sub"), m("fp"), m("fz"), m("mh"), m("sm"))
+  }
 
   /** Pin the curated corpus for repeated downstream reads; freed by
     * [[close]]. */
@@ -167,6 +218,11 @@ object CurationDB {
     docs.select(col("doc_id").as("_id"),
       Dedup.simhashNative(col("text")).as("simhash"))
 
+  /** The marker record format binding member epochs to a facade epoch. */
+  private[api] def memberRecord(subE: Long, fpE: Long, fzE: Long,
+                                mhE: Long, smE: Long): String =
+    s"sub=$subE,fp=$fpE,fz=$fzE,mh=$mhE,sm=$smE"
+
   /** Initialize all five stores at `root` from a base corpus
     * (doc_id, text, key, embedding); facade epoch 0 = the base. */
   def init(spark: SparkSession, root: String, base: DataFrame,
@@ -189,8 +245,9 @@ object CurationDB {
         b.select(col("doc_id").as("vec_id"), col("embedding")),
         cfg.nCells, cfg.kmeansIters, cfg.semanticTau, cfg.maxStaleFrac))
     b.unpersist(false)
-    EpochStoreKit.markFile(EpochStoreKit.fsOf(spark, root),
-      new Path(s"$root/_commits/0"))
+    EpochStoreKit.writeText(EpochStoreKit.fsOf(spark, root),
+      new Path(s"$root/_commits/0"),
+      memberRecord(0L, 0L, 0L, 0L, 0L))
     db
   }
 

@@ -103,13 +103,29 @@ private[graft] object EpochStoreKit {
   }
 
   def readToken(fs: FileSystem, path: Path): Option[Long] =
+    readText(fs, path, 32).map(_.toLong)
+
+  /** Idempotent small-text write (marker files that carry content,
+    * e.g. [[CurationDB]]'s per-member epoch record): overwrites, fires
+    * the fault boundary. Replayed writers rewrite identical bytes. */
+  def writeText(fs: FileSystem, path: Path, text: String): Unit = {
+    boundary(path.toString)
+    fs.mkdirs(path.getParent)
+    val out = fs.create(path, true)
+    out.write(text.getBytes("UTF-8"))
+    out.close()
+  }
+
+  def readText(fs: FileSystem, path: Path,
+               maxBytes: Int = 4096): Option[String] =
     if (!fs.exists(path)) None
     else {
       val in = fs.open(path)
       try {
-        val buf = new Array[Byte](32)
+        val buf = new Array[Byte](maxBytes)
         val k = in.read(buf)
-        Some(new String(buf, 0, math.max(0, k), "UTF-8").trim.toLong)
+        Some(new String(buf, 0, math.max(0, k), "UTF-8").trim)
+          .filter(_.nonEmpty)
       } finally in.close()
     }
 

@@ -107,6 +107,41 @@ class CurationDBSpec extends SparkSpec {
     assert(ids(db.kept(allIds)) == pre)
   }
 
+  test("facade time-travel: keptAt(n) replays every member at the " +
+    "epoch the facade commit recorded; member compaction retires old " +
+    "facade epochs loudly") {
+    val root = Files.createTempDirectory("graft-cdb3").toString + "/db"
+    val db = CurationDB.init(spark, root, base, cfg)
+    db.append(batch)
+    val batch2 = rows(Seq(20L, 21L),
+      Seq("fresh words only here now", "p q r s t u v w"),
+      Seq("omega", "omegb"),
+      Seq(Seq(0.5f, 0.5f, 0.5f, 0.5f), Seq(0f, 1f, 0.01f, 0f)))
+    val u1 = base.unionByName(batch)
+    val allIds1 = u1.select("doc_id")
+    val kept1 = ids(db.kept(allIds1))
+    db.append(batch2)
+    assert(db.epoch == 2L)
+    assert(db.memberEpochsAt(2L) == ((2L, 2L, 2L, 2L, 2L)))
+    // keptAt(1) over the epoch-1 corpus reproduces the state captured
+    // before the second append
+    assert(ids(db.keptAt(1L, allIds1)) == kept1)
+    // and the latest read is served by keptAt(epoch) too
+    val allIds2 = u1.unionByName(batch2).select("doc_id")
+    assert(ids(db.keptAt(2L, allIds2)) == ids(db.kept(allIds2)))
+    // member compaction absorbs the old member epochs (each member's
+    // snapshot moves past its recorded epoch): old facade epochs now
+    // fail loudly with the member's own time-travel message, while the
+    // latest composed read is unchanged
+    val preCompact = ids(db.kept(allIds2))
+    db.compactAll()
+    assert(ids(db.kept(allIds2)) == preCompact)
+    val gone = intercept[IllegalArgumentException] {
+      db.keptAt(1L, allIds1).collect()
+    }
+    assert(gone.getMessage.contains("below the latest snapshot"))
+  }
+
   test("five-store append converges after a crash that committed only " +
     "a prefix of the stores; a replayed facade token is a NO-OP") {
     val root = Files.createTempDirectory("graft-cdb2").toString + "/db"
