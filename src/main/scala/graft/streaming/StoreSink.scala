@@ -1,7 +1,7 @@
 package graft.streaming
 
-import graft.api.{FingerprintStore, FuzzyKeyStore, MinHashDedupStore,
-  SemanticDedupStore, SubstringDedupStore}
+import graft.api.{CurationDB, FingerprintStore, FuzzyKeyStore,
+  MinHashDedupStore, SemanticDedupStore, SubstringDedupStore}
 import org.apache.spark.sql.DataFrame
 
 /** Structured Streaming → durable-store bridge: `foreachBatch` sinks
@@ -74,4 +74,12 @@ object StoreSink {
               textCol: String = "text"): (DataFrame, Long) => Unit =
     (batch, batchId) =>
       { store.append(batch, idCol, textCol, tok(batchId)); () }
+
+  /** Sink a stream of full curation rows (doc_id, text, key, embedding)
+    * into a [[CurationDB]] — all five member stores advance exactly
+    * once per batchId through the facade's shared-token protocol, so a
+    * replay (or a crash after any subset of members committed) is
+    * repaired by the engine re-delivering the batch. */
+  def curation(db: CurationDB): (DataFrame, Long) => Unit =
+    (batch, batchId) => { db.append(batch, tok(batchId)); () }
 }

@@ -228,6 +228,43 @@ class FaultSweepSpec extends SparkSpec {
       mhRead))
   }
 
+  test("CurationDB composed append: kill at EVERY write boundary " +
+    "across all five member commits + the facade token/marker — " +
+    "committed-facade-epoch reads (keptAt) are never torn, and the " +
+    "replayed append converges") {
+    import graft.api.CurationDB
+    val cfg = CurationDB.Config(window = 4, minhashTau = 0.5,
+      nCells = 2, kmeansIters = 2, maxStaleFrac = 10.0)
+    def rows(ids: Seq[Long], texts: Seq[String], keys: Seq[String],
+             vecs: Seq[Seq[Float]]): DataFrame =
+      ids.indices.map(i => (ids(i), texts(i), keys(i), vecs(i)))
+        .toDF("doc_id", "text", "key", "embedding")
+    val base = rows(Seq(1L, 2L, 3L),
+      Seq("a b c d e f g h", "p q r s t u v w", "p q r s t u v w"),
+      Seq("alpha", "gamma", "delta"),
+      Seq(Seq(1f, 0.01f, 0f, 0f), Seq(0f, 1f, 0f, 0f),
+        Seq(0f, 0f, 1f, 0f)))
+    val batch = rows(Seq(10L, 11L),
+      Seq("a b c d e f g h", "fresh words only here"),
+      Seq("alphb", "omega"),
+      Seq(Seq(1f, 0.015f, 0f, 0f), Seq(0f, 0f, 0.99f, 0.05f)))
+    val allIds = (base unionByName batch).select("doc_id")
+    // the crash-consistent read path is keptAt(committed facade epoch):
+    // mid-recovery the LATEST member states are legitimately mixed
+    // (some members committed, some not — the documented transient),
+    // but reads pinned to a committed facade epoch replay every member
+    // at its recorded epoch and can never mix
+    def read(root: String): Any = {
+      val db = CurationDB.open(spark, root, cfg)
+      db.keptAt(db.epoch, allIds).select(col("doc_id").cast("long"))
+        .as[Long].collect().toSet
+    }
+    sweep(Scenario("cdb-append",
+      r => { CurationDB.init(spark, r, base, cfg); () },
+      r => { CurationDB.open(spark, r, cfg).append(batch); () },
+      read))
+  }
+
   test("semantic store: kill at every append/compact/retrain write " +
     "boundary (incl. the centroids artifact, the _compacts sentinel, " +
     "the _trainmass record, and each prune delete)") {

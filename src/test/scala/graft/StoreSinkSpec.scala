@@ -107,6 +107,28 @@ class StoreSinkSpec extends SparkSpec {
     assert(ids(store.kept(allIds2)) == ids(twin.kept(allIds2)))
   }
 
+  test("CurationDB sink: a batch lands across all five member stores " +
+    "exactly once; the replay is a no-op at the facade") {
+    import graft.api.CurationDB
+    val cfg = CurationDB.Config(window = 4, minhashTau = 0.5,
+      nCells = 2, kmeansIters = 2, maxStaleFrac = 10.0)
+    val root = Files.createTempDirectory("graft-sink4").toString + "/db"
+    val base = Seq((1L, "a b c d e f g h", "alpha",
+        Seq(1f, 0.01f, 0f, 0f)),
+      (2L, "p q r s t u v w", "gamma", Seq(0f, 1f, 0f, 0f)))
+      .toDF("doc_id", "text", "key", "embedding")
+    val batch = Seq((10L, "a b c d e f g h", "alphb",
+      Seq(1f, 0.015f, 0f, 0f)))
+      .toDF("doc_id", "text", "key", "embedding")
+    val db = CurationDB.init(spark, root, base, cfg)
+    val sink = StoreSink.curation(db)
+    sink(batch, 0L)
+    sink(batch, 0L) // replay: no-op all the way down
+    assert(db.epoch == 1L)
+    assert(db.substring.epoch == 1L && db.semantic.epoch == 1L)
+    assert(db.memberEpochsAt(1L) == ((1L, 1L, 1L, 1L, 1L)))
+  }
+
   test("MinHash sink: stream of text batches lands epoch-per-batch and " +
     "matches the from-scratch closure over the union") {
     val root = Files.createTempDirectory("graft-sink3").toString + "/store"
