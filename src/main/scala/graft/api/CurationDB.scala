@@ -187,6 +187,21 @@ class CurationDB private (val spark: SparkSession, val root: String,
     Pipeline.datasetManifest(
       keptCorpus.withColumn("epoch", lit(epoch)), "epoch")
 
+  /** The publish manifest AS OF a past committed facade epoch: the
+    * kept corpus is replayed over the corpus stored by the recorded
+    * substring-member epoch (the facade's corpus of record), filtered
+    * through every member at its recorded epoch — so a consumer can
+    * re-verify any historical delivery's checksums, not just the
+    * latest. manifestAt(epoch) ≡ [[manifest]] (spec-gated). Subject to
+    * the members' time-travel contract (fails loudly below a member
+    * snapshot). */
+  def manifestAt(n: Long): DataFrame = {
+    val (subE, _, _, _, _) = memberEpochsAt(n)
+    Pipeline.datasetManifest(
+      keptAt(n, substring.corpusAt(subE)).withColumn("epoch", lit(n)),
+      "epoch")
+  }
+
   /** Run every member store's compaction (trainer-free across the
     * board) — bounds each family's read-side resolution window. Member
     * epochs advance independently; the facade epoch is untouched. */
@@ -204,13 +219,17 @@ class CurationDB private (val spark: SparkSession, val root: String,
 
 object CurationDB {
 
-  /** Store-family knobs; defaults match the declared-query pins. */
+  /** Store-family knobs; defaults match the declared-query pins.
+    * `autoCompactEpochs` follows the five members' measured default
+    * (SCALE.md: resolution cost flat through ~16 delta epochs); 0
+    * reverts every member to manual compaction. */
   case class Config(window: Int = 8, maxHamming: Int = 3,
                     maxKeyLen: Int = 64, maxEdit: Int = 1,
                     minhashTau: Double = 0.5, shingleN: Int = 3,
                     numHashes: Int = 16, bands: Int = 4,
                     semanticTau: Double = 0.95, nCells: Int = 16,
-                    kmeansIters: Int = 3, maxStaleFrac: Double = 0.5)
+                    kmeansIters: Int = 3, maxStaleFrac: Double = 0.5,
+                    autoCompactEpochs: Int = 16)
 
   /** Doc-level text SimHash frame — the fingerprint family's input (one
     * compiled-kernel projection). */
@@ -224,29 +243,60 @@ object CurationDB {
     s"sub=$subE,fp=$fpE,fz=$fzE,mh=$mhE,sm=$smE"
 
   /** Initialize all five stores at `root` from a base corpus
-    * (doc_id, text, key, embedding); facade epoch 0 = the base. */
+    * (doc_id, text, key, embedding); facade epoch 0 = the base.
+    *
+    * CRASH-CONVERGENT like [[CurationDB.append]]: a crash after any
+    * subset of member inits committed is repaired by replaying the call
+    * verbatim with the SAME base — already-committed members are OPENED
+    * instead of re-initialized (their epoch-0 artifacts are the
+    * replay's, by the same same-inputs contract the append token
+    * protocol assumes), stragglers init, and only then does the facade
+    * marker land. Fails loudly if the facade itself already committed. */
   def init(spark: SparkSession, root: String, base: DataFrame,
            cfg: Config = Config()): CurationDB = {
+    val fs = EpochStoreKit.fsOf(spark, root)
+    require(
+      EpochStoreKit.maxMarked(fs, new Path(s"$root/_commits")) < 0,
+      s"CurationDB already initialized at $root")
+    def committed(member: String): Boolean =
+      EpochStoreKit.maxMarked(fs,
+        new Path(s"$root/$member/_commits")) >= 0
     val b = base.select(col("doc_id").cast("long").as("doc_id"),
       col("text").cast("string").as("text"),
       col("key").cast("string").as("key"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val db = new CurationDB(spark, root,
-      SubstringDedupStore.init(spark, s"$root/sub",
-        b.select("doc_id", "text"), cfg.window),
-      FingerprintStore.init(spark, s"$root/fp", textHashes(b),
-        cfg.maxHamming),
-      FuzzyKeyStore.init(spark, s"$root/fz", b.select("doc_id", "key"),
-        cfg.maxKeyLen, cfg.maxEdit),
-      MinHashDedupStore.init(spark, s"$root/mh",
+      if (committed("sub"))
+        SubstringDedupStore.open(spark, s"$root/sub", cfg.window,
+        cfg.autoCompactEpochs)
+      else SubstringDedupStore.init(spark, s"$root/sub",
+        b.select("doc_id", "text"), cfg.window, cfg.autoCompactEpochs),
+      if (committed("fp"))
+        FingerprintStore.open(spark, s"$root/fp", cfg.maxHamming,
+        cfg.autoCompactEpochs)
+      else FingerprintStore.init(spark, s"$root/fp", textHashes(b),
+        cfg.maxHamming, cfg.autoCompactEpochs),
+      if (committed("fz"))
+        FuzzyKeyStore.open(spark, s"$root/fz", cfg.maxKeyLen, cfg.maxEdit,
+        cfg.autoCompactEpochs)
+      else FuzzyKeyStore.init(spark, s"$root/fz",
+        b.select("doc_id", "key"), cfg.maxKeyLen, cfg.maxEdit,
+        cfg.autoCompactEpochs),
+      if (committed("mh"))
+        MinHashDedupStore.open(spark, s"$root/mh", cfg.minhashTau,
+          cfg.shingleN, cfg.numHashes, cfg.bands, cfg.autoCompactEpochs)
+      else MinHashDedupStore.init(spark, s"$root/mh",
         b.select("doc_id", "text"), cfg.minhashTau, "doc_id", "text",
-        cfg.shingleN, cfg.numHashes, cfg.bands),
-      SemanticDedupStore.init(spark, s"$root/sm",
+        cfg.shingleN, cfg.numHashes, cfg.bands, cfg.autoCompactEpochs),
+      if (committed("sm"))
+        SemanticDedupStore.open(spark, s"$root/sm", cfg.semanticTau,
+          cfg.maxStaleFrac, cfg.autoCompactEpochs)
+      else SemanticDedupStore.init(spark, s"$root/sm",
         b.select(col("doc_id").as("vec_id"), col("embedding")),
-        cfg.nCells, cfg.kmeansIters, cfg.semanticTau, cfg.maxStaleFrac))
+        cfg.nCells, cfg.kmeansIters, cfg.semanticTau, cfg.maxStaleFrac,
+        cfg.autoCompactEpochs))
     b.unpersist(false)
-    EpochStoreKit.writeText(EpochStoreKit.fsOf(spark, root),
-      new Path(s"$root/_commits/0"),
+    EpochStoreKit.writeText(fs, new Path(s"$root/_commits/0"),
       memberRecord(0L, 0L, 0L, 0L, 0L))
     db
   }
@@ -257,9 +307,12 @@ object CurationDB {
   def open(spark: SparkSession, root: String,
            cfg: Config = Config()): CurationDB = {
     val db = new CurationDB(spark, root,
-      SubstringDedupStore.open(spark, s"$root/sub", cfg.window),
-      FingerprintStore.open(spark, s"$root/fp", cfg.maxHamming),
-      FuzzyKeyStore.open(spark, s"$root/fz", cfg.maxKeyLen, cfg.maxEdit),
+      SubstringDedupStore.open(spark, s"$root/sub", cfg.window,
+        cfg.autoCompactEpochs),
+      FingerprintStore.open(spark, s"$root/fp", cfg.maxHamming,
+        cfg.autoCompactEpochs),
+      FuzzyKeyStore.open(spark, s"$root/fz", cfg.maxKeyLen, cfg.maxEdit,
+        cfg.autoCompactEpochs),
       MinHashDedupStore.open(spark, s"$root/mh", cfg.minhashTau,
         cfg.shingleN, cfg.numHashes, cfg.bands),
       SemanticDedupStore.open(spark, s"$root/sm", cfg.semanticTau,

@@ -91,7 +91,14 @@ private[graft] object EpochStoreKit {
     val safe = token.map(c =>
       if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.') c
       else '_')
-    new Path(s"$root/_tokens/$safe")
+    // sanitization alone is not injective ("a/b" and "a_b" collide, and a
+    // collision makes replayCheck treat a NEW append as a committed replay
+    // and silently drop the batch) — suffix a digest of the raw token so
+    // distinct tokens can never share a file
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(token.getBytes("UTF-8")).take(8)
+      .map(b => f"${b & 0xff}%02x").mkString
+    new Path(s"$root/_tokens/$safe-$digest")
   }
 
   def writeToken(fs: FileSystem, path: Path, epoch: Long): Unit = {
@@ -122,10 +129,17 @@ private[graft] object EpochStoreKit {
     else {
       val in = fs.open(path)
       try {
+        // loop to EOF: a single read() is not guaranteed to fill on
+        // HDFS/object-store streams, and a short read here would silently
+        // truncate an epoch number into a DIFFERENT valid value
         val buf = new Array[Byte](maxBytes)
-        val k = in.read(buf)
-        Some(new String(buf, 0, math.max(0, k), "UTF-8").trim)
-          .filter(_.nonEmpty)
+        var off = 0
+        var k = in.read(buf, off, maxBytes - off)
+        while (k > 0) {
+          off += k
+          k = if (off < maxBytes) in.read(buf, off, maxBytes - off) else -1
+        }
+        Some(new String(buf, 0, off, "UTF-8").trim).filter(_.nonEmpty)
       } finally in.close()
     }
 
@@ -192,6 +206,28 @@ private[graft] object EpochStoreKit {
                         outCols: Seq[String]): DataFrame = {
     val df = spark.read.option("basePath", s"$root/$kind")
       .parquet((from to to).map(n => s"$root/$kind/epoch=$n"): _*)
+    if (from == to) df.select(outCols.map(col): _*)
+    else df
+      .withColumn("_rk", row_number().over(Window
+        .partitionBy(keyCols.map(col): _*).orderBy(col("epoch").desc)))
+      .where(col("_rk") === 1)
+      .select(outCols.map(col): _*)
+  }
+
+  /** [[resolveLatestWins]] restricted to the rows whose key appears in
+    * `keys` (a small frame carrying exactly `keyCols`, broadcast) — the
+    * append-path resolution: filtering on the window's own partition
+    * keys BEFORE the window preserves every surviving per-key group, so
+    * the result equals filtering after full resolution (spec-gated via
+    * the stores' append ≡ from-scratch gates) at a key-set-sized window
+    * instead of an artifact-sized shuffle. */
+  def resolveLatestWinsForKeys(spark: SparkSession, root: String,
+                               kind: String, from: Long, to: Long,
+                               keyCols: Seq[String], outCols: Seq[String],
+                               keys: DataFrame): DataFrame = {
+    val df = spark.read.option("basePath", s"$root/$kind")
+      .parquet((from to to).map(n => s"$root/$kind/epoch=$n"): _*)
+      .join(broadcast(keys), keyCols, "left_semi")
     if (from == to) df.select(outCols.map(col): _*)
     else df
       .withColumn("_rk", row_number().over(Window

@@ -22,13 +22,22 @@ import org.apache.spark.sql.functions._
   * {{{
   *   prints/epoch=N/  the batch's fingerprints (_id, simhash) — appended
   *                    at N; NEVER pruned (they ARE the maintained artifact)
+  *   grp/epoch=N/     the hash-group frame (_sh, _rep — one row per
+  *                    distinct hash, rep = union-min member id): snapshot
+  *                    epochs FULL, append epochs only the rows the batch
+  *                    ADDED (new hashes) or RELABELED (undercut reps),
+  *                    resolved latest-epoch-wins per _sh — so an append
+  *                    extends against a SCAN of this artifact instead of
+  *                    re-aggregating every stored print (the former
+  *                    base-linear groupBy shuffle), and [[kept]] derives
+  *                    its node mapping from it instead of re-grouping
   *   comp/epoch=N/    the rep-level component assignment (id = distinct-
   *                    hash representative, component = min member id):
   *                    snapshot epochs (init, [[compact]]) hold the FULL
   *                    assignment; append epochs only the rows the append
   *                    ADDED or RELABELED
   *   _commits/N       empty marker file — the epoch's commit point
-  *   _snapshots/N     marks epoch N's comp as a full snapshot
+  *   _snapshots/N     marks epoch N's grp/comp as full snapshots
   * }}}
   *
   * Readers resolve `comp` LATEST-EPOCH-WINS per id from the latest
@@ -90,6 +99,10 @@ class FingerprintStore private (val spark: SparkSession,
     EpochStoreKit.unionEpochs(spark, root, "prints", 0L, e,
       Seq("_id", "simhash"))
 
+  private def grpAt(e: Long): DataFrame =
+    EpochStoreKit.resolveLatestWins(spark, root, "grp",
+      snapshotFor(e), e, Seq("_sh"), Seq("_sh", "_rep"))
+
   private def compAt(e: Long): DataFrame = {
     require(e >= 0 && e <= epoch && fs.exists(marker(e)),
       s"epoch $e not committed at $root")
@@ -104,9 +117,11 @@ class FingerprintStore private (val spark: SparkSession,
     * snapshot + deltas resolved latest-wins). */
   def components: DataFrame = compAt(requireCommitted())
 
-  private def writeEpoch(n: Long, batch: DataFrame, comp: DataFrame,
+  private def writeEpoch(n: Long, batch: DataFrame, grp: DataFrame,
+                         comp: DataFrame,
                          token: Option[String] = None): Unit = {
     EpochStoreKit.writeParquet(batch, s"$root/prints/epoch=$n")
+    EpochStoreKit.writeParquet(grp, s"$root/grp/epoch=$n")
     EpochStoreKit.writeParquet(comp, s"$root/comp/epoch=$n")
     token.foreach(t =>
       EpochStoreKit.writeToken(fs, EpochStoreKit.tokenPath(root, t), n))
@@ -145,12 +160,23 @@ class FingerprintStore private (val spark: SparkSession,
         .getOrElse("")} already stored at $root — appended ids must be " +
         "disjoint (a duplicated id would double-count in the drop set)")
     val oldComp = compAt(e)
-    val comp = Dedup.extendHashComponents(base, oldComp, b, maxHamming)
+    // the stored prints are never re-aggregated and the grp artifact is
+    // never shuffled: the batch-present hashes resolve through a
+    // key-restricted latest-wins window (batch-sized), and the banded
+    // candidate join scans the PLAIN grp union (duplicate undercut reps
+    // are closure-neutral — extendHashComponentsArtifact's contract)
+    val sharedGrp = Ckpt.eager(EpochStoreKit.resolveLatestWinsForKeys(
+      spark, root, "grp", snapshotFor(e), e, Seq("_sh"),
+      Seq("_sh", "_rep"), b.select(col("simhash").as("_sh")).distinct()))
+    val unionGrp = EpochStoreKit.unionEpochs(spark, root, "grp",
+      snapshotFor(e), e, Seq("_sh", "_rep"))
+    val comp = Dedup.extendHashComponentsArtifact(sharedGrp, unionGrp,
+      oldComp, b, maxHamming)
     // the delta: rows whose (id → component) mapping is new or changed
     // — extension never deletes a row, so latest-wins reconstruction
     // over (old resolved state + this delta) IS the new assignment
     val delta = comp.join(oldComp, Seq("id", "component"), "left_anti")
-    writeEpoch(n, b, delta, token)
+    writeEpoch(n, b, Dedup.hashGroupDelta(sharedGrp, b), delta, token)
     if (autoCompactEpochs > 0 && n - latestSnapshot >= autoCompactEpochs)
       compact()
     n
@@ -168,7 +194,7 @@ class FingerprintStore private (val spark: SparkSession,
     val n = e + 1
     val emptyBatch = spark.read.parquet(s"$root/prints/epoch=0")
       .select("_id", "simhash").limit(0)
-    writeEpoch(n, emptyBatch, Ckpt.eager(compAt(e)))
+    writeEpoch(n, emptyBatch, Ckpt.eager(grpAt(e)), Ckpt.eager(compAt(e)))
     // snapshot marker AFTER the commit marker: a crash between the two
     // leaves epoch n committed as a full-content delta, which reads
     // identically under latest-wins; the next compact() re-marks
@@ -179,6 +205,7 @@ class FingerprintStore private (val spark: SparkSession,
 
   private def pruneBelow(snap: Long): Unit = {
     EpochStoreKit.pruneEpochDirsBelow(fs, root, "comp", snap)
+    EpochStoreKit.pruneEpochDirsBelow(fs, root, "grp", snap)
     EpochStoreKit.pruneMarkersBelow(fs, new Path(s"$root/_snapshots"),
       snap)
   }
@@ -197,15 +224,15 @@ class FingerprintStore private (val spark: SparkSession,
   def keptAt(e: Long, corpus: DataFrame,
              idCol: String = "doc_id"): DataFrame = {
     val comp = compAt(e)
-    val ph = printsAt(e)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val node = ph.groupBy("simhash").agg(min(col("_id")).as("_node"))
-    val drop = ph.join(node, Seq("simhash"))
+    // the node mapping (hash → min member id) IS the maintained grp
+    // artifact — no re-aggregation of the prints at read time
+    val node = grpAt(e).select(col("_sh").as("simhash"),
+      col("_rep").as("_node"))
+    val drop = printsAt(e).join(node, Seq("simhash"))
       .join(comp, col("_node").cast("long") === comp("id"))
       .where(col("_id").cast("long") =!= col("component"))
       .select(col("_id").cast("long").as("_drop_id"))
       .transform(Ckpt.eager)
-    ph.unpersist(false)
     corpus.join(drop, corpus(idCol).cast("long") === drop("_drop_id"),
       "left_anti")
   }
@@ -219,14 +246,15 @@ object FingerprintStore {
     * snapshot). Fails loudly if the root already has a committed epoch. */
   def init(spark: SparkSession, root: String, hashes: DataFrame,
            maxHamming: Int = 3,
-           autoCompactEpochs: Int = 0): FingerprintStore = {
+           autoCompactEpochs: Int = 16): FingerprintStore = {
     val s = new FingerprintStore(spark, root, maxHamming,
       autoCompactEpochs)
     require(s.epoch < 0,
       s"FingerprintStore already initialized at $root (epoch ${s.epoch})")
     val h = Ckpt.eager(hashes.select(col("_id").cast("long").as("_id"),
       col("simhash").cast("long").as("simhash")))
-    s.writeEpoch(0L, h, Dedup.hashComponents(h, maxHamming))
+    s.writeEpoch(0L, h, Dedup.hashGroupArtifact(h),
+      Dedup.hashComponents(h, maxHamming))
     val fs = EpochStoreKit.fsOf(spark, root)
     EpochStoreKit.markFile(fs, new Path(s"$root/_snapshots/0"))
     s
@@ -243,13 +271,35 @@ object FingerprintStore {
     * snapshot (its full-per-epoch comp IS one). Time-travel below that
     * epoch is not preserved — the same contract `compact()` applies. */
   def open(spark: SparkSession, root: String, maxHamming: Int = 3,
-           autoCompactEpochs: Int = 0): FingerprintStore = {
+           autoCompactEpochs: Int = 16): FingerprintStore = {
     val s = new FingerprintStore(spark, root, maxHamming,
       autoCompactEpochs)
     val e = s.requireCommitted()
     val fs = EpochStoreKit.fsOf(spark, root)
+    // markFile, not commitMarker: two processes opening the same legacy
+    // root concurrently must both succeed (idempotent create), and the
+    // exclusive-create would fail the loser outright
     if (!fs.exists(new Path(s"$root/_snapshots")))
-      EpochStoreKit.commitMarker(fs, new Path(s"$root/_snapshots/$e"))
+      EpochStoreKit.markFile(fs, new Path(s"$root/_snapshots/$e"))
+    // legacy migration 2 (roots written before the maintained `grp`
+    // artifact): backfill each committed epoch's grp content exactly as
+    // its append would have written it — the snapshot epoch gets the
+    // full groups of the prints stored by then, later epochs the
+    // new/undercut delta — so reads AND time-travel resolve identically
+    // to a store built by the current code (idempotent overwrites)
+    if (!fs.exists(new Path(s"$root/grp"))) {
+      val snap = s.latestSnapshot
+      for (k <- snap to e) {
+        val content =
+          if (k == snap) Dedup.hashGroupArtifact(s.printsAt(snap))
+          else Dedup.hashGroupDelta(
+            EpochStoreKit.resolveLatestWins(spark, root, "grp", snap,
+              k - 1, Seq("_sh"), Seq("_sh", "_rep")),
+            spark.read.parquet(s"$root/prints/epoch=$k")
+              .select("_id", "simhash"))
+        EpochStoreKit.writeParquet(content, s"$root/grp/epoch=$k")
+      }
+    }
     s
   }
 }

@@ -258,7 +258,7 @@ object FuzzyKeyStore {
     * if the root already has a committed epoch. */
   def init(spark: SparkSession, root: String, keys: DataFrame,
            maxKeyLen: Int = 64, maxEdit: Int = 1,
-           autoCompactEpochs: Int = 0): FuzzyKeyStore = {
+           autoCompactEpochs: Int = 16): FuzzyKeyStore = {
     val s = new FuzzyKeyStore(spark, root, maxKeyLen, maxEdit,
       autoCompactEpochs)
     require(s.epoch < 0,
@@ -283,7 +283,7 @@ object FuzzyKeyStore {
     * with — they parameterize the stored variant family. */
   def open(spark: SparkSession, root: String, maxKeyLen: Int = 64,
            maxEdit: Int = 1,
-           autoCompactEpochs: Int = 0): FuzzyKeyStore = {
+           autoCompactEpochs: Int = 16): FuzzyKeyStore = {
     val s = new FuzzyKeyStore(spark, root, maxKeyLen, maxEdit,
       autoCompactEpochs)
     s.requireCommitted()

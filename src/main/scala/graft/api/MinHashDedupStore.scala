@@ -30,6 +30,15 @@ import org.apache.spark.sql.functions._
   *                   (_id, _g, _m0.._m{k-1}, _h) appended at N —
   *                   disjoint id slices, so resolution is the PLAIN
   *                   UNION; NEVER pruned (it IS the maintained artifact)
+  *   band/epoch=N/   the banded projection of the batch's exact-group
+  *                   reps (_band, _bhash, _id) — [[append]] bands new
+  *                   batches against a SCAN of this union instead of
+  *                   re-collapsing + re-hashing every stored signature's
+  *                   minima (the append's former base-linear shuffle);
+  *                   epoch-LOCAL reps of a cross-epoch text group band
+  *                   identically, so candidates are unchanged (the
+  *                   [[graft.operators.Dedup.crossBandNearDupPairs]]
+  *                   parity argument, spec-gated); NEVER pruned
   *   comp/epoch=N/   the pair-graph component assignment (paired ids
   *                   only, component = min member id): snapshot epochs
   *                   (init, [[compact]]) hold the FULL assignment,
@@ -103,8 +112,13 @@ class MinHashDedupStore private (val spark: SparkSession,
     s
   }
 
+  private val bandCols: Seq[String] = Seq("_band", "_bhash", "_id")
+
   private def sigAt(e: Long): DataFrame =
     EpochStoreKit.unionEpochs(spark, root, "sig", 0L, e, sigCols)
+
+  private def bandAt(e: Long): DataFrame =
+    EpochStoreKit.unionEpochs(spark, root, "band", 0L, e, bandCols)
 
   private def compAt(e: Long): DataFrame = {
     require(e >= 0 && e <= epoch && fs.exists(marker(e)),
@@ -120,9 +134,11 @@ class MinHashDedupStore private (val spark: SparkSession,
     * snapshot + deltas resolved latest-wins). */
   def components: DataFrame = compAt(requireCommitted())
 
-  private def writeEpoch(k: Long, batchSig: DataFrame, comp: DataFrame,
+  private def writeEpoch(k: Long, batchSig: DataFrame, band: DataFrame,
+                         comp: DataFrame,
                          token: Option[String] = None): Unit = {
     EpochStoreKit.writeParquet(batchSig, s"$root/sig/epoch=$k")
+    EpochStoreKit.writeParquet(band, s"$root/band/epoch=$k")
     EpochStoreKit.writeParquet(comp, s"$root/comp/epoch=$k")
     token.foreach(t =>
       EpochStoreKit.writeToken(fs, EpochStoreKit.tokenPath(root, t), k))
@@ -167,13 +183,17 @@ class MinHashDedupStore private (val spark: SparkSession,
         .map(_.get(0)).getOrElse("")} already stored at $root — " +
         "appended ids must be disjoint (a duplicated id would corrupt " +
         "the min-id keep policy)")
-    // the appended edges: batch-internal pairs + batch×base pairs, both
-    // over signature frames only — no text beyond the batch's own scan
+    // the appended edges: batch-internal pairs + batch×base pairs — the
+    // batch's banded projection broadcasts against a SCAN of the stored
+    // band artifact (no re-collapse or re-banding of the base minima);
+    // the stored sig frame is touched only by the candidate-keyed
+    // verify/expansion joins
     val newEdges = Dedup
       .sigNearDupPairs(bSig, tau, numHashes, bands)
       .select(col("id1").cast("long"), col("id2").cast("long"))
       .unionByName(Dedup
-        .crossSigNearDupPairs(bSig, baseSig, tau, numHashes, bands)
+        .crossBandNearDupPairs(bSig, bandAt(e), baseSig, tau, numHashes,
+          bands)
         .select(col("existing_id").cast("long").as("id1"),
           col("new_id").cast("long").as("id2")))
     val oldComp = compAt(e)
@@ -182,7 +202,8 @@ class MinHashDedupStore private (val spark: SparkSession,
     // — extension never deletes a row, so latest-wins reconstruction
     // over (old resolved state + this delta) IS the new assignment
     val delta = comp.join(oldComp, Seq("id", "component"), "left_anti")
-    writeEpoch(k, bSig, delta, token)
+    writeEpoch(k, bSig, Dedup.bandArtifact(bSig, numHashes, bands),
+      delta, token)
     if (autoCompactEpochs > 0 && k - latestSnapshot >= autoCompactEpochs)
       compact()
     k
@@ -206,7 +227,9 @@ class MinHashDedupStore private (val spark: SparkSession,
     val k = e + 1
     val emptySig = spark.read.parquet(s"$root/sig/epoch=0")
       .select(sigCols.map(col): _*).limit(0)
-    writeEpoch(k, emptySig, Ckpt.eager(compAt(e)))
+    val emptyBand = spark.read.parquet(s"$root/band/epoch=0")
+      .select(bandCols.map(col): _*).limit(0)
+    writeEpoch(k, emptySig, emptyBand, Ckpt.eager(compAt(e)))
     // snapshot marker AFTER the commit marker: a crash between the two
     // leaves epoch k committed as a full-content delta, which reads
     // identically under latest-wins; the next compact() re-marks
@@ -253,7 +276,7 @@ object MinHashDedupStore {
            tau: Double, idCol: String = "doc_id",
            textCol: String = "text", n: Int = 3, numHashes: Int = 16,
            bands: Int = 4,
-           autoCompactEpochs: Int = 0): MinHashDedupStore = {
+           autoCompactEpochs: Int = 16): MinHashDedupStore = {
     val s = new MinHashDedupStore(spark, root, tau, n, numHashes, bands,
       autoCompactEpochs)
     require(s.epoch < 0,
@@ -263,7 +286,7 @@ object MinHashDedupStore {
       idCol, textCol, n, numHashes)))
     val pairs = Dedup.sigNearDupPairs(sig, tau, numHashes, bands)
       .select(col("id1").cast("long"), col("id2").cast("long"))
-    s.writeEpoch(0L, sig,
+    s.writeEpoch(0L, sig, Dedup.bandArtifact(sig, numHashes, bands),
       Ckpt.eager(Dedup.connectedComponents(pairs)))
     EpochStoreKit.markFile(EpochStoreKit.fsOf(spark, root),
       new Path(s"$root/_snapshots/0"))
@@ -275,10 +298,21 @@ object MinHashDedupStore {
     * parameterize the stored signatures and pair graph. */
   def open(spark: SparkSession, root: String, tau: Double,
            n: Int = 3, numHashes: Int = 16, bands: Int = 4,
-           autoCompactEpochs: Int = 0): MinHashDedupStore = {
+           autoCompactEpochs: Int = 16): MinHashDedupStore = {
     val s = new MinHashDedupStore(spark, root, tau, n, numHashes, bands,
       autoCompactEpochs)
-    s.requireCommitted()
+    val e = s.requireCommitted()
+    // legacy migration (roots written before the banded projection
+    // artifact): backfill each committed epoch's band content exactly
+    // as its append would have written it — the epoch's own sig slice's
+    // exact-group reps, banded (idempotent overwrites)
+    val fs = EpochStoreKit.fsOf(spark, root)
+    if (!fs.exists(new Path(s"$root/band")))
+      for (k <- 0L to e)
+        EpochStoreKit.writeParquet(
+          Dedup.bandArtifact(spark.read.parquet(s"$root/sig/epoch=$k")
+            .select(s.sigCols.map(col): _*), numHashes, bands),
+          s"$root/band/epoch=$k")
     s
   }
 }

@@ -98,7 +98,8 @@ import org.apache.spark.sql.functions._
   */
 class SemanticDedupStore private (val spark: SparkSession,
                                   val root: String, val tau: Double,
-                                  val maxStaleFrac: Double) {
+                                  val maxStaleFrac: Double,
+                                  val autoCompactEpochs: Int) {
 
   private def fs = EpochStoreKit.fsOf(spark, root)
   private[api] def fsPub = fs
@@ -234,7 +235,9 @@ class SemanticDedupStore private (val spark: SparkSession,
     * centroids, extend the pair-graph components with batch-only work,
     * commit epoch+1 as a delta. Fails loudly when the cumulative
     * post-TRAIN mass would exceed `maxStaleFrac` of the train-time
-    * mass — call [[retrain]] first. Returns the new epoch. */
+    * mass — call [[retrain]] first. Returns the new epoch (the head may
+    * advance further when `autoCompactEpochs` triggers a trainer-free
+    * [[compact]] — read-identical, train-relative staleness untouched). */
   def append(batch: DataFrame): Long = appendImpl(batch, None)
 
   /** Exactly-once append for replayable callers (the Structured
@@ -299,6 +302,8 @@ class SemanticDedupStore private (val spark: SparkSession,
     Seq(new Path(s"$root/_compacts/$n"), new Path(s"$root/_trainmass/$n"))
       .foreach(p => if (fs.exists(p)) fs.delete(p, false))
     writeEpoch(n, b, batchAsg, compDelta, token)
+    if (autoCompactEpochs > 0 && n - latestSnapshot >= autoCompactEpochs)
+      compact()
     n
   }
 
@@ -364,6 +369,17 @@ class SemanticDedupStore private (val spark: SparkSession,
     if (!fs.exists(tm))
       EpochStoreKit.writeToken(fs, tm,
         spark.read.parquet(s"$root/asg/epoch=$t").count())
+    // torn-retrain litter: a retrain() that crashed after saveCentroids +
+    // _trainmass but before its commit marker left centroids/epoch=n (+
+    // _trainmass/n) at this still-uncommitted epoch; committing THIS
+    // compact at n would silently promote those never-used centroids to
+    // latestTrain (later appends would assign against a generation the
+    // stored pair graph never saw) and reset staleness — sweep exactly as
+    // appendImpl does, before snapshot-ness becomes visible
+    val cdir = new Path(s"$root/centroids/epoch=$n")
+    if (fs.exists(cdir)) fs.delete(cdir, true)
+    val tmLitter = new Path(s"$root/_trainmass/$n")
+    if (fs.exists(tmLitter)) fs.delete(tmLitter, false)
     EpochStoreKit.markFile(fs, new Path(s"$root/_compacts/$n"))
     writeEpoch(n, emptyBatch, fullAsg, fullComp)
     pruneForCompact(n)
@@ -424,8 +440,10 @@ object SemanticDedupStore {
     * Fails loudly if the root already has a committed epoch. */
   def init(spark: SparkSession, root: String, vecs: DataFrame,
            nCells: Int, iters: Int = 3, tau: Double = 0.95,
-           maxStaleFrac: Double = 0.5): SemanticDedupStore = {
-    val s = new SemanticDedupStore(spark, root, tau, maxStaleFrac)
+           maxStaleFrac: Double = 0.5,
+           autoCompactEpochs: Int = 16): SemanticDedupStore = {
+    val s = new SemanticDedupStore(spark, root, tau, maxStaleFrac,
+      autoCompactEpochs)
     require(s.epoch < 0,
       s"SemanticDedupStore already initialized at $root (epoch ${s.epoch})")
     val v = Ckpt.eager(vecs.select(col("vec_id").cast("long")
@@ -446,8 +464,10 @@ object SemanticDedupStore {
     * `maxStaleFrac` must match the values the store was initialized
     * with — they parameterize the stored pair graph. */
   def open(spark: SparkSession, root: String, tau: Double = 0.95,
-           maxStaleFrac: Double = 0.5): SemanticDedupStore = {
-    val s = new SemanticDedupStore(spark, root, tau, maxStaleFrac)
+           maxStaleFrac: Double = 0.5,
+           autoCompactEpochs: Int = 16): SemanticDedupStore = {
+    val s = new SemanticDedupStore(spark, root, tau, maxStaleFrac,
+      autoCompactEpochs)
     s.requireCommitted()
     s
   }

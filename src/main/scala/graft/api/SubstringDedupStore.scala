@@ -106,9 +106,17 @@ class SubstringDedupStore private (val spark: SparkSession,
 
   /** The full corpus at the latest committed epoch (union of appended
     * batches — epoch pruning via the partition column). */
-  def corpus: DataFrame =
-    EpochStoreKit.unionEpochs(spark, root, "corpus", 0L,
-      requireCommitted(), Seq("doc_id", "text"))
+  def corpus: DataFrame = corpusAt(requireCommitted())
+
+  /** The corpus as of a PAST committed epoch — reaches ANY committed
+    * epoch (`corpus/` holds the data itself and is never pruned, so
+    * corpus time-travel is not snapshot-bounded). */
+  def corpusAt(e: Long): DataFrame = {
+    require(e >= 0 && e <= epoch && fs.exists(marker(e)),
+      s"epoch $e not committed at $root")
+    EpochStoreKit.unionEpochs(spark, root, "corpus", 0L, e,
+      Seq("doc_id", "text"))
+  }
 
   /** The maintained window-key index at the latest committed epoch
     * (snapshot + deltas, latest-epoch-wins per key). */
@@ -140,11 +148,12 @@ class SubstringDedupStore private (val spark: SparkSession,
   /** Append a batch (ids strictly above every stored id — enforced by
     * [[graft.operators.SubstringIndex]]'s guard), commit epoch+1 as a
     * DELTA epoch: compute is batch + touched
-    * ([[graft.operators.SubstringIndex.appendDedupedDelta]]) and the
-    * WRITE is exactly those rows plus the batch-present index keys —
-    * never the full corpus artifacts. Returns the new epoch (the head
-    * may advance further when `autoCompactEpochs` triggers a
-    * compaction — read-identical, spec-gated). */
+    * ([[graft.operators.SubstringIndex.appendDeltas]], key-restricted
+    * index resolution — the stored index is scanned, never shuffled
+    * whole) and the WRITE is exactly those rows plus the batch-present
+    * index keys — never the full corpus artifacts. Returns the new
+    * epoch (the head may advance further when `autoCompactEpochs`
+    * triggers a compaction — read-identical, spec-gated). */
   def append(batch: DataFrame): Long = appendImpl(batch, None)
 
   /** Exactly-once append for replayable callers (the Structured
@@ -165,13 +174,17 @@ class SubstringDedupStore private (val spark: SparkSession,
     val b = Ckpt.eager(batch.select(col("doc_id").cast("long")
       .as("doc_id"), col("text").cast("string").as("text")))
     val baseDocs = corpus
-    // the resolved base index, pinned once across its consumers (the
-    // delta computation joins it twice; resolution itself is one
-    // window over snapshot + deltas — bounded by compact())
-    val idx = Ckpt.eager(indexAt(e))
-    val dedDelta = SubstringIndex.appendDedupedDelta(
-      baseDocs, idx, b, window)
-    val idxDelta = SubstringIndex.extendIndexDelta(idx, b, window)
+    // the index is consumed KEY-RESTRICTED: the latest-wins window runs
+    // only over the rows whose key the batch (then the touched docs)
+    // actually carries — filtering on the window's own partition keys
+    // first is resolution-transparent — so the stored index is scanned,
+    // never shuffled whole (the former base-linear append term, r14)
+    val indexFor: DataFrame => DataFrame = keys =>
+      EpochStoreKit.resolveLatestWinsForKeys(spark, root, "index",
+        snapshotFor(e), e, Seq("k1", "k2"),
+        Seq("k1", "k2", "keep", "occ"), keys)
+    val (dedDelta, idxDelta) =
+      SubstringIndex.appendDeltas(baseDocs, indexFor, b, window)
     writeEpoch(n, b, idxDelta, dedDelta, token)
     maybeAutoCompact(n)
     n
@@ -228,7 +241,7 @@ object SubstringDedupStore {
     * snapshot). Fails loudly if the root already has a committed epoch. */
   def init(spark: SparkSession, root: String, docs: DataFrame,
            window: Int,
-           autoCompactEpochs: Int = 0): SubstringDedupStore = {
+           autoCompactEpochs: Int = 16): SubstringDedupStore = {
     val s = new SubstringDedupStore(spark, root, window,
       autoCompactEpochs)
     require(s.epoch < 0,
@@ -245,7 +258,7 @@ object SubstringDedupStore {
 
   /** Open an existing store (any committed epoch present). */
   def open(spark: SparkSession, root: String, window: Int,
-           autoCompactEpochs: Int = 0): SubstringDedupStore = {
+           autoCompactEpochs: Int = 16): SubstringDedupStore = {
     val s = new SubstringDedupStore(spark, root, window,
       autoCompactEpochs)
     s.requireCommitted()

@@ -407,6 +407,76 @@ object Dedup {
     out
   }
 
+  /** The PERSISTABLE banded projection of a signature frame's
+    * exact-group reps — (_band, _bhash, _id), `bands` rows per rep:
+    * what [[graft.api.MinHashDedupStore]] writes per epoch so that
+    * [[crossBandNearDupPairs]] can band an appended batch against a
+    * SCAN of the stored projection instead of re-collapsing (a full
+    * window shuffle) and re-hashing every stored signature's minima per
+    * batch. ~`bands` small rows per distinct stored text. */
+  def bandArtifact(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val s = sig
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (_, rep) = collapseFromSignatures(s)
+    val out = bandedProjection(rep, numHashes, bands)
+      .select(col("_band"), col("_bhash"), col("_id"))
+      .transform(Ckpt.eager)
+    rep.unpersist(false)
+    s.unpersist(false)
+    out
+  }
+
+  /** [[crossSigNearDupPairs]] where the EXISTING side's banded
+    * projection is a PREBUILT artifact ([[bandArtifact]] epochs read
+    * back from [[graft.api.MinHashDedupStore]]) — the deployment form
+    * that removes the append's base-linear shuffle: the stored
+    * signature frame is never re-collapsed or re-banded; the batch's
+    * banded projection BROADCASTS against a scan of the stored
+    * projection, and `baseSig` is touched only by the candidate-keyed
+    * verify join and the group-membership expansion.
+    *
+    * `baseBand` may carry MULTIPLE rows per stored exact group (one
+    * per epoch the group's text appeared in — epoch-LOCAL reps):
+    * identical texts carry identical minima, so the extra rows band
+    * identically and candidates are unchanged at the group level; the
+    * verify output is deduplicated per (new-group, existing-group)
+    * before member expansion. Output-identical to
+    * [[crossSigNearDupPairs]] (spec-gated). */
+  def crossBandNearDupPairs(newSig: DataFrame, baseBand: DataFrame,
+                            baseSig: DataFrame, tau: Double,
+                            numHashes: Int = 16,
+                            bands: Int = 4): DataFrame = {
+    val sigN = newSig
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (memN, repN) = collapseFromSignatures(sigN)
+    val cand = baseBand
+      .join(broadcast(bandedProjection(repN, numHashes, bands)
+        .select(col("_band"), col("_bhash"), col("_id").as("_idn"))),
+        Seq("_band", "_bhash"))
+      .select(col("_idn"), col("_id").as("_ide"))
+      .distinct()
+    val verified = cand
+      .join(repN.select(col("_id").as("_idn"), col("_g").as("_gn"),
+        col("_h").as("_hn")), "_idn")
+      .join(baseSig.select(col("_id").as("_ide"), col("_g").as("_ge"),
+        col("_h").as("_he")), "_ide")
+      .withColumn("jaccard", jaccard(col("_hn"), col("_he")))
+      .where(col("jaccard") >= tau)
+      // epoch-local reps of one stored group duplicate the verified row
+      // with an IDENTICAL jaccard (same text ⇒ same shingle set) — keep
+      // one row per group pair before expansion
+      .groupBy("_gn", "_ge").agg(max(col("jaccard")).as("jaccard"))
+    val out = verified
+      .join(memN.select(col("_g").as("_gn"), col("_id").as("new_id")),
+        "_gn")
+      .join(baseSig.select(col("_g").as("_ge"),
+        col("_id").as("existing_id")), "_ge")
+      .select("new_id", "existing_id", "jaccard")
+      .transform(Ckpt.eager)
+    Seq(sigN, repN).foreach(_.unpersist(false))
+    out
+  }
+
   /** Keep only the genuinely new documents of a batch: `newDocs` minus
     * everything [[crossNearDupPairs]] matches into `existing` — one
     * anti-join after the banded check. The per-batch hygiene step of an
@@ -1143,18 +1213,108 @@ object Dedup {
     out
   }
 
+  /** [[extendHashComponents]] over the PERSISTED hash-group artifacts
+    * of [[graft.api.FingerprintStore]], shaped so the stored frames are
+    * SCANNED, never shuffled or re-aggregated per append:
+    *
+    *  - `sharedGroups`: (_sh, _rep) resolved latest-wins for EXACTLY
+    *    the batch-present hashes (batch-sized — it broadcasts);
+    *  - `unionGroups`: the PLAIN union of the store's grp epochs from
+    *    its snapshot, UNRESOLVED — an undercut hash may carry both its
+    *    old and new rep. Harmless for the banded candidate join, its
+    *    only consumer: the duplicate rep's extra edges land between
+    *    nodes the undercut batch already wired into one component, so
+    *    the closure labels are unchanged (spec-gated through the
+    *    store's chained-append ≡ from-scratch gates).
+    *
+    * Output-identical to [[extendHashComponents]] over the prints the
+    * groups summarize. */
+  def extendHashComponentsArtifact(sharedGroups: DataFrame,
+                                   unionGroups: DataFrame,
+                                   baseComp: DataFrame,
+                                   newHashes: DataFrame,
+                                   maxHamming: Int = 3): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val nh = newHashes.withColumnRenamed("simhash", "_sh").persist(lvl)
+    val ng = hashGroups(nh).persist(lvl)
+    val shared = sharedGroups.select(col("_sh"), col("_rep").as("_brep"))
+    val sharedEdges = ng.as("n")
+      .join(broadcast(shared.as("s")), col("n._sh") === col("s._sh"))
+      .select(col("s._brep").as("id1"), col("n._rep").as("id2"))
+    val newOnly = ng.join(broadcast(shared.select(col("_sh"))),
+        Seq("_sh"), "left_anti")
+      .select(col("_rep").as("_id"), col("_sh"))
+    val crossEdges = broadcast(bandProjected(newOnly, maxHamming)).as("l")
+      .join(bandProjected(unionGroups
+        .select(col("_rep").as("_id"), col("_sh")), maxHamming).as("r"),
+        col("l._band") === col("r._band") &&
+          col("l._bval") === col("r._bval"))
+      .select(col("r._id").as("id1"), col("l._id").as("id2"),
+        hamming(col("l._sh"), col("r._sh")).cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .select("id1", "id2").distinct()
+    val withinEdges = bandedHashPairs(newOnly, maxHamming)
+      .select("id1", "id2")
+    val newCliques = ng
+      .join(broadcast(shared.select(col("_sh"))), Seq("_sh"), "left_anti")
+      .where(col("_e") > 1)
+      .select(col("_rep").cast("long").as("id"),
+        col("_rep").cast("long").as("component"))
+    val out = Ckpt.eager(extendComponents(
+      baseComp.unionByName(newCliques
+        .join(baseComp.select("id"), Seq("id"), "left_anti")),
+      sharedEdges.unionByName(crossEdges).unionByName(withinEdges)))
+    Seq(nh, ng).foreach(_.unpersist(false))
+    out
+  }
+
+  /** The persistable hash-group frame of a fingerprint batch —
+    * (_sh, _rep): what [[graft.api.FingerprintStore.init]] writes as its
+    * first `grp` snapshot. Input carries (_id, simhash). */
+  def hashGroupArtifact(hashes: DataFrame): DataFrame =
+    hashGroups(hashes.withColumnRenamed("simhash", "_sh"))
+      .select(col("_sh"), col("_rep"))
+
+  /** The per-epoch (_sh, _rep) DELTA for a maintained hash-group
+    * artifact: batch-new hashes (their batch-min rep) plus stored
+    * hashes whose union-min rep the batch undercuts. `baseGroups` needs
+    * only the batch-present hashes' resolved rows (a superset is fine —
+    * the join keys on _sh). Latest-wins resolution over (snapshot +
+    * these deltas) equals [[hashGroupArtifact]] over the full print
+    * union (spec-gated). */
+  def hashGroupDelta(baseGroups: DataFrame,
+                     newHashes: DataFrame): DataFrame = {
+    val ng = hashGroups(newHashes.withColumnRenamed("simhash", "_sh"))
+    ng.join(broadcast(baseGroups
+        .select(col("_sh"), col("_rep").as("_brep"))),
+        Seq("_sh"), "left")
+      .where(col("_brep").isNull || col("_rep") < col("_brep"))
+      .select(col("_sh"), col("_rep"))
+  }
+
   private def extendHashComponentsOf(bg: DataFrame, ng: DataFrame,
                                      baseComp: DataFrame,
                                      maxHamming: Int): DataFrame = {
+    // the base side is consumed STREAMING-ONLY: every bg access is an
+    // inner/banded join whose batch side carries a broadcast hint (ng is
+    // batch-sized by the append contract), so the stored group frame is
+    // scanned, never shuffled — the anti-join probes that would have
+    // forced a base shuffle (left_anti can only broadcast its right
+    // side) are rewritten against the batch-sized `shared` frame
+    val shared = bg.as("b")
+      .join(broadcast(ng.select(col("_sh")).as("n")),
+        col("b._sh") === col("n._sh"))
+      .select(col("b._sh").as("_sh"), col("b._rep").as("_brep"))
     // batch hashes the base already carries: one rep-level edge wires
     // the batch members into the existing group (hamming 0)
     val sharedEdges = ng.as("n")
-      .join(bg.as("b"), col("n._sh") === col("b._sh"))
-      .select(col("b._rep").as("id1"), col("n._rep").as("id2"))
+      .join(shared.as("s"), col("n._sh") === col("s._sh"))
+      .select(col("s._brep").as("id1"), col("n._rep").as("id2"))
     // batch-NEW hashes: band against base reps and against each other
-    val newOnly = ng.join(bg.select(col("_sh")), Seq("_sh"), "left_anti")
+    val newOnly = ng.join(broadcast(shared.select(col("_sh"))),
+        Seq("_sh"), "left_anti")
       .select(col("_rep").as("_id"), col("_sh"))
-    val crossEdges = bandProjected(newOnly, maxHamming).as("l")
+    val crossEdges = broadcast(bandProjected(newOnly, maxHamming)).as("l")
       .join(bandProjected(
         bg.select(col("_rep").as("_id"), col("_sh")), maxHamming).as("r"),
         col("l._band") === col("r._band") &&
@@ -1169,7 +1329,7 @@ object Dedup {
     // clique — wire it as (rep, rep)-labeled singleton so it survives
     // even with no external edge (extendComponents preserves singletons)
     val newCliques = ng
-      .join(bg.select(col("_sh")), Seq("_sh"), "left_anti")
+      .join(broadcast(shared.select(col("_sh"))), Seq("_sh"), "left_anti")
       .where(col("_e") > 1)
       .select(col("_rep").cast("long").as("id"),
         col("_rep").cast("long").as("component"))
@@ -1843,7 +2003,14 @@ object Dedup {
                                tau: Double): DataFrame = {
     val within = assignmentDupPairs(batchAsg, tau)
       .select(col("id1"), col("id2"))
-    val cross = batchAsg.as("n").join(baseAsg.as("b"),
+    // drop untouched-cell base rows MAP-SIDE (broadcast semi-join on the
+    // batch's distinct cells — at most the trained cell count, tiny)
+    // before the join shuffle: only batch-touched cells' base rows ever
+    // leave their scan
+    val touchedCells = batchAsg.select(col("cell")).distinct()
+    val cross = batchAsg.as("n").join(
+        baseAsg.join(broadcast(touchedCells), Seq("cell"), "left_semi")
+          .as("b"),
         col("n.cell") === col("b.cell"))
       .withColumn("cosine", dotNativeD(col("n.dv"), col("b.dv")))
       .where(col("cosine") >= tau)

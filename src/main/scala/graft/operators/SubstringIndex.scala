@@ -202,8 +202,9 @@ object SubstringIndex {
                     index: DataFrame, newDocs: DataFrame, window: Int,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    val (touched, changed) =
-      appendCore(baseDocs, index, newDocs, window, idCol, textCol)
+    val (touched, changed, _) =
+      appendCore(baseDocs, restrictOf(index), newDocs, window, idCol,
+        textCol)
     baseDeduped
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
         col("n_tokens_before"), col("n_tokens_after"))
@@ -224,14 +225,45 @@ object SubstringIndex {
                          newDocs: DataFrame, window: Int,
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame =
-    appendCore(baseDocs, index, newDocs, window, idCol, textCol)._2
+    appendCore(baseDocs, restrictOf(index), newDocs, window, idCol,
+      textCol)._2
+
+  /** Both per-epoch deltas of a [[graft.api.SubstringDedupStore]]
+    * append — (deduped delta, index delta) — over a KEY-RESTRICTED
+    * index resolver instead of a materialized index frame: `indexFor`
+    * receives a small distinct (k1, k2) key frame (the batch's keys,
+    * then the touched docs' keys) and returns the resolved index rows
+    * for exactly those keys. This removes the append's base-linear
+    * latest-wins window (the store resolved its FULL index per append;
+    * filtering on the window's own partition keys first is
+    * resolution-transparent) — the stored index is scanned, never
+    * shuffled. The index delta is the same merged batch-key stats the
+    * dedup flags ride ([[extendIndexDelta]]'s output, value-identical
+    * under the increasing-id guard: the base keep IS the union least). */
+  def appendDeltas(baseDocs: DataFrame,
+                   indexFor: DataFrame => DataFrame,
+                   newDocs: DataFrame, window: Int,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): (DataFrame, DataFrame) = {
+    val (_, changed, idxDelta) =
+      appendCore(baseDocs, indexFor, newDocs, window, idCol, textCol)
+    (changed, idxDelta)
+  }
+
+  /** The resolver a MATERIALIZED index frame induces: restriction is a
+    * broadcast semi-join on the requested keys (resolution-transparent
+    * — the frame is already resolved). */
+  private def restrictOf(index: DataFrame): DataFrame => DataFrame =
+    keys => index.join(broadcast(keys), KeyCols, "left_semi")
 
   /** Shared core: (touched base ids, EAGER changed rows =
-    * recomputed-touched ∪ deduped-batch). */
-  private def appendCore(baseDocs: DataFrame, index: DataFrame,
+    * recomputed-touched ∪ deduped-batch, EAGER merged batch-key index
+    * delta). The index is consumed ONLY through `indexFor`. */
+  private def appendCore(baseDocs: DataFrame,
+                         indexFor: DataFrame => DataFrame,
                          newDocs: DataFrame, window: Int,
                          idCol: String, textCol: String)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     checkWindow(window)
     // id-ordering guard: a parquet min/max-statistics scan of the id
     // column on the base side, then a map-side raise_error on the batch
@@ -262,17 +294,22 @@ object SubstringIndex {
       .agg(min(struct(col("doc_id"), col("pos"))).as("_nk"),
         count(lit(1)).as("_no"))
       .persist(lvl)
+    // the index rows for EXACTLY the batch-present keys — batch-sized,
+    // pinned across its three consumers (merge, touched probe)
+    val idxB = indexFor(newAgg.select(KeyCols.map(col): _*))
+      .persist(lvl)
 
     // merged stats for keys PRESENT IN THE BATCH: base keep wins when
     // both sides hold the key (appended ids strictly exceed base ids,
-    // so the base minimum is the union minimum)
-    val mergedNew = newAgg.join(index, KeyCols, "left")
+    // so the base minimum is the union minimum) — this frame IS the
+    // epoch's index delta
+    val idxDelta = Ckpt.eager(newAgg.join(idxB, KeyCols, "left")
       .select(col("k1"), col("k2"),
         when(col("keep").isNull, col("_nk")).otherwise(col("keep"))
           .as("keep"),
-        (coalesce(col("occ"), lit(0L)) + col("_no")).as("occ"))
+        (coalesce(col("occ"), lit(0L)) + col("_no")).as("occ")))
     val newFlags = newKeys
-      .join(mergedNew.where(col("occ") >= 2L), KeyCols)
+      .join(idxDelta.where(col("occ") >= 2L), KeyCols)
       .select(col("doc_id"), col("pos"),
         (col("doc_id") === col("keep.doc_id") &&
           col("pos") === col("keep.pos")).as("_canon"))
@@ -280,16 +317,18 @@ object SubstringIndex {
 
     // touched base docs re-derive their doc-local window keys and
     // re-flag against (index stats + batch deltas); every window of a
-    // base doc is in the index, so the left-joined base side is always
+    // base doc is in the index, so the inner-joined base side is always
     // present and `keep` never needs the batch minimum
     // pinned: consumed by tb's semi-join during materialization below
     // AND by appendDeduped's carry anti-join after this returns
-    val touched = Ckpt.eager(touchedBaseIds(index, newAgg))
+    val touched = Ckpt.eager(touchedBaseIds(idxB, newAgg))
     val tb = baseDocs.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).cast("string").as("text"))
       .join(touched, Seq("doc_id"), "left_semi")
-    val tFlags = windowKeys(tb, window, "doc_id", "text")
-      .join(index, KeyCols)
+    val tKeys = windowKeys(tb, window, "doc_id", "text").persist(lvl)
+    val idxT = indexFor(tKeys.select(KeyCols.map(col): _*).distinct())
+    val tFlags = tKeys
+      .join(idxT, KeyCols)
       .join(newAgg.select(col("k1"), col("k2"), col("_no")),
         KeyCols, "left")
       .withColumn("_occ", col("occ") + coalesce(col("_no"), lit(0L)))
@@ -302,6 +341,8 @@ object SubstringIndex {
     val changed = tOut.unionByName(newOut).transform(Ckpt.eager)
     newKeys.unpersist(false)
     newAgg.unpersist(false)
-    (touched, changed)
+    idxB.unpersist(false)
+    tKeys.unpersist(false)
+    (touched, changed, idxDelta)
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
-import graft.api.{FingerprintStore, MinHashDedupStore}
+import graft.api.{FingerprintStore, MinHashDedupStore,
+  SemanticDedupStore}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
@@ -67,5 +68,53 @@ class AutoCompactSpec extends SparkSpec {
       plain.components.collect().map(_.toString).toSet)
     assert(auto.epoch - auto.latestSnapshot < 1 ||
       auto.latestSnapshot == auto.epoch)
+  }
+
+  test("the DEFAULT autoCompactEpochs (the measured 16) fires without " +
+    "being asked: 16 appends on a default-knob store advance the " +
+    "snapshot, reads stay identical to a manual (knob=0) twin") {
+    val rootA = Files.createTempDirectory("graft-ac5").toString + "/s"
+    val rootB = Files.createTempDirectory("graft-ac6").toString + "/s"
+    val init = Seq((1L, H), (2L, H)).toDF("_id", "simhash")
+    val auto = FingerprintStore.init(spark, rootA, init) // default knob
+    assert(auto.autoCompactEpochs == 16)
+    val manual = FingerprintStore.init(spark, rootB, init,
+      autoCompactEpochs = 0)
+    var allIds = Seq(1L, 2L).toDF("doc_id")
+    for (k <- 1 to 16) {
+      auto.append(batch(k))
+      manual.append(batch(k))
+      allIds = allIds.unionByName(batch(k).select(col("_id").as("doc_id")))
+    }
+    assert(auto.latestSnapshot > 0L, "default knob never fired")
+    assert(manual.latestSnapshot == 0L)
+    assert(ids(auto.kept(allIds)) == ids(manual.kept(allIds)))
+    assert(auto.components.collect().map(_.toString).toSet ==
+      manual.components.collect().map(_.toString).toSet)
+  }
+
+  test("semantic store with autoCompactEpochs=1: appends fold " +
+    "trainer-free, reads equal the manual twin, and staleness stays " +
+    "TRAIN-relative (the fold must not reset the drift clock)") {
+    val rootA = Files.createTempDirectory("graft-ac7").toString + "/s"
+    val rootB = Files.createTempDirectory("graft-ac8").toString + "/s"
+    val init = Seq(
+      (1L, Seq(1f, 0.01f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0f)), (4L, Seq(0.7f, 0.7f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val auto = SemanticDedupStore.init(spark, rootA, init, nCells = 2,
+      iters = 2, tau = 0.95, maxStaleFrac = 10.0, autoCompactEpochs = 1)
+    val manual = SemanticDedupStore.init(spark, rootB, init, nCells = 2,
+      iters = 2, tau = 0.95, maxStaleFrac = 10.0, autoCompactEpochs = 0)
+    val b1 = Seq((10L, Seq(1f, 0.015f, 0f, 0f))).toDF("vec_id", "embedding")
+    val b2 = Seq((11L, Seq(0f, 0f, 0.99f, 0.05f))).toDF("vec_id", "embedding")
+    for (b <- Seq(b1, b2)) { auto.append(b); manual.append(b) }
+    assert(auto.latestSnapshot > manual.latestSnapshot)
+    assert(auto.latestTrain == 0L) // the fold trained nothing
+    assert(auto.staleFrac == manual.staleFrac) // drift clock untouched
+    val allIds = (init unionByName b1 unionByName b2).select("vec_id")
+    def kept(s: SemanticDedupStore): Set[Long] = s.kept(allIds, "vec_id")
+      .select(col("vec_id").cast("long")).as[Long].collect().toSet
+    assert(kept(auto) == kept(manual))
   }
 }

@@ -142,6 +142,48 @@ class CurationDBSpec extends SparkSpec {
     assert(gone.getMessage.contains("below the latest snapshot"))
   }
 
+  test("time-travel ACROSS member compaction: a facade epoch committed " +
+    "after compactAll records member epochs that differ from the " +
+    "facade count, and keptAt/manifestAt resolve through the recorded " +
+    "vector; manifestAt(head) ≡ manifest") {
+    val root = Files.createTempDirectory("graft-cdb5").toString + "/db"
+    val db = CurationDB.init(spark, root, base, cfg)
+    db.append(batch)
+    // member maintenance advances member epochs past the facade count
+    db.compactAll()
+    val batch2 = rows(Seq(20L, 21L),
+      Seq("fresh words only here now", "p q r s t u v w"),
+      Seq("omega", "omegb"),
+      Seq(Seq(0.5f, 0.5f, 0.5f, 0.5f), Seq(0f, 1f, 0.01f, 0f)))
+    db.append(batch2)
+    assert(db.epoch == 2L)
+    val (subE, fpE, fzE, mhE, smE) = db.memberEpochsAt(2L)
+    assert(Seq(subE, fpE, fzE, mhE, smE).forall(_ > 2L),
+      "recorded member epochs should sit past the compaction epochs")
+    val allIds2 = base.unionByName(batch).unionByName(batch2)
+      .select("doc_id")
+    // the recorded vector resolves: keptAt(2) ≡ the latest composed
+    // read ≡ composing the five members at their recorded epochs
+    val direct = ids(db.substring.dedupedAt(subE)
+      .select(col("doc_id"))) &
+      ids(db.fingerprint.keptAt(fpE, allIds2)) &
+      ids(db.fuzzy.keptKeysAt(fzE).select(col("rep").as("doc_id"))) &
+      ids(db.minhash.keptAt(mhE, allIds2)) &
+      ids(db.semantic.keptAt(smE,
+        allIds2.select(col("doc_id").as("vec_id")), "vec_id"), "vec_id")
+    assert(ids(db.keptAt(2L, allIds2)) == ids(db.kept(allIds2)))
+    assert(ids(db.keptAt(2L, allIds2)) == direct)
+    // facade epoch 1's recorded member epochs were absorbed by the
+    // compaction — loud member failure, the documented contract
+    val gone = intercept[IllegalArgumentException] {
+      db.keptAt(1L, base.unionByName(batch).select("doc_id")).collect()
+    }
+    assert(gone.getMessage.contains("below the latest snapshot"))
+    // manifestAt at the head reproduces manifest exactly
+    assert(db.manifestAt(2L).collect().map(_.toString).toSet ==
+      db.manifest.collect().map(_.toString).toSet)
+  }
+
   test("five-store append converges after a crash that committed only " +
     "a prefix of the stores; a replayed facade token is a NO-OP") {
     val root = Files.createTempDirectory("graft-cdb2").toString + "/db"
@@ -171,5 +213,45 @@ class CurationDBSpec extends SparkSpec {
     // replayed facade token: no-op
     assert(db.append(batch, "cdb-1") == 1L)
     assert(db.epoch == 1L)
+  }
+
+  test("torn init converges: a crash after a prefix of member inits " +
+    "committed is repaired by replaying init with the same base") {
+    val root = Files.createTempDirectory("graft-cdb4").toString + "/db"
+    // kill inside the THIRD member's init (the fuzzy store): substring +
+    // fingerprint commit their epoch 0, fuzzy and the rest never do
+    EpochStoreKit.installFaultHook(s"$root/fz",
+      p => throw new RuntimeException("boom"))
+    intercept[RuntimeException] { CurationDB.init(spark, root, base, cfg) }
+    EpochStoreKit.clearFaultHook(s"$root/fz")
+
+    // the retried init opens the committed members, inits the stragglers,
+    // and lands the facade marker
+    val db = CurationDB.init(spark, root, base, cfg)
+    assert(db.epoch == 0L)
+    val allIds = base.select("doc_id")
+    val twinRoot = Files.createTempDirectory("graft-cdb4t").toString + "/db"
+    val twin = CurationDB.init(spark, twinRoot, base, cfg)
+    assert(ids(db.kept(allIds)) == ids(twin.kept(allIds)))
+
+    // a COMMITTED facade refuses re-init (it is not a torn-init resume)
+    val again = intercept[IllegalArgumentException] {
+      CurationDB.init(spark, root, base, cfg)
+    }
+    assert(again.getMessage.contains("already initialized"))
+
+    // and the resumed facade appends normally
+    assert(db.append(batch) == 1L)
+  }
+
+  test("idempotence tokens are injective under path sanitization: " +
+    "distinct raw tokens never share a token file") {
+    val p1 = EpochStoreKit.tokenPath("/r", "a/b")
+    val p2 = EpochStoreKit.tokenPath("/r", "a_b")
+    val p3 = EpochStoreKit.tokenPath("/r", "stream:5")
+    val p4 = EpochStoreKit.tokenPath("/r", "stream_5")
+    assert(Set(p1, p2, p3, p4).size == 4)
+    // same raw token still resolves to the same file (the replay key)
+    assert(EpochStoreKit.tokenPath("/r", "a/b") == p1)
   }
 }

@@ -287,4 +287,67 @@ class FaultSweepSpec extends SparkSpec {
     sweep(Scenario("sm-retrain", build2,
       r => { open(r).retrain(nCells = 2, iters = 2); () }, smRead))
   }
+
+  test("semantic store: a RETRAIN torn at every boundary followed by " +
+    "compact() never promotes the never-committed centroids — the " +
+    "cross-op recovery path the same-op sweep cannot reach") {
+    def open(r: String) =
+      SemanticDedupStore.open(spark, r, tau = 0.95, maxStaleFrac = 10.0)
+    // the buggy state is a MIXTURE: retrained centroids promoted to
+    // latestTrain while asg/comp still carry the old generation's sims —
+    // so the read must capture the assignment AND the centroids, not
+    // just kept ids
+    def read(r: String): Any = {
+      val s = open(r)
+      (rowSet(s.assignment), rowSet(s.components), s.latestTrain,
+        s.staleFrac, s.centroids.map(_.toSeq).toSeq)
+    }
+    val baseDir = Files.createTempDirectory("graft-fault-sm-xop").toString
+    val pristine = s"$baseDir/pristine"
+    val s0 = SemanticDedupStore.init(spark, pristine, smBase, nCells = 2,
+      iters = 2, tau = 0.95, maxStaleFrac = 10.0)
+    s0.append(smBatch)
+
+    // the two legitimate outcomes: compact over the un-retrained store,
+    // or compact after a retrain that reached its commit marker
+    val aRoot = s"$baseDir/expectA"
+    copyDir(pristine, aRoot)
+    open(aRoot).compact()
+    val expectA = read(aRoot)
+    val bRoot = s"$baseDir/expectB"
+    copyDir(pristine, bRoot)
+    open(bRoot).retrain(nCells = 2, iters = 2)
+    open(bRoot).compact()
+    val expectB = read(bRoot)
+    // the bug this guards: promoted torn centroids reset staleness, so
+    // the two expected states must themselves differ in latestTrain
+    assert(expectA != expectB)
+
+    val cntRoot = s"$baseDir/count"
+    copyDir(pristine, cntRoot)
+    var count = 0
+    EpochStoreKit.installFaultHook(cntRoot, _ => count += 1)
+    try open(cntRoot).retrain(nCells = 2, iters = 2)
+    finally EpochStoreKit.clearFaultHook(cntRoot)
+
+    for (k <- 1 to count) {
+      val d = s"$baseDir/k$k"
+      copyDir(pristine, d)
+      var fired = 0
+      EpochStoreKit.installFaultHook(d, p => {
+        fired += 1
+        if (fired == k) throw new FaultInjected(p)
+      })
+      val died =
+        try { open(d).retrain(nCells = 2, iters = 2); false }
+        catch { case _: FaultInjected => true }
+        finally EpochStoreKit.clearFaultHook(d)
+      assert(died, s"sm-xop k=$k: boundary never fired")
+      open(d).compact()
+      val got = read(d)
+      assert(got == expectA || got == expectB,
+        s"sm-xop k=$k: compact() after the torn retrain produced a " +
+          s"state matching neither legitimate outcome (got $got)")
+    }
+  }
 }

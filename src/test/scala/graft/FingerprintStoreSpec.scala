@@ -147,9 +147,10 @@ class FingerprintStoreSpec extends SparkSpec {
     val want = ids(s.kept(allIds))
     // hand-build the torn state compact() would leave if it crashed
     // right after its commit marker: epoch 2 holds an empty prints
-    // delta + the FULL resolved assignment, commit marker present,
-    // snapshot marker ABSENT, nothing pruned
+    // delta + the FULL resolved grp and assignment, commit marker
+    // present, snapshot marker ABSENT, nothing pruned
     s.components.write.parquet(s"$root/comp/epoch=2")
+    Dedup.hashGroupArtifact(s.prints).write.parquet(s"$root/grp/epoch=2")
     spark.read.parquet(s"$root/prints/epoch=0").limit(0)
       .write.parquet(s"$root/prints/epoch=2")
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -166,5 +167,65 @@ class FingerprintStoreSpec extends SparkSpec {
     assert(ids(s2.kept(allIds)) == want)
     assert(!new java.io.File(s"$root/comp/epoch=1").exists)
     assert(!new java.io.File(s"$root/comp/epoch=2").exists)
+  }
+
+  test("the maintained grp artifact resolves to hashGroupArtifact over " +
+    "the full prints at every epoch (incl. a rep UNDERCUT by a later " +
+    "smaller id), and epoch deltas hold exactly the added/relabeled " +
+    "hash rows") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-fps4").toString + "/store"
+    val s = FingerprintStore.init(spark, root, base)
+    s.append(batch1) // id 3 undercuts H0's rep 10
+    s.append(batch2) // 90 shares 40's hash but does NOT undercut
+    def grpRows(df: DataFrame): Set[(Long, Long)] = df
+      .select(col("_sh").cast("long"), col("_rep").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val resolved = graft.api.EpochStoreKit.resolveLatestWins(spark, root,
+      "grp", 0L, 2L, Seq("_sh"), Seq("_sh", "_rep"))
+    assert(grpRows(resolved) ==
+      grpRows(Dedup.hashGroupArtifact(s.prints)))
+    // epoch 1's delta: the two batch-new hashes + the undercut H0 rep
+    val d1 = grpRows(spark.read.parquet(s"$root/grp/epoch=1"))
+    assert(d1 == Set((H0, 3L), (0x13572468ACL, 60L), (H2 ^ 1L, 80L)))
+    // epoch 2's delta: one new hash only (90 does not undercut 40)
+    val d2 = grpRows(spark.read.parquet(s"$root/grp/epoch=2"))
+    assert(d2 == Set((0x7FFFFFFFFFL, 95L)))
+  }
+
+  test("legacy migration: a root written without grp dirs backfills " +
+    "them on open() — per-epoch content identical to a store built by " +
+    "the current code, reads and further appends equal the twin") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-fps5").toString + "/store"
+    val twinRoot = java.nio.file.Files
+      .createTempDirectory("graft-fps5t").toString + "/store"
+    for (r <- Seq(root, twinRoot)) {
+      val st = FingerprintStore.init(spark, r, base)
+      st.append(batch1)
+      st.append(batch2)
+    }
+    // fabricate the legacy layout: delete every grp dir
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$root/grp"))
+    assert(!new java.io.File(s"$root/grp").exists)
+    val s = FingerprintStore.open(spark, root)
+    def grpRows(p: String): Set[(Long, Long)] = spark.read.parquet(p)
+      .select(col("_sh").cast("long"), col("_rep").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    for (k <- 0 to 2)
+      assert(grpRows(s"$root/grp/epoch=$k") ==
+        grpRows(s"$twinRoot/grp/epoch=$k"), s"epoch $k grp mismatch")
+    val allIds = (base.select("_id") unionByName batch1.select("_id")
+      unionByName batch2.select("_id")).select(col("_id").as("doc_id"))
+    val twin = FingerprintStore.open(spark, twinRoot)
+    assert(ids(s.kept(allIds)) == ids(twin.kept(allIds)))
+    val b3 = Seq((300L, H0), (301L, 0x2BADF00D11L)).toDF("_id", "simhash")
+    s.append(b3); twin.append(b3)
+    val all3 = allIds.unionByName(b3.select(col("_id").as("doc_id")))
+    assert(ids(s.kept(all3)) == ids(twin.kept(all3)))
   }
 }

@@ -149,6 +149,70 @@ class MinHashDedupStoreSpec extends SparkSpec {
     assert(dup.getMessage.contains("already stored"))
   }
 
+  test("banded-artifact append path ≡ the re-collapse path bit for " +
+    "bit: crossBandNearDupPairs over a multi-epoch band union (with an " +
+    "exact text group SPANNING epochs, i.e. duplicate epoch-local " +
+    "reps) equals crossSigNearDupPairs over the same base") {
+    // slice the base into two 'epochs' sharing an exact text group
+    // (doc 3 in slice A, doc 4 = same text in slice B → the band union
+    // carries TWO reps for that group, the store's epoch-local shape)
+    val sliceA = df(1L -> "a b c d e f g h", 3L -> "p q r s t u v w",
+      5L -> "completely different words here indeed truly novel stuff")
+    val sliceB = df(2L -> "a b c d e f g h h2", 4L -> "p q r s t u v w",
+      6L -> "m n o p q")
+    def sig(d: DataFrame) =
+      Dedup.signatureFrame(d, "doc_id", "text", 3, 16)
+    val baseSig = sig(sliceA).unionByName(sig(sliceB))
+    val bandUnion = Dedup.bandArtifact(sig(sliceA), 16, 4)
+      .unionByName(Dedup.bandArtifact(sig(sliceB), 16, 4))
+    // two reps per spanning group, one per other group
+    assert(bandUnion.count() >
+      Dedup.bandArtifact(baseSig, 16, 4).count())
+    val newSig = sig(batch1)
+    def rows(d: DataFrame): Set[(Long, Long, Double)] = d
+      .select(col("new_id").cast("long"),
+        col("existing_id").cast("long"), col("jaccard").cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    val banded = rows(Dedup.crossBandNearDupPairs(newSig, bandUnion,
+      baseSig, Tau, 16, 4))
+    val direct = rows(Dedup.crossSigNearDupPairs(newSig, baseSig,
+      Tau, 16, 4))
+    assert(banded == direct && banded.nonEmpty)
+  }
+
+  test("legacy migration: a root written without band dirs backfills " +
+    "them on open() — per-epoch content identical to a current-code " +
+    "twin, reads and further appends equal the twin") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mhs4").toString + "/store"
+    val twinRoot = java.nio.file.Files
+      .createTempDirectory("graft-mhs4t").toString + "/store"
+    for (r <- Seq(root, twinRoot)) {
+      val st = MinHashDedupStore.init(spark, r, base, Tau)
+      st.append(batch1)
+    }
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$root/band"))
+    val s = MinHashDedupStore.open(spark, root, Tau)
+    def bandRows(p: String): Set[(Int, String, Long)] = spark.read
+      .parquet(p)
+      .select(col("_band").cast("int"), col("_bhash").cast("string"),
+        col("_id").cast("long"))
+      .as[(Int, String, Long)].collect().toSet
+    for (k <- 0 to 1)
+      assert(bandRows(s"$root/band/epoch=$k") ==
+        bandRows(s"$twinRoot/band/epoch=$k"), s"epoch $k band mismatch")
+    val twin = MinHashDedupStore.open(spark, twinRoot, Tau)
+    assert(s.append(batch2) == twin.append(batch2))
+    val u2 = base.unionByName(batch1).unionByName(batch2)
+    assert(ids(s.kept(u2.select("doc_id"))) ==
+      ids(twin.kept(u2.select("doc_id"))))
+    assert(ids(s.kept(u2.select("doc_id"))) == scratch(u2))
+  }
+
   test("exactly-once token appends: a replayed token is a no-op; a " +
     "fresh token appends") {
     val root = java.nio.file.Files
