@@ -489,6 +489,52 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Q122: ADVERSARIAL store-family robustness — the five-store
+    // CurationDB facade driven through an interleaved epoch history
+    // (init → append → minhash.compact() + semantic.retrain() between
+    // facade epochs → append → append), then read COLD at a HISTORICAL
+    // facade epoch (2) whose recorded member epochs differ from the
+    // facade count, through the recorded member-epoch vector. The
+    // oracle replays the composed filter from scratch over exactly the
+    // epoch-2 corpus: minhash closure + simhash-hamming closure +
+    // fuzzy-key rep survival + the RETRAINED-generation semantic chain
+    // (centroids trained on the pre-retrain slice, frozen-extended —
+    // the q119 theorem) — converting the FaultSweep/time-travel
+    // guarantees into one driver-checked row set.
+    "q122_curation_store_epochs" -> ((s, d) => {
+      import graft.api.CurationDB
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val corp = graft.operators.Ckpt.eager(
+        docs.join(emb, docs("doc_id") === emb("vec_id"))
+          .select(col("doc_id"), col("text"),
+            trim(substring(lower(regexp_replace(col("text"),
+              "[^A-Za-z0-9 ]", "")), 1, 24)).as("key"),
+            col("embedding")))
+      val mx = corp.agg(max(col("doc_id"))).head.getLong(0)
+      val c1 = mx * 5 / 10
+      val c2 = mx * 7 / 10
+      val c3 = mx * 9 / 10
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q122").toString + "/db"
+      val cfg = CurationDB.Config(nCells = 8, maxStaleFrac = 10.0)
+      val db = CurationDB.init(s, root,
+        corp.where(col("doc_id") <= c1), cfg)
+      db.append(corp.where(col("doc_id") > c1 && col("doc_id") <= c2))
+      // interleaved member maintenance across two stores: the minhash
+      // member folds its epoch chain, the semantic member re-freezes
+      db.minhash.compact()
+      db.semantic.retrain(nCells = 8)
+      db.append(corp.where(col("doc_id") > c2 && col("doc_id") <= c3))
+      db.append(corp.where(col("doc_id") > c3))
+      // cold reopen, then the historical read: facade epoch 2 resolves
+      // each member at its RECORDED epoch (≠ 2 for the maintained ones)
+      val db2 = CurationDB.open(s, root, cfg)
+      db2.keptAt(2L, corp.select("doc_id"))
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash per doc (bulk explode+agg form — codegen'd).
     "q24_simhash" -> ((s, d) =>
       Dedup.simhashes(augDocs(s, d), "doc_id", "text")
@@ -1417,6 +1463,146 @@ object DedupQueries {
     // assignment (init base + append batch) must hash-equal the
     // from-scratch closure over the union's pair graph
     "q121_minhash_store" -> ccClosureSql,
+
+    // q122: the composed five-family filter replayed FROM SCRATCH over
+    // exactly the epoch-2 corpus (ids ≤ 9/10·max — the later b3 batch
+    // is invisible to the historical read): minhash-closure drops +
+    // simhash-hamming-closure drops + semantic drops under the
+    // RETRAINED generation (centroids trained on the ≤ 7/10·max slice
+    // the retrain saw, frozen-extended — the q119 theorem) + the
+    // fuzzy-key rep-survival policy. The substring member rewrites text
+    // but never drops a stored doc, so its contribution to the kept-ID
+    // set is exactly the epoch-2 corpus membership the WHERE replays.
+    "q122_curation_store_epochs" -> {
+      val pcos =
+        "list_sum(list_transform(range(0, 64), i -> da.dv[i+1] * db.dv[i+1]))"
+      s"""WITH RECURSIVE
+        |cuts AS (SELECT max(d.doc_id) * 5 // 10 AS c1,
+        |    max(d.doc_id) * 7 // 10 AS c2,
+        |    max(d.doc_id) * 9 // 10 AS c3
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |corp AS MATERIALIZED (
+        |  SELECT d.doc_id, d.text,
+        |    trim(substr(lower(regexp_replace(d.text, '[^A-Za-z0-9 ]',
+        |      '', 'g')), 1, 24)) AS key,
+        |    e.embedding
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |  WHERE d.doc_id <= (SELECT c3 FROM cuts)),
+        |aug AS (SELECT doc_id, text FROM corp),
+        |$minhashChainSql,
+        |prm AS (SELECT id1, id2 FROM jac WHERE jaccard >= 0.5),
+        |em AS (SELECT id1 AS s, id2 AS t FROM prm
+        |       UNION SELECT id2, id1 FROM prm),
+        |reachm AS (
+        |  SELECT s AS id, s AS lab FROM em
+        |  UNION
+        |  SELECT em.t AS id, r.lab FROM reachm r JOIN em ON em.s = r.id),
+        |drpm AS (SELECT id FROM reachm GROUP BY id
+        |         HAVING id <> min(lab)),
+        |tkh AS (SELECT doc_id,
+        |  list_transform(regexp_split_to_array(trim(text), '\\s+'),
+        |    t -> $tokHash) AS th FROM aug),
+        |shh AS MATERIALIZED (SELECT doc_id AS id,
+        |    CAST($simhashBitsSql AS BIGINT) AS sh FROM tkh),
+        |prh AS (SELECT a.id AS id1, b.id AS id2
+        |  FROM shh a JOIN shh b ON a.id < b.id
+        |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+        |eh AS (SELECT id1 AS s, id2 AS t FROM prh
+        |       UNION SELECT id2, id1 FROM prh),
+        |reachh AS (
+        |  SELECT s AS id, s AS lab FROM eh
+        |  UNION
+        |  SELECT eh.t AS id, r.lab FROM reachh r JOIN eh ON eh.s = r.id),
+        |drph AS (SELECT id FROM reachh GROUP BY id
+        |         HAVING id <> min(lab)),
+        |ksf AS (SELECT key, min(doc_id) AS rep FROM corp
+        |        WHERE length(key) > 0 GROUP BY key),
+        |vf AS (
+        |  SELECT rep, key, key AS var FROM ksf
+        |  UNION ALL
+        |  SELECT rep, key,
+        |    substr(key, 1, i - 1) || substr(key, i + 1) AS var
+        |  FROM ksf CROSS JOIN LATERAL
+        |    (SELECT unnest(range(1, length(key) + 1)) AS i) pos),
+        |fpz AS (SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
+        |  FROM vf a JOIN vf b ON a.var = b.var AND a.rep < b.rep
+        |  WHERE levenshtein(a.key, b.key) <= 1),
+        |ez AS (SELECT rep_a AS s, rep_b AS t FROM fpz
+        |       UNION SELECT rep_b, rep_a FROM fpz),
+        |reachz AS (
+        |  SELECT s AS id, s AS lab FROM ez
+        |  UNION
+        |  SELECT ez.t AS id, r.lab FROM reachz r JOIN ez ON ez.s = r.id),
+        |drpz AS (SELECT id FROM reachz GROUP BY id
+        |         HAVING id <> min(lab)),
+        |keprep AS (SELECT k.rep FROM ksf k
+        |  LEFT JOIN drpz ON drpz.id = k.rep WHERE drpz.id IS NULL),
+        |nvs AS (
+        |  SELECT doc_id AS vec_id, list_transform(range(0, 64), i ->
+        |    CAST(CAST(embedding[i+1] AS DOUBLE)
+        |      / sqrt(list_sum(list_transform(range(0, 64), j ->
+        |          CAST(embedding[j+1] AS DOUBLE)
+        |          * CAST(embedding[j+1] AS DOUBLE))))
+        |      AS REAL)) AS v
+        |  FROM corp
+        |  WHERE sqrt(list_sum(list_transform(range(0, 64), j ->
+        |    CAST(embedding[j+1] AS DOUBLE)
+        |    * CAST(embedding[j+1] AS DOUBLE)))) > 0),
+        |dz AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(v, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv,
+        |    list_transform(list_transform(v, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)),
+        |      q -> CAST(q AS DOUBLE) / 1024.0) AS dv
+        |  FROM nvs),
+        |dzt AS MATERIALIZED (SELECT * FROM dz
+        |  WHERE vec_id <= (SELECT c2 FROM cuts)),
+        |c0 AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, dv AS cv
+        |  FROM (SELECT vec_id, dv FROM dzt ORDER BY vec_id LIMIT 8)),
+        |${(1 to 3).map(t => PipelineQueries.kmeansIter(t, "dzt"))
+          .mkString(",\n")},
+        |afs AS MATERIALIZED (
+        |  SELECT vec_id, cell, d AS sim FROM (
+        |    SELECT d.vec_id, c.cell,
+        |      list_sum(list_transform(range(0, 64), i ->
+        |        d.dv[i+1] * c.cv[i+1])) AS d,
+        |      row_number() OVER (PARTITION BY d.vec_id
+        |        ORDER BY list_sum(list_transform(range(0, 64), i ->
+        |          d.dv[i+1] * c.cv[i+1])) DESC, c.cell) AS rnk
+        |    FROM dz d CROSS JOIN c3 c) x
+        |  WHERE rnk = 1),
+        |prs AS MATERIALIZED (
+        |  SELECT fa.vec_id AS id1, fb.vec_id AS id2
+        |  FROM afs fa JOIN afs fb ON fa.cell = fb.cell
+        |    AND fa.vec_id < fb.vec_id
+        |  JOIN dz da ON da.vec_id = fa.vec_id
+        |  JOIN dz db ON db.vec_id = fb.vec_id
+        |  WHERE $pcos >= 0.95),
+        |es AS (SELECT id1 AS s, id2 AS t FROM prs
+        |       UNION SELECT id2, id1 FROM prs),
+        |reachs AS (
+        |  SELECT s AS id, s AS lab FROM es
+        |  UNION
+        |  SELECT es.t AS id, r.lab FROM reachs r JOIN es ON es.s = r.id),
+        |comps AS (SELECT id, min(lab) AS component FROM reachs
+        |          GROUP BY id),
+        |rks AS (SELECT c.id,
+        |    row_number() OVER (PARTITION BY c.component
+        |      ORDER BY a.sim ASC, c.id ASC) AS rnk
+        |  FROM comps c JOIN afs a ON a.vec_id = c.id),
+        |drps AS (SELECT id FROM rks WHERE rnk > 1)
+        |SELECT CAST(c.doc_id AS BIGINT) AS doc_id
+        |FROM corp c
+        |LEFT JOIN drpm ON drpm.id = c.doc_id
+        |LEFT JOIN drph ON drph.id = c.doc_id
+        |LEFT JOIN drps ON drps.id = c.doc_id
+        |LEFT JOIN keprep kr ON kr.rep = c.doc_id
+        |WHERE drpm.id IS NULL AND drph.id IS NULL AND drps.id IS NULL
+        |  AND kr.rep IS NOT NULL
+        |ORDER BY doc_id""".stripMargin
+    },
 
     // q113: the symmetric-delete chain verbatim
     "q113_fuzzy_key_pairs" ->
