@@ -1103,7 +1103,13 @@ object Dedup {
   private def hashComponentsOf(grp: DataFrame,
                                maxHamming: Int): DataFrame = {
     val reps = grp.select(col("_rep").as("_id"), col("_sh"))
-    val repComp = connectedComponents(
+    // star closure, not plain min-label propagation: fingerprint graphs
+    // form Hamming CHAINS (a drifting near-dup series pairs i with i+1
+    // but not i with i+2), whose min-label eccentricity is the chain
+    // length — the star variant reaches fixpoint in O(log² n) rounds
+    // (the append path's extendComponents already rides it); identical
+    // output labels (min member id), r14 bench-surfaced
+    val repComp = connectedComponentsStar(
       bandedHashPairs(reps, maxHamming).select(col("id1"), col("id2")))
     val cliqueOnly = grp.where(col("_e") > 1)
       .select(col("_rep").cast("long").as("id"),
