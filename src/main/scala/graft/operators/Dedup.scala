@@ -1103,14 +1103,21 @@ object Dedup {
   private def hashComponentsOf(grp: DataFrame,
                                maxHamming: Int): DataFrame = {
     val reps = grp.select(col("_rep").as("_id"), col("_sh"))
-    // star closure, not plain min-label propagation: fingerprint graphs
-    // form Hamming CHAINS (a drifting near-dup series pairs i with i+1
-    // but not i with i+2), whose min-label eccentricity is the chain
-    // length — the star variant reaches fixpoint in O(log² n) rounds
-    // (the append path's extendComponents already rides it); identical
-    // output labels (min member id), r14 bench-surfaced
-    val repComp = connectedComponentsStar(
+    // plain min-label propagation first (dedup clusters are shallow
+    // near-cliques — 2-4 rounds, the cheapest shape), falling back to
+    // the star closure when the graph is a Hamming CHAIN (a drifting
+    // near-dup series pairs i with i±1 only, so min-label eccentricity
+    // equals the chain length — the 10× varied fixture blew the round
+    // budget here, r14): star reaches fixpoint in O(log² n) rounds
+    // regardless of diameter, with identical output labels. The pair
+    // frame is pinned so the fallback re-reads, not re-bands.
+    val pairs = Ckpt.eager(
       bandedHashPairs(reps, maxHamming).select(col("id1"), col("id2")))
+    val repComp =
+      try connectedComponents(pairs, maxIter = 8)
+      catch {
+        case _: IllegalStateException => connectedComponentsStar(pairs)
+      }
     val cliqueOnly = grp.where(col("_e") > 1)
       .select(col("_rep").cast("long").as("id"),
         col("_rep").cast("long").as("component"))
@@ -1307,10 +1314,12 @@ object Dedup {
     // scanned, never shuffled — the anti-join probes that would have
     // forced a base shuffle (left_anti can only broadcast its right
     // side) are rewritten against the batch-sized `shared` frame
-    val shared = bg.as("b")
+    // batch-sized, pinned: three consumers (edge join + two anti-probes)
+    // would otherwise each re-stream the base frame
+    val shared = Ckpt.eager(bg.as("b")
       .join(broadcast(ng.select(col("_sh")).as("n")),
         col("b._sh") === col("n._sh"))
-      .select(col("b._sh").as("_sh"), col("b._rep").as("_brep"))
+      .select(col("b._sh").as("_sh"), col("b._rep").as("_brep")))
     // batch hashes the base already carries: one rep-level edge wires
     // the batch members into the existing group (hamming 0)
     val sharedEdges = ng.as("n")
