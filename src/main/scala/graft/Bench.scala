@@ -56,14 +56,25 @@ object Bench {
       val ok = samples.flatMap(_(n))
       if (ok.isEmpty) None else Some(n -> (median(ok), ok.min))
     }
-    val medians = stats.map { case (n, (m, _)) => n -> m }
-    val floors = stats.map { case (n, (_, f)) => n -> f }
+    // 0.1 ms print precision: full doubles added ~1.5 KB of noise digits
+    // to a line that log-capture windows already truncate (r12-r14 all
+    // recorded "parsed": null)
+    def r4(v: Double): Double = math.round(v * 10000.0) / 10000.0
+    val medians = stats.map { case (n, (m, _)) => n -> r4(m) }
+    val floors = stats.map { case (n, (_, f)) => n -> r4(f) }
     // a query is "failed" only if EVERY repetition failed; failures are a
     // separate array (never sign-encoded into the timings map)
     val failed = names.filter(n => samples.forall(_(n).isEmpty))
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = floors.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // window-normalization sentinels: two queries untouched for many
+    // rounds — a reader divides any run's floors by the sentinel ratio
+    // to separate box swing (~1.4x between windows) from code change
+    val sentinel = medians.filter { case (k, _) =>
+      k == "q03_tpch_q1" || k == "q08_topk" }
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // deliberate exact baselines whose scale twin is the real path: the
@@ -78,16 +89,20 @@ object Bench {
     val bo = baselineOf.filter { case (k, _) => names.contains(k) }
       .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = medians.map(_._2).sum
+    val total = r4(medians.map(_._2).sum)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"floors":$fs,"baseline_of":$bo,"failed":$fl,"repeats":$repeats,"sf":"$sfDir"}"""
-    println(line)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"floors":$fs,"sentinel":$sentinel,"baseline_of":$bo,"failed":$fl,"repeats":$repeats,"sf":"$sfDir"}"""
     // the stdout line can exceed log-capture truncation limits (~2000
-    // chars with 84 queries), which round 6 showed leaves consumers with
-    // an unparseable tail — persist the full record beside the repo too
+    // chars with 151 queries), which rounds 6 and 12-14 showed leaves
+    // consumers with an unparseable tail — persist the full record
+    // beside the repo FIRST, then print the line as the VERY LAST stdout
+    // output (after spark.stop(), so no shutdown logging follows it and
+    // a tail window holds as much of the line as it can)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_last_run.json"), line + "\n")
     catch { case _: Throwable => () } // read-only cwd: stdout still has it
     spark.stop()
+    println(line)
+    Console.out.flush()
   }
 }

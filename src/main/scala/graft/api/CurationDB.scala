@@ -87,13 +87,24 @@ class CurationDB private (val spark: SparkSession, val root: String,
         col("text").cast("string").as("text"),
         col("key").cast("string").as("key"), col("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val subE = substring.append(b.select("doc_id", "text"), token)
-      val fpE = fingerprint.append(CurationDB.textHashes(b), token)
-      val fzE = fuzzy.append(b.select("doc_id", "key"), token)
-      val mhE = minhash.append(b.select("doc_id", "text"), "doc_id",
-        "text", token)
-      val smE = semantic.append(b.select(col("doc_id").as("vec_id"),
-        col("embedding")), token)
+      // materialize the shared batch ONCE before the members run —
+      // the five appends then all read the cached blocks
+      b.count()
+      // the five member appends are INDEPENDENT Spark job chains over
+      // disjoint store roots; overlapping them fills the executor slots
+      // each member's small sequential jobs leave idle (guide §2.6) —
+      // crash-convergence is untouched (a failure in any member leaves
+      // exactly a crash window the verbatim replay repairs)
+      val es = CurationDB.runMembers(spark, root, Seq(
+        () => substring.append(b.select("doc_id", "text"), token),
+        () => fingerprint.append(CurationDB.textHashes(b), token),
+        () => fuzzy.append(b.select("doc_id", "key"), token),
+        () => minhash.append(b.select("doc_id", "text"), "doc_id",
+          "text", token),
+        () => semantic.append(b.select(col("doc_id").as("vec_id"),
+          col("embedding")), token)))
+      val (subE, fpE, fzE, mhE, smE) =
+        (es(0), es(1), es(2), es(3), es(4))
       b.unpersist(false)
       EpochStoreKit.writeToken(fs,
         EpochStoreKit.tokenPath(root, token), n)
@@ -204,10 +215,15 @@ class CurationDB private (val spark: SparkSession, val root: String,
 
   /** Run every member store's compaction (trainer-free across the
     * board) — bounds each family's read-side resolution window. Member
-    * epochs advance independently; the facade epoch is untouched. */
+    * epochs advance independently; the facade epoch is untouched. The
+    * five compactions are independent job chains and overlap
+    * (guide §2.6), like [[append]]'s member appends. */
   def compactAll(): Unit = {
-    substring.compact(); fingerprint.compact(); fuzzy.compact()
-    minhash.compact(); semantic.compact()
+    CurationDB.runMembers(spark, root, Seq(
+      () => substring.compact(), () => fingerprint.compact(),
+      () => fuzzy.compact(), () => minhash.compact(),
+      () => semantic.compact()))
+    ()
   }
 
   /** Free every frame [[cacheKept]] pinned. */
@@ -242,6 +258,37 @@ object CurationDB {
                                 mhE: Long, smE: Long): String =
     s"sub=$subE,fp=$fpE,fz=$fzE,mh=$mhE,sm=$smE"
 
+  /** Run the five member operations, OVERLAPPED on a small thread pool
+    * (each member is a chain of small sequential Spark jobs over its own
+    * store root; concurrent jobs back-fill the executor slots one
+    * member's stage tail leaves idle — guide §2.6 — measured ~2× on the
+    * facade append wall locally). Every task runs to completion before
+    * the first failure (in member order) is rethrown with its original
+    * type, so a failed parallel append leaves exactly the
+    * some-members-committed crash window the verbatim replay repairs.
+    * Falls back to the serial member order when a fault-sweep hook is
+    * driving this root (the sweeps enumerate write boundaries by order)
+    * or when `spark.graft.curation.parallelMembers=false`. */
+  private[api] def runMembers[T](spark: SparkSession, root: String,
+                                 tasks: Seq[() => T]): Seq[T] = {
+    val parallel = spark.conf
+      .getOption("spark.graft.curation.parallelMembers")
+      .forall(_ != "false") && !EpochStoreKit.hasHookFor(root)
+    if (!parallel) tasks.map(_())
+    else {
+      val pool =
+        java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+      try {
+        val futs = tasks.map { t =>
+          pool.submit(new java.util.concurrent.Callable[scala.util.Try[T]] {
+            def call(): scala.util.Try[T] = scala.util.Try(t())
+          })
+        }
+        futs.map(_.get()).map(_.get)
+      } finally pool.shutdown()
+    }
+  }
+
   /** Initialize all five stores at `root` from a base corpus
     * (doc_id, text, key, embedding); facade epoch 0 = the base.
     *
@@ -265,36 +312,51 @@ object CurationDB {
       col("text").cast("string").as("text"),
       col("key").cast("string").as("key"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the shared base ONCE, then overlap the five
+    // independent member inits (guide §2.6) — same discipline as
+    // [[CurationDB.append]]'s member appends
+    b.count()
+    val members = runMembers[Any](spark, root, Seq(
+      () =>
+        if (committed("sub"))
+          SubstringDedupStore.open(spark, s"$root/sub", cfg.window,
+            cfg.autoCompactEpochs)
+        else SubstringDedupStore.init(spark, s"$root/sub",
+          b.select("doc_id", "text"), cfg.window, cfg.autoCompactEpochs),
+      () =>
+        if (committed("fp"))
+          FingerprintStore.open(spark, s"$root/fp", cfg.maxHamming,
+            cfg.autoCompactEpochs)
+        else FingerprintStore.init(spark, s"$root/fp", textHashes(b),
+          cfg.maxHamming, cfg.autoCompactEpochs),
+      () =>
+        if (committed("fz"))
+          FuzzyKeyStore.open(spark, s"$root/fz", cfg.maxKeyLen,
+            cfg.maxEdit, cfg.autoCompactEpochs)
+        else FuzzyKeyStore.init(spark, s"$root/fz",
+          b.select("doc_id", "key"), cfg.maxKeyLen, cfg.maxEdit,
+          cfg.autoCompactEpochs),
+      () =>
+        if (committed("mh"))
+          MinHashDedupStore.open(spark, s"$root/mh", cfg.minhashTau,
+            cfg.shingleN, cfg.numHashes, cfg.bands, cfg.autoCompactEpochs)
+        else MinHashDedupStore.init(spark, s"$root/mh",
+          b.select("doc_id", "text"), cfg.minhashTau, "doc_id", "text",
+          cfg.shingleN, cfg.numHashes, cfg.bands, cfg.autoCompactEpochs),
+      () =>
+        if (committed("sm"))
+          SemanticDedupStore.open(spark, s"$root/sm", cfg.semanticTau,
+            cfg.maxStaleFrac, cfg.autoCompactEpochs)
+        else SemanticDedupStore.init(spark, s"$root/sm",
+          b.select(col("doc_id").as("vec_id"), col("embedding")),
+          cfg.nCells, cfg.kmeansIters, cfg.semanticTau, cfg.maxStaleFrac,
+          cfg.autoCompactEpochs)))
     val db = new CurationDB(spark, root,
-      if (committed("sub"))
-        SubstringDedupStore.open(spark, s"$root/sub", cfg.window,
-        cfg.autoCompactEpochs)
-      else SubstringDedupStore.init(spark, s"$root/sub",
-        b.select("doc_id", "text"), cfg.window, cfg.autoCompactEpochs),
-      if (committed("fp"))
-        FingerprintStore.open(spark, s"$root/fp", cfg.maxHamming,
-        cfg.autoCompactEpochs)
-      else FingerprintStore.init(spark, s"$root/fp", textHashes(b),
-        cfg.maxHamming, cfg.autoCompactEpochs),
-      if (committed("fz"))
-        FuzzyKeyStore.open(spark, s"$root/fz", cfg.maxKeyLen, cfg.maxEdit,
-        cfg.autoCompactEpochs)
-      else FuzzyKeyStore.init(spark, s"$root/fz",
-        b.select("doc_id", "key"), cfg.maxKeyLen, cfg.maxEdit,
-        cfg.autoCompactEpochs),
-      if (committed("mh"))
-        MinHashDedupStore.open(spark, s"$root/mh", cfg.minhashTau,
-          cfg.shingleN, cfg.numHashes, cfg.bands, cfg.autoCompactEpochs)
-      else MinHashDedupStore.init(spark, s"$root/mh",
-        b.select("doc_id", "text"), cfg.minhashTau, "doc_id", "text",
-        cfg.shingleN, cfg.numHashes, cfg.bands, cfg.autoCompactEpochs),
-      if (committed("sm"))
-        SemanticDedupStore.open(spark, s"$root/sm", cfg.semanticTau,
-          cfg.maxStaleFrac, cfg.autoCompactEpochs)
-      else SemanticDedupStore.init(spark, s"$root/sm",
-        b.select(col("doc_id").as("vec_id"), col("embedding")),
-        cfg.nCells, cfg.kmeansIters, cfg.semanticTau, cfg.maxStaleFrac,
-        cfg.autoCompactEpochs))
+      members(0).asInstanceOf[SubstringDedupStore],
+      members(1).asInstanceOf[FingerprintStore],
+      members(2).asInstanceOf[FuzzyKeyStore],
+      members(3).asInstanceOf[MinHashDedupStore],
+      members(4).asInstanceOf[SemanticDedupStore])
     b.unpersist(false)
     EpochStoreKit.writeText(fs, new Path(s"$root/_commits/0"),
       memberRecord(0L, 0L, 0L, 0L, 0L))
@@ -314,9 +376,9 @@ object CurationDB {
       FuzzyKeyStore.open(spark, s"$root/fz", cfg.maxKeyLen, cfg.maxEdit,
         cfg.autoCompactEpochs),
       MinHashDedupStore.open(spark, s"$root/mh", cfg.minhashTau,
-        cfg.shingleN, cfg.numHashes, cfg.bands),
+        cfg.shingleN, cfg.numHashes, cfg.bands, cfg.autoCompactEpochs),
       SemanticDedupStore.open(spark, s"$root/sm", cfg.semanticTau,
-        cfg.maxStaleFrac))
+        cfg.maxStaleFrac, cfg.autoCompactEpochs))
     require(db.epoch >= 0,
       s"CurationDB at $root has no committed facade epoch")
     db

@@ -62,6 +62,22 @@ private[graft] object EpochStoreKit {
       }
     }
 
+  /** True when a fault hook overlaps `root` (the hook's key is inside
+    * the root or vice versa) — the fault sweeps enumerate write
+    * boundaries by ORDER, so facades that overlap member operations
+    * concurrently in production fall back to the serial order while a
+    * sweep is driving them. */
+  private[graft] def hasHookFor(root: String): Boolean =
+    !faultHooks.isEmpty && {
+      val it = faultHooks.keySet().iterator()
+      var found = false
+      while (it.hasNext && !found) {
+        val k = it.next()
+        found = k.contains(root) || root.contains(k)
+      }
+      found
+    }
+
   /** Overwrite-mode parquet write with a fault boundary — ALL store
     * artifact writes go through here so the sweep sees them. */
   def writeParquet(df: DataFrame, path: String): Unit = {
@@ -88,9 +104,7 @@ private[graft] object EpochStoreKit {
   //     committed epoch — a no-op.
 
   def tokenPath(root: String, token: String): Path = {
-    val safe = token.map(c =>
-      if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.') c
-      else '_')
+    val safe = sanitizeToken(token)
     // sanitization alone is not injective ("a/b" and "a_b" collide, and a
     // collision makes replayCheck treat a NEW append as a committed replay
     // and silently drop the batch) — suffix a digest of the raw token so
@@ -100,6 +114,19 @@ private[graft] object EpochStoreKit {
       .map(b => f"${b & 0xff}%02x").mkString
     new Path(s"$root/_tokens/$safe-$digest")
   }
+
+  private def sanitizeToken(token: String): String =
+    token.map(c =>
+      if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.') c
+      else '_')
+
+  /** The pre-digest token path (stores written before the '-digest'
+    * suffix): [[replayCheck]] falls back to it so a replayed
+    * exactly-once append on an UPGRADED store still finds its committed
+    * token instead of re-attempting and wedging on the disjoint-id
+    * guard. New tokens always write the digest-suffixed path. */
+  private def legacyTokenPath(root: String, token: String): Path =
+    new Path(s"$root/_tokens/${sanitizeToken(token)}")
 
   def writeToken(fs: FileSystem, path: Path, epoch: Long): Unit = {
     boundary(path.toString)
@@ -149,7 +176,8 @@ private[graft] object EpochStoreKit {
     * token (recorded but uncommitted) names exactly the next epoch. */
   def replayCheck(fs: FileSystem, root: String, token: String,
                   currentEpoch: Long): Option[Long] =
-    readToken(fs, tokenPath(root, token)) match {
+    readToken(fs, tokenPath(root, token))
+      .orElse(readToken(fs, legacyTokenPath(root, token))) match {
       case Some(n) if n <= currentEpoch => Some(n)
       case Some(n) =>
         require(n == currentEpoch + 1,
@@ -227,13 +255,30 @@ private[graft] object EpochStoreKit {
                                keys: DataFrame): DataFrame = {
     val df = spark.read.option("basePath", s"$root/$kind")
       .parquet((from to to).map(n => s"$root/$kind/epoch=$n"): _*)
-      .join(broadcast(keys), keyCols, "left_semi")
+      .join(guardedBroadcast(spark, keys), keyCols, "left_semi")
     if (from == to) df.select(outCols.map(col): _*)
     else df
       .withColumn("_rk", row_number().over(Window
         .partitionBy(keyCols.map(col): _*).orderBy(col("epoch").desc)))
       .where(col("_rk") === 1)
       .select(outCols.map(col): _*)
+  }
+
+  /** Broadcast `keys` only while its PLAN-STATISTICS size estimate
+    * (driver-side, zero extra jobs) stays under
+    * `spark.graft.keys.broadcastMaxBytes` (default 256 MB). Past the
+    * budget the plain frame is returned and the join shuffles both
+    * sides — slower but bounded, where an unconditional broadcast of a
+    * flood batch's key set (or a touched-doc key set that scales with
+    * touched TEXT, not batch size) would OOM the driver. The join
+    * RESULT is identical either way. */
+  private[graft] def guardedBroadcast(spark: SparkSession,
+                                      keys: DataFrame): DataFrame = {
+    val maxBytes = spark.conf
+      .getOption("spark.graft.keys.broadcastMaxBytes")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    val est = keys.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= maxBytes) broadcast(keys) else keys
   }
 
   /** Delete `kind/epoch=N` directories with N below `snap`. Readers

@@ -287,18 +287,29 @@ object FingerprintStore {
     // full groups of the prints stored by then, later epochs the
     // new/undercut delta — so reads AND time-travel resolve identically
     // to a store built by the current code (idempotent overwrites)
-    if (!fs.exists(new Path(s"$root/grp"))) {
+    // A PENDING marker brackets the loop (same rationale as the minhash
+    // band migration): a crash mid-migration leaves the grp dir present
+    // but incomplete, and gating on the dir alone would skip the re-run
+    // forever — the marker makes the next open resume, re-writing
+    // exactly the epochs whose parquet commit (_SUCCESS) is missing
+    // (earlier epochs' grp content is already durable, so the sequential
+    // derivation below reads committed state).
+    val pending = new Path(s"$root/_migrations/grp")
+    if (!fs.exists(new Path(s"$root/grp")) || fs.exists(pending)) {
+      EpochStoreKit.markFile(fs, pending)
       val snap = s.latestSnapshot
-      for (k <- snap to e) {
-        val content =
-          if (k == snap) Dedup.hashGroupArtifact(s.printsAt(snap))
-          else Dedup.hashGroupDelta(
-            EpochStoreKit.resolveLatestWins(spark, root, "grp", snap,
-              k - 1, Seq("_sh"), Seq("_sh", "_rep")),
-            spark.read.parquet(s"$root/prints/epoch=$k")
-              .select("_id", "simhash"))
-        EpochStoreKit.writeParquet(content, s"$root/grp/epoch=$k")
-      }
+      for (k <- snap to e)
+        if (!fs.exists(new Path(s"$root/grp/epoch=$k/_SUCCESS"))) {
+          val content =
+            if (k == snap) Dedup.hashGroupArtifact(s.printsAt(snap))
+            else Dedup.hashGroupDelta(
+              EpochStoreKit.resolveLatestWins(spark, root, "grp", snap,
+                k - 1, Seq("_sh"), Seq("_sh", "_rep")),
+              spark.read.parquet(s"$root/prints/epoch=$k")
+                .select("_id", "simhash"))
+          EpochStoreKit.writeParquet(content, s"$root/grp/epoch=$k")
+        }
+      fs.delete(pending, false)
     }
     s
   }

@@ -183,17 +183,22 @@ class MinHashDedupStore private (val spark: SparkSession,
         .map(_.get(0)).getOrElse("")} already stored at $root — " +
         "appended ids must be disjoint (a duplicated id would corrupt " +
         "the min-id keep policy)")
-    // the appended edges: batch-internal pairs + batch×base pairs — the
+    // ONE shared exact-dup collapse of the batch (r15): the within-pair,
+    // cross-pair and band-artifact consumers all ride the same
+    // (membership, rep) frames instead of re-collapsing the batch three
+    // times — the fixed-cost term that dominated small-batch appends.
+    // The appended edges: batch-internal pairs + batch×base pairs — the
     // batch's banded projection broadcasts against a SCAN of the stored
     // band artifact (no re-collapse or re-banding of the base minima);
     // the stored sig frame is touched only by the candidate-keyed
     // verify/expansion joins
+    val (bMem, bRep) = Dedup.collapseFromSignatures(bSig)
     val newEdges = Dedup
-      .sigNearDupPairs(bSig, tau, numHashes, bands)
+      .sigNearDupPairsCollapsed(bMem, bRep, tau, numHashes, bands)
       .select(col("id1").cast("long"), col("id2").cast("long"))
       .unionByName(Dedup
-        .crossBandNearDupPairs(bSig, bandAt(e), baseSig, tau, numHashes,
-          bands)
+        .crossBandNearDupPairsCollapsed(bMem, bRep, bandAt(e), baseSig,
+          tau, numHashes, bands)
         .select(col("existing_id").cast("long").as("id1"),
           col("new_id").cast("long").as("id2")))
     val oldComp = compAt(e)
@@ -202,8 +207,9 @@ class MinHashDedupStore private (val spark: SparkSession,
     // — extension never deletes a row, so latest-wins reconstruction
     // over (old resolved state + this delta) IS the new assignment
     val delta = comp.join(oldComp, Seq("id", "component"), "left_anti")
-    writeEpoch(k, bSig, Dedup.bandArtifact(bSig, numHashes, bands),
+    writeEpoch(k, bSig, Dedup.bandArtifactOfRep(bRep, numHashes, bands),
       delta, token)
+    bRep.unpersist(false)
     if (autoCompactEpochs > 0 && k - latestSnapshot >= autoCompactEpochs)
       compact()
     k
@@ -284,10 +290,14 @@ object MinHashDedupStore {
     val sig = Ckpt.eager(s.normalizeSig(Dedup.signatureFrame(
       docs.select(col(idCol).cast("long").as(idCol), col(textCol)),
       idCol, textCol, n, numHashes)))
-    val pairs = Dedup.sigNearDupPairs(sig, tau, numHashes, bands)
+    // one shared collapse for the pair and band-artifact consumers (r15)
+    val (mem, rep) = Dedup.collapseFromSignatures(sig)
+    val pairs = Dedup.sigNearDupPairsCollapsed(mem, rep, tau, numHashes,
+        bands)
       .select(col("id1").cast("long"), col("id2").cast("long"))
-    s.writeEpoch(0L, sig, Dedup.bandArtifact(sig, numHashes, bands),
+    s.writeEpoch(0L, sig, Dedup.bandArtifactOfRep(rep, numHashes, bands),
       Ckpt.eager(Dedup.connectedComponents(pairs)))
+    rep.unpersist(false)
     EpochStoreKit.markFile(EpochStoreKit.fsOf(spark, root),
       new Path(s"$root/_snapshots/0"))
     s
@@ -305,14 +315,24 @@ object MinHashDedupStore {
     // legacy migration (roots written before the banded projection
     // artifact): backfill each committed epoch's band content exactly
     // as its append would have written it — the epoch's own sig slice's
-    // exact-group reps, banded (idempotent overwrites)
+    // exact-group reps, banded (idempotent overwrites). A PENDING marker
+    // brackets the loop: a crash mid-migration leaves the band dir
+    // present but incomplete, and gating on the dir alone would skip the
+    // re-run forever (silently dropping candidate pairs) — the marker
+    // makes the next open resume, re-writing exactly the epochs whose
+    // parquet commit (_SUCCESS) is missing.
     val fs = EpochStoreKit.fsOf(spark, root)
-    if (!fs.exists(new Path(s"$root/band")))
+    val pending = new Path(s"$root/_migrations/band")
+    if (!fs.exists(new Path(s"$root/band")) || fs.exists(pending)) {
+      EpochStoreKit.markFile(fs, pending)
       for (k <- 0L to e)
-        EpochStoreKit.writeParquet(
-          Dedup.bandArtifact(spark.read.parquet(s"$root/sig/epoch=$k")
-            .select(s.sigCols.map(col): _*), numHashes, bands),
-          s"$root/band/epoch=$k")
+        if (!fs.exists(new Path(s"$root/band/epoch=$k/_SUCCESS")))
+          EpochStoreKit.writeParquet(
+            Dedup.bandArtifact(spark.read.parquet(s"$root/sig/epoch=$k")
+              .select(s.sigCols.map(col): _*), numHashes, bands),
+            s"$root/band/epoch=$k")
+      fs.delete(pending, false)
+    }
     s
   }
 }

@@ -18,6 +18,13 @@ import org.apache.spark.sql.DataFrame
   */
 object Dedup {
 
+  /** Dedicated non-convergence signal of the closure loops — subclasses
+    * IllegalStateException (existing catchers keep working) but gives the
+    * hybrid plain→star fallback a type that cannot match an UNRELATED
+    * illegal-state failure. */
+  final class NonConvergence(msg: String)
+    extends IllegalStateException(msg)
+
   /** 2^31-1, Mersenne prime; all minhash arithmetic stays below 2^62. */
   val P: Long = 2147483647L
   def hashA(j: Int): Long = (637543L + 104729L * j) % P
@@ -228,44 +235,59 @@ object Dedup {
           .transform(Ckpt.eager)
       } else {
         val (mem, repSig) = collapseFromSignatures(sig0)
-        val cand = bandCandidates(repSig, numHashes, bands)
-
-        val hashed = repSig.select(col("_id"), col("_g"), col("_h"))
-        val repPairs = cand
-          .join(hashed.select(col("_id").as("id1"), col("_g").as("_g1"),
-            col("_h").as("_h1")), "id1")
-          .join(hashed.select(col("_id").as("id2"), col("_g").as("_g2"),
-            col("_h").as("_h2")), "id2")
-          .withColumn("jaccard", jaccard(col("_h1"), col("_h2")))
-          .where(col("jaccard") >= tau)
-          .select("_g1", "_g2", "jaccard")
-
-        // cross-group expansion: every member pair of a verified rep pair
-        // is a near-dup pair with the SAME jaccard (members are
-        // byte-identical to their reps); groups are disjoint so
-        // least/greatest never ties
-        val cross = repPairs
-          .join(mem.select(col("_g").as("_g1"), col("_id").as("_a")), "_g1")
-          .join(mem.select(col("_g").as("_g2"), col("_id").as("_b")), "_g2")
-          .select(least(col("_a"), col("_b")).as("id1"),
-            greatest(col("_a"), col("_b")).as("id2"), col("jaccard"))
-        // within-group pairs: identical shingle sets, jaccard exactly 1.0
-        // (identical signatures share every band, so the uncollapsed form
-        // always banded and verified them)
-        val within = mem.as("l").join(mem.as("r"),
-            col("l._g") === col("r._g") && col("l._id") < col("r._id"))
-          .select(col("l._id").as("id1"), col("r._id").as("id2"),
-            lit(1.0).as("jaccard"))
-          .where(lit(1.0) >= tau)
-
-        // pairs are tiny next to the corpus: materialize them so both
-        // caches free NOW (same lifetime contract as connectedComponents
-        // — the result is checkpoint-backed)
-        val paired = cross.unionByName(within).transform(Ckpt.eager)
+        val paired = sigNearDupPairsCollapsed(mem, repSig, tau, numHashes,
+          bands)
         repSig.unpersist(false)
         paired
       }
     out
+  }
+
+  /** The collapsed branch of [[sigNearDupPairs]] over a PRE-COLLAPSED
+    * (membership, persisted rep signature) pair — the store append/init
+    * path shares ONE collapse across the within-pairs, cross-pairs and
+    * band-artifact consumers instead of re-collapsing per call
+    * ([[graft.api.MinHashDedupStore]]). Output-identical to
+    * [[sigNearDupPairs]] (both branches are; spec-gated). Caller owns
+    * `repSig`'s unpersist; the result is checkpoint-backed. */
+  private[graft] def sigNearDupPairsCollapsed(mem: DataFrame,
+                                              repSig: DataFrame,
+                                              tau: Double, numHashes: Int,
+                                              bands: Int): DataFrame = {
+    val cand = bandCandidates(repSig, numHashes, bands)
+
+    val hashed = repSig.select(col("_id"), col("_g"), col("_h"))
+    val repPairs = cand
+      .join(hashed.select(col("_id").as("id1"), col("_g").as("_g1"),
+        col("_h").as("_h1")), "id1")
+      .join(hashed.select(col("_id").as("id2"), col("_g").as("_g2"),
+        col("_h").as("_h2")), "id2")
+      .withColumn("jaccard", jaccard(col("_h1"), col("_h2")))
+      .where(col("jaccard") >= tau)
+      .select("_g1", "_g2", "jaccard")
+
+    // cross-group expansion: every member pair of a verified rep pair
+    // is a near-dup pair with the SAME jaccard (members are
+    // byte-identical to their reps); groups are disjoint so
+    // least/greatest never ties
+    val cross = repPairs
+      .join(mem.select(col("_g").as("_g1"), col("_id").as("_a")), "_g1")
+      .join(mem.select(col("_g").as("_g2"), col("_id").as("_b")), "_g2")
+      .select(least(col("_a"), col("_b")).as("id1"),
+        greatest(col("_a"), col("_b")).as("id2"), col("jaccard"))
+    // within-group pairs: identical shingle sets, jaccard exactly 1.0
+    // (identical signatures share every band, so the uncollapsed form
+    // always banded and verified them)
+    val within = mem.as("l").join(mem.as("r"),
+        col("l._g") === col("r._g") && col("l._id") < col("r._id"))
+      .select(col("l._id").as("id1"), col("r._id").as("id2"),
+        lit(1.0).as("jaccard"))
+      .where(lit(1.0) >= tau)
+
+    // pairs are tiny next to the corpus: materialize them so both
+    // caches free NOW (same lifetime contract as connectedComponents
+    // — the result is checkpoint-backed)
+    cross.unionByName(within).transform(Ckpt.eager)
   }
 
   /** Production banding knobs `(numHashes, bands)` for a corpus of
@@ -418,13 +440,20 @@ object Dedup {
     val s = sig
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (_, rep) = collapseFromSignatures(s)
-    val out = bandedProjection(rep, numHashes, bands)
-      .select(col("_band"), col("_bhash"), col("_id"))
-      .transform(Ckpt.eager)
+    val out = bandArtifactOfRep(rep, numHashes, bands)
     rep.unpersist(false)
     s.unpersist(false)
     out
   }
+
+  /** [[bandArtifact]] over a PRE-COLLAPSED persisted rep frame — the
+    * shared-collapse store path ([[graft.api.MinHashDedupStore]]).
+    * Caller owns `rep`'s unpersist. */
+  private[graft] def bandArtifactOfRep(rep: DataFrame, numHashes: Int,
+                                       bands: Int): DataFrame =
+    bandedProjection(rep, numHashes, bands)
+      .select(col("_band"), col("_bhash"), col("_id"))
+      .transform(Ckpt.eager)
 
   /** [[crossSigNearDupPairs]] where the EXISTING side's banded
     * projection is a PREBUILT artifact ([[bandArtifact]] epochs read
@@ -449,6 +478,21 @@ object Dedup {
     val sigN = newSig
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (memN, repN) = collapseFromSignatures(sigN)
+    val out = crossBandNearDupPairsCollapsed(memN, repN, baseBand,
+      baseSig, tau, numHashes, bands)
+    Seq(sigN, repN).foreach(_.unpersist(false))
+    out
+  }
+
+  /** [[crossBandNearDupPairs]] over a PRE-COLLAPSED batch (membership,
+    * persisted rep signature) — the shared-collapse store path
+    * ([[graft.api.MinHashDedupStore]] collapses its batch ONCE for the
+    * within-pairs, cross-pairs and band-artifact consumers). Caller owns
+    * `repN`'s unpersist; the result is checkpoint-backed. */
+  private[graft] def crossBandNearDupPairsCollapsed(
+      memN: DataFrame, repN: DataFrame, baseBand: DataFrame,
+      baseSig: DataFrame, tau: Double, numHashes: Int,
+      bands: Int): DataFrame = {
     val cand = baseBand
       .join(broadcast(bandedProjection(repN, numHashes, bands)
         .select(col("_band"), col("_bhash"), col("_id").as("_idn"))),
@@ -466,15 +510,13 @@ object Dedup {
       // with an IDENTICAL jaccard (same text ⇒ same shingle set) — keep
       // one row per group pair before expansion
       .groupBy("_gn", "_ge").agg(max(col("jaccard")).as("jaccard"))
-    val out = verified
+    verified
       .join(memN.select(col("_g").as("_gn"), col("_id").as("new_id")),
         "_gn")
       .join(baseSig.select(col("_g").as("_ge"),
         col("_id").as("existing_id")), "_ge")
       .select("new_id", "existing_id", "jaccard")
       .transform(Ckpt.eager)
-    Seq(sigN, repN).foreach(_.unpersist(false))
-    out
   }
 
   /** Keep only the genuinely new documents of a batch: `newDocs` minus
@@ -593,7 +635,7 @@ object Dedup {
   /** The collapse stage over a prebuilt signature frame: (id -> group)
     * membership plus ONE persisted signature row per exact text group
     * (min-id representative). Caller unpersists repSig. */
-  private def collapseFromSignatures(sig0: DataFrame)
+  private[graft] def collapseFromSignatures(sig0: DataFrame)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val mem = sig0.select(col("_id"), col("_g"))
@@ -689,9 +731,16 @@ object Dedup {
       cur = next; curSum = nextSum; it += 1
     }
     Bridge.unpersistCheckpoint(edges)
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds — " +
-        "component diameter exceeds the iteration budget")
+    if (!converged) {
+      // free the final round's checkpointed labels before the throw —
+      // the hybrid fallback (hashComponentsOf) makes non-convergence
+      // ROUTINE control flow, so a leaked frame per fallback would
+      // accumulate across appends
+      Bridge.unpersistCheckpoint(cur)
+      throw new NonConvergence(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component diameter exceeds the iteration budget")
+    }
     // NOTE: the result is checkpoint-BACKED (it must survive the loop's
     // intermediate frees). Long-lived sessions that run many closures
     // should Bridge.unpersistCheckpoint the returned frame once consumed;
@@ -767,8 +816,11 @@ object Dedup {
       Bridge.unpersistCheckpoint(cur)
       cur = next; it += 1
     }
-    if (!converged && it >= maxIter) throw new IllegalStateException(
-      s"connectedComponentsStar did not converge in $maxIter rounds")
+    if (!converged && it >= maxIter) {
+      Bridge.unpersistCheckpoint(cur)
+      throw new NonConvergence(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    }
     // at fixpoint the edges are stars (member, root): roots label
     // themselves, members label their root
     val fromEdges = cur.select(col("b").as("id"), col("b").as("comp"))
@@ -1116,7 +1168,10 @@ object Dedup {
     val repComp =
       try connectedComponents(pairs, maxIter = 8)
       catch {
-        case _: IllegalStateException => connectedComponentsStar(pairs)
+        // the DEDICATED non-convergence type, not IllegalStateException
+        // wholesale: an unrelated illegal-state failure must propagate,
+        // not silently reroute into the star closure
+        case _: NonConvergence => connectedComponentsStar(pairs)
       }
     val cliqueOnly = grp.where(col("_e") > 1)
       .select(col("_rep").cast("long").as("id"),
@@ -1913,11 +1968,9 @@ object Dedup {
           lit(" — labels must be minimum member ids (a " +
             "connectedComponents/connectedComponentsStar output)"))))
         .otherwise(col("component").cast("long")).as("component"))
-    val star = asg
-      .where(col("id") =!= col("component"))
-      .select(col("component").as("id1"), col("id").as("id2"))
-    val closed = connectedComponentsStar(star.unionByName(
-      newPairs.select(col("id1").cast("long"), col("id2").cast("long"))))
+    def singletons(ids: DataFrame, closed: DataFrame): DataFrame =
+      ids.join(closed.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component"))
     // singleton assignments (id == component, no member edge) vanish from
     // the star graph; re-union any assignment id the closure did not
     // emit as its own singleton — an id absent from the closure can only
@@ -1925,10 +1978,69 @@ object Dedup {
     // new-pair id always enters the closure), so (id, id) is its label.
     // Preserves the from-scratch CC output contract verbatim (q42/q42b
     // emit self-pair-only ids as singletons).
-    closed.unionByName(
-      asg.select(col("id"))
-        .join(closed.select(col("id")), Seq("id"), "left_anti")
-        .select(col("id"), col("id").as("component")))
+    def fullStar(pairs: DataFrame): DataFrame = {
+      val star = asg
+        .where(col("id") =!= col("component"))
+        .select(col("component").as("id1"), col("id").as("id2"))
+      val closed = connectedComponentsStar(star.unionByName(pairs))
+      closed.unionByName(singletons(asg.select(col("id")), closed))
+    }
+    // TOUCHED-COMPONENT restriction (r15), STATS-GATED: a stored
+    // component's membership and label can only change when one of its
+    // members is a new edge's endpoint — no new path reaches an
+    // untouched component, and labels are component-local minima. So
+    // above `spark.graft.extend.restrictMinBytes` (default 64 MB) of
+    // estimated assignment size, only the touched components' stars
+    // enter the closure and every untouched assignment row passes
+    // through VERBATIM — removing the former full-assignment shuffle
+    // per closure round (the star loop re-shuffled the whole base star
+    // graph O(log²) times per append): closure cost then tracks the
+    // batch's cluster impact, not the corpus. Below the threshold the
+    // original full-star shape runs unchanged — its shuffles are
+    // trivially cheap there and the restriction's extra passes
+    // (endpoint checkpoint + two broadcast probes) are pure overhead.
+    // Both gates read PLAN STATISTICS (driver-side, zero extra jobs).
+    // The endpoint set is pair-OUTPUT-proportional; when an adversarial
+    // flood pushes the pinned pair frame past
+    // `spark.graft.extend.broadcastMaxBytes` (default 256 MB), fall
+    // back to the full-star closure, which never broadcasts. All three
+    // paths are output-identical (DedupSpec forces each via the knobs).
+    val conf = assignments.sparkSession.conf
+    val restrictMin = conf
+      .getOption("spark.graft.extend.restrictMinBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    val asgBytes = asg.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (asgBytes < restrictMin)
+      fullStar(newPairs.select(col("id1").cast("long"),
+        col("id2").cast("long")))
+    else {
+      val np = Ckpt.eager(newPairs.select(
+        col("id1").cast("long").as("id1"),
+        col("id2").cast("long").as("id2")))
+      val bcastMax = conf
+        .getOption("spark.graft.extend.broadcastMaxBytes")
+        .map(_.toLong).getOrElse(256L * 1024 * 1024)
+      if (np.queryExecution.optimizedPlan.stats.sizeInBytes > bcastMax)
+        fullStar(np)
+      else {
+        val touchedIds = np.select(col("id1").as("id"))
+          .unionByName(np.select(col("id2").as("id"))).distinct()
+        val touchedComps = asg
+          .join(broadcast(touchedIds), Seq("id"))
+          .select(col("component")).distinct()
+        val affected = asg
+          .join(broadcast(touchedComps), Seq("component"), "left_semi")
+        val untouched = asg
+          .join(broadcast(touchedComps), Seq("component"), "left_anti")
+        val star = affected
+          .where(col("id") =!= col("component"))
+          .select(col("component").as("id1"), col("id").as("id2"))
+        val closed = connectedComponentsStar(star.unionByName(np))
+        closed
+          .unionByName(singletons(affected.select(col("id")), closed))
+          .unionByName(untouched)
+      }
+    }
   }
 
   /** Within-cell cosine pairs over a PRECOMPUTED assignment frame

@@ -204,7 +204,7 @@ object SubstringIndex {
                     textCol: String = "text"): DataFrame = {
     val (touched, changed, _) =
       appendCore(baseDocs, restrictOf(index), newDocs, window, idCol,
-        textCol)
+        textCol, pinIdxDelta = false)
     baseDeduped
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
         col("n_tokens_before"), col("n_tokens_after"))
@@ -226,7 +226,7 @@ object SubstringIndex {
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame =
     appendCore(baseDocs, restrictOf(index), newDocs, window, idCol,
-      textCol)._2
+      textCol, pinIdxDelta = false)._2
 
   /** Both per-epoch deltas of a [[graft.api.SubstringDedupStore]]
     * append — (deduped delta, index delta) — over a KEY-RESTRICTED
@@ -251,18 +251,34 @@ object SubstringIndex {
   }
 
   /** The resolver a MATERIALIZED index frame induces: restriction is a
-    * broadcast semi-join on the requested keys (resolution-transparent
-    * — the frame is already resolved). */
+    * semi-join on the requested keys (resolution-transparent — the
+    * frame is already resolved), broadcast only while the key frame's
+    * plan-statistics estimate stays under
+    * `spark.graft.keys.broadcastMaxBytes` (default 256 MB; driver-side
+    * check, zero extra jobs): the TOUCHED-doc key frame scales with
+    * touched-doc text rather than batch size, so a batch overlapping
+    * many base docs could push an unconditional broadcast past driver
+    * memory — past the budget the join falls back to a shuffle
+    * semi-join (identical result). */
   private def restrictOf(index: DataFrame): DataFrame => DataFrame =
-    keys => index.join(broadcast(keys), KeyCols, "left_semi")
+    keys =>
+      index.join(graft.api.EpochStoreKit.guardedBroadcast(
+        index.sparkSession, keys), KeyCols, "left_semi")
 
   /** Shared core: (touched base ids, EAGER changed rows =
-    * recomputed-touched ∪ deduped-batch, EAGER merged batch-key index
-    * delta). The index is consumed ONLY through `indexFor`. */
+    * recomputed-touched ∪ deduped-batch, merged batch-key index delta).
+    * The index is consumed ONLY through `indexFor`. `pinIdxDelta`
+    * materializes the index delta eagerly — the STORE path, which
+    * persists it per epoch; the query paths (appendDeduped /
+    * appendDedupedDelta) DISCARD the delta, so pinning it there was a
+    * pure extra materialization pass (the r14 q111 1.15-1.25× term —
+    * attributed and removed, r15). Unpinned, the delta feeds its single
+    * consumer (the batch flag join) lazily. */
   private def appendCore(baseDocs: DataFrame,
                          indexFor: DataFrame => DataFrame,
                          newDocs: DataFrame, window: Int,
-                         idCol: String, textCol: String)
+                         idCol: String, textCol: String,
+                         pinIdxDelta: Boolean = true)
       : (DataFrame, DataFrame, DataFrame) = {
     checkWindow(window)
     // id-ordering guard: a parquet min/max-statistics scan of the id
@@ -302,12 +318,13 @@ object SubstringIndex {
     // merged stats for keys PRESENT IN THE BATCH: base keep wins when
     // both sides hold the key (appended ids strictly exceed base ids,
     // so the base minimum is the union minimum) — this frame IS the
-    // epoch's index delta
-    val idxDelta = Ckpt.eager(newAgg.join(idxB, KeyCols, "left")
+    // epoch's index delta (pinned only on the store path; see the doc)
+    val idxDelta0 = newAgg.join(idxB, KeyCols, "left")
       .select(col("k1"), col("k2"),
         when(col("keep").isNull, col("_nk")).otherwise(col("keep"))
           .as("keep"),
-        (coalesce(col("occ"), lit(0L)) + col("_no")).as("occ")))
+        (coalesce(col("occ"), lit(0L)) + col("_no")).as("occ"))
+    val idxDelta = if (pinIdxDelta) Ckpt.eager(idxDelta0) else idxDelta0
     val newFlags = newKeys
       .join(idxDelta.where(col("occ") >= 2L), KeyCols)
       .select(col("doc_id"), col("pos"),

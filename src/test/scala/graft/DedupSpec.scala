@@ -786,6 +786,42 @@ class DedupSpec extends SparkSpec {
       exMessageChain(ex).contains("extendComponents"))
   }
 
+  test("extendComponents touched-component restriction (r15): the " +
+    "broadcast path and the full-star fallback agree with from-scratch " +
+    "CC; untouched components pass through verbatim") {
+    // three base components: {1,2,3} (touched by a join), {10,11}+{20,21}
+    // (touched by a merge), {40,41,42} (UNTOUCHED — must pass verbatim),
+    // singleton 50 (untouched), plus a fresh batch component 30-31
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (40L, 41L), (41L, 42L), (50L, 50L)).toDF("id1", "id2")
+    val asg = Dedup.connectedComponents(oldEdges)
+    val newEdges = Seq((3L, 5L), (11L, 20L), (30L, 31L))
+      .toDF("id1", "id2")
+    def cc(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "component").as[(Long, Long)].collect().toSet
+    val scratch = cc(Dedup.connectedComponents(
+      oldEdges.unionByName(newEdges)))
+    // default: the stats gate keeps a KB-sized assignment on the
+    // original full-star path
+    assert(cc(Dedup.extendComponents(asg, newEdges)) == scratch)
+    // force the touched-component restricted path via the size knob:
+    // output must be identical, untouched rows pass through verbatim
+    spark.conf.set("spark.graft.extend.restrictMinBytes", "0")
+    try {
+      val restricted = cc(Dedup.extendComponents(asg, newEdges))
+      assert(restricted == scratch)
+      assert(restricted.contains((42L, 40L)) &&
+        restricted.contains((50L, 50L))) // untouched rows intact
+      // and the adversarial-flood fallback (pair frame over the
+      // broadcast budget → full-star, never broadcasts): identical
+      spark.conf.set("spark.graft.extend.broadcastMaxBytes", "0")
+      assert(cc(Dedup.extendComponents(asg, newEdges)) == scratch)
+    } finally {
+      spark.conf.unset("spark.graft.extend.restrictMinBytes")
+      spark.conf.unset("spark.graft.extend.broadcastMaxBytes")
+    }
+  }
+
   /** Full message chain (Spark wraps raise_error in job-failure layers). */
   private def exMessageChain(e: Throwable): String = {
     var cur: Throwable = e; val sb = new StringBuilder

@@ -228,4 +228,52 @@ class MinHashDedupStoreSpec extends SparkSpec {
     val u2 = base.unionByName(batch1).unionByName(batch2)
     assert(ids(s.kept(u2.select("doc_id"))) == scratch(u2))
   }
+
+  test("replayCheck falls back to the legacy un-suffixed token path " +
+    "(r15): a store upgraded from the pre-digest format no-ops a " +
+    "replayed append instead of wedging on the disjoint-id guard") {
+    import graft.api.EpochStoreKit
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mhs4").toString + "/store"
+    val s = MinHashDedupStore.init(spark, root, base, Tau)
+    assert(s.append(batch1, "doc_id", "text", "batch/0") == 1L)
+    // simulate the pre-upgrade layout: the committed token lives at the
+    // sanitized-only path, no digest suffix
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newPath = EpochStoreKit.tokenPath(root, "batch/0")
+    val legacy = new Path(s"$root/_tokens/batch_0")
+    assert(fs.rename(newPath, legacy))
+    // the replayed exactly-once append must find the legacy token and
+    // no-op (without the fallback it would re-attempt and fail loudly
+    // on the duplicate ids)
+    assert(s.append(batch1, "doc_id", "text", "batch/0") == 1L)
+    assert(s.epoch == 1L)
+  }
+
+  test("torn band migration resumes (r15): a pending marker with an " +
+    "incomplete epoch dir makes open() re-backfill exactly the " +
+    "unfinished epochs") {
+    import graft.api.EpochStoreKit
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mhs5").toString + "/store"
+    val s0 = MinHashDedupStore.init(spark, root, base, Tau)
+    s0.append(batch1)
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a migration that crashed mid-loop: pending marker set,
+    // epoch 1's band artifact torn (no parquet _SUCCESS)
+    EpochStoreKit.markFile(fs, new Path(s"$root/_migrations/band"))
+    assert(fs.delete(new Path(s"$root/band/epoch=1/_SUCCESS"), false))
+    val s1 = MinHashDedupStore.open(spark, root, Tau)
+    assert(!fs.exists(new Path(s"$root/_migrations/band"))) // finished
+    assert(fs.exists(new Path(s"$root/band/epoch=1/_SUCCESS")))
+    // and the resumed store still appends + reads correctly (batch2
+    // pairs with epoch 1's doc 12 THROUGH the re-backfilled band)
+    assert(s1.append(batch2) == 2L)
+    val u2 = base.unionByName(batch1).unionByName(batch2)
+    assert(ids(s1.kept(u2.select("doc_id"))) == scratch(u2))
+  }
 }
